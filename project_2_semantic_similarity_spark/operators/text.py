@@ -1,0 +1,187 @@
+"""TF-IDF term-term semantic similarity — the reference's entire
+surface (reference ``app.py:1-187``), re-expressed as one lazy
+DataFrame plan.
+
+Semantics contract (SURVEY.md §2.A, verified against the reference):
+
+- ``TF(d,t)   = occurrences(d,t) / total_tokens(d)`` where the total
+  excludes the id token (app.py:13 pops it before counting; the
+  denominator is summed at app.py:33-36).
+- ``IDF(t)    = log10(N / df(t))`` with N = number of documents
+  (app.py:125) and df = number of documents containing t
+  (app.py:51-53); base-10 log explicitly (app.py:58).
+- TF-IDF is computed over the **full** vocabulary; any term-pattern
+  filter applies after (app.py:145), so N/df/doc-length reflect the
+  unfiltered corpus.
+- ``sim(q,t)  = Σ_d v_q(d)·v_t(d) / (‖v_t‖·‖v_q‖)`` with absent
+  (term, doc) entries reading as 0 (app.py:78-84); the query term is
+  excluded from candidates (app.py:158); exact-zero similarities are
+  dropped **before** any rounding (app.py:172); top-k descending
+  (app.py:175) with a deterministic term tie-break added (the
+  reference leaves ties arbitrary).
+- Degenerate case: query term absent (e.g. filtered out) ⇒ empty
+  result (the reference divides by zero at app.py:178; we don't).
+
+Execution shape vs the reference (SURVEY.md §3.2-3.3): the reference
+crosses the executor→driver boundary three times (collect at
+app.py:11,29,51) and re-parallelizes three times (app.py:17,40,57),
+with groupByKey (no partial agg) shuffles. Here the whole pipeline is
+one Catalyst plan: `explode` replaces the driver tokenize loop, window
+aggregates replace the per-doc / per-term driver loops (one shuffle
+each, partial+final hash agg for the similarity reduce), the query
+vector is attached with a **broadcast hash join** instead of a
+closure-captured dict (app.py:162), and top-k plans as
+TakeOrderedAndProject (no total sort). At 100 TB: the only shuffles
+are hash-partitioned by doc_id / term; hot (stopword-like) terms in
+the df window are handled by AQE skew split; the query vector is
+provably tiny (≤ N_docs rows, 1 term) so the broadcast never grows
+with vocabulary size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = r"\s+"
+
+
+def tokenize(corpus: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, pos, term), whitespace-split.
+
+    Replaces the reference's collect()+driver loop (app.py:11-17)
+    with `posexplode` — fully distributed, no driver round-trip.
+    """
+    return corpus.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), TOKEN_SPLIT)).alias("pos", "term"),
+    ).filter(F.col("term") != "")
+
+
+def term_counts(tokens: DataFrame) -> DataFrame:
+    """occurrences per (doc, term) — reference phase 1 (app.py:18-21).
+
+    `groupBy().count()` gives hash partial+final aggregation, fixing
+    the reference's groupByKey-shuffles-every-1 antipattern.
+    """
+    return tokens.groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf_count"))
+
+
+def with_doc_length(counts: DataFrame) -> DataFrame:
+    """Attach per-document token total — reference phase 2
+    (app.py:24-41) — as a window aggregate partitioned by doc_id
+    instead of a groupByKey + collect + driver loop."""
+    w = Window.partitionBy("doc_id")
+    return counts.withColumn("doc_len", F.sum("tf_count").over(w))
+
+
+def with_doc_frequency(counts: DataFrame) -> DataFrame:
+    """Attach per-term document frequency — reference phase 3 map/
+    reduce (app.py:43-57). After term_counts each (doc, term) row is
+    distinct, so `count(*) over (partition by term)` equals the
+    number of documents containing the term."""
+    w = Window.partitionBy("term")
+    return counts.withColumn("df", F.count("*").over(w))
+
+
+def tfidf(corpus: DataFrame) -> DataFrame:
+    """Full TF-IDF pipeline: (doc_id, text) -> (doc_id, term, tfidf).
+
+    `tfidf = (tf_count / doc_len) * log10(N / df)` (app.py:58). N is
+    computed in-plan via a broadcast cross-join of a 1-row aggregate —
+    no eager count() job, no driver scalar, works at any scale.
+    """
+    n_docs = corpus.agg(F.count("*").alias("n_docs"))
+    scored = with_doc_frequency(with_doc_length(term_counts(tokenize(corpus))))
+    return (
+        scored.crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            (
+                (F.col("tf_count") / F.col("doc_len"))
+                * F.log10(F.col("n_docs") / F.col("df"))
+            ).alias("tfidf"),
+        )
+    )
+
+
+def filter_term_pattern(weights: DataFrame, prefix: str | None = None,
+                        suffix: str | None = None) -> DataFrame:
+    """Parameterized form of the reference's hardcoded corpus-specific
+    `gene_*_gene` filter (app.py:145). Applied AFTER tfidf so N/df
+    reflect the unfiltered corpus, exactly as the reference does."""
+    out = weights
+    if prefix:
+        out = out.filter(F.col("term").startswith(prefix))
+    if suffix:
+        out = out.filter(F.col("term").endswith(suffix))
+    return out
+
+
+def similar_terms(weights: DataFrame, query: str, k: int = 5,
+                  round_to: int | None = None) -> DataFrame:
+    """Term-term cosine similarity to `query`, top-k.
+
+    Reference app.py:150-178 re-expressed: the query vector is a tiny
+    filtered DataFrame attached by broadcast hash join (replacing the
+    closure-shipped dict at app.py:162); ‖q‖ is a 1-row aggregate also
+    broadcast cross-joined (the reference computes it on the driver at
+    app.py:156 and defers the division to print time, app.py:178 — we
+    fold it into the plan); the per-term reduce is a hash aggregation
+    (partial+final, same as the reference's one reduceByKey at
+    app.py:166); zero similarities are dropped pre-rounding
+    (app.py:172) and top-k plans as TakeOrderedAndProject with a term
+    tie-break for determinism.
+
+    Returns (term string, similarity double). Empty when the query
+    term has no vector (reference would div-by-zero, app.py:178).
+    """
+    qvec = weights.filter(F.col("term") == query).select(
+        "doc_id", F.col("tfidf").alias("v1"))
+    qnorm = qvec.agg(F.sqrt(F.sum(F.col("v1") * F.col("v1"))).alias("norm_q"))
+
+    cands = weights.filter(F.col("term") != query).select(
+        "doc_id", "term", F.col("tfidf").alias("v2"))
+
+    joined = cands.join(F.broadcast(qvec), "doc_id", "left").select(
+        "term",
+        (F.coalesce(F.col("v1"), F.lit(0.0)) * F.col("v2")).alias("num_part"),
+        (F.col("v2") * F.col("v2")).alias("den2_part"),
+    )
+
+    sims = (
+        joined.groupBy("term")
+        .agg(F.sum("num_part").alias("numerator"),
+             F.sum("den2_part").alias("denominator2"))
+        .crossJoin(F.broadcast(qnorm))
+        # norm_q is NULL only when the query vector is empty -> the
+        # inner filter below then sees NULL similarity and drops all
+        # rows (reference crashes on this case; we return empty).
+        # try_divide: divisor 0 (zero-norm query or candidate vector)
+        # -> NULL -> dropped below, instead of ANSI div-by-zero. The
+        # reference crashes on this case (app.py:110,178).
+        .select(
+            "term",
+            F.try_divide(
+                F.col("numerator"),
+                F.sqrt(F.col("denominator2")) * F.col("norm_q"),
+            ).alias("similarity"),
+        )
+        .filter(F.col("similarity").isNotNull() & (F.col("similarity") != 0))
+    )
+    if round_to is not None:
+        sims = sims.select(
+            "term", F.round("similarity", round_to).alias("similarity"))
+    return sims.orderBy(F.desc("similarity"), F.asc("term")).limit(k)
+
+
+def term_similarity_pipeline(corpus: DataFrame, query: str, k: int = 5,
+                             prefix: str | None = None,
+                             suffix: str | None = None,
+                             round_to: int | None = None) -> DataFrame:
+    """End-to-end flagship: corpus -> top-k terms most similar to
+    `query` (the reference's whole program, app.py:115-181)."""
+    weights = filter_term_pattern(tfidf(corpus), prefix, suffix)
+    return similar_terms(weights, query, k, round_to=round_to)

@@ -1,0 +1,215 @@
+"""Text / TF-IDF query family (SURVEY.md §2.B "Text analytics").
+
+All run over the ``documents`` table. The DuckDB oracles mirror each
+Spark plan as a CTE chain; float columns rounded to 6 dp on both
+sides. FLAGSHIP_QUERY_TERM = 'join' (mid-to-top frequency in the
+testdata vocabulary, df ≈ 380/500, so idf > 0).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from project_2_semantic_similarity_spark.operators import text as T
+from project_2_semantic_similarity_spark.plans.registry import query
+from project_2_semantic_similarity_spark.sources import (
+    corpus_from_documents,
+    load_table,
+)
+
+FLAGSHIP_QUERY_TERM = "join"
+FLAGSHIP_K = 5
+
+# Shared CTE prefix for the DuckDB oracles: corpus -> tokens ->
+# term counts -> tfidf, mirroring operators/text.py step by step.
+_TFIDF_CTES = """
+corpus AS (
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+),
+tok AS (
+    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+    FROM corpus
+),
+tc AS (
+    SELECT doc_id, term, count(*) AS tf_count
+    FROM tok WHERE term <> '' GROUP BY doc_id, term
+),
+n AS (SELECT count(*) AS n_docs FROM corpus),
+w AS (
+    SELECT doc_id, term, tf_count,
+           sum(tf_count) OVER (PARTITION BY doc_id) AS doc_len,
+           count(*) OVER (PARTITION BY term) AS df
+    FROM tc
+),
+tfidf AS (
+    SELECT doc_id, term,
+           (tf_count / CAST(doc_len AS DOUBLE))
+             * log10(n_docs / CAST(df AS DOUBLE)) AS tfidf
+    FROM w, n
+)
+"""
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_from_documents(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "flagship_term_similarity",
+    oracle=f"""
+WITH {_TFIDF_CTES},
+q AS (
+    SELECT doc_id, tfidf AS v1 FROM tfidf
+    WHERE term = '{FLAGSHIP_QUERY_TERM}'
+),
+qn AS (SELECT sqrt(sum(v1 * v1)) AS norm_q FROM q),
+sims AS (
+    SELECT t.term,
+           sum(coalesce(q.v1, 0) * t.tfidf) AS numerator,
+           sum(t.tfidf * t.tfidf) AS denominator2
+    FROM tfidf t LEFT JOIN q ON t.doc_id = q.doc_id
+    WHERE t.term <> '{FLAGSHIP_QUERY_TERM}'
+    GROUP BY t.term
+),
+final AS (
+    SELECT term,
+           numerator / (sqrt(denominator2) * norm_q) AS sim
+    FROM sims, qn
+)
+SELECT term, round(sim, 6) AS similarity
+FROM final
+WHERE sim IS NOT NULL AND sim <> 0
+ORDER BY sim DESC, term ASC
+LIMIT {FLAGSHIP_K}
+""",
+)
+def flagship_term_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end reference program (app.py:115-181): TF-IDF + cosine
+    term-term similarity, top-5. Pattern filter off: the testdata
+    vocabulary has no gene_* terms (FIXTURES.md §2)."""
+    return T.term_similarity_pipeline(
+        _corpus(spark, sf_dir), FLAGSHIP_QUERY_TERM, FLAGSHIP_K, round_to=6)
+
+
+@query(
+    "text_tokenize",
+    oracle="""
+WITH corpus AS (
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+),
+tok AS (
+    SELECT doc_id,
+           CAST(generate_subscripts(string_split_regex(text, '\\s+'), 1) - 1
+                AS BIGINT) AS pos,
+           unnest(string_split_regex(text, '\\s+')) AS term
+    FROM corpus
+)
+SELECT doc_id, pos, term FROM tok WHERE term <> ''
+""",
+)
+def text_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference R4 (app.py:11-17): whitespace tokenize with position."""
+    return T.tokenize(_corpus(spark, sf_dir)).select(
+        "doc_id", F.col("pos").cast("bigint").alias("pos"), "term")
+
+
+@query(
+    "text_term_counts",
+    oracle="""
+WITH corpus AS (
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+),
+tok AS (
+    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+    FROM corpus
+)
+SELECT doc_id, term, count(*) AS tf_count
+FROM tok WHERE term <> ''
+GROUP BY doc_id, term
+""",
+)
+def text_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference R5 phase-1 reduce (app.py:18-21)."""
+    return T.term_counts(T.tokenize(_corpus(spark, sf_dir)))
+
+
+@query(
+    "text_tf",
+    oracle="""
+WITH corpus AS (
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+),
+tok AS (
+    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+    FROM corpus
+),
+tc AS (
+    SELECT doc_id, term, count(*) AS tf_count
+    FROM tok WHERE term <> '' GROUP BY doc_id, term
+)
+SELECT doc_id, term, tf_count,
+       CAST(sum(tf_count) OVER (PARTITION BY doc_id) AS BIGINT) AS doc_len,
+       round(tf_count / CAST(sum(tf_count) OVER (PARTITION BY doc_id)
+             AS DOUBLE), 6) AS tf
+FROM tc
+""",
+)
+def text_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference R6+R8 numerator (app.py:24-41): per-doc term
+    frequency via a window total instead of a driver loop."""
+    counts = T.with_doc_length(T.term_counts(T.tokenize(_corpus(spark, sf_dir))))
+    return counts.select(
+        "doc_id", "term", "tf_count", "doc_len",
+        F.round(F.col("tf_count") / F.col("doc_len"), 6).alias("tf"),
+    )
+
+
+@query(
+    "text_df_idf",
+    oracle="""
+WITH corpus AS (
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+),
+tok AS (
+    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+    FROM corpus
+),
+tc AS (
+    SELECT DISTINCT doc_id, term FROM tok WHERE term <> ''
+),
+n AS (SELECT count(*) AS n_docs FROM corpus)
+SELECT term, count(*) AS df,
+       round(log10(any_value(n.n_docs) / CAST(count(*) AS DOUBLE)), 6) AS idf
+FROM tc, n
+GROUP BY term
+""",
+)
+def text_df_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference R7+R8 idf part (app.py:43-58): document frequency and
+    log10 idf per term."""
+    corpus = _corpus(spark, sf_dir)
+    n_docs = corpus.agg(F.count("*").alias("n_docs"))
+    counts = T.term_counts(T.tokenize(corpus))
+    return (
+        counts.groupBy("term").agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term", "df",
+            F.round(F.log10(F.col("n_docs") / F.col("df")), 6).alias("idf"),
+        )
+    )
+
+
+@query(
+    "text_tfidf",
+    oracle=f"""
+WITH {_TFIDF_CTES}
+SELECT doc_id, term, round(tfidf, 6) AS tfidf FROM tfidf
+""",
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference R8 full composition (app.py:58)."""
+    weights = T.tfidf(_corpus(spark, sf_dir))
+    return weights.select(
+        "doc_id", "term", F.round("tfidf", 6).alias("tfidf"))

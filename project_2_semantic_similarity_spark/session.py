@@ -1,0 +1,44 @@
+"""SparkSession factory.
+
+Local-mode defaults tuned for the test harness (local[32], 128 GiB);
+on a real cluster every setting here except the master is still the
+right default: AQE on (runtime coalesce + skew-join split), UTC session
+timezone (oracle parity with DuckDB), Arrow enabled for the Pandas-UDF
+operators.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "project2_semantic_similarity",
+              cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) the SparkSession.
+
+    ``spark.sql.shuffle.partitions`` is set to the core count — at
+    cluster scale this would instead be sized so post-shuffle
+    partitions land near 128-256 MB; AQE's coalescePartitions then
+    right-sizes small stages automatically.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder
+        .master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,30 @@
+"""Parquet table access for the driver-generated testdata layout
+(TESTDATA.md): one parquet file per table under an sf directory.
+
+At 100 TB these would be partitioned/parquet datasets (partitioned by
+date or lang); ``spark.read.parquet`` handles both shapes identically
+and Catalyst gets predicate pushdown + column pruning + partition
+pruning for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table. Lazy — the scan participates in
+    whatever plan the caller builds (pushdown/pruning applies)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view so SQL-API entry
+    points (SURVEY §3.4) see the same catalog DuckDB's oracle does."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

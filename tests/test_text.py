@@ -1,0 +1,119 @@
+"""Unit tests for the TF-IDF / similarity core on tiny literal
+corpora with hand-computed expectations (SURVEY.md §5.2.5), plus the
+reference-semantics edge cases (§2.A contract)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from project_2_semantic_similarity_spark.operators import text as T
+from project_2_semantic_similarity_spark.sources import read_text_corpus
+
+
+def mini_corpus(spark):
+    # 3 docs; hand-checkable. doc lengths: d1=3, d2=2, d3=2. N=3.
+    rows = [
+        ("d1", "apple banana apple"),
+        ("d2", "banana cherry"),
+        ("d3", "apple cherry"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def tfidf_map(df):
+    return {(r["doc_id"], r["term"]): r["tfidf"] for r in df.collect()}
+
+
+def test_tokenize_positions(spark):
+    out = T.tokenize(mini_corpus(spark)).collect()
+    assert ("d1", 0, "apple") in [(r.doc_id, r.pos, r.term) for r in out]
+    assert ("d1", 2, "apple") in [(r.doc_id, r.pos, r.term) for r in out]
+    assert len(out) == 7
+
+
+def test_term_counts(spark):
+    out = T.term_counts(T.tokenize(mini_corpus(spark)))
+    m = {(r.doc_id, r.term): r.tf_count for r in out.collect()}
+    assert m[("d1", "apple")] == 2
+    assert m[("d1", "banana")] == 1
+    assert len(m) == 6
+
+
+def test_tfidf_hand_computed(spark):
+    m = tfidf_map(T.tfidf(mini_corpus(spark)))
+    # apple: df=2 -> idf=log10(3/2); d1 tf=2/3
+    assert m[("d1", "apple")] == pytest.approx((2 / 3) * math.log10(3 / 2))
+    # banana in d2: tf=1/2, df=2
+    assert m[("d2", "banana")] == pytest.approx(0.5 * math.log10(1.5))
+    # term in every doc would get idf=0 (none here; add one)
+    rows = [("a", "x y"), ("b", "x z"), ("c", "x w")]
+    m2 = tfidf_map(T.tfidf(spark.createDataFrame(rows, ["doc_id", "text"])))
+    assert m2[("a", "x")] == pytest.approx(0.0)
+
+
+def test_similarity_identical_vectors(spark):
+    # t1 and t2 co-occur identically -> cosine 1; t3 appears alone.
+    rows = [
+        ("d1", "t1 t2 filler1"),
+        ("d2", "t1 t2 filler2"),
+        ("d3", "t3 filler3 filler4"),
+    ]
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = T.term_similarity_pipeline(corpus, "t1", k=10)
+    sims = {r.term: r.similarity for r in out.collect()}
+    assert sims["t2"] == pytest.approx(1.0)
+    assert "t3" not in sims  # orthogonal -> numerator 0 -> dropped
+    assert "t1" not in sims  # self-excluded
+
+
+def test_query_absent_returns_empty(spark):
+    # Reference div-by-zeros here (app.py:178); we return empty.
+    out = T.term_similarity_pipeline(mini_corpus(spark), "nosuchterm")
+    assert out.count() == 0
+
+
+def test_zero_idf_query_returns_empty(spark):
+    # Query term in every doc -> all-zero vector -> norm 0 -> empty.
+    rows = [("a", "x y"), ("b", "x z")]
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = T.term_similarity_pipeline(corpus, "x")
+    assert out.count() == 0
+
+
+def test_pattern_filter_after_tfidf(spark):
+    # Filter applies post-tfidf: df/N from full corpus (app.py:145).
+    rows = [
+        ("d1", "gene_a_gene other gene_b_gene"),
+        ("d2", "gene_a_gene other"),
+    ]
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+    weights = T.filter_term_pattern(T.tfidf(corpus), "gene_", "_gene")
+    terms = {r.term for r in weights.collect()}
+    assert terms == {"gene_a_gene", "gene_b_gene"}
+    m = tfidf_map(weights)
+    # gene_b_gene: tf=1/3 in d1, df=1, N=2 (unfiltered N)
+    assert m[("d1", "gene_b_gene")] == pytest.approx((1 / 3) * math.log10(2))
+
+
+def test_read_text_corpus(spark, tmp_path):
+    p = tmp_path / "corpus.txt"
+    p.write_text("doc1 apple banana\ndoc2 cherry\n\ndoc3 dates  figs\n")
+    df = read_text_corpus(spark, str(p))
+    rows = {r.doc_id: r.text for r in df.collect()}
+    assert rows == {"doc1": "apple banana", "doc2": "cherry",
+                    "doc3": "dates  figs"}
+    toks = T.tokenize(df)
+    assert toks.filter(F.col("doc_id") == "doc3").count() == 2
+
+
+def test_flagship_on_testdata(spark, sf_dir):
+    import __spark_entry__ as e
+    out = e.queries()["flagship_term_similarity"](spark, sf_dir)
+    rows = out.collect()
+    assert 0 < len(rows) <= 5
+    sims = [r.similarity for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    assert all(0 < s <= 1.0 + 1e-9 for s in sims)

@@ -1,0 +1,106 @@
+"""Local approximation of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry at a given sf dir,
+executes the matching ``oracle_sql()`` in DuckDB over the same parquet
+files, and compares row count + schema + order-insensitive value hash.
+
+Usage: python tools/verify_local.py [sf_dir] [name_filter ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+import traceback
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = ("region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings")
+
+
+def norm_cell(v):
+    if v is None or (isinstance(v, float) and pd.isna(v)):
+        return "<null>"
+    if isinstance(v, float):
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return f"{v:.6f}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def frame_fingerprint(df: pd.DataFrame) -> tuple[int, list[str], str]:
+    cols = sorted(df.columns)
+    rows = []
+    for t in df[cols].itertuples(index=False):
+        rows.append("\x1f".join(norm_cell(v) for v in t))
+    rows.sort()
+    h = hashlib.sha256("\n".join(rows).encode()).hexdigest()[:16]
+    return len(df), cols, h
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    filters = sys.argv[2:]
+
+    import __spark_entry__ as e
+    from project_2_semantic_similarity_spark.session import get_spark
+
+    spark = get_spark("verify_local")
+    qs, oracles = e.queries(), e.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    failed = []
+    for name, fn in qs.items():
+        if filters and not any(f in name for f in filters):
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception:
+            print(f"FAIL  {name}: spark error")
+            traceback.print_exc()
+            failed.append(name)
+            continue
+        s_n, s_cols, s_h = frame_fingerprint(sdf)
+        if name not in oracles:
+            status = "ROWS-ONLY" if s_n >= 0 else "??"
+            print(f"{status:9s} {name}: rows={s_n} ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception:
+            print(f"FAIL  {name}: duckdb error")
+            traceback.print_exc()
+            failed.append(name)
+            continue
+        o_n, o_cols, o_h = frame_fingerprint(odf)
+        ok = (s_n, s_cols, s_h) == (o_n, o_cols, o_h)
+        tag = "OK   " if ok else "FAIL "
+        print(f"{tag} {name}: spark(n={s_n},h={s_h}) duck(n={o_n},h={o_h}) "
+              f"({time.time()-t0:.1f}s)")
+        if not ok:
+            failed.append(name)
+            if s_cols != o_cols:
+                print(f"      cols spark={s_cols} duck={o_cols}")
+            if s_n == o_n and s_cols == o_cols:
+                m = sdf.sort_values(sorted(sdf.columns)).reset_index(drop=True)
+                d = odf.sort_values(sorted(odf.columns)).reset_index(drop=True)
+                print("      spark head:\n", m.head(5).to_string())
+                print("      duck  head:\n", d.head(5).to_string())
+    print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
