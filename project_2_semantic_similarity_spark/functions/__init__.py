@@ -1,0 +1,9 @@
+"""Scalar/vector function helpers shared by operators and queries."""
+
+from project_2_semantic_similarity_spark.functions.vectors import (
+    cosine_similarity,
+    dot,
+    l2_norm,
+)
+
+__all__ = ["dot", "l2_norm", "cosine_similarity"]

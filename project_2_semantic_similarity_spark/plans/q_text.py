@@ -213,3 +213,86 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights = T.tfidf(_corpus(spark, sf_dir))
     return weights.select(
         "doc_id", "term", F.round("tfidf", 6).alias("tfidf"))
+
+
+@query(
+    "text_stats",
+    oracle="""
+WITH corpus AS (
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id, text, lang, n_chars
+    FROM documents
+),
+tok AS (
+    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+    FROM corpus
+),
+per_doc AS (
+    SELECT doc_id, count(*) AS n_tokens,
+           count(DISTINCT term) AS n_distinct_terms
+    FROM tok WHERE term <> '' GROUP BY doc_id
+)
+SELECT c.doc_id, c.lang, c.n_chars,
+       CAST(length(c.text) AS BIGINT) AS text_len,
+       p.n_tokens, p.n_distinct_terms,
+       round(p.n_distinct_terms / CAST(p.n_tokens AS DOUBLE), 6)
+           AS distinct_ratio
+FROM corpus c JOIN per_doc p ON c.doc_id = p.doc_id
+""",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document corpus statistics (SURVEY §2.B text_stats):
+    token/distinct-term counts + stored vs computed char length."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "text", "lang", "n_chars")
+    per_doc = (
+        T.tokenize(docs.select("doc_id", "text"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"),
+             F.countDistinct("term").alias("n_distinct_terms"))
+    )
+    return docs.join(per_doc, "doc_id").select(
+        "doc_id", "lang", "n_chars",
+        F.length("text").cast("bigint").alias("text_len"),
+        "n_tokens", "n_distinct_terms",
+        F.round(F.col("n_distinct_terms") / F.col("n_tokens"), 6)
+         .alias("distinct_ratio"),
+    )
+
+
+@query(
+    "text_ngrams",
+    oracle="""
+WITH corpus AS (
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+),
+tok AS (
+    SELECT doc_id,
+           CAST(generate_subscripts(string_split_regex(text, '\\s+'), 1)
+                AS BIGINT) AS pos,
+           unnest(string_split_regex(text, '\\s+')) AS term
+    FROM corpus
+),
+seq AS (
+    SELECT doc_id, pos, term,
+           lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+    FROM tok WHERE term <> ''
+)
+SELECT term || ' ' || nxt AS bigram, count(*) AS cnt
+FROM seq WHERE nxt IS NOT NULL
+GROUP BY bigram
+""",
+)
+def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram counts (SURVEY §2.B text_ngrams) via a lead()
+    window over token positions — no ml.feature dependency."""
+    from pyspark.sql import Window
+    toks = T.tokenize(_corpus(spark, sf_dir))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    seq = toks.withColumn("nxt", F.lead("term").over(w))
+    return (
+        seq.filter(F.col("nxt").isNotNull())
+        .select(F.concat_ws(" ", "term", "nxt").alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+    )

@@ -1,0 +1,127 @@
+"""UDF / UDAF / UDTF query surface (SURVEY.md §2.B "UDF surface").
+
+Each query has the same semantics as a built-in composition, so the
+DuckDB oracles are shared shapes with q_text — these demonstrate the
+Python-extension path (row UDF / Arrow-vectorized pandas UDF /
+grouped-map applyInPandas / UDTF), not new semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from project_2_semantic_similarity_spark.operators import text as T
+from project_2_semantic_similarity_spark.operators.udfs import (
+    normalize_term_udf,
+    term_norms_applyinpandas,
+    tfidf_pandas_udf,
+)
+from project_2_semantic_similarity_spark.plans.q_text import _corpus, _TFIDF_CTES
+from project_2_semantic_similarity_spark.plans.registry import query
+
+
+@query(
+    "udf_python",
+    oracle="""
+WITH corpus AS (
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+),
+tok AS (
+    SELECT DISTINCT unnest(string_split_regex(text, '\\s+')) AS term
+    FROM corpus
+)
+SELECT term,
+       lower(trim(trim('  ' || upper(term) || '!! '),
+                  '.,;:!?"''()[]{}')) AS norm_term
+FROM tok WHERE term <> ''
+""",
+)
+def udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF: normalize a deliberately-dirtied
+    term (pad + upper + punctuation) back to canonical form."""
+    terms = T.tokenize(_corpus(spark, sf_dir)).select("term").distinct()
+    dirty = F.concat(F.lit("  "), F.upper("term"), F.lit("!! "))
+    return terms.select("term", normalize_term_udf(dirty).alias("norm_term"))
+
+
+@query(
+    "udf_pandas",
+    oracle=f"""
+WITH {_TFIDF_CTES}
+SELECT doc_id, term, round(tfidf, 6) AS tfidf FROM tfidf
+""",
+)
+def udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized pandas UDF computing the TF-IDF scalar —
+    identical results to the built-in text_tfidf (shared oracle)."""
+    corpus = _corpus(spark, sf_dir)
+    n_docs = corpus.agg(F.count("*").alias("n_docs"))
+    scored = (
+        T.with_doc_frequency(T.with_doc_length(
+            T.term_counts(T.tokenize(corpus))))
+        .crossJoin(F.broadcast(n_docs))
+    )
+    return scored.select(
+        "doc_id", "term",
+        F.round(
+            tfidf_pandas_udf(
+                F.col("tf_count").cast("double"),
+                F.col("doc_len").cast("double"),
+                F.col("n_docs").cast("double"),
+                F.col("df").cast("double"),
+            ), 6,
+        ).alias("tfidf"),
+    )
+
+
+@query(
+    "udaf_pandas",
+    oracle=f"""
+WITH {_TFIDF_CTES}
+SELECT term, round(sqrt(sum(tfidf * tfidf)), 6) AS norm
+FROM tfidf GROUP BY term
+""",
+)
+def udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map UDAF (applyInPandas): per-term L2 norm of the
+    tf-idf document vector."""
+    norms = term_norms_applyinpandas(T.tfidf(_corpus(spark, sf_dir)))
+    return norms.select("term", F.round("norm", 6).alias("norm"))
+
+
+@query(
+    "udtf_python",
+    oracle="""
+WITH corpus AS (
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+),
+tok AS (
+    SELECT doc_id,
+           CAST(generate_subscripts(string_split_regex(text, '\\s+'), 1) - 1
+                AS BIGINT) AS pos,
+           unnest(string_split_regex(text, '\\s+')) AS term
+    FROM corpus
+)
+SELECT doc_id, pos, term FROM tok WHERE term <> ''
+""",
+)
+def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark ≥3.5): tokenizer emitting (pos, term) rows
+    via LATERAL join — same output as text_tokenize."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos bigint, term string")
+    class TokenizeUDTF:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, tok in enumerate(text.split()):
+                yield i, tok
+
+    spark.udtf.register("tokenize_udtf", TokenizeUDTF)
+    _corpus(spark, sf_dir).createOrReplaceTempView("udtf_corpus")
+    return spark.sql("""
+        SELECT c.doc_id, t.pos, t.term
+        FROM udtf_corpus c, LATERAL tokenize_udtf(c.text) t
+    """)

@@ -35,3 +35,4 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     import project_2_semantic_similarity_spark.plans.q_text  # noqa: F401
+    import project_2_semantic_similarity_spark.plans.q_udfs  # noqa: F401
