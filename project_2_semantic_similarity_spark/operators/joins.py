@@ -1,0 +1,86 @@
+"""Join operators beyond Spark's built-in surface (SURVEY.md §2.B
+"Joins"): as-of join and theta/range join helpers.
+
+The reference has no joins at all (its query-vector attach at
+app.py:153-162 is a closure-captured dict; re-expressed as a
+broadcast join in operators/text.py) — these exist for the
+relational/extension surface.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
+              left_ts: str, right_ts: str,
+              right_cols: Sequence[str]) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``right_ts <= left_ts`` within the same ``on`` key group
+    (DuckDB/kdb ASOF JOIN semantics, left-outer flavor).
+
+    Spark has no native as-of join. The naive form — inequality join
+    then row_number — materializes every candidate pair, which is
+    O(n·m) per key and explodes at scale. This implementation uses
+    the union + sorted-window trick instead: tag both sides, union on
+    the shared key/time axis, and carry the most recent right-side
+    values forward with ``last(..., ignorenulls=True)`` over a window
+    ordered by (ts, side). Cost: ONE shuffle (partition by key, sort
+    by ts) regardless of fan-in — the plan a 100 TB run needs.
+
+    Ties: a right row with ts equal to the left ts IS eligible
+    (sorted before the left row via the side tag). If multiple right
+    rows share (key, ts), the one latest in ``right_ts, side`` order
+    wins deterministically only if callers dedupe; dedupe upstream
+    for strict determinism.
+    """
+    lcols = list(left.columns)
+    tagged_left = left.select(
+        *lcols,
+        F.lit(1).alias("__side"),
+        F.col(left_ts).alias("__ts"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+          for c in right_cols],
+    )
+    # Rename right payload columns FIRST so a right column sharing a
+    # left column's name (common for the ts column) never collides.
+    tagged_right = right.select(
+        *on,
+        F.lit(0).alias("__side"),
+        F.col(right_ts).alias("__ts"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    for c in lcols:
+        if c not in on:
+            tagged_right = tagged_right.withColumn(
+                c, F.lit(None).cast(left.schema[c].dataType))
+
+    unioned = tagged_left.unionByName(tagged_right)
+    w = (Window.partitionBy(*on)
+         .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    filled = unioned.select(
+        *lcols, "__side",
+        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+          for c in right_cols],
+    )
+    return filled.filter(F.col("__side") == 1).drop("__side")
+
+
+def theta_range_join(left: DataFrame, right: DataFrame,
+                     equi_keys: Sequence[str],
+                     condition: Column,
+                     how: str = "inner") -> DataFrame:
+    """Equi-join on ``equi_keys`` plus an arbitrary non-equi conjunct
+    (range/theta predicate). The equi keys let Spark hash-partition
+    the join (shuffled-hash / sort-merge) and apply the range
+    predicate as a post-join filter — without at least one equi key
+    this degenerates to a broadcast-nested-loop join, which is the
+    thing to avoid at scale."""
+    cond = condition
+    for k in equi_keys:
+        cond = (left[k] == right[k]) & cond
+    return left.join(right, cond, how)

@@ -1,0 +1,185 @@
+"""Scalar-function families (SURVEY.md §2.B: string / date / math /
+array / map-JSON / case-cast), each exercised over a testdata table
+with a DuckDB oracle.
+
+Cross-engine parity notes baked in: Spark ``year()``/``length()``
+return INT where DuckDB returns BIGINT (cast both), DuckDB ``ceil``
+returns DOUBLE where Spark returns LONG (cast both), temporal outputs
+go out as formatted strings, and double→int conversions use explicit
+``floor`` (Spark casts truncate, DuckDB casts round — never rely on
+cast semantics)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from project_2_semantic_similarity_spark.functions import dot
+from project_2_semantic_similarity_spark.plans.registry import query
+from project_2_semantic_similarity_spark.sources import load_table
+
+
+@query(
+    "fn_string",
+    oracle="""
+SELECT c_custkey,
+       lower(c_name) AS lower_name,
+       upper(c_mktsegment) AS upper_seg,
+       substr(c_name, 10, 9) AS cust_num,
+       c_name || ':' || c_mktsegment AS name_seg,
+       trim('  ' || c_name || ' ') AS trimmed,
+       CAST(length(c_name) AS BIGINT) AS name_len,
+       regexp_replace(c_name, '[0-9]+', '#', 'g') AS digits_masked,
+       string_split(c_name, '#')[1] AS name_prefix
+FROM customer
+""",
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lower("c_name").alias("lower_name"),
+        F.upper("c_mktsegment").alias("upper_seg"),
+        F.substring("c_name", 10, 9).alias("cust_num"),
+        F.concat_ws(":", "c_name", "c_mktsegment").alias("name_seg"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit(" ")))
+         .alias("trimmed"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+        F.regexp_replace("c_name", "[0-9]+", "#").alias("digits_masked"),
+        F.element_at(F.split("c_name", "#"), 1).alias("name_prefix"),
+    )
+
+
+@query(
+    "fn_date",
+    oracle="""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       CAST(month(o_orderdate) AS BIGINT) AS order_month,
+       CAST(day(o_orderdate) AS BIGINT) AS order_day,
+       CAST(dayofweek(o_orderdate) AS BIGINT) AS order_dow,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT)
+           AS days_since_95,
+       strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date
+FROM orders
+""",
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/interval functions. DuckDB dayofweek: Sunday=0; Spark
+    dayofweek: Sunday=1 — aligned via -1."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        F.month("o_orderdate").cast("bigint").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("order_day"),
+        (F.dayofweek("o_orderdate") - 1).cast("bigint").alias("order_dow"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd")
+         .alias("month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+         .cast("bigint").alias("days_since_95"),
+        F.date_format(F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"),
+                      "yyyy-MM-dd").alias("due_date"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(log10(l_extendedprice), 6) AS log_price,
+       round(sqrt(l_quantity), 6) AS sqrt_qty,
+       round(pow(l_discount, 2), 6) AS disc_sq,
+       round(abs(l_extendedprice - 50000), 2) AS abs_diff,
+       CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+       CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k
+FROM lineitem
+""",
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math functions (reference R8 family: log10/sqrt/pow —
+    app.py:58, 110, 156)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.round(F.log10("l_extendedprice"), 6).alias("log_price"),
+        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
+        F.round(F.pow("l_discount", 2), 6).alias("disc_sq"),
+        F.round(F.abs(F.col("l_extendedprice") - 50000), 2).alias("abs_diff"),
+        F.ceil("l_quantity").cast("bigint").alias("qty_ceil"),
+        F.floor(F.col("l_extendedprice") / 1000).cast("bigint")
+         .alias("price_k"),
+    )
+
+
+@query(
+    "fn_array",
+    oracle="""
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS dim,
+       round(embedding[1], 6) AS first_val,
+       round(list_aggregate(embedding, 'max'), 6) AS max_val,
+       round(list_dot_product(embedding, embedding), 6) AS norm_sq
+FROM embeddings
+""",
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions over the embedding column — the
+    dot product runs via zip_with+aggregate (JVM codegen, no UDF)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6)
+         .alias("first_val"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_val"),
+        F.round(dot("embedding", "embedding"), 6).alias("norm_sq"),
+    )
+
+
+@query(
+    "fn_json",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+       json_extract_string(props, '$.missing') AS missing_key
+FROM events
+""",
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the events.props string column."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_value"),
+        F.get_json_object("props", "$.missing").alias("missing_key"),
+    )
+
+
+@query(
+    "fn_case_cast",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_totalprice > 300000 THEN 'large'
+            WHEN o_totalprice > 100000 THEN 'medium'
+            ELSE 'small' END AS size_class,
+       CAST(o_orderkey AS VARCHAR) AS key_str,
+       CAST(floor(o_totalprice) AS BIGINT) AS price_int,
+       CAST(o_orderstatus = 'O' AS VARCHAR) AS is_open
+FROM orders
+""",
+)
+def fn_case_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN + casts. Double→int goes through floor() on both
+    sides (Spark CAST truncates toward zero, DuckDB CAST rounds)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "large")
+         .when(F.col("o_totalprice") > 100000, "medium")
+         .otherwise("small").alias("size_class"),
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.floor("o_totalprice").cast("bigint").alias("price_int"),
+        (F.col("o_orderstatus") == "O").cast("string").alias("is_open"),
+    )

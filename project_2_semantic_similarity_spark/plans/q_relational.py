@@ -1,0 +1,799 @@
+"""Relational surface over the TPC-H-ish tables (SURVEY.md §2.B:
+scans/sinks, projections/filters, joins, aggregations, windows,
+sorts/top-k, set ops).
+
+Hash-matching rules applied throughout: money sums round(,2) (double
+summation order differs between engines; 2 dp absorbs the ulp drift
+on 1e8-magnitude sums), ratios/averages round(,6), temporal outputs
+formatted as strings, computed integers cast to BIGINT on both sides,
+top-k carries a unique tie-break key.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from project_2_semantic_similarity_spark.operators.joins import (
+    asof_join,
+    theta_range_join,
+)
+from project_2_semantic_similarity_spark.plans.registry import query
+from project_2_semantic_similarity_spark.sources import (
+    load_table,
+    register_views,
+)
+
+
+def _tmp(sf_dir: str, name: str) -> str:
+    tag = sf_dir.strip("/").replace("/", "_")
+    return f"/tmp/p2ss_{tag}_{name}"
+
+
+# ---------------------------------------------------------------- scans
+
+@query("scan_parquet", oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation")
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain parquet scan (reference R1 analog for columnar input)."""
+    return load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey")
+
+
+@query(
+    "scan_text_corpus",
+    oracle="""
+WITH corpus AS (
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+),
+tok AS (
+    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+    FROM corpus
+)
+SELECT doc_id, term, count(*) AS tf_count
+FROM tok WHERE term <> ''
+GROUP BY doc_id, term
+""",
+)
+def scan_text_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference R1+R4 (app.py:121, 11-17): materialize the corpus in
+    the reference's native line format, scan it back with
+    spark.read.text, split id/body, tokenize, count."""
+    from project_2_semantic_similarity_spark.operators.text import (
+        term_counts, tokenize)
+    from project_2_semantic_similarity_spark.sources import read_text_corpus
+
+    out = _tmp(sf_dir, "corpus_txt")
+    docs = load_table(spark, sf_dir, "documents")
+    (docs.select(F.concat_ws(" ", F.col("doc_id").cast("string"), "text")
+                 .alias("value"))
+         .write.mode("overwrite").text(out))
+    return term_counts(tokenize(read_text_corpus(spark, out)))
+
+
+@query(
+    "scan_csv",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round-trip with explicit schema (never inferSchema in
+    production paths)."""
+    out = _tmp(sf_dir, "nation_csv")
+    load_table(spark, sf_dir, "nation").write.mode("overwrite") \
+        .option("header", True).csv(out)
+    schema = T.StructType([
+        T.StructField("n_nationkey", T.IntegerType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.IntegerType()),
+    ])
+    return spark.read.schema(schema).option("header", True).csv(out)
+
+
+@query(
+    "scan_json",
+    oracle="""
+SELECT c_custkey, c_name, c_nationkey,
+       round(c_acctbal, 2) AS c_acctbal, c_mktsegment
+FROM customer
+""",
+)
+def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines round-trip with explicit schema."""
+    out = _tmp(sf_dir, "customer_json")
+    load_table(spark, sf_dir, "customer").write.mode("overwrite").json(out)
+    schema = T.StructType([
+        T.StructField("c_custkey", T.LongType()),
+        T.StructField("c_name", T.StringType()),
+        T.StructField("c_nationkey", T.IntegerType()),
+        T.StructField("c_acctbal", T.DoubleType()),
+        T.StructField("c_mktsegment", T.StringType()),
+    ])
+    return spark.read.schema(schema).json(out).select(
+        "c_custkey", "c_name", "c_nationkey",
+        F.round("c_acctbal", 2).alias("c_acctbal"), "c_mktsegment")
+
+
+@query(
+    "sink_parquet",
+    oracle="""
+SELECT l_returnflag, count(*) AS n,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+""",
+)
+def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet sink + re-read: filter pushes to the source scan, the
+    written dataset is re-scanned and aggregated (lossless round
+    trip, full oracle)."""
+    out = _tmp(sf_dir, "lineitem_sink")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= "1997-01-01")
+    li.write.mode("overwrite").parquet(out)
+    return (
+        spark.read.parquet(out)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+# ------------------------------------------------- projections / filters
+
+@query(
+    "project_select",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100
+           AS revenue,
+       upper(l_returnflag) || '/' || l_linestatus AS flag_status
+FROM lineitem
+""",
+)
+def project_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection with computed/renamed columns (reference R11 —
+    pure select, no-op physically under a columnar model).
+
+    Rounding: raw per-row products land on exact .xx5 ties often
+    enough (116/60k rows at sf0.01) that engine round() tie-breaking
+    diverges — floor(x*100+0.5)/100 is pure IEEE arithmetic and
+    therefore identical in any engine."""
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        (F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                 * 100 + 0.5) / 100).alias("revenue"),
+        F.concat_ws("/", F.upper("l_returnflag"), F.col("l_linestatus"))
+         .alias("flag_status"),
+    )
+
+
+@query(
+    "filter_pred",
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment, round(c_acctbal, 2) AS c_acctbal
+FROM customer
+WHERE (c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+       AND c_acctbal BETWEEN 500 AND 7500
+       AND c_name LIKE '%5%')
+   OR (c_acctbal < 0 AND NOT c_mktsegment = 'MACHINERY')
+""",
+)
+def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound predicate: AND/OR/NOT, IN, BETWEEN, LIKE — all pushed
+    into the parquet scan by Catalyst."""
+    c = load_table(spark, sf_dir, "customer")
+    pred = (
+        (F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")
+         & F.col("c_acctbal").between(500, 7500)
+         & F.col("c_name").like("%5%"))
+        | ((F.col("c_acctbal") < 0) & ~(F.col("c_mktsegment") == "MACHINERY"))
+    )
+    return c.filter(pred).select(
+        "c_custkey", "c_name", "c_mktsegment",
+        F.round("c_acctbal", 2).alias("c_acctbal"))
+
+
+@query(
+    "filter_prefix_suffix",
+    oracle="""
+SELECT p_partkey, p_name, p_brand
+FROM part
+WHERE starts_with(p_name, 'red') AND ends_with(p_name, 't')
+""",
+)
+def filter_prefix_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference R9 (app.py:145) generalized: prefix+suffix predicate
+    on a string column."""
+    p = load_table(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_name").startswith("red") & F.col("p_name").endswith("t")
+    ).select("p_partkey", "p_name", "p_brand")
+
+
+# ----------------------------------------------------------------- joins
+
+@query(
+    "join_inner",
+    oracle="""
+SELECT o.o_orderkey, c.c_custkey, c.c_name, o.o_orderstatus,
+       round(o.o_totalprice, 2) AS o_totalprice
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "c_custkey", "c_name", "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"))
+
+
+@query(
+    "join_broadcast",
+    oracle="""
+SELECT c.c_custkey, c.c_name, n.n_name
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+""",
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast hint for a provably-small dimension (25
+    rows) — physical-only; same SQL as join_inner shape."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey", "c_name", "n_name")
+
+
+@query(
+    "join_left",
+    oracle="""
+SELECT c.c_custkey, o.o_orderkey
+FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+""",
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "o_orderkey")
+
+
+@query(
+    "join_full",
+    oracle="""
+WITH nc AS (
+    SELECT c_nationkey AS k, count(*) AS n_cust FROM customer GROUP BY 1
+),
+ns AS (
+    SELECT s_nationkey AS k, count(*) AS n_supp FROM supplier GROUP BY 1
+)
+SELECT CAST(coalesce(nc.k, ns.k) AS BIGINT) AS nationkey,
+       nc.n_cust, ns.n_supp
+FROM nc FULL JOIN ns ON nc.k = ns.k
+""",
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").groupBy(
+        F.col("c_nationkey").alias("k")).agg(F.count("*").alias("n_cust"))
+    s = load_table(spark, sf_dir, "supplier").groupBy(
+        F.col("s_nationkey").alias("k")).agg(F.count("*").alias("n_supp"))
+    return c.join(s, c.k == s.k, "full").select(
+        F.coalesce(c.k, s.k).cast("bigint").alias("nationkey"),
+        "n_cust", "n_supp")
+
+
+@query(
+    "join_semi",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_totalprice > 400000)
+""",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name")
+
+
+@query(
+    "join_theta_range",
+    oracle="""
+SELECT p.event_id AS purchase_id, count(*) AS n_errors
+FROM events p JOIN events e
+  ON p.user_id = e.user_id
+ AND e.ts > p.ts AND e.ts <= p.ts + INTERVAL 1 HOUR
+WHERE p.event_type = 'purchase' AND e.event_type = 'error'
+GROUP BY p.event_id
+""",
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range) conjunct on an equi-keyed join: errors within
+    one hour after each purchase, same user. The user_id equi key
+    keeps the physical plan a hash/sort-merge join (range predicate
+    applied post-match) rather than a nested-loop cross product."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"), F.col("ts").alias("p_ts"))
+    e = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("e_ts"))
+    cond = (F.col("e_ts") > F.col("p_ts")) & (
+        F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR"))
+    joined = theta_range_join(p, e, ["user_id"], cond)
+    return joined.groupBy("purchase_id").agg(F.count("*").alias("n_errors"))
+
+
+@query(
+    "join_asof",
+    oracle="""
+WITH purchases AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+    SELECT event_id AS click_id, user_id, ts FROM events
+    WHERE event_type = 'click'
+)
+SELECT p.event_id, p.user_id, c.click_id,
+       CAST(datediff('second', c.ts, p.ts) AS BIGINT) AS lag_seconds
+FROM purchases p
+ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND c.ts <= p.ts
+""",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (no native Spark form): latest click at-or-before
+    each purchase per user, via the union + sorted-window operator
+    (operators/joins.py asof_join — one shuffle, no candidate-pair
+    blowup). Oracle: DuckDB's native ASOF JOIN."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts")
+    out = asof_join(p, c, on=["user_id"], left_ts="ts", right_ts="ts",
+                    right_cols=["click_id", "ts"])
+    return out.select(
+        "event_id", "user_id",
+        F.col("asof_click_id").alias("click_id"),
+        (F.unix_timestamp("ts") - F.unix_timestamp("asof_ts"))
+        .cast("bigint").alias("lag_seconds"),
+    )
+
+
+@query(
+    "join_multiway",
+    oracle="""
+SELECT r.r_name, count(*) AS n_items,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM region r
+JOIN nation n   ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY r.r_name
+""",
+)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped snowflake join: dims broadcast, fact tables
+    shuffle on join keys; date filter pushes into the orders scan."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01"))
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.groupBy("r_name").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------- aggregations
+
+@query(
+    "agg_hash",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def agg_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape (reference R5/R15 analog): partial+final hash
+    aggregation, one shuffle on the group keys."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= "1998-09-02")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+SELECT o_orderstatus,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(*) AS n_orders
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"))
+
+
+@query("agg_approx_count_distinct")  # rows-only: HLL++ is approximate
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — no exact oracle by
+    construction; bounded-error property is unit-tested instead."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.count("*").alias("n"))
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+       CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
+        F.grouping("l_linestatus").cast("bigint").alias("g_status"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("n"),
+    ).select("l_returnflag", "l_linestatus", "g_flag", "g_status",
+             "sum_qty", "n")
+
+
+@query(
+    "agg_cube",
+    oracle="""
+SELECT o_orderstatus, CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+       CAST(grouping(year(o_orderdate)) AS BIGINT) AS g_year,
+       round(sum(o_totalprice), 2) AS sum_price, count(*) AS n
+FROM orders
+GROUP BY CUBE (o_orderstatus, year(o_orderdate))
+""",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate").cast("bigint"))
+    return o.cube("o_orderstatus", "order_year").agg(
+        F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
+        F.grouping("order_year").cast("bigint").alias("g_year"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.count("*").alias("n"),
+    ).select("o_orderstatus", "order_year", "g_status", "g_year",
+             "sum_price", "n")
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+SELECT o_orderstatus, CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       round(sum(o_totalprice), 2) AS sum_price, count(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (year(o_orderdate)), ())
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT o_orderstatus, CAST(year(o_orderdate) AS BIGINT) AS order_year,
+               round(sum(o_totalprice), 2) AS sum_price, count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (year(o_orderdate)), ())
+    """)
+
+
+@query(
+    "agg_stats",
+    oracle="""
+SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 6) AS sd_qty,
+       round(var_samp(l_quantity), 6) AS var_qty,
+       round(corr(l_extendedprice, l_quantity), 6) AS corr_price_qty
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6)
+         .alias("corr_price_qty"),
+    )
+
+
+# --------------------------------------------------------------- windows
+
+@query(
+    "win_ranking",
+    oracle="""
+SELECT * FROM (
+    SELECT o_orderkey, o_orderstatus,
+           round(o_totalprice, 2) AS o_totalprice,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice DESC, o_orderkey)
+) WHERE rn <= 5
+""",
+)
+def win_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select(
+            "o_orderkey", "o_orderstatus",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.row_number().over(w).cast("bigint").alias("rn"),
+            F.rank().over(w).cast("bigint").alias("rnk"),
+            F.dense_rank().over(w).cast("bigint").alias("drnk"),
+            F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
+
+
+@query(
+    "win_lag_lead",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(o_totalprice, 2) AS o_totalprice,
+       round(lag(o_totalprice) OVER w, 2) AS prev_price,
+       round(lead(o_totalprice) OVER w, 2) AS next_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+    )
+
+
+@query(
+    "win_running",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+       AS running_total
+FROM orders
+""",
+)
+def win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"))
+
+
+@query(
+    "win_sliding_frame",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(avg(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS moving_avg
+FROM orders
+""",
+)
+def win_sliding_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(-3, 0))
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.avg("o_totalprice").over(w), 6).alias("moving_avg"))
+
+
+@query(
+    "win_partition_total",
+    oracle="""
+SELECT o_orderkey, o_orderstatus,
+       round(sum(o_totalprice) OVER (PARTITION BY o_orderstatus), 2)
+           AS status_total,
+       CAST(count(*) OVER (PARTITION BY o_orderstatus) AS BIGINT)
+           AS status_n
+FROM orders
+""",
+)
+def win_partition_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference R6/R7 in window form: unbounded partition totals."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus")
+    return o.select(
+        "o_orderkey", "o_orderstatus",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("status_total"),
+        F.count("*").over(w).cast("bigint").alias("status_n"))
+
+
+# --------------------------------------------------------- sorts / top-k
+
+@query(
+    "sort_multi",
+    oracle="""
+SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS c_acctbal,
+       CAST(row_number() OVER (
+           ORDER BY c_nationkey ASC, c_acctbal DESC, c_custkey ASC)
+           AS BIGINT) AS rn
+FROM customer
+""",
+)
+def sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key global sort; the emitted rank column makes the total
+    order observable under the driver's order-insensitive hash."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.asc("c_nationkey"), F.desc("c_acctbal"),
+                       F.asc("c_custkey"))
+    return c.select(
+        "c_custkey", "c_nationkey",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        F.row_number().over(w).cast("bigint").alias("rn"))
+
+
+@query(
+    "topk",
+    oracle="""
+SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 10
+""",
+)
+def topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference R18 (app.py:175): orderBy+limit plans as
+    TakeOrderedAndProject — per-partition top-k then merge, never a
+    total sort."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------- set ops
+
+@query(
+    "set_union_all",
+    oracle="""
+SELECT c_custkey AS key, c_name AS name, 'customer' AS kind FROM customer
+UNION ALL
+SELECT s_suppkey AS key, s_name AS name, 'supplier' AS kind FROM supplier
+""",
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"), F.col("c_name").alias("name"),
+        F.lit("customer").alias("kind"))
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("key"), F.col("s_name").alias("name"),
+        F.lit("supplier").alias("kind"))
+    return c.unionByName(s)
+
+
+@query(
+    "set_union_distinct",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).distinct()
+
+
+@query(
+    "set_intersect",
+    oracle="""
+SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+INTERSECT
+SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+""",
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("custkey"))
+    b = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("custkey"))
+    return a.intersect(b)
+
+
+@query(
+    "set_except",
+    oracle="""
+SELECT c_custkey AS custkey FROM customer
+EXCEPT
+SELECT o_custkey AS custkey FROM orders
+""",
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"))
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"))
+    return c.subtract(o)

@@ -10,6 +10,7 @@ pruning for free.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLE_NAMES = (
     "region", "nation", "customer", "supplier", "part",
@@ -19,7 +20,18 @@ TABLE_NAMES = (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table. Lazy — the scan participates in
-    whatever plan the caller builds (pushdown/pruning applies)."""
+    whatever plan the caller builds (pushdown/pruning applies).
+
+    ``events.ts`` is TIMESTAMP(NANOS) in the parquet footer, which
+    Spark 4 rejects outright (PARQUET_TYPE_ILLEGAL); read it as raw
+    nanos via the legacy conf and convert to a µs timestamp with
+    integer arithmetic (``div`` — a double division would lose
+    precision on ~1.7e18 nano epochs). DuckDB truncates ns→µs the
+    same way, so oracle parity holds."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

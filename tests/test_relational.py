@@ -1,0 +1,83 @@
+"""Unit tests for custom join operators and relational edge cases on
+literal DataFrames (SURVEY.md §5.2.5)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from project_2_semantic_similarity_spark.operators.joins import (
+    asof_join,
+    theta_range_join,
+)
+
+
+def ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_basic(spark):
+    left = spark.createDataFrame(
+        [(1, 10, ts("2024-01-01 10:00:00")),
+         (2, 10, ts("2024-01-01 12:00:00")),
+         (3, 20, ts("2024-01-01 09:00:00"))],
+        ["event_id", "user_id", "ts"])
+    right = spark.createDataFrame(
+        [(101, 10, ts("2024-01-01 09:30:00")),
+         (102, 10, ts("2024-01-01 11:00:00")),
+         (103, 20, ts("2024-01-01 09:30:00"))],  # after left -> no match
+        ["click_id", "user_id", "ts"])
+    out = asof_join(left, right, on=["user_id"], left_ts="ts",
+                    right_ts="ts", right_cols=["click_id"])
+    m = {r.event_id: r.asof_click_id for r in out.collect()}
+    assert m == {1: 101, 2: 102, 3: None}
+
+
+def test_asof_join_equal_ts_matches(spark):
+    # A right row AT the left ts is eligible (<= semantics).
+    t = ts("2024-01-01 10:00:00")
+    left = spark.createDataFrame([(1, 5, t)], ["event_id", "user_id", "ts"])
+    right = spark.createDataFrame([(9, 5, t)], ["click_id", "user_id", "ts"])
+    out = asof_join(left, right, ["user_id"], "ts", "ts", ["click_id"])
+    assert out.collect()[0].asof_click_id == 9
+
+
+def test_asof_join_respects_key_boundary(spark):
+    # Right rows of another user never bleed across.
+    left = spark.createDataFrame(
+        [(1, 1, ts("2024-01-01 10:00:00"))], ["event_id", "user_id", "ts"])
+    right = spark.createDataFrame(
+        [(9, 2, ts("2024-01-01 09:00:00"))], ["click_id", "user_id", "ts"])
+    out = asof_join(left, right, ["user_id"], "ts", "ts", ["click_id"])
+    assert out.collect()[0].asof_click_id is None
+
+
+def test_theta_range_join(spark):
+    a = spark.createDataFrame([(1, 1, 10), (2, 1, 20)], ["id", "k", "v"])
+    b = spark.createDataFrame(
+        [(1, 12), (1, 25), (2, 11)], ["k", "w"])
+    cond = (F.col("w") > F.col("v")) & (F.col("w") <= F.col("v") + 5)
+    out = theta_range_join(
+        a.select("id", "k", "v"), b, ["k"], cond).collect()
+    assert {(r.id, r.w) for r in out} == {(1, 12), (2, 25)}
+
+
+def test_approx_count_distinct_bound(spark, sf_dir):
+    import __spark_entry__ as e
+    rows = e.queries()["agg_approx_count_distinct"](spark, sf_dir).collect()
+    from project_2_semantic_similarity_spark.sources import load_table
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {r.l_returnflag: r.x for r in li.groupBy("l_returnflag")
+             .agg(F.countDistinct("l_partkey").alias("x")).collect()}
+    for r in rows:
+        rel = abs(r.approx_parts - exact[r.l_returnflag]) / exact[r.l_returnflag]
+        assert rel < 0.1, f"{r.l_returnflag}: {r.approx_parts} vs {exact}"
+
+
+def test_events_ns_timestamp_reads(spark, sf_dir):
+    from project_2_semantic_similarity_spark.sources import load_table
+    ev = load_table(spark, sf_dir, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    r = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    assert r.lo.year == 2024 and r.hi.year == 2024
