@@ -1,0 +1,247 @@
+"""Deduplication operators for large-scale training-data pipelines:
+exact (hash), exact n-gram Jaccard, MinHash+LSH near-dup, SimHash.
+
+Scale design (the 100 TB story):
+- exact_dedup is one hash-partitioned window — the sha256 key
+  distributes uniformly, no skew.
+- jaccard_pairs joins on shingles; hot shingles (stopword n-grams)
+  fan out quadratically, so it is the *verification* stage for
+  small candidate sets, not the discovery stage.
+- minhash_lsh is the discovery stage: O(n) signatures, candidates
+  only within equal (band, band_hash) buckets — the standard
+  shingle→minhash→band→bucket-join pipeline (Broder 1997; same
+  scheme as Spark's ml.feature.MinHashLSH, hand-rolled here so the
+  hash family is explicit, seeded, and pure DataFrame ops).
+- simhash is one pass + a 63-bit key; near-dup pairs via bit_count of
+  xor on bucket-joined candidates.
+
+All hash functions are JVM built-ins (xxhash64, sha2) — fixed seeds,
+deterministic across runs and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1: big enough for minhash dispersion, small
+# enough that a_i * h never overflows int64 (ANSI mode would throw).
+_MERSENNE31 = 2_147_483_647
+
+
+def normalize_text(col):
+    """Canonical text form for hashing: lowercase, collapsed
+    whitespace, trimmed."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep one row per distinct normalized text (lowest id wins —
+    deterministic tie-break). Adds the content hash and the group
+    size so callers can inspect what was collapsed."""
+    hashed = docs.withColumn(
+        "content_hash", F.sha2(normalize_text(F.col(text_col)), 256))
+    w = Window.partitionBy("content_hash").orderBy(F.col(id_col).asc())
+    return (
+        hashed
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("group_size",
+                    F.count("*").over(Window.partitionBy("content_hash")))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """Distinct n-token shingles per document: (id, shingle)."""
+    from project_2_semantic_similarity_spark.operators.text import tokenize
+
+    toks = tokenize(docs.select(F.col(id_col).alias("doc_id"),
+                                F.col(text_col).alias("text")))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    cols = [F.col("term")] + [F.lead("term", i).over(w) for i in range(1, n)]
+    return (
+        toks
+        .withColumn("shingle", F.concat_ws(" ", *cols))
+        .withColumn("__last", F.lead("term", n - 1).over(w))
+        .filter(F.col("__last").isNotNull())  # drop truncated tails
+        .select("doc_id", "shingle")
+        .distinct()
+    )
+
+
+def jaccard_pairs(shingled: DataFrame, min_jaccard: float) -> DataFrame:
+    """Exact shingle-set Jaccard for every co-shingled pair:
+    |A∩B| / (|A| + |B| - |A∩B|), pairs with doc_a < doc_b.
+
+    The self-join on shingle only materializes pairs that share at
+    least one shingle — already far sparser than n² — but hot
+    shingles still fan out; at scale run this on LSH candidates
+    (see minhash_lsh), not the full corpus."""
+    sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_a", "sz": "sz_a"}),
+              "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "sz": "sz_b"}),
+              "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            (F.col("n_inter")
+             / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+             ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def _minhash_cols(num_hashes: int, seed: int) -> list:
+    """Deterministic affine hash family over xxhash64(shingle):
+    h_i(s) = (a_i * (xxh(s) mod P) + b_i) mod P."""
+    import random
+
+    rng = random.Random(seed)
+    cols = []
+    base = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE31))
+    for i in range(num_hashes):
+        a = rng.randrange(1, _MERSENNE31)
+        b = rng.randrange(0, _MERSENNE31)
+        cols.append(
+            F.pmod(F.lit(a) * base + F.lit(b), F.lit(_MERSENNE31))
+            .alias(f"mh{i}"))
+    return cols
+
+
+def minhash_signatures(shingled: DataFrame, num_hashes: int = 64,
+                       seed: int = 42) -> DataFrame:
+    """(doc_id, mh0..mh{k-1}): column-wise min of each hash over the
+    document's shingle set — one hash-partitioned aggregation."""
+    hashed = shingled.select("doc_id", *_minhash_cols(num_hashes, seed))
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(f"mh{i}").alias(f"mh{i}") for i in range(num_hashes)])
+
+
+def minhash_lsh_candidates(signatures: DataFrame, num_hashes: int = 64,
+                           bands: int = 16) -> DataFrame:
+    """Banding: docs agreeing on ALL rows of any band become a
+    candidate pair. Join key is (band_idx, band_hash) so candidate
+    generation is an equi-join, never a cross product."""
+    rows = num_hashes // bands
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(i).alias("band_idx"),
+            F.xxhash64(*[F.col(f"mh{i * rows + j}") for j in range(rows)])
+             .alias("band_hash"),
+        )
+        for i in range(bands)
+    ])
+    buckets = (
+        signatures.select("doc_id", F.explode(band_structs).alias("b"))
+        .select("doc_id", "b.band_idx", "b.band_hash")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_estimated_jaccard(signatures: DataFrame,
+                              candidates: DataFrame,
+                              num_hashes: int = 64) -> DataFrame:
+    """Estimate J(a,b) as the fraction of agreeing minhashes."""
+    sig_a = signatures.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(num_hashes)])
+    sig_b = signatures.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(num_hashes)])
+    agree = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+        for i in range(num_hashes))
+    return (
+        candidates.join(sig_a, "doc_a").join(sig_b, "doc_b")
+        .select("doc_a", "doc_b",
+                (agree / F.lit(num_hashes)).alias("est_jaccard"))
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id", bits: int = 63) -> DataFrame:
+    """63-bit SimHash per document (Charikar 2002): for each bit
+    position, sum tf-weighted ±1 votes from xxhash64(term); the sign
+    pattern packs into one BIGINT (63 bits keeps it positive — no
+    int64 sign games). One tokenize + one aggregation."""
+    from project_2_semantic_similarity_spark.operators.text import (
+        term_counts, tokenize)
+
+    counts = term_counts(tokenize(
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.col(text_col).alias("text"))))
+    h = F.xxhash64("term")
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1,
+                   F.col("tf_count")).otherwise(-F.col("tf_count"))
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    voted = counts.groupBy("doc_id").agg(*votes)
+    packed = sum(
+        F.when(F.col(f"v{j}") > 0, F.lit(2 ** j).cast("bigint"))
+        .otherwise(F.lit(0).cast("bigint"))
+        for j in range(bits)
+    )
+    return voted.select("doc_id", packed.alias("simhash"))
+
+
+def simhash_near_pairs(hashes: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Pairs within Hamming distance ≤ max_hamming. Candidates are
+    generated by joining on 4 16-bit key chunks (pigeonhole: any pair
+    within distance ≤ 8 agrees exactly on at least one chunk when
+    distance < 4 chunks · ... conservative blocking), then verified
+    with bit_count(xor). At test scale the chunk join is already
+    selective; at 100 TB increase chunks per the target radius."""
+    chunked = hashes.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("chunk_idx"),
+                     F.shiftright("simhash", i * 16)
+                     .bitwiseAND(F.lit(0xFFFF)).alias("chunk"))
+            for i in range(4)
+        ])).alias("c"),
+    ).select("doc_id", "simhash", "c.chunk_idx", "c.chunk")
+    a, b = chunked.alias("a"), chunked.alias("b")
+    cands = (
+        a.join(b, (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+               & (F.col("a.chunk") == F.col("b.chunk"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("a.simhash").alias("sh_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("b.simhash").alias("sh_b"))
+        .distinct()
+    )
+    return (
+        cands
+        .withColumn("hamming",
+                    F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+                    .cast("bigint"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

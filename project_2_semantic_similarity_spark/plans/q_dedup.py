@@ -1,0 +1,158 @@
+"""Deduplication query family (SURVEY.md §2.B "LLM-data-pipeline
+extensions"), over the documents table.
+
+dedup_exact / dedup_jaccard_exact / dedup_embedding_cosine carry full
+DuckDB oracles. dedup_minhash / dedup_simhash are probabilistic /
+hash-family-specific → rows-only checks here, with recall asserted
+against exact Jaccard in tests/test_dedup.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from project_2_semantic_similarity_spark.operators import dedup as D
+from project_2_semantic_similarity_spark.plans.registry import query
+from project_2_semantic_similarity_spark.sources import load_table
+
+_SHINGLE_N = 3
+_JACCARD_MIN = 0.5
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+WITH hashed AS (
+    SELECT doc_id, text, lang, source, n_chars,
+           sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               AS content_hash
+    FROM documents
+),
+ranked AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY content_hash ORDER BY doc_id)
+               AS rn,
+           CAST(count(*) OVER (PARTITION BY content_hash) AS BIGINT)
+               AS group_size
+    FROM hashed
+)
+SELECT doc_id, content_hash, group_size
+FROM ranked WHERE rn = 1
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by sha256 of normalized text; lowest doc_id kept
+    per group (deterministic)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup(docs).select(
+        "doc_id", "content_hash",
+        F.col("group_size").cast("bigint").alias("group_size"))
+
+
+@query(
+    "dedup_jaccard_exact",
+    oracle=f"""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+),
+tok AS (
+    SELECT doc_id,
+           CAST(generate_subscripts(string_split_regex(text, '\\s+'), 1)
+                AS BIGINT) AS pos,
+           unnest(string_split_regex(text, '\\s+')) AS term
+    FROM corpus
+),
+seq AS (
+    SELECT doc_id, pos, term,
+           lead(term, 1) OVER w AS t1,
+           lead(term, 2) OVER w AS t2
+    FROM tok WHERE term <> ''
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+sh AS (
+    SELECT DISTINCT doc_id, term || ' ' || t1 || ' ' || t2 AS shingle
+    FROM seq WHERE t2 IS NOT NULL
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+    FROM sh a JOIN sh b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       round(i.n_inter / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE), 6)
+           AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE i.n_inter / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE)
+      >= {_JACCARD_MIN}
+""",
+)
+def dedup_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact {n}-gram shingle Jaccard near-dup pairs (J ≥ 0.5):
+    the verification stage of the dedup pipeline; at scale it runs
+    on LSH candidates only (see dedup_minhash)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(D.shingles(docs, _SHINGLE_N), _JACCARD_MIN)
+    return pairs.select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query("dedup_minhash")  # rows-only: hash family not portable to SQL
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + LSH(16 bands × 4 rows) candidate pairs with
+    estimated Jaccard ≥ 0.35. Deterministic (seeded family over
+    xxhash64) but engine-specific → rows-only; recall vs exact
+    Jaccard is pinned in tests/test_dedup.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.shingles(docs, _SHINGLE_N)
+    sigs = D.minhash_signatures(sh, num_hashes=64, seed=42)
+    cands = D.minhash_lsh_candidates(sigs, num_hashes=64, bands=16)
+    est = D.minhash_estimated_jaccard(sigs, cands, num_hashes=64)
+    return (
+        est.filter(F.col("est_jaccard") >= 0.35)
+        .select("doc_a", "doc_b", F.round("est_jaccard", 6)
+                .alias("est_jaccard"))
+    )
+
+
+@query("dedup_simhash")  # rows-only: xxhash64 bit pattern is engine-specific
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(63-bit) near-dup pairs at Hamming ≤ 8, candidates
+    blocked on 16-bit chunks. Deterministic; rows-only for the same
+    reason as minhash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_near_pairs(D.simhash(docs), max_hamming=8)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+           AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.45
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos > 0.45). All-pairs at
+    test scale; the 100 TB path buckets by LSH first
+    (operators/similarity.py lsh_bucket) so the pair join is
+    bucket-local."""
+    from project_2_semantic_similarity_spark.functions import (
+        cosine_similarity)
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"),
+                 F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"),
+                 F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", cosine_similarity("ea", "eb"))
+        .filter(F.col("cosine") > 0.45)
+        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+    )

@@ -120,7 +120,7 @@ SELECT vec_id,
        CAST(len(embedding) AS BIGINT) AS dim,
        round(embedding[1], 6) AS first_val,
        round(list_aggregate(embedding, 'max'), 6) AS max_val,
-       round(list_dot_product(embedding, embedding), 6) AS norm_sq
+       round(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]), 6) AS norm_sq
 FROM embeddings
 """,
 )

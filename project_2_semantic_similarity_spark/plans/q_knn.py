@@ -1,0 +1,135 @@
+"""Similarity-search + multimodal query family (SURVEY.md §2.B):
+knn over embeddings, label centroids, documents⋈embeddings join."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from project_2_semantic_similarity_spark.functions import l2_norm
+from project_2_semantic_similarity_spark.operators import similarity as S
+from project_2_semantic_similarity_spark.plans.registry import query
+from project_2_semantic_similarity_spark.sources import load_table
+
+_QUERY_VEC_ID = 0
+_K = 10
+_DIM = 64
+
+
+@query(
+    "knn_embeddings",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings
+           WHERE vec_id = {_QUERY_VEC_ID})
+SELECT e.vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS cosine
+FROM embeddings e, q
+WHERE e.vec_id <> {_QUERY_VEC_ID}
+ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) DESC, e.vec_id ASC
+LIMIT {_K}
+""",
+)
+def knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 neighbors of vec_id=0
+    (broadcast query row; TakeOrderedAndProject top-k)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    out = S.knn_brute_force(e, _QUERY_VEC_ID, _K)
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+@query("knn_lsh")  # rows-only: bucket membership is hash-family-specific
+def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via random-hyperplane LSH bucketing (the
+    scale path); recall vs brute force asserted in tests."""
+    e = load_table(spark, sf_dir, "embeddings")
+    out = S.knn_lsh(e, _QUERY_VEC_ID, _K, dim=_DIM, n_planes=6)
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+@query(
+    "knn_batch_self",
+    oracle="""
+WITH ex AS (
+    SELECT label,
+           CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+           unnest(embedding) AS val
+    FROM embeddings
+),
+cent AS (
+    SELECT label, list(avg_val ORDER BY pos) AS centroid
+    FROM (SELECT label, pos, avg(CAST(val AS DOUBLE)) AS avg_val
+          FROM ex GROUP BY label, pos)
+    GROUP BY label
+),
+pairs AS (
+    SELECT a.label, b.label AS other_label,
+           list_cosine_similarity(a.centroid, b.centroid) AS cosine
+    FROM cent a JOIN cent b ON a.label <> b.label
+)
+SELECT label, other_label AS nearest_label, round(cosine, 6) AS cosine
+FROM pairs
+QUALIFY row_number() OVER (
+    PARTITION BY label ORDER BY cosine DESC, other_label DESC) = 1
+""",
+)
+def knn_batch_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, then each label's most-similar other
+    centroid (explode→avg→reassemble; tiny broadcast cross join)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    out = S.nearest_centroid_per_label(e)
+    return out.select("label", "nearest_label",
+                      F.round("cosine", 6).alias("cosine"))
+
+
+@query(
+    "multimodal_join",
+    oracle="""
+SELECT d.doc_id, d.lang, d.n_chars,
+       CAST(len(e.embedding) AS BIGINT) AS dim,
+       round(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])), 6)
+           AS emb_norm
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+""",
+)
+def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text + vector modality in one row: documents ⋈ embeddings on
+    id; ArrayType column survives the join, norm computed JVM-side."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .select(
+            "doc_id", "lang", "n_chars",
+            F.size("embedding").cast("bigint").alias("dim"),
+            F.round(l2_norm("embedding"), 6).alias("emb_norm"),
+        )
+    )
+
+
+@query(
+    "multimodal_decode",
+    oracle="""
+WITH chars AS (
+    SELECT doc_id,
+           list_transform(string_split(text, ''), c -> ascii(c)) AS codes
+    FROM documents
+)
+SELECT doc_id, 'text/plain' AS media_type,
+       CAST(len(codes) AS BIGINT) AS n_bytes,
+       round(list_aggregate(codes, 'avg'), 6) AS mean_byte
+FROM chars
+""",
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload decode via Arrow-batched mapInPandas (stubbed
+    codec — see operators/multimodal.py). The oracle checks byte
+    counts + mean byte value; the feature-array shape is pinned in
+    tests/test_multimodal.py. Text is ASCII so UTF-8 bytes == chars."""
+    from project_2_semantic_similarity_spark.operators.multimodal import (
+        attach_binary_payload, decode_media)
+
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_media(attach_binary_payload(docs))
+    return decoded.select(
+        "doc_id", "media_type", "n_bytes",
+        F.round("mean_byte", 6).alias("mean_byte"))

@@ -1,0 +1,149 @@
+"""Text-analysis query family (SURVEY.md §2.B north-star "text
+analysis"): language ID, quality scoring, token counting,
+fingerprinting — all pure Column expressions replicated verbatim in
+the DuckDB oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from project_2_semantic_similarity_spark.functions import text_analysis as TA
+from project_2_semantic_similarity_spark.plans.registry import query
+from project_2_semantic_similarity_spark.sources import load_table
+
+
+def _in_list(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+_EN = _in_list(TA.LANG_STOPWORDS["en"])
+_DE = _in_list(TA.LANG_STOPWORDS["de"])
+_FR = _in_list(TA.LANG_STOPWORDS["fr"])
+
+# DuckDB rendition of the per-language stopword hit count.
+_HITS = """
+len(list_filter(string_split_regex(trim(text), '\\s+'),
+                t -> t IN ({words})))
+"""
+
+
+def _hits_sql(words: str) -> str:
+    return _HITS.format(words=words).strip()
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+WITH scored AS (
+    SELECT doc_id, lang,
+           {_hits_sql(_EN)} AS s_en,
+           {_hits_sql(_DE)} AS s_de,
+           {_hits_sql(_FR)} AS s_fr
+    FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 THEN 'unknown'
+            WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+            WHEN s_de >= s_fr THEN 'de'
+            ELSE 'fr' END AS predicted_lang
+FROM scored
+""",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID next to the stored label (a
+    deterministic stand-in for a real n-gram/fastText model)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang",
+                    TA.lang_id(F.col("text")).alias("predicted_lang"))
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+WITH feat AS (
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                t -> t <> '')) AS BIGINT) AS n_tokens,
+           length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha,
+           length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+           len(list_filter(string_split_regex(trim(text), '\\s+'),
+                           t -> t IN ({en}))) AS sw
+    FROM documents
+)
+SELECT doc_id, n_chars, n_tokens,
+       round(alpha / CAST(n_chars AS DOUBLE), 6) AS alpha_ratio,
+       round(
+           0.4 * least(n_tokens / 50.0, 1.0)
+         + 0.3 * coalesce(alpha / CAST(n_chars AS DOUBLE), 0.0)
+         + 0.2 * least(coalesce(sw / CAST(n_tokens AS DOUBLE), 0.0) * 5.0,
+                       1.0)
+         - 0.1 * coalesce(digits / CAST(n_chars AS DOUBLE), 0.0), 6)
+           AS quality
+FROM feat
+""".replace("{en}", _EN),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score from length/alpha/stopword/digit
+    signals (linear stand-in for a learned quality classifier)."""
+    d = load_table(spark, sf_dir, "documents")
+    feats = TA.quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_tokens"].alias("n_tokens"),
+        F.round(feats["alpha_ratio"], 6).alias("alpha_ratio"),
+        F.round(TA.quality_score(F.col("text")), 6).alias("quality"),
+    )
+
+
+@query(
+    "text_token_count",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                            t -> t <> '')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{TA.BPE_ISH_PATTERN}'))
+            AS BIGINT) AS bpe_ish_tokens
+FROM documents
+""",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + BPE-ish subword chunk count."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TA.n_tokens(F.col("text")).alias("ws_tokens"),
+        TA.bpe_ish_token_count(F.col("text")).alias("bpe_ish_tokens"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+WITH norm AS (
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+    FROM documents
+)
+SELECT doc_id,
+       md5(nt) AS fp_md5,
+       list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+                        list_transform(string_split(nt, ''),
+                                       c -> CAST(ascii(c) AS BIGINT))),
+           (acc, c) -> (acc * 31 + c) % 2147483647) AS fp_rolling
+FROM norm
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: md5 of normalized text + a polynomial
+    rolling hash over the character stream (mod 2^31-1 each step —
+    overflow-free under ANSI mode, replicable in any engine)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TA.fingerprint_md5(F.col("text")).alias("fp_md5"),
+        TA.fingerprint_rolling(F.col("text")).alias("fp_rolling"),
+    )

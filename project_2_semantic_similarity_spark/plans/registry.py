@@ -34,7 +34,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
+    import project_2_semantic_similarity_spark.plans.q_dedup  # noqa: F401
     import project_2_semantic_similarity_spark.plans.q_functions  # noqa: F401
+    import project_2_semantic_similarity_spark.plans.q_knn  # noqa: F401
+    import project_2_semantic_similarity_spark.plans.q_textlab  # noqa: F401
     import project_2_semantic_similarity_spark.plans.q_relational  # noqa: F401
     import project_2_semantic_similarity_spark.plans.q_text  # noqa: F401
     import project_2_semantic_similarity_spark.plans.q_udfs  # noqa: F401

@@ -1,0 +1,108 @@
+"""Tests for dedup / similarity-search operators: literal-data
+correctness plus recall properties of the probabilistic variants
+(SURVEY.md §5.2.3)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from project_2_semantic_similarity_spark.operators import dedup as D
+from project_2_semantic_similarity_spark.operators import similarity as S
+
+
+def docs_df(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),      # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat"),      # near dup
+        (3, "completely different content about spark engines"),
+        (4, "The  Quick Brown fox jumps over the lazy dog"),     # case/ws dup of 0
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_normalizes(spark):
+    out = D.exact_dedup(docs_df(spark))
+    kept = {r.doc_id: r.group_size for r in out.collect()}
+    # 0,1,4 collapse (normalization: lowercase + whitespace); 2,3 kept
+    assert kept == {0: 3, 2: 1, 3: 1}
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    out = {r.shingle for r in D.shingles(df, 3).collect()}
+    assert out == {"a b c", "b c d"}
+
+
+def test_jaccard_pairs_exact_value(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")], ["doc_id", "text"])
+    # shingles: {abc,bcd} vs {abc,bce}: inter=1, union=3 -> 1/3
+    out = D.jaccard_pairs(D.shingles(df, 3), 0.0).collect()
+    assert len(out) == 1
+    assert abs(out[0].jaccard - 1 / 3) < 1e-12
+
+
+def test_minhash_recall_vs_exact(spark, sf_dir):
+    from project_2_semantic_similarity_spark.sources import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.shingles(docs, 3)
+    exact = {(r.doc_a, r.doc_b)
+             for r in D.jaccard_pairs(sh, 0.9).collect()}
+    sigs = D.minhash_signatures(sh, 64, seed=42)
+    cands = {(r.doc_a, r.doc_b)
+             for r in D.minhash_lsh_candidates(sigs, 64, 16).collect()}
+    # 16 bands x 4 rows: P(candidate | J=0.9) = 1-(1-0.9^4)^16 ≈ 0.9996
+    missed = exact - cands
+    assert not missed, f"LSH missed high-jaccard pairs: {missed}"
+
+
+def test_simhash_identical_docs_zero_distance(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "x y z w v u")],
+        ["doc_id", "text"])
+    pairs = {(r.doc_a, r.doc_b): r.hamming
+             for r in D.simhash_near_pairs(D.simhash(df), 63).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert pairs.get((1, 3), 64) > 0
+
+
+def test_knn_lsh_query_in_own_bucket(spark, sf_dir):
+    """LSH knn returns a subset of brute-force candidates with
+    correct cosines (bucket = exact subset re-ranked exactly)."""
+    from project_2_semantic_similarity_spark.sources import load_table
+    e = load_table(spark, sf_dir, "embeddings")
+    brute = {r.vec_id: r.cosine
+             for r in S.knn_brute_force(e, 0, 500).collect()}
+    lsh = S.knn_lsh(e, 0, 10, dim=64, n_planes=6).collect()
+    assert len(lsh) > 0
+    for r in lsh:
+        assert abs(brute[r.vec_id] - r.cosine) < 1e-9
+
+
+def test_label_centroids_shape(spark, sf_dir):
+    from project_2_semantic_similarity_spark.sources import load_table
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = S.label_centroids(e).collect()
+    assert len(cents) == 10
+    assert all(len(r.centroid) == 64 for r in cents)
+
+
+def test_multimodal_decode_shapes(spark):
+    from project_2_semantic_similarity_spark.operators.multimodal import (
+        FEATURE_DIM, attach_binary_payload, decode_media)
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "")], ["doc_id", "text"])
+    out = {r.doc_id: r for r in
+           decode_media(attach_binary_payload(df)).collect()}
+    assert out[1].n_bytes == 11
+    assert len(out[1].features) == FEATURE_DIM
+    assert out[2].n_bytes == 0 and out[2].mean_byte == 0.0
+
+
+def test_multimodal_decode_rejects_real_media(spark):
+    import pytest
+    from project_2_semantic_similarity_spark.operators.multimodal import (
+        _decode_payload)
+    with pytest.raises(NotImplementedError):
+        _decode_payload(b"\x89PNG", "image/png")
