@@ -1,0 +1,175 @@
+"""Structured Streaming query family (SURVEY.md §2.B "Streaming").
+
+The reference has no streaming at all (its 187 lines are batch RDD
+maps — SURVEY §2.A); these ops are the north-star extension surface.
+
+Correctness contract (SURVEY §5.2.4): each streaming plan is replayed
+to completion with ``trigger(availableNow=True)`` into a memory sink,
+and the materialized result must equal the equivalent *batch* SQL on
+the same rows — so the DuckDB oracle for a streaming op is its batch
+equivalent. Aggregations replay in ``complete`` mode (append would
+hold back windows newer than the final watermark, making the result
+depend on micro-batch boundaries); the dedup stream uses ``append``.
+``stream_late_data`` is genuinely batch-order-dependent → rows-only,
+with watermark-drop semantics pinned in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from project_2_semantic_similarity_spark.plans.registry import query
+from project_2_semantic_similarity_spark.streaming import ops as S
+
+
+@query(
+    "stream_tumbling_count",
+    oracle="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+           AS window_start,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def stream_tumbling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events per type per 1-hour tumbling window, via readStream +
+    window() + watermark, replayed availableNow. Batch equivalent:
+    date_trunc('hour') GROUP BY."""
+    ev = S.read_events_stream(spark, S.stage_events_dir(sf_dir))
+    return S.run_to_memory(
+        S.tumbling_counts(ev), "stream_tumbling_count", "complete")
+
+
+@query(
+    "stream_sliding_avg",
+    oracle="""
+WITH e AS (
+    SELECT time_bucket(INTERVAL '15 minutes', ts) AS b,
+           event_type, value
+    FROM events
+)
+SELECT strftime(e.b - k.k * INTERVAL '15 minutes', '%Y-%m-%d %H:%M:%S')
+           AS window_start,
+       e.event_type,
+       count(*) AS n,
+       round(avg(e.value), 6) AS avg_value
+FROM e CROSS JOIN range(4) k(k)
+GROUP BY 1, 2
+""",
+)
+def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 15 min (each event lands in 4
+    overlapping windows). Batch equivalent: explode each row into its
+    4 window starts on the 15-minute grid."""
+    ev = S.read_events_stream(spark, S.stage_events_dir(sf_dir))
+    return S.run_to_memory(
+        S.sliding_avg(ev), "stream_sliding_avg", "complete")
+
+
+@query(
+    "stream_session",
+    oracle="""
+WITH ordered AS (
+    SELECT user_id, ts, value,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, value)
+               AS prev_ts
+    FROM events
+),
+flagged AS (
+    SELECT user_id, ts, value,
+           CASE WHEN prev_ts IS NULL
+                     OR ts - prev_ts >= INTERVAL '30 minutes'
+                THEN 1 ELSE 0 END AS new_sess
+    FROM ordered
+),
+sess AS (
+    SELECT user_id, ts, value,
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, value
+                               ROWS UNBOUNDED PRECEDING) AS sid
+    FROM flagged
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(max(ts) + INTERVAL '30 minutes',
+                '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM sess
+GROUP BY user_id, sid
+""",
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap
+    (session_window merges overlapping [ts, ts+gap) intervals in the
+    state store). Batch equivalent: gaps-and-islands — a new session
+    starts when ts - prev_ts >= gap (session_window ends are
+    exclusive), session_end = last ts + gap."""
+    ev = S.read_events_stream(spark, S.stage_events_dir(sf_dir))
+    return S.run_to_memory(
+        S.session_counts(ev), "stream_session", "complete")
+
+
+@query(
+    "stream_dedup_watermark",
+    oracle="""
+SELECT DISTINCT event_id, event_type, user_id,
+       round(value, 2) AS value
+FROM events
+""",
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates(event_id) with watermark-bounded
+    state, fed a DOUBLED stream (the events file staged twice) so the
+    dedup is observable: output = the distinct input rows."""
+    ev = S.read_events_stream(spark, S.stage_doubled_events_dir(sf_dir))
+    return S.run_to_memory(
+        S.dedup_stream(ev), "stream_dedup_watermark", "append")
+
+
+@query(
+    "stream_late_data",
+    oracle="""
+WITH c AS (
+    SELECT date_trunc('hour', ts) AS ws, count(*) AS n
+    FROM events GROUP BY 1
+),
+mx AS (SELECT max(ts) AS m FROM events)
+SELECT strftime(c.ws, '%Y-%m-%d %H:%M:%S') AS window_start, c.n
+FROM c, mx
+WHERE c.ws + INTERVAL '1 hour' <= mx.m - INTERVAL '1 hour'
+""",
+)
+def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data semantics, engineered: batches 0 and 1 are
+    the real events split in two by ts; batch 2 is the same rows
+    shifted 60 days into the past — far beyond the 1-hour watermark
+    established by the real data, so every late row is DROPPED
+    (numRowsDroppedByWatermark > 0, pinned in
+    tests/test_streaming.py). With append-mode output the result is
+    exactly the hourly counts of the real events for windows closed
+    by the final watermark (end <= max_ts - 1h); windows newer than
+    that are withheld — which is what the batch oracle states."""
+    d = S.stage_late_events_dir(sf_dir)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = (
+        spark.readStream.schema(S.EVENTS_NS_SCHEMA)
+        .option("maxFilesPerTrigger", "1").parquet(d)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+             .alias("window_start"),
+            "n",
+        )
+    )
+    return S.run_to_memory(agg, "stream_late_data", "append")

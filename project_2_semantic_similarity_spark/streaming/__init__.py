@@ -1,0 +1,23 @@
+"""Structured Streaming operators (SURVEY.md §2.B "Streaming")."""
+
+from project_2_semantic_similarity_spark.streaming.ops import (
+    EVENTS_NS_SCHEMA,
+    dedup_stream,
+    read_events_stream,
+    run_to_memory,
+    session_counts,
+    sliding_avg,
+    stage_events_dir,
+    tumbling_counts,
+)
+
+__all__ = [
+    "EVENTS_NS_SCHEMA",
+    "read_events_stream",
+    "stage_events_dir",
+    "run_to_memory",
+    "tumbling_counts",
+    "sliding_avg",
+    "session_counts",
+    "dedup_stream",
+]

@@ -1,0 +1,201 @@
+"""Structured Streaming operators over the events table.
+
+Test/oracle strategy (SURVEY.md §5.2.4): every streaming query is
+replayed with ``trigger(availableNow=True)`` into a memory sink and
+must equal the equivalent batch SQL over the same rows — streaming/
+batch equivalence is the correctness contract. Aggregations use
+``complete`` output mode for the replay (append would hold back
+windows newer than the final watermark); the dedup stream uses
+``append``.
+
+At scale: these exact plans run against Kafka/file sources with the
+RocksDB state store; watermarks bound state (late rows beyond the
+delay are dropped — pinned by tests/test_streaming.py); session
+windows merge in the state store per key. The memory sink is only
+the test harness."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# events.parquet carries ts as TIMESTAMP(NANOS) which Spark rejects;
+# streaming reads use an explicit schema with ts as raw nanos
+# (+ nanosAsLong conf) and convert via integer div — same parity
+# contract as sources/tables.py.
+EVENTS_NS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def stage_events_dir(sf_dir: str) -> str:
+    """The file streaming source requires a *directory*; stage the
+    single events.parquet into /tmp via hardlink (copy fallback)."""
+    tag = sf_dir.strip("/").replace("/", "_")
+    d = f"/tmp/p2ss_stream_{tag}/events"
+    os.makedirs(d, exist_ok=True)
+    dst = f"{d}/events.parquet"
+    if not os.path.exists(dst):
+        try:
+            os.link(f"{sf_dir}/events.parquet", dst)
+        except OSError:
+            import shutil
+            shutil.copyfile(f"{sf_dir}/events.parquet", dst)
+    return d
+
+
+def stage_doubled_events_dir(sf_dir: str) -> str:
+    """Stage the events file TWICE (two hardlinks) so a streaming
+    dedup has actual duplicates to drop."""
+    tag = sf_dir.strip("/").replace("/", "_")
+    d = f"/tmp/p2ss_stream_{tag}/events_x2"
+    os.makedirs(d, exist_ok=True)
+    for i in (1, 2):
+        dst = f"{d}/events_{i}.parquet"
+        if not os.path.exists(dst):
+            try:
+                os.link(f"{sf_dir}/events.parquet", dst)
+            except OSError:
+                import shutil
+                shutil.copyfile(f"{sf_dir}/events.parquet", dst)
+    return d
+
+
+def stage_late_events_dir(sf_dir: str, shift_days: int = 60) -> str:
+    """Stage THREE micro-batch files: the real events split in two
+    halves by ts, then the same rows shifted ``shift_days`` into the
+    past (event_ids offset to stay unique). mtimes are ordered so the
+    file source (which processes files in modification-time order)
+    sees the late file last.
+
+    Three batches, not two, because Spark (3.4+, SPARK-40925) filters
+    late events with the watermark as of the *end of batch N-2* — a
+    late file arriving in batch 1 is judged against the initial 1970
+    watermark and sails through. By batch 2 the real data's watermark
+    has propagated and every late row is dropped
+    (numRowsDroppedByWatermark — verified empirically, see
+    tests/test_streaming.py)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    d = f"/tmp/p2ss_stream_{tag}/events_late3"
+    f1, f2 = f"{d}/batch0.parquet", f"{d}/batch1.parquet"
+    late = f"{d}/batch2_late.parquet"
+    if all(os.path.exists(p) for p in (f1, f2, late)):
+        return d
+    os.makedirs(d, exist_ok=True)
+    t = pq.read_table(f"{sf_dir}/events.parquet").sort_by("ts")
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), f1)
+    pq.write_table(t.slice(half), f2)
+    ts_type = t.schema.field("ts").type
+    shifted_ts = pc.cast(
+        pc.subtract(pc.cast(t.column("ts"), pa.int64()),
+                    pa.scalar(shift_days * 86_400 * 10**9, pa.int64())),
+        ts_type)
+    shifted_id = pc.add(t.column("event_id"),
+                        pa.scalar(10**9, pa.int64()))
+    cols = {name: t.column(name) for name in t.schema.names}
+    cols["ts"], cols["event_id"] = shifted_ts, shifted_id
+    pq.write_table(pa.table(cols, schema=t.schema), late)
+    now = os.path.getmtime(late)
+    os.utime(f1, (now - 200, now - 200))
+    os.utime(f2, (now - 100, now - 100))
+    return d
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming scan of an events directory (ns→µs ts conversion)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return (
+        spark.readStream.schema(EVENTS_NS_SCHEMA).parquet(path)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str,
+                  output_mode: str, timeout_s: int = 300) -> DataFrame:
+    """Replay the stream to completion (availableNow) into a memory
+    sink and return the materialized result as a batch DataFrame."""
+    spark = stream_df.sparkSession
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode(output_mode).trigger(availableNow=True).start())
+    q.awaitTermination(timeout_s)
+    return spark.table(name)
+
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    """Events per type per 1-hour tumbling window, 1 h watermark."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+             .alias("window_start"),
+            "event_type", "n", "sum_value",
+        )
+    )
+
+
+def sliding_avg(events: DataFrame) -> DataFrame:
+    """1-hour windows sliding every 15 minutes: each event lands in
+    4 overlapping windows."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"),
+                 "event_type")
+        .agg(F.count("*").alias("n"),
+             F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+             .alias("window_start"),
+            "event_type", "n", "avg_value",
+        )
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user sessions with a 30-minute inactivity gap; session end
+    extends 30 min past the last event (session_window semantics —
+    the batch oracle reproduces this as max(ts) + gap)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+             .alias("session_start"),
+            F.date_format("sw.end", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+             .alias("session_end"),
+            "n_events", "sum_value",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame) -> DataFrame:
+    """Streaming dropDuplicates on event_id with watermark-bounded
+    state. Callers feed a doubled stream to make the dedup
+    observable; output equals the distinct input rows."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+        .select("event_id", "event_type", "user_id",
+                F.round("value", 2).alias("value"))
+    )

@@ -1,0 +1,97 @@
+"""Streaming/batch-equivalence and watermark-semantics tests
+(SURVEY.md §5.2.4) at sf0.001.
+
+The DuckDB hash parity of each streaming op is covered by
+tools/verify_local.py / the driver; these tests pin the *streaming*
+behaviors an SQL oracle can't see: micro-batch replay equals the
+batch DataFrame plan, the doubled stream actually deduplicates, and
+late rows beyond the watermark are dropped (not just absent)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as e
+from project_2_semantic_similarity_spark.sources import load_table
+from project_2_semantic_similarity_spark.streaming import ops as S
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_tumbling_equals_batch(spark, sf_dir):
+    got = e.queries()["stream_tumbling_count"](spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    batch = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.date_format("h", "yyyy-MM-dd HH:mm:ss")
+                 .alias("window_start"), "event_type", "n", "sum_value")
+    )
+    cols = ["window_start", "event_type", "n", "sum_value"]
+    assert _rows(got, *cols) == _rows(batch, *cols)
+
+
+def test_sliding_each_event_in_four_windows(spark, sf_dir):
+    got = e.queries()["stream_sliding_avg"](spark, sf_dir)
+    n_events = load_table(spark, sf_dir, "events").count()
+    total = got.agg(F.sum("n")).collect()[0][0]
+    assert total == 4 * n_events
+
+
+def test_session_gap_semantics(spark, sf_dir):
+    got = e.queries()["stream_session"](spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    # sessions partition the events: per-user event counts add up
+    per_user = {r.user_id: r.s for r in
+                got.groupBy("user_id").agg(F.sum("n_events").alias("s"))
+                .collect()}
+    expect = {r.user_id: r.s for r in
+              ev.groupBy("user_id").agg(F.count("*").alias("s")).collect()}
+    assert per_user == expect
+    # every session spans exactly [first event, last event + 30 min]
+    bad = got.filter(
+        F.col("session_end").cast("timestamp")
+        < F.col("session_start").cast("timestamp")
+        + F.expr("INTERVAL 30 MINUTES")).count()
+    assert bad == 0
+
+
+def test_dedup_doubled_stream(spark, sf_dir):
+    got = e.queries()["stream_dedup_watermark"](spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    assert got.count() == ev.count()  # doubled input, distinct output
+    assert got.select("event_id").distinct().count() == ev.count()
+
+
+def test_late_data_dropped_by_watermark(spark, sf_dir):
+    got = e.queries()["stream_late_data"](spark, sf_dir)
+    # the late batch is shifted 60 days back; no emitted window may
+    # predate the real data's range
+    ev = load_table(spark, sf_dir, "events")
+    lo = ev.agg(F.date_format(F.date_trunc("hour", F.min("ts")),
+                              "yyyy-MM-dd HH:mm:ss").alias("x")).collect()[0].x
+    assert got.filter(F.col("window_start") < lo).count() == 0
+    # and the drop actually happened via the watermark path
+    q = [x for x in spark.streams.active if x.name == "stream_late_data"]
+    prog = (q[0].recentProgress if q else [])
+    dropped = sum(p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+                  for p in prog if p["stateOperators"])
+    # query already stopped by availableNow → fall back to re-running
+    if not prog:
+        d = S.stage_late_events_dir(sf_dir)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ev2 = (spark.readStream.schema(S.EVENTS_NS_SCHEMA)
+               .option("maxFilesPerTrigger", "1").parquet(d)
+               .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+        agg = (ev2.withWatermark("ts", "1 hour")
+               .groupBy(F.window("ts", "1 hour")).agg(F.count("*").alias("n")))
+        qq = (agg.writeStream.format("memory").queryName("late_metric")
+              .outputMode("append").trigger(availableNow=True).start())
+        qq.awaitTermination(180)
+        dropped = sum(
+            p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+            for p in qq.recentProgress if p["stateOperators"])
+    assert dropped > 0
