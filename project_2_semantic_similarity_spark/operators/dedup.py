@@ -55,19 +55,30 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
 
 def shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
              id_col: str = "doc_id") -> DataFrame:
-    """Distinct n-token shingles per document: (id, shingle)."""
-    from project_2_semantic_similarity_spark.operators.text import tokenize
+    """Distinct n-token shingles per document: (id, shingle).
 
-    toks = tokenize(docs.select(F.col(id_col).alias("doc_id"),
-                                F.col(text_col).alias("text")))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    cols = [F.col("term")] + [F.lead("term", i).over(w) for i in range(1, n)]
+    Built array-side with higher-order functions (split → transform/
+    slice → explode), so the only shuffle in the whole operator is the
+    final distinct. The explode+window(lead) alternative shuffles and
+    sorts the entire token stream by (doc_id, pos) first — at corpus
+    scale that is a full extra pass over every token."""
+    # Materialize the token array as its own projection first: a
+    # lambda body referencing the raw split(...) expression would
+    # re-evaluate the split per shingle position (O(tokens^2)/doc).
+    with_toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_remove(F.split(F.col(text_col), r"\s+"), "").alias("toks"),
+    )
+    toks = F.col("toks")
+    shingle_arr = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
-        toks
-        .withColumn("shingle", F.concat_ws(" ", *cols))
-        .withColumn("__last", F.lead("term", n - 1).over(w))
-        .filter(F.col("__last").isNotNull())  # drop truncated tails
-        .select("doc_id", "shingle")
+        with_toks.select("doc_id", F.explode(shingle_arr).alias("shingle"))
         .distinct()
     )
 
@@ -125,11 +136,18 @@ def _minhash_cols(num_hashes: int, seed: int) -> list:
 
 def minhash_signatures(shingled: DataFrame, num_hashes: int = 64,
                        seed: int = 42) -> DataFrame:
-    """(doc_id, mh0..mh{k-1}): column-wise min of each hash over the
-    document's shingle set — one hash-partitioned aggregation."""
+    """(doc_id, sig array<bigint>[k]): column-wise min of each hash
+    over the document's shingle set — one hash-partitioned
+    aggregation, packed into a single array column so downstream
+    plans (banding, signature comparison) stay small. A 64-column
+    signature schema made every consumer's analyzed plan ~64x wider,
+    and plan compilation dominated the query at test scale."""
     hashed = shingled.select("doc_id", *_minhash_cols(num_hashes, seed))
-    return hashed.groupBy("doc_id").agg(
+    agged = hashed.groupBy("doc_id").agg(
         *[F.min(f"mh{i}").alias(f"mh{i}") for i in range(num_hashes)])
+    return agged.select(
+        "doc_id",
+        F.array(*[f"mh{i}" for i in range(num_hashes)]).alias("sig"))
 
 
 def minhash_lsh_candidates(signatures: DataFrame, num_hashes: int = 64,
@@ -141,7 +159,7 @@ def minhash_lsh_candidates(signatures: DataFrame, num_hashes: int = 64,
     band_structs = F.array(*[
         F.struct(
             F.lit(i).alias("band_idx"),
-            F.xxhash64(*[F.col(f"mh{i * rows + j}") for j in range(rows)])
+            F.xxhash64(F.slice("sig", i * rows + 1, rows))
              .alias("band_hash"),
         )
         for i in range(bands)
@@ -164,16 +182,16 @@ def minhash_lsh_candidates(signatures: DataFrame, num_hashes: int = 64,
 def minhash_estimated_jaccard(signatures: DataFrame,
                               candidates: DataFrame,
                               num_hashes: int = 64) -> DataFrame:
-    """Estimate J(a,b) as the fraction of agreeing minhashes."""
-    sig_a = signatures.select(
-        F.col("doc_id").alias("doc_a"),
-        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(num_hashes)])
-    sig_b = signatures.select(
-        F.col("doc_id").alias("doc_b"),
-        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(num_hashes)])
-    agree = sum(
-        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
-        for i in range(num_hashes))
+    """Estimate J(a,b) as the fraction of agreeing minhashes — one
+    zip_with/aggregate expression over the signature arrays."""
+    sig_a = signatures.select(F.col("doc_id").alias("doc_a"),
+                              F.col("sig").alias("sig_a"))
+    sig_b = signatures.select(F.col("doc_id").alias("doc_b"),
+                              F.col("sig").alias("sig_b"))
+    agree = F.aggregate(
+        F.zip_with("sig_a", "sig_b",
+                   lambda x, y: (x == y).cast("int")),
+        F.lit(0), lambda acc, x: acc + x)
     return (
         candidates.join(sig_a, "doc_a").join(sig_b, "doc_b")
         .select("doc_a", "doc_b",
