@@ -65,6 +65,49 @@ def _decode_payload(payload: bytes, media_type: str) -> list[float]:
     return feats
 
 
+FRAME_SCHEMA = ("doc_id bigint, frame_idx int, frame binary, "
+                "n_bytes bigint")
+
+
+def sample_frames(payloads: DataFrame, n_frames: int = 4) -> DataFrame:
+    """One-to-many mapInPandas: sample ``n_frames`` evenly spaced
+    frames from each payload → (doc_id, frame_idx, frame, n_bytes).
+
+    For real video this is the ffmpeg keyframe path (codec absent
+    here — the deterministic fake chops the payload into
+    ceil(n/k)-byte chunks, exercising the same fan-out batch shape:
+    each Arrow input batch yields a larger output batch, which is
+    what Spark has to plan for in the schema/partitioning contract).
+    Chunk rule: step = ceil(n_bytes / n_frames); frame i =
+    payload[i*step : (i+1)*step] for i*step < n_bytes."""
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames, sizes = [], [], [], []
+            for doc_id, payload, media_type in zip(
+                    pdf["doc_id"], pdf["payload"], pdf["media_type"]):
+                if media_type.startswith(("image/", "audio/", "video/")):
+                    raise NotImplementedError(
+                        f"no codec for {media_type} in this environment; "
+                        "plug a real frame sampler into sample_frames")
+                n = len(payload)
+                step = max(1, -(-n // n_frames))
+                for i in range(n_frames):
+                    if i * step >= n:
+                        break
+                    chunk = payload[i * step:(i + 1) * step]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(bytes(chunk))
+                    sizes.append(len(chunk))
+            yield pd.DataFrame({
+                "doc_id": ids, "frame_idx": idxs,
+                "frame": frames, "n_bytes": sizes,
+            })
+
+    return payloads.mapInPandas(frame_batches, schema=FRAME_SCHEMA)
+
+
 def decode_media(payloads: DataFrame) -> DataFrame:
     """Arrow-batched decode: (doc_id, payload, media_type) →
     (doc_id, media_type, n_bytes, mean_byte, features[8])."""

@@ -133,3 +133,37 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.select(
         "doc_id", "media_type", "n_bytes",
         F.round("mean_byte", 6).alias("mean_byte"))
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+WITH d AS (
+    SELECT doc_id, text, length(text) AS n,
+           greatest(1, CAST(ceil(length(text) / 4.0) AS INT)) AS step
+    FROM documents
+)
+SELECT doc_id,
+       CAST(k.i AS INT) AS frame_idx,
+       substring(text, CAST(k.i * step + 1 AS INT), step) AS frame_text,
+       CAST(length(substring(text, CAST(k.i * step + 1 AS INT), step))
+            AS BIGINT) AS n_bytes
+FROM d CROSS JOIN range(4) k(i)
+WHERE k.i * step < n
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling via one-to-many mapInPandas (stubbed codec:
+    payload chopped into ceil(n/4)-byte chunks — see
+    operators/multimodal.py sample_frames). Frames are decoded back
+    to text in the projection so the oracle can reproduce them with
+    substring arithmetic; the binary column is what flows between
+    the operators."""
+    from project_2_semantic_similarity_spark.operators.multimodal import (
+        attach_binary_payload, sample_frames)
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(attach_binary_payload(docs), n_frames=4)
+    return frames.select(
+        "doc_id", "frame_idx",
+        F.decode("frame", "UTF-8").alias("frame_text"), "n_bytes")

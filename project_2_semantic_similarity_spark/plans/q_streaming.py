@@ -133,6 +133,27 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_custom_state",
+    oracle="""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY user_id
+""",
+)
+def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running totals kept in the state store. From the single-file
+    replay there is one micro-batch, so the final emitted state
+    equals the batch GROUP BY; incremental multi-batch behavior is
+    pinned in tests/test_streaming.py."""
+    ev = S.read_events_stream(spark, S.stage_events_dir(sf_dir))
+    return S.run_to_memory(
+        S.custom_state_totals(ev), "stream_custom_state", "update")
+
+
+@query(
     "stream_late_data",
     oracle="""
 WITH c AS (

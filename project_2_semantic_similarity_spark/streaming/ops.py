@@ -189,6 +189,46 @@ def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def custom_state_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``:
+    per-user running (n_events, sum_value), state carried in the
+    state store across micro-batches, current totals emitted for
+    every user seen in a batch.
+
+    This is the escape hatch for stateful semantics Spark's built-in
+    operators can't express (custom sessionization, decaying
+    counters, online models). Arrow moves each group's rows in
+    batches; state is a tiny typed tuple per key — executor memory
+    scales with #keys, not #events. Replayed from a single-file
+    source there is exactly one micro-batch, so the emitted totals
+    equal the batch GROUP BY (the oracle); the multi-batch path is
+    exercised in tests/test_streaming.py."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update_totals(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        import pandas as pd
+        yield pd.DataFrame({
+            "user_id": [key[0]], "n_events": [n],
+            "sum_value": [round(total, 2)],
+        })
+
+    return (
+        events.groupBy("user_id").applyInPandasWithState(
+            update_totals,
+            outputStructType="user_id bigint, n_events bigint, "
+                             "sum_value double",
+            stateStructType="n bigint, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def dedup_stream(events: DataFrame) -> DataFrame:
     """Streaming dropDuplicates on event_id with watermark-bounded
     state. Callers feed a doubled stream to make the dedup

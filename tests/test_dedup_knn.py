@@ -106,3 +106,34 @@ def test_multimodal_decode_rejects_real_media(spark):
         _decode_payload)
     with pytest.raises(NotImplementedError):
         _decode_payload(b"\x89PNG", "image/png")
+
+
+def test_frame_sample_chunks_reassemble(spark):
+    from project_2_semantic_similarity_spark.operators.multimodal import (
+        attach_binary_payload, sample_frames)
+    df = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "xy")], ["doc_id", "text"])
+    rows = sample_frames(attach_binary_payload(df), n_frames=4).collect()
+    by_doc = {}
+    for r in sorted(rows, key=lambda r: (r.doc_id, r.frame_idx)):
+        by_doc.setdefault(r.doc_id, b""); by_doc[r.doc_id] += bytes(r.frame)
+    # frames cover the payload exactly, in order, no overlap
+    assert by_doc == {1: b"abcdefghij", 2: b"xy"}
+    # 10 bytes / 4 frames -> step 3 -> frames of 3,3,3,1
+    sizes = [r.n_bytes for r in sorted(rows, key=lambda r: (r.doc_id, r.frame_idx))
+             if r.doc_id == 1]
+    assert sizes == [3, 3, 3, 1]
+    # short payload yields fewer frames, never empty ones
+    assert [r.n_bytes for r in rows if r.doc_id == 2] == [1, 1]
+
+
+def test_frame_sample_rejects_real_media(spark):
+    import pytest
+    from project_2_semantic_similarity_spark.operators.multimodal import (
+        attach_binary_payload, sample_frames)
+    from pyspark.sql import functions as F
+    df = (spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+          .select("doc_id", F.encode("text", "UTF-8").alias("payload"),
+                  F.lit("video/mp4").alias("media_type")))
+    with pytest.raises(Exception, match="no codec"):
+        sample_frames(df).collect()

@@ -66,6 +66,26 @@ def test_dedup_doubled_stream(spark, sf_dir):
     assert got.select("event_id").distinct().count() == ev.count()
 
 
+def test_custom_state_accumulates_across_batches(spark, sf_dir):
+    # Two micro-batches of the same file: state must carry over, so
+    # the totals emitted in batch 2 are exactly double the per-user
+    # batch totals.
+    d = S.stage_doubled_events_dir(sf_dir)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = (spark.readStream.schema(S.EVENTS_NS_SCHEMA)
+          .option("maxFilesPerTrigger", "1").parquet(d)
+          .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    out = S.run_to_memory(S.custom_state_totals(ev),
+                          "custom_state_2batch", "update")
+    final = {r.user_id: r.n_events for r in
+             out.groupBy("user_id")
+             .agg(F.max("n_events").alias("n_events")).collect()}
+    expect = {r.user_id: 2 * r.n for r in
+              load_table(spark, sf_dir, "events")
+              .groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    assert final == expect
+
+
 def test_late_data_dropped_by_watermark(spark, sf_dir):
     got = e.queries()["stream_late_data"](spark, sf_dir)
     # the late batch is shifted 60 days back; no emitted window may
