@@ -1,0 +1,81 @@
+"""Property-based tests (SURVEY.md §5.2.3) for the TF-IDF flagship
+invariants, on small random corpora via hypothesis:
+
+- a term occurring in every document has idf = log10(1) = 0, so all
+  its tf-idf weights are exactly 0 and it never appears as a
+  similarity candidate;
+- cosine similarities are bounded by 1 (up to float error);
+- permuting document order changes nothing (the plan has no
+  order-dependent state).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from project_2_semantic_similarity_spark.operators.text import (
+    similar_terms,
+    tfidf,
+)
+
+VOCAB = [f"w{i}" for i in range(8)]
+
+corpus_strategy = st.lists(
+    st.lists(st.sampled_from(VOCAB), min_size=2, max_size=12),
+    min_size=3, max_size=8,
+)
+
+_SETTINGS = settings(max_examples=8, deadline=None,
+                     suppress_health_check=[HealthCheck.too_slow])
+
+
+def _corpus_df(spark, docs):
+    return spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        ["doc_id", "text"])
+
+
+@_SETTINGS
+@given(docs=corpus_strategy)
+def test_ubiquitous_term_has_zero_tfidf(spark, docs):
+    everywhere = VOCAB[0]
+    docs = [toks + [everywhere] for toks in docs]
+    w = tfidf(_corpus_df(spark, docs)).collect()
+    assert all(r.tfidf == 0.0 for r in w if r.term == everywhere)
+    # and therefore it can never surface as a similarity candidate
+    sims = similar_terms(
+        tfidf(_corpus_df(spark, docs)), VOCAB[1], k=100).collect()
+    assert everywhere not in {r.term for r in sims}
+
+
+@_SETTINGS
+@given(docs=corpus_strategy)
+def test_similarity_bounded_by_one(spark, docs):
+    w = tfidf(_corpus_df(spark, docs))
+    sims = similar_terms(w, docs[0][0], k=100).collect()
+    assert all(r.similarity <= 1.0 + 1e-9 for r in sims)
+
+
+@_SETTINGS
+@given(docs=corpus_strategy, seed=st.integers(0, 2**16))
+def test_document_order_irrelevant(spark, docs, seed):
+    import random
+    shuffled = docs[:]
+    random.Random(seed).shuffle(shuffled)
+    # doc_ids follow their document (permutation relabels rows only
+    # if we kept positional ids, so reattach original ids first)
+    base = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    perm = base[:]
+    random.Random(seed).shuffle(perm)
+    df1 = spark.createDataFrame(base, ["doc_id", "text"])
+    df2 = spark.createDataFrame(perm, ["doc_id", "text"])
+    q = docs[0][0]
+    r1 = [(r.term, round(r.similarity, 9))
+          for r in similar_terms(tfidf(df1), q, k=50)
+          .orderBy("term").collect()]
+    r2 = [(r.term, round(r.similarity, 9))
+          for r in similar_terms(tfidf(df2), q, k=50)
+          .orderBy("term").collect()]
+    assert r1 == r2
