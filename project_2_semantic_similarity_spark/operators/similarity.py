@@ -106,6 +106,56 @@ def label_centroids(embeddings: DataFrame, label_col: str = "label",
     )
 
 
+def ivf_assign(embeddings: DataFrame, centroids: DataFrame,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Assign every vector to its nearest centroid ('inverted list'):
+    broadcast the codebook (tiny by construction), score each vector
+    against every centroid, keep the argmax — ties broken by lowest
+    centroid label so the partitioning is deterministic. One scan,
+    no shuffle of the vector relation."""
+    from pyspark.sql import Window
+
+    scored = (
+        embeddings.crossJoin(F.broadcast(
+            centroids.select(F.col("label").alias("list_id"), "centroid")))
+        .withColumn("ccos", cosine_similarity(vec_col, "centroid"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("ccos"), F.asc("list_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, vec_col, "list_id")
+    )
+
+
+def knn_ivf(embeddings: DataFrame, query_vec_id: int, k: int,
+            id_col: str = "vec_id",
+            vec_col: str = "embedding") -> DataFrame:
+    """IVF-style approximate top-k: vectors are partitioned into
+    inverted lists by nearest codebook centroid (here the label
+    centroids — a learned k-means codebook drops in identically);
+    the query probes only its own list (nprobe=1) and re-ranks by
+    exact cosine inside it.
+
+    At scale this is the standard ANN partition-pruning shape: the
+    corpus is written partitioned by list_id, a query reads 1/n_lists
+    of the data, and the codebook broadcast is O(n_lists x dim)."""
+    assigned = ivf_assign(embeddings, label_centroids(embeddings),
+                          id_col, vec_col)
+    q = assigned.filter(F.col(id_col) == query_vec_id).select(
+        F.col("list_id").alias("__qlist"), F.col(vec_col).alias("__qvec"))
+    return (
+        assigned.join(F.broadcast(q), F.col("list_id") == F.col("__qlist"))
+        .filter(F.col(id_col) != query_vec_id)
+        .select(id_col,
+                cosine_similarity(vec_col, "__qvec").alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def nearest_centroid_per_label(embeddings: DataFrame,
                                label_col: str = "label",
                                vec_col: str = "embedding") -> DataFrame:

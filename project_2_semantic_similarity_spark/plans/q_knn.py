@@ -37,6 +37,52 @@ def knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+@query(
+    "knn_ivf",
+    oracle=f"""
+WITH e AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+),
+flat AS (
+    SELECT label, generate_subscripts(emb, 1) AS idx, unnest(emb) AS val
+    FROM e
+),
+cent AS (
+    SELECT label AS list_id, list(avg_val ORDER BY idx) AS cvec
+    FROM (SELECT label, idx, avg(val) AS avg_val
+          FROM flat GROUP BY label, idx)
+    GROUP BY label
+),
+scored AS (
+    SELECT e.vec_id, e.emb, c.list_id,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.emb, c.cvec) DESC,
+                        c.list_id) AS rn
+    FROM e CROSS JOIN cent c
+),
+assigned AS (SELECT vec_id, emb, list_id FROM scored WHERE rn = 1),
+q AS (SELECT list_id AS qlist, emb AS qemb FROM assigned
+      WHERE vec_id = {_QUERY_VEC_ID})
+SELECT a.vec_id,
+       round(list_cosine_similarity(a.emb, q.qemb), 6) AS cosine
+FROM assigned a, q
+WHERE a.list_id = q.qlist AND a.vec_id <> {_QUERY_VEC_ID}
+ORDER BY list_cosine_similarity(a.emb, q.qemb) DESC, a.vec_id
+LIMIT {_K}
+""",
+)
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned approximate top-10: vectors assigned to
+    nearest label-centroid (the codebook), query probes only its own
+    inverted list, exact cosine re-rank inside. The assignment is a
+    broadcast of the tiny codebook — the vector relation is never
+    shuffled."""
+    e = load_table(spark, sf_dir, "embeddings")
+    out = S.knn_ivf(e, _QUERY_VEC_ID, _K)
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
 @query("knn_lsh")  # rows-only: bucket membership is hash-family-specific
 def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via random-hyperplane LSH bucketing (the

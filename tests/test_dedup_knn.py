@@ -137,3 +137,22 @@ def test_frame_sample_rejects_real_media(spark):
                   F.lit("video/mp4").alias("media_type")))
     with pytest.raises(Exception, match="no codec"):
         sample_frames(df).collect()
+
+
+def test_knn_ivf_equals_bruteforce_within_list(spark, sf_dir):
+    # IVF with nprobe=1 is by definition: brute-force cosine top-k
+    # restricted to the query's inverted list. (Recall vs global
+    # brute force is a data property — the synthetic embeddings are
+    # i.i.d. noise, so centroids are near-coincident — hence we pin
+    # the structural contract, not a recall number.)
+    from project_2_semantic_similarity_spark.sources import load_table
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned = S.ivf_assign(e, S.label_centroids(e))
+    qlist = assigned.filter(F.col("vec_id") == 0).collect()[0].list_id
+    members = assigned.filter(F.col("list_id") == qlist).select(
+        "vec_id", "embedding")
+    expect = [(r.vec_id, round(r.cosine, 6)) for r in
+              S.knn_brute_force(members, 0, 10).collect()]
+    got = [(r.vec_id, round(r.cosine, 6)) for r in
+           S.knn_ivf(e, 0, 10).collect()]
+    assert got == expect
