@@ -565,6 +565,38 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_pivot",
+    oracle="""
+SELECT CAST(date_part('year', o_orderdate) AS INT) AS order_year,
+       round(sum(CASE WHEN o_orderstatus = 'F'
+                      THEN o_totalprice END), 2) AS status_f,
+       round(sum(CASE WHEN o_orderstatus = 'O'
+                      THEN o_totalprice END), 2) AS status_o,
+       round(sum(CASE WHEN o_orderstatus = 'P'
+                      THEN o_totalprice END), 2) AS status_p
+FROM orders
+GROUP BY 1
+""",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): total price per order-year × status.
+    Explicit pivot values keep it one pass (no distinct-values
+    pre-query) and a fixed output schema — required at scale and for
+    the oracle, which DuckDB expresses as conditional aggregation."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.withColumn("order_year", F.year("o_orderdate"))
+        .groupBy("order_year")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+        .select("order_year",
+                F.col("F").alias("status_f"),
+                F.col("O").alias("status_o"),
+                F.col("P").alias("status_p"))
+    )
+
+
 # --------------------------------------------------------------- windows
 
 @query(

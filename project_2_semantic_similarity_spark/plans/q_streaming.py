@@ -133,6 +133,29 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stream_join",
+    oracle="""
+SELECT c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.user_id,
+       round(p.value, 2) AS purchase_value
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '1 hour'
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+""",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream self-join: clicks paired with the
+    same user's purchases within the following hour (append mode —
+    the only output mode stream-stream inner joins support). Batch
+    equivalent: the time-bounded self-join the oracle states."""
+    ev = S.read_events_stream(spark, S.stage_events_dir(sf_dir))
+    return S.run_to_memory(
+        S.click_purchase_join(ev), "stream_stream_join", "append")
+
+
+@query(
     "stream_custom_state",
     oracle="""
 SELECT user_id,

@@ -189,6 +189,40 @@ def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def click_purchase_join(events: DataFrame) -> DataFrame:
+    """Stream-stream self-join: each click pairs with the same
+    user's purchases within the following hour. Both sides carry
+    watermarks and the join condition bounds event-time distance, so
+    the state store can evict rows once the watermark passes —
+    unbounded state is the failure mode of unconstrained
+    stream-stream joins at scale."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), "user_id",
+                F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user_id"),
+                F.col("ts").alias("purchase_ts"),
+                F.col("value").alias("purchase_value"))
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    return (
+        clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts")
+               <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select("click_id", "purchase_id", "user_id",
+                F.round("purchase_value", 2).alias("purchase_value"))
+    )
+
+
 def custom_state_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``:
     per-user running (n_events, sum_value), state carried in the
