@@ -1,0 +1,57 @@
+"""Physical-plan regression tests: pin the scale-relevant plan
+properties (broadcast joins, top-k without total sort, predicate
+pushdown, column pruning, cache reuse) so a refactor can't silently
+trade them away. These inspect the executed-plan string — cheap, no
+job runs."""
+
+from __future__ import annotations
+
+import re
+
+import __spark_entry__ as e
+
+
+def plan_of(spark, name, sf_dir):
+    df = e.queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_flagship_plan_shape(spark, sf_dir):
+    plan = plan_of(spark, "flagship_term_similarity", sf_dir)
+    # top-k plans as per-partition heaps, never a total sort
+    assert "TakeOrderedAndProject" in plan
+    # the query-vector attach is a broadcast hash join, not SMJ
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the persisted tf-idf weight table serves all three consumers
+    assert plan.count("InMemoryTableScan") >= 3
+    # corpus scan reads only the two needed columns
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    doc_scans = [s for s in schemas if "text" in s]
+    assert doc_scans and all(
+        set(s.split(",")) <= {"doc_id:bigint", "text:string"}
+        for s in doc_scans)
+
+
+def test_multiway_join_broadcasts_dimensions(spark, sf_dir):
+    plan = plan_of(spark, "join_multiway", sf_dir)
+    # region/nation/customer/orders all broadcast against lineitem
+    assert plan.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_agg_hash_pushes_filter_to_scan(spark, sf_dir):
+    plan = plan_of(spark, "agg_hash", sf_dir)
+    assert "PushedFilters" in plan
+    assert re.search(r"PushedFilters: \[[^\]]*l_shipdate", plan)
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, "topk", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_knn_broadcasts_query_row(spark, sf_dir):
+    plan = plan_of(spark, "knn_embeddings", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
