@@ -566,6 +566,69 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_skew_twostage",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def agg_skew_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe count-distinct: l_returnflag has 3 values, so a
+    direct `groupBy(flag).agg(countDistinct(...))` funnels the whole
+    table into 3 reduce groups. Two stages instead: distinct over
+    (flag, partkey) — the second key spreads the hot first key across
+    the cluster, acting as a natural salt — then a partial-aggregated
+    count per flag over the already-small distinct set."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select("l_returnflag", "l_partkey").distinct()
+    return pairs.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_parts"))
+
+
+@query(
+    "join_bucketed",
+    oracle="""
+SELECT l.l_orderkey,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(l.l_extendedprice), 2) AS revenue,
+       max(o.o_orderstatus) AS o_orderstatus
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY l.l_orderkey
+""",
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join via bucketing: both sides written bucketed by
+    the join key (8 buckets, external tables under /tmp), so the join
+    needs NO exchange — each task reads matching buckets. This is the
+    'pre-shuffle once, join many times' layout for repeated fact
+    joins at scale (tests assert the exchange-free plan). The merge
+    hint forces SMJ so the demonstration doesn't degrade to a
+    broadcast at test scale."""
+    import os
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    base = f"/tmp/p2ss_bucketed_{tag}"
+    for name, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+        tbl = f"p2ss_{name}_bucketed_{tag}"
+        if not spark.catalog.tableExists(tbl) or not os.path.isdir(
+                f"{base}/{name}"):
+            (load_table(spark, sf_dir, name).write
+             .bucketBy(8, key).sortBy(key)
+             .option("path", f"{base}/{name}")
+             .mode("overwrite").saveAsTable(tbl))
+    li = spark.table(f"p2ss_lineitem_bucketed_{tag}")
+    o = spark.table(f"p2ss_orders_bucketed_{tag}")
+    return (
+        li.hint("merge")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_items"),
+             F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+             F.max("o_orderstatus").alias("o_orderstatus"))
+    )
+
+
+@query(
     "agg_pivot",
     oracle="""
 SELECT CAST(date_part('year', o_orderdate) AS INT) AS order_year,

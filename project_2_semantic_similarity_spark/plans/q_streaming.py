@@ -58,7 +58,7 @@ SELECT strftime(e.b - k.k * INTERVAL '15 minutes', '%Y-%m-%d %H:%M:%S')
            AS window_start,
        e.event_type,
        count(*) AS n,
-       round(avg(e.value), 6) AS avg_value
+       round(sum(e.value), 2) AS sum_value
 FROM e CROSS JOIN range(4) k(k)
 GROUP BY 1, 2
 """,
@@ -66,7 +66,9 @@ GROUP BY 1, 2
 def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour windows sliding every 15 min (each event lands in 4
     overlapping windows). Batch equivalent: explode each row into its
-    4 window starts on the 15-minute grid."""
+    4 window starts on the 15-minute grid. Emits count + sum rather
+    than a rounded average — see streaming/ops.py sliding_avg for the
+    cross-engine rounding-boundary analysis."""
     ev = S.read_events_stream(spark, S.stage_events_dir(sf_dir))
     return S.run_to_memory(
         S.sliding_avg(ev), "stream_sliding_avg", "complete")

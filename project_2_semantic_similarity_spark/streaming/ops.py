@@ -154,17 +154,24 @@ def tumbling_counts(events: DataFrame) -> DataFrame:
 
 def sliding_avg(events: DataFrame) -> DataFrame:
     """1-hour windows sliding every 15 minutes: each event lands in
-    4 overlapping windows."""
+    4 overlapping windows.
+
+    Emits count + sum (avg = sum/n is derivable): the fixture's
+    values carry 2 decimals and windows hold n=2^k events, so window
+    averages land EXACTLY on 6-dp rounding half-boundaries
+    (k * 0.0003125) and the two engines' summation orders round
+    opposite ways — observed at sf0.1. Sums stay on the 0.01 grid,
+    0.005 away from any boundary, so round(sum, 2) is stable."""
     return (
         events.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"),
                  "event_type")
         .agg(F.count("*").alias("n"),
-             F.round(F.avg("value"), 6).alias("avg_value"))
+             F.round(F.sum("value"), 2).alias("sum_value"))
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
              .alias("window_start"),
-            "event_type", "n", "avg_value",
+            "event_type", "n", "sum_value",
         )
     )
 

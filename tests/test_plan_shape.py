@@ -55,3 +55,13 @@ def test_knn_broadcasts_query_row(spark, sf_dir):
     plan = plan_of(spark, "knn_embeddings", sf_dir)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    plan = plan_of(spark, "join_bucketed", sf_dir)
+    # both sides bucketed by the join key -> SMJ reads matching
+    # buckets directly; the only exchange allowed is the final
+    # aggregation's (which AQE may add above the join)
+    join_part = plan.split("SortMergeJoin")[-1]
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in join_part
