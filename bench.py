@@ -38,9 +38,55 @@ HEADLINE = [
     "dedup_exact",               # sha2 groupBy on documents
     "dedup_minhash",             # shingle -> minhash -> LSH bands
     "knn_embeddings",            # brute-force cosine top-k
+    "knn_ivf",                   # inverted-list ANN (broadcast codebook)
+    "join_bucketed",             # exchange-free co-located join
     "text_quality_score",        # text-analysis built-in pipeline
     "stream_tumbling_count",     # availableNow replay, stateful agg
 ]
+
+
+def _gene_corpus(path: str, n_docs: int, seed: int = 42) -> int:
+    """Reference-format corpus with BASELINE.md's recipe (seed 42,
+    80-220 base tokens from a 5000-word vocab + 3-15 skewed
+    gene_*_gene terms per doc). Returns the term-token count."""
+    import os
+    import random
+
+    if os.path.exists(path):
+        with open(path) as fh:
+            return sum(len(line.split()) - 1 for line in fh)
+    rng = random.Random(seed)
+    vocab = [f"word{i}" for i in range(5000)]
+    genes = [f"gene_g{i}_gene" for i in range(200)]
+    weights = [2.0 ** (-i / 25.0) for i in range(200)]
+    n_tokens = 0
+    with open(path + ".tmp", "w") as fh:
+        for d in range(n_docs):
+            toks = rng.choices(vocab, k=rng.randint(80, 220))
+            toks += rng.choices(genes, weights, k=rng.randint(3, 15))
+            rng.shuffle(toks)
+            n_tokens += len(toks)
+            fh.write(f"doc{d} {' '.join(toks)}\n")
+    os.replace(path + ".tmp", path)
+    return n_tokens
+
+
+def bench_reference_corpus(spark, n_docs: int) -> tuple[float, int]:
+    """Time the flagship on the BASELINE.md measurement corpus shape
+    (reference wall: 35.3 s at 2k docs, 101.5 s at 10k docs,
+    single-threaded)."""
+    from project_2_semantic_similarity_spark.operators.text import (
+        term_similarity_pipeline)
+    from project_2_semantic_similarity_spark.sources import read_text_corpus
+
+    path = f"/tmp/p2ss_bench_gene_{n_docs}.txt"
+    n_tokens = _gene_corpus(path, n_docs)
+    t0 = time.perf_counter()
+    df = term_similarity_pipeline(
+        read_text_corpus(spark, path), "gene_g0_gene", k=5,
+        prefix="gene_", suffix="_gene")
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0, n_tokens
 
 
 def main() -> int:
@@ -72,6 +118,16 @@ def main() -> int:
 
     total = round(sum(times.values()), 3)
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+
+    ref = {}
+    for n_docs, ref_wall in ((2000, 35.3), (10000, 101.5)):
+        wall, n_tokens = bench_reference_corpus(spark, n_docs)
+        ref[f"gene_{n_docs}_docs"] = {
+            "sec": round(wall, 3), "tokens": n_tokens,
+            "reference_sec": ref_wall,
+            "speedup": round(ref_wall / wall, 1),
+        }
+
     print(json.dumps({
         "metric": "headline_queries_total_warm",
         "value": total,
@@ -80,6 +136,7 @@ def main() -> int:
         "sf": sf,
         "cold_flagship_sec": round(cold_flagship, 3),
         "session_startup_sec": round(session_startup, 3),
+        "reference_corpus": ref,
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
     }))
     return 0
