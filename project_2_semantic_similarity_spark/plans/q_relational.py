@@ -141,6 +141,53 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "scan_orc",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip (the other columnar format Spark ships a
+    vectorized reader for — same pushdown/pruning path as parquet)."""
+    out = _tmp(sf_dir, "nation_orc")
+    load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey") \
+        .write.mode("overwrite").orc(out)
+    return spark.read.orc(out)
+
+
+@query(
+    "sink_partitioned",
+    oracle="""
+SELECT CAST(date_part('year', o_orderdate) AS INT) AS order_year,
+       o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+WHERE date_part('year', o_orderdate) IN (1997, 1998)
+GROUP BY 1, 2
+""",
+)
+def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-layout partitioned write (orders by year) + pruned
+    re-read: the year filter on the read side prunes to 2 of 7
+    partition directories before any IO — the mechanism that lets a
+    100 TB table answer a one-month query by reading one month
+    (partition pruning asserted in tests/test_plan_shape.py)."""
+    out = _tmp(sf_dir, "orders_by_year")
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate"))
+    o.write.mode("overwrite").partitionBy("order_year").parquet(out)
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("order_year").isin(1997, 1998))
+        .groupBy("order_year", "o_orderstatus")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .select(F.col("order_year").cast("int").alias("order_year"),
+                "o_orderstatus", "n", "total")
+    )
+
+
 # ------------------------------------------------- projections / filters
 
 @query(

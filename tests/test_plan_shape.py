@@ -65,3 +65,10 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     join_part = plan.split("SortMergeJoin")[-1]
     assert "SortMergeJoin" in plan
     assert "Exchange hashpartitioning" not in join_part
+
+
+def test_partitioned_sink_prunes_partitions(spark, sf_dir):
+    plan = plan_of(spark, "sink_partitioned", sf_dir)
+    # the year filter must prune at the directory level, not post-scan
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "order_year" in m.group(1)
