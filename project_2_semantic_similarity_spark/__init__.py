@@ -16,4 +16,13 @@ Design rules (see SURVEY.md §4.2):
 
 from project_2_semantic_similarity_spark.session import get_spark
 
-__all__ = ["get_spark"]
+
+def __getattr__(name):
+    # lazy: avoid importing the full operator surface at package import
+    if name in ("Engine", "Corpus"):
+        from project_2_semantic_similarity_spark import engine
+        return getattr(engine, name)
+    raise AttributeError(name)
+
+
+__all__ = ["get_spark", "Engine", "Corpus"]

@@ -188,6 +188,39 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sql_api_q1",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def sql_api_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry point (SURVEY §3.4 lifecycle #2): the TPC-H Q1
+    shape submitted as a SQL string over registered views — same
+    Catalyst plan space as the DataFrame API, verbatim-portable to
+    the DuckDB oracle."""
+    from project_2_semantic_similarity_spark.sources.tables import (
+        register_views)
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   AS sum_disc_price,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """)
+
+
 # ------------------------------------------------- projections / filters
 
 @query(

@@ -1,0 +1,59 @@
+"""Facade and CLI entry-point tests (SURVEY.md §3.4): the builder
+API, the SQL path, and the reference-format CLI output."""
+
+from __future__ import annotations
+
+from project_2_semantic_similarity_spark import Engine
+
+
+CORPUS = """\
+d1 spark join hash join
+d2 spark filter scan
+d3 join merge hash
+"""
+
+
+def test_builder_api(spark, tmp_path):
+    p = tmp_path / "c.txt"
+    p.write_text(CORPUS)
+    eng = Engine(spark)
+    out = eng.corpus(str(p)).similar_terms("join", k=3).collect()
+    assert out and all(r.similarity <= 1.0 + 1e-9 for r in out)
+    w = eng.corpus(str(p)).tfidf()
+    assert set(w.columns) == {"doc_id", "term", "tfidf"}
+
+
+def test_corpus_from_dataframe(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d")], ["doc_id", "text"])
+    out = Engine(spark).corpus(df).similar_terms("c", k=5).collect()
+    assert {r.term for r in out} <= {"a", "b", "d"}
+
+
+def test_sql_entry(spark, sf_dir):
+    eng = Engine(spark)
+    eng.register_views(sf_dir)
+    n = eng.sql("SELECT count(*) AS n FROM nation").collect()[0].n
+    assert n == 25
+
+
+def test_cli_reference_output_format(spark, tmp_path, capsys):
+    from project_2_semantic_similarity_spark.engine import main
+
+    p = tmp_path / "c.txt"
+    p.write_text(CORPUS)
+    rc = main(["join", str(p), "3"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    lines = [ln for ln in out.splitlines() if ln.strip()]
+    assert lines, out
+    for ln in lines:
+        # reference app.py:178 format: term left-padded to 50 chars
+        assert ln[:50].rstrip().isidentifier() or " " in ln[:50]
+        float(ln[50:])  # similarity parses
+
+
+def test_cli_usage_error():
+    from project_2_semantic_similarity_spark.engine import main
+
+    assert main(["only-one-arg"]) == 2
