@@ -118,19 +118,21 @@ def jaccard_pairs(shingled: DataFrame, min_jaccard: float) -> DataFrame:
 
 
 def _minhash_cols(num_hashes: int, seed: int) -> list:
-    """Deterministic affine hash family over xxhash64(shingle):
-    h_i(s) = (a_i * (xxh(s) mod P) + b_i) mod P."""
+    """Deterministic affine hash family over a pre-materialized
+    ``base`` column (= xxhash64(shingle) mod P):
+    h_i(s) = (a_i * base + b_i) mod P. The caller projects ``base``
+    first — referencing the raw xxhash64 expression here would embed
+    it in all k hash expressions and multiply the plan size."""
     import random
 
     rng = random.Random(seed)
     cols = []
-    base = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE31))
     for i in range(num_hashes):
         a = rng.randrange(1, _MERSENNE31)
         b = rng.randrange(0, _MERSENNE31)
         cols.append(
-            F.pmod(F.lit(a) * base + F.lit(b), F.lit(_MERSENNE31))
-            .alias(f"mh{i}"))
+            F.pmod(F.lit(a) * F.col("base") + F.lit(b),
+                   F.lit(_MERSENNE31)).alias(f"mh{i}"))
     return cols
 
 
@@ -142,7 +144,10 @@ def minhash_signatures(shingled: DataFrame, num_hashes: int = 64,
     plans (banding, signature comparison) stay small. A 64-column
     signature schema made every consumer's analyzed plan ~64x wider,
     and plan compilation dominated the query at test scale."""
-    hashed = shingled.select("doc_id", *_minhash_cols(num_hashes, seed))
+    based = shingled.select(
+        "doc_id",
+        F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE31)).alias("base"))
+    hashed = based.select("doc_id", *_minhash_cols(num_hashes, seed))
     agged = hashed.groupBy("doc_id").agg(
         *[F.min(f"mh{i}").alias(f"mh{i}") for i in range(num_hashes)])
     return agged.select(
