@@ -709,6 +709,28 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_percentile",
+    oracle="""
+SELECT l_returnflag,
+       round(median(l_extendedprice), 6) AS median_price,
+       round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median / p95 via SQL `percentile` (continuous
+    interpolation — matches DuckDB quantile_cont). At extreme scale
+    the approximate sketch (percentile_approx / t-digest) replaces
+    this; exact percentile requires a per-group sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6)
+         .alias("median_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6)
+         .alias("p95_price"))
+
+
+@query(
     "agg_pivot",
     oracle="""
 SELECT CAST(date_part('year', o_orderdate) AS INT) AS order_year,
