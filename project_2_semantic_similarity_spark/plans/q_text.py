@@ -284,15 +284,20 @@ GROUP BY bigram
 """,
 )
 def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus bigram counts (SURVEY §2.B text_ngrams) via a lead()
-    window over token positions — no ml.feature dependency."""
-    from pyspark.sql import Window
-    toks = T.tokenize(_corpus(spark, sf_dir))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    seq = toks.withColumn("nxt", F.lead("term").over(w))
+    """Corpus bigram counts (SURVEY §2.B text_ngrams), built
+    array-side per document (materialized token array + zip_with of
+    the array against its own tail) so the only shuffle is the final
+    count — a lead() window would shuffle AND sort the whole token
+    stream by (doc_id, pos) first. The oracle keeps the window
+    formulation; values are identical."""
+    with_toks = _corpus(spark, sf_dir).select(
+        F.array_remove(F.split("text", r"\s+"), "").alias("toks"))
+    bigrams = F.zip_with(
+        F.slice("toks", 1, F.greatest(F.size("toks") - 1, F.lit(0))),
+        F.slice("toks", 2, F.greatest(F.size("toks") - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b))
     return (
-        seq.filter(F.col("nxt").isNotNull())
-        .select(F.concat_ws(" ", "term", "nxt").alias("bigram"))
+        with_toks.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("cnt"))
     )
