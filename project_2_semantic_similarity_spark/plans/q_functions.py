@@ -158,6 +158,33 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fn_map",
+    oracle="""
+SELECT event_id,
+       json_keys(props)[1] AS first_key,
+       CAST(len(json_keys(props)) AS INT) AS n_keys,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+FROM events
+""",
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: parse props into map<string,string>, then
+    map_keys / size / element_at — the schema-on-read path for
+    semi-structured columns whose key set is open (vs from_json to a
+    fixed struct when it is closed)."""
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.select(
+        "event_id",
+        F.from_json("props", "map<string,string>").alias("m"))
+    return m.select(
+        "event_id",
+        F.element_at(F.map_keys("m"), 1).alias("first_key"),
+        F.size("m").alias("n_keys"),
+        F.element_at("m", "k").cast("bigint").alias("k_value"),
+    )
+
+
+@query(
     "fn_case_cast",
     oracle="""
 SELECT o_orderkey,

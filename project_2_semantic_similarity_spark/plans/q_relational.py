@@ -820,6 +820,37 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "win_first_last",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(first_value(o_totalprice) OVER w, 2) AS first_price,
+       round(last_value(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+           2) AS last_price,
+       round(nth_value(o_totalprice, 2) OVER w, 2) AS second_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value windows; last_value over the full-partition
+    frame (the default running frame makes last_value = current row —
+    the classic gotcha, identical in both engines)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing)
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+        F.round(F.last("o_totalprice").over(wfull), 2).alias("last_price"),
+        F.round(F.nth_value("o_totalprice", 2).over(w), 2)
+         .alias("second_price"),
+    )
+
+
+@query(
     "win_running",
     oracle="""
 SELECT o_custkey, o_orderkey,
