@@ -690,10 +690,22 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = f"/tmp/p2ss_bucketed_{tag}"
     for name, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
         tbl = f"p2ss_{name}_bucketed_{tag}"
-        if not spark.catalog.tableExists(tbl) or not os.path.isdir(
-                f"{base}/{name}"):
-            (load_table(spark, sf_dir, name).write
-             .bucketBy(8, key).sortBy(key)
+        if spark.catalog.tableExists(tbl):
+            continue
+        src = load_table(spark, sf_dir, name)
+        if os.path.isdir(f"{base}/{name}"):
+            # files already bucketed by a previous session: re-attach
+            # via DDL instead of rewriting (bucket spec must match the
+            # writer's — same code path, so it does)
+            ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                            for f in src.schema.fields)
+            spark.sql(f"""
+                CREATE TABLE {tbl} ({ddl}) USING PARQUET
+                CLUSTERED BY ({key}) SORTED BY ({key}) INTO 8 BUCKETS
+                LOCATION '{base}/{name}'
+            """)
+        else:
+            (src.write.bucketBy(8, key).sortBy(key)
              .option("path", f"{base}/{name}")
              .mode("overwrite").saveAsTable(tbl))
     li = spark.table(f"p2ss_lineitem_bucketed_{tag}")
