@@ -118,8 +118,8 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT vec_id,
        CAST(len(embedding) AS BIGINT) AS dim,
-       round(embedding[1], 6) AS first_val,
-       round(list_aggregate(embedding, 'max'), 6) AS max_val,
+       round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+       round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 6) AS max_val,
        round(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]), 6) AS norm_sq
 FROM embeddings
 """,
