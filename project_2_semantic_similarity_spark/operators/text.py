@@ -183,6 +183,52 @@ def similar_terms(weights: DataFrame, query: str, k: int = 5,
     return sims.orderBy(F.desc("similarity"), F.asc("term")).limit(k)
 
 
+def doc_similarity_topk(corpus: DataFrame, k: int = 10,
+                        round_to: int | None = None) -> DataFrame:
+    """Top-k most similar DOCUMENT pairs by TF-IDF cosine — the
+    doc-axis dual of the reference's term-term query (terms become
+    the shared join axis instead of documents).
+
+    Sparse formulation: only pairs sharing at least one term
+    materialize (self-join on term → partial dot products → per-pair
+    sum), then normalize by per-doc L2 norms. At corpus scale the
+    term join axis is skew-prone (stopword-like terms pair everything
+    with everything): production runs prune near-zero tf-idf entries
+    first — idf already zeroes corpus-wide terms, which is the
+    biggest hot-key class — and cap per-term postings; here the
+    corpus is small enough to keep exact semantics for the oracle."""
+    weights = tfidf(corpus).persist()
+    norms = weights.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("tfidf") * F.col("tfidf"))).alias("norm"))
+    a = weights.select(F.col("doc_id").alias("doc_a"), "term",
+                       F.col("tfidf").alias("va"))
+    b = weights.select(F.col("doc_id").alias("doc_b"), "term",
+                       F.col("tfidf").alias("vb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("num"))
+    )
+    sims = (
+        dots
+        .join(norms.withColumnsRenamed({"doc_id": "doc_a", "norm": "na"}),
+              "doc_a")
+        .join(norms.withColumnsRenamed({"doc_id": "doc_b", "norm": "nb"}),
+              "doc_b")
+        .select("doc_a", "doc_b",
+                F.try_divide(F.col("num"),
+                             F.col("na") * F.col("nb")).alias("similarity"))
+        .filter(F.col("similarity").isNotNull())
+    )
+    if round_to is not None:
+        sims = sims.select("doc_a", "doc_b",
+                           F.round("similarity", round_to)
+                           .alias("similarity"))
+    return sims.orderBy(F.desc("similarity"), F.asc("doc_a"),
+                        F.asc("doc_b")).limit(k)
+
+
 def term_similarity_pipeline(corpus: DataFrame, query: str, k: int = 5,
                              prefix: str | None = None,
                              suffix: str | None = None,

@@ -216,6 +216,40 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_doc_similarity",
+    oracle=f"""
+WITH {_TFIDF_CTES},
+norms AS (
+    SELECT doc_id, sqrt(sum(tfidf * tfidf)) AS norm
+    FROM tfidf GROUP BY doc_id
+),
+dots AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           sum(a.tfidf * b.tfidf) AS num
+    FROM tfidf a JOIN tfidf b
+      ON a.term = b.term AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT d.doc_a, d.doc_b,
+       round(d.num / (na.norm * nb.norm), 6) AS similarity
+FROM dots d
+JOIN norms na ON na.doc_id = d.doc_a
+JOIN norms nb ON nb.doc_id = d.doc_b
+WHERE na.norm * nb.norm <> 0
+ORDER BY round(d.num / (na.norm * nb.norm), 6) DESC, d.doc_a, d.doc_b
+LIMIT 10
+""",
+)
+def text_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most similar DOCUMENT pairs by tf-idf cosine — the
+    doc-axis dual of the flagship (operators/text.py
+    doc_similarity_topk). Ordering is on the 6-dp-rounded similarity
+    with doc-pair tie-breaks, so near-tie float noise can't reorder
+    the top-k across engines."""
+    return T.doc_similarity_topk(_corpus(spark, sf_dir), k=10, round_to=6)
+
+
+@query(
     "text_stats",
     oracle="""
 WITH corpus AS (
