@@ -100,6 +100,83 @@ def dedup_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+@query(
+    "dedup_pipeline",
+    oracle=f"""
+WITH hashed AS (
+    SELECT doc_id,
+           sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               AS content_hash
+    FROM documents
+),
+exact_loser AS (
+    SELECT doc_id FROM (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY content_hash
+                                  ORDER BY doc_id) AS rn
+        FROM hashed
+    ) WHERE rn > 1
+),
+corpus AS (SELECT doc_id, text FROM documents),
+tok AS (
+    SELECT doc_id,
+           CAST(generate_subscripts(string_split_regex(text, '\\s+'), 1)
+                AS BIGINT) AS pos,
+           unnest(string_split_regex(text, '\\s+')) AS term
+    FROM corpus
+),
+seq AS (
+    SELECT doc_id, pos, term,
+           lead(term, 1) OVER w AS t1,
+           lead(term, 2) OVER w AS t2
+    FROM tok WHERE term <> ''
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+sh AS (
+    SELECT DISTINCT doc_id, term || ' ' || t1 || ' ' || t2 AS shingle
+    FROM seq WHERE t2 IS NOT NULL
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+    FROM sh a JOIN sh b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+near_loser AS (
+    SELECT DISTINCT i.doc_b AS doc_id
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE i.n_inter / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE)
+          >= {_JACCARD_MIN}
+)
+SELECT d.doc_id
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM exact_loser)
+  AND d.doc_id NOT IN (SELECT doc_id FROM near_loser)
+""",
+)
+def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup pass as a training pipeline runs it: drop
+    exact-dup non-leaders (sha256 groups, lowest doc_id kept), then
+    drop the higher-id side of every near-dup pair (J >= 0.5 on
+    3-shingles). One-hop suppression, not transitive closure —
+    deterministic, single-pass, and what a streaming-ingest dedup
+    actually does; the discovery stage at scale is the LSH variant
+    (dedup_minhash), with this exact-Jaccard check run on candidates
+    only."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = D.exact_dedup(docs).select("doc_id")
+    pairs = D.jaccard_pairs(D.shingles(docs, _SHINGLE_N), _JACCARD_MIN)
+    near_losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return (
+        docs.select("doc_id")
+        .join(exact, "doc_id", "left_semi")          # exact leaders only
+        .join(near_losers, "doc_id", "left_anti")    # drop near-dup b side
+    )
+
+
 @query("dedup_minhash")  # rows-only: hash family not portable to SQL
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + LSH(16 bands × 4 rows) candidate pairs with

@@ -179,6 +179,39 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_sink_parquet",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events
+WHERE event_type IN ('purchase', 'click')
+GROUP BY event_type
+""",
+)
+def stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ETL to a durable parquet sink (exactly-once via
+    checkpoint), then a batch aggregation over the written files.
+    Idempotent across invocations: the checkpoint makes re-runs
+    no-ops, so the written dataset always equals one clean pass of
+    the source — which is what the batch oracle states."""
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = f"/tmp/p2ss_stream_{tag}/sink_parquet"
+    cp = f"/tmp/p2ss_stream_{tag}/sink_parquet_cp"
+    ev = S.read_events_stream(spark, S.stage_events_dir(sf_dir))
+    S.stream_to_parquet(
+        ev.filter(F.col("event_type").isin("purchase", "click"))
+        .select("event_id", "event_type", "value"),
+        out, cp)
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+@query(
     "stream_late_data",
     oracle="""
 WITH c AS (

@@ -196,6 +196,21 @@ def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def stream_to_parquet(stream_df: DataFrame, out_dir: str,
+                      checkpoint_dir: str, timeout_s: int = 300) -> None:
+    """Durable file sink with exactly-once semantics: the checkpoint
+    tracks which source files each committed batch consumed, so a
+    restart neither reprocesses nor loses data (re-running against an
+    unchanged source is a no-op). This — not the memory sink — is the
+    production shape; the same call with a cloud-storage path and a
+    real trigger is the 100 TB ingest loop."""
+    q = (stream_df.writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(timeout_s)
+
+
 def click_purchase_join(events: DataFrame) -> DataFrame:
     """Stream-stream self-join: each click pairs with the same
     user's purchases within the following hour. Both sides carry
