@@ -17,6 +17,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _registry():
+    import os
+    import sys
+
+    repo_root = os.path.dirname(os.path.abspath(__file__))
+    if repo_root not in sys.path:  # robust to any caller cwd
+        sys.path.insert(0, repo_root)
     from project_2_semantic_similarity_spark.plans import registry
 
     registry.load_all()
