@@ -83,7 +83,11 @@ def main(argv: list[str] | None = None) -> int:
               file=sys.stderr)
         return 2
     query, path = args[0], args[1]
-    k = int(args[2]) if len(args) > 2 else 5
+    try:
+        k = int(args[2]) if len(args) > 2 else 5
+    except ValueError:
+        print(f"k must be an integer, got {args[2]!r}", file=sys.stderr)
+        return 2
     prefix = args[3] if len(args) > 3 else None
     suffix = args[4] if len(args) > 4 else None
 

@@ -176,11 +176,15 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = ev.select(
         "event_id",
         F.from_json("props", "map<string,string>").alias("m"))
+    # try_element_at, not element_at: ANSI mode (Spark 4 default)
+    # throws on a missing key / empty array, where the oracle's
+    # json_extract_string returns NULL — NULL semantics must match
+    # even though today's fixture always carries key "k".
     return m.select(
         "event_id",
-        F.element_at(F.map_keys("m"), 1).alias("first_key"),
+        F.try_element_at(F.map_keys("m"), F.lit(1)).alias("first_key"),
         F.size("m").alias("n_keys"),
-        F.element_at("m", "k").cast("bigint").alias("k_value"),
+        F.try_element_at("m", F.lit("k")).cast("bigint").alias("k_value"),
     )
 
 

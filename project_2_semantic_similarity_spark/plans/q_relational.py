@@ -690,10 +690,16 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = f"/tmp/p2ss_bucketed_{tag}"
     for name, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
         tbl = f"p2ss_{name}_bucketed_{tag}"
+        # a completed write is marked by _SUCCESS; anything else
+        # (interrupted write, /tmp reaper) must be rewritten, even if
+        # a stale catalog entry or partial dir survives
+        complete = os.path.isfile(f"{base}/{name}/_SUCCESS")
         if spark.catalog.tableExists(tbl):
-            continue
+            if complete:
+                continue
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         src = load_table(spark, sf_dir, name)
-        if os.path.isdir(f"{base}/{name}"):
+        if complete:
             # files already bucketed by a previous session: re-attach
             # via DDL instead of rewriting (bucket spec must match the
             # writer's — same code path, so it does)

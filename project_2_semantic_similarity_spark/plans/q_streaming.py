@@ -195,9 +195,15 @@ def stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     Idempotent across invocations: the checkpoint makes re-runs
     no-ops, so the written dataset always equals one clean pass of
     the source — which is what the batch oracle states."""
+    import shutil
+
     tag = sf_dir.strip("/").replace("/", "_")
     out = f"/tmp/p2ss_stream_{tag}/sink_parquet"
     cp = f"/tmp/p2ss_stream_{tag}/sink_parquet_cp"
+    # self-heal checkpoint/data desync: a surviving checkpoint with
+    # the sink dir gone would make the re-run a no-op over nothing
+    if os.path.isdir(cp) and not os.path.isdir(out):
+        shutil.rmtree(cp)
     ev = S.read_events_stream(spark, S.stage_events_dir(sf_dir))
     S.stream_to_parquet(
         ev.filter(F.col("event_type").isin("purchase", "click"))

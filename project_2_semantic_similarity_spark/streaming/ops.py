@@ -208,7 +208,11 @@ def stream_to_parquet(stream_df: DataFrame, out_dir: str,
          .option("path", out_dir)
          .option("checkpointLocation", checkpoint_dir)
          .trigger(availableNow=True).start())
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"stream to {out_dir} did not finish within {timeout_s}s; "
+            "stopped to avoid reading a half-written sink")
 
 
 def click_purchase_join(events: DataFrame) -> DataFrame:

@@ -24,10 +24,24 @@ def test_builder_api(spark, tmp_path):
 
 
 def test_corpus_from_dataframe(spark):
+    # 'c' co-occurs with nothing informative in doc 1 (a/b have idf 0,
+    # d shares no doc) -> empty, pinned exactly
     df = spark.createDataFrame(
         [(1, "a b c"), (2, "a b d")], ["doc_id", "text"])
     out = Engine(spark).corpus(df).similar_terms("c", k=5).collect()
-    assert {r.term for r in out} <= {"a", "b", "d"}
+    assert out == []
+    # positive case: x and y co-occur in doc 3 only -> sim(x,y) = 1
+    df2 = spark.createDataFrame(
+        [(1, "a b"), (2, "a c"), (3, "x y")], ["doc_id", "text"])
+    out2 = Engine(spark).corpus(df2).similar_terms("x", k=5).collect()
+    assert [r.term for r in out2] == ["y"]
+    assert abs(out2[0].similarity - 1.0) < 1e-9
+
+
+def test_cli_rejects_bad_k():
+    from project_2_semantic_similarity_spark.engine import main
+
+    assert main(["join", "/nonexistent.txt", "five"]) == 2
 
 
 def test_sql_entry(spark, sf_dir):
