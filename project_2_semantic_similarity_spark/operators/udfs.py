@@ -26,6 +26,17 @@ def normalize_term_udf(term: str) -> str | None:
     return term.strip().strip(".,;:!?\"'()[]{}").lower()
 
 
+@F.udf(StringType(), useArrow=True)
+def normalize_term_arrow_udf(term: str) -> str | None:
+    """Same normalizer via the Arrow-optimized Python UDF path
+    (Spark 3.5+): row-at-a-time author model, Arrow-batched
+    transfer — the drop-in upgrade for legacy @udf code that can't
+    be rewritten as a pandas_udf."""
+    if term is None:
+        return None
+    return term.strip().strip(".,;:!?\"'()[]{}").lower()
+
+
 @F.pandas_udf(DoubleType())
 def tfidf_pandas_udf(tf_count: pd.Series, doc_len: pd.Series,
                      n_docs: pd.Series, df: pd.Series) -> pd.Series:

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from project_2_semantic_similarity_spark.operators import text as T
 from project_2_semantic_similarity_spark.operators.udfs import (
+    normalize_term_arrow_udf,
     normalize_term_udf,
     term_norms_applyinpandas,
     tfidf_pandas_udf,
@@ -43,6 +44,29 @@ def udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = T.tokenize(_corpus(spark, sf_dir)).select("term").distinct()
     dirty = F.concat(F.lit("  "), F.upper("term"), F.lit("!! "))
     return terms.select("term", normalize_term_udf(dirty).alias("norm_term"))
+
+
+@query(
+    "udf_arrow",
+    oracle="""
+WITH tok AS (
+    SELECT DISTINCT unnest(string_split_regex(text, '\\s+')) AS term
+    FROM documents
+)
+SELECT term,
+       lower(trim(trim('  ' || upper(term) || '!! '),
+                  '.,;:!?"''()[]{}')) AS norm_term
+FROM tok WHERE term <> ''
+""",
+)
+def udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python UDF (useArrow=True): identical
+    semantics to udf_python with Arrow-batched serialization — the
+    drop-in upgrade when legacy row UDFs can't become pandas_udfs."""
+    terms = T.tokenize(_corpus(spark, sf_dir)).select("term").distinct()
+    dirty = F.concat(F.lit("  "), F.upper("term"), F.lit("!! "))
+    return terms.select(
+        "term", normalize_term_arrow_udf(dirty).alias("norm_term"))
 
 
 @query(
