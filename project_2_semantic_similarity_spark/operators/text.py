@@ -197,7 +197,10 @@ def doc_similarity_topk(corpus: DataFrame, k: int = 10,
     first — idf already zeroes corpus-wide terms, which is the
     biggest hot-key class — and cap per-term postings; here the
     corpus is small enough to keep exact semantics for the oracle."""
-    weights = tfidf(corpus).persist()
+    # zero-weight entries (idf = 0 ⇔ term in every doc) contribute
+    # nothing to any dot product or norm but ARE the hottest join
+    # keys — dropping them is exact and removes the worst skew class
+    weights = tfidf(corpus).filter(F.col("tfidf") != 0).persist()
     norms = weights.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("tfidf") * F.col("tfidf"))).alias("norm"))
     a = weights.select(F.col("doc_id").alias("doc_a"), "term",

@@ -2,12 +2,15 @@
 
 from project_2_semantic_similarity_spark.streaming.ops import (
     EVENTS_NS_SCHEMA,
+    click_purchase_join,
+    custom_state_totals,
     dedup_stream,
     read_events_stream,
     run_to_memory,
     session_counts,
     sliding_avg,
     stage_events_dir,
+    stream_to_parquet,
     tumbling_counts,
 )
 
@@ -20,4 +23,7 @@ __all__ = [
     "sliding_avg",
     "session_counts",
     "dedup_stream",
+    "click_purchase_join",
+    "custom_state_totals",
+    "stream_to_parquet",
 ]
