@@ -184,46 +184,106 @@ def similar_terms(weights: DataFrame, query: str, k: int = 5,
 
 
 def doc_similarity_topk(corpus: DataFrame, k: int = 10,
-                        round_to: int | None = None) -> DataFrame:
+                        round_to: int | None = None,
+                        strategy: str = "auto",
+                        dense_vocab_max: int = 4096) -> DataFrame:
     """Top-k most similar DOCUMENT pairs by TF-IDF cosine — the
     doc-axis dual of the reference's term-term query (terms become
     the shared join axis instead of documents).
 
-    Sparse formulation: only pairs sharing at least one term
-    materialize (self-join on term → partial dot products → per-pair
-    sum), then normalize by per-doc L2 norms. At corpus scale the
-    term join axis is skew-prone (stopword-like terms pair everything
-    with everything): production runs prune near-zero tf-idf entries
-    first — idf already zeroes corpus-wide terms, which is the
-    biggest hot-key class — and cap per-term postings; here the
-    corpus is small enough to keep exact semantics for the oracle."""
+    Two physical strategies with identical results:
+
+    - ``sparse``: self-join on term → partial dot products → per-pair
+      sum, then normalize by per-doc L2 norms. Right when vectors are
+      sparse (large vocab, few shared terms): only pairs sharing a
+      term materialize. Its failure mode is a dense corpus — a term
+      present in most docs makes the join axis quadratic AND skewed
+      (the test corpus: 31-term vocab at ~78% per-term density turns
+      5k docs into ~235M pre-agg join rows, all shuffled).
+    - ``dense``: when the nonzero vocab fits a literal array, build a
+      dense tf-idf vector per doc, pair docs with a broadcast
+      nested-loop join, and compute each dot per-row with
+      zip_with/aggregate. No join-key skew, no 100M-row shuffle — the
+      only wide op left is TakeOrderedAndProject's partial top-k.
+
+    ``auto`` picks dense iff distinct nonzero terms ≤ dense_vocab_max
+    (one tiny job over the persisted weight table). Exactness: all
+    kept weights are > 0 (tf > 0, idf > 0), so a pair shares a term
+    iff its dot is > 0 — filtering dot > 0 reproduces the sparse
+    pair set exactly."""
     # zero-weight entries (idf = 0 ⇔ term in every doc) contribute
     # nothing to any dot product or norm but ARE the hottest join
     # keys — dropping them is exact and removes the worst skew class
     weights = tfidf(corpus).filter(F.col("tfidf") != 0).persist()
-    norms = weights.groupBy("doc_id").agg(
-        F.sqrt(F.sum(F.col("tfidf") * F.col("tfidf"))).alias("norm"))
-    a = weights.select(F.col("doc_id").alias("doc_a"), "term",
-                       F.col("tfidf").alias("va"))
-    b = weights.select(F.col("doc_id").alias("doc_b"), "term",
-                       F.col("tfidf").alias("vb"))
-    dots = (
-        a.join(b, "term")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.sum(F.col("va") * F.col("vb")).alias("num"))
-    )
-    sims = (
-        dots
-        .join(norms.withColumnsRenamed({"doc_id": "doc_a", "norm": "na"}),
-              "doc_a")
-        .join(norms.withColumnsRenamed({"doc_id": "doc_b", "norm": "nb"}),
-              "doc_b")
-        .select("doc_a", "doc_b",
-                F.try_divide(F.col("num"),
-                             F.col("na") * F.col("nb")).alias("similarity"))
-        .filter(F.col("similarity").isNotNull())
-    )
+    if strategy == "auto":
+        n_terms = weights.select("term").distinct().count()
+        strategy = "dense" if n_terms <= dense_vocab_max else "sparse"
+    if strategy == "dense":
+        vocab = sorted(
+            r[0] for r in weights.select("term").distinct().collect())
+        vecs = (
+            weights.groupBy("doc_id")
+            .agg(F.map_from_entries(
+                F.collect_list(F.struct("term", "tfidf"))).alias("m"))
+            .select(
+                "doc_id",
+                F.transform(
+                    F.array(*[F.lit(t) for t in vocab]),
+                    lambda t: F.coalesce(F.element_at("m", t), F.lit(0.0)),
+                ).alias("vec"))
+            .select(
+                "doc_id", "vec",
+                F.sqrt(F.aggregate(
+                    "vec", F.lit(0.0), lambda acc, x: acc + x * x))
+                 .alias("norm"))
+            # without this persist Catalyst collapses the vector-
+            # building projection INTO the pair-join consumers, re-
+            # evaluating the per-doc transform/map-lookup for every
+            # pair row (O(pairs·|V|) map probes instead of O(docs·|V|))
+            .persist()
+        )
+        a = vecs.select(F.col("doc_id").alias("doc_a"),
+                        F.col("vec").alias("va"), F.col("norm").alias("na"))
+        b = vecs.select(F.col("doc_id").alias("doc_b"),
+                        F.col("vec").alias("vb"), F.col("norm").alias("nb"))
+        pairs = a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
+        dot = F.aggregate(
+            F.zip_with("va", "vb", lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x)
+        sims = (
+            pairs.select("doc_a", "doc_b", dot.alias("num"), "na", "nb")
+            .filter(F.col("num") > 0)
+            .select("doc_a", "doc_b",
+                    F.try_divide(F.col("num"),
+                                 F.col("na") * F.col("nb"))
+                     .alias("similarity"))
+            .filter(F.col("similarity").isNotNull())
+        )
+    else:
+        norms = weights.groupBy("doc_id").agg(
+            F.sqrt(F.sum(F.col("tfidf") * F.col("tfidf"))).alias("norm"))
+        a = weights.select(F.col("doc_id").alias("doc_a"), "term",
+                           F.col("tfidf").alias("va"))
+        b = weights.select(F.col("doc_id").alias("doc_b"), "term",
+                           F.col("tfidf").alias("vb"))
+        dots = (
+            a.join(b, "term")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.sum(F.col("va") * F.col("vb")).alias("num"))
+        )
+        sims = (
+            dots
+            .join(norms.withColumnsRenamed({"doc_id": "doc_a",
+                                            "norm": "na"}), "doc_a")
+            .join(norms.withColumnsRenamed({"doc_id": "doc_b",
+                                            "norm": "nb"}), "doc_b")
+            .select("doc_a", "doc_b",
+                    F.try_divide(F.col("num"),
+                                 F.col("na") * F.col("nb"))
+                     .alias("similarity"))
+            .filter(F.col("similarity").isNotNull())
+        )
     if round_to is not None:
         sims = sims.select("doc_a", "doc_b",
                            F.round("similarity", round_to)

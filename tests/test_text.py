@@ -117,3 +117,16 @@ def test_flagship_on_testdata(spark, sf_dir):
     sims = [r.similarity for r in rows]
     assert sims == sorted(sims, reverse=True)
     assert all(0 < s <= 1.0 + 1e-9 for s in sims)
+
+
+def test_doc_similarity_strategies_agree(spark, sf_dir):
+    """The dense (small-vocab vector) and sparse (term self-join)
+    physical strategies must produce identical top-k doc pairs."""
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select(F.col("doc_id").cast("string").alias("doc_id"), "text"))
+    dense = T.doc_similarity_topk(docs, k=10, round_to=6,
+                                  strategy="dense").collect()
+    sparse = T.doc_similarity_topk(docs, k=10, round_to=6,
+                                   strategy="sparse").collect()
+    assert [tuple(r) for r in dense] == [tuple(r) for r in sparse]
+    assert len(dense) == 10
