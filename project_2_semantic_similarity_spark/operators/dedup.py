@@ -137,16 +137,44 @@ def _minhash_cols(num_hashes: int, seed: int) -> list:
 
 
 def minhash_signatures(shingled: DataFrame, num_hashes: int = 64,
-                       seed: int = 42) -> DataFrame:
-    """(doc_id, sig array<bigint>[k]): column-wise min of each hash
-    over the document's shingle set — one hash-partitioned
-    aggregation, packed into a single array column so downstream
-    plans (banding, signature comparison) stay small. A 64-column
-    signature schema made every consumer's analyzed plan ~64x wider,
-    and plan compilation dominated the query at test scale."""
+                       seed: int = 42,
+                       variant: str = "narrow") -> DataFrame:
+    """(doc_id, sig array<bigint>[k]): min of each affine hash over
+    the document's shingle set, packed into one array column so
+    downstream plans (banding, signature comparison) stay small.
+
+    ``narrow`` (default): collect the per-doc base hashes into an
+    array, then compute all k minima inside ONE transform/array_min
+    expression. The whole stage is three narrow columns — codegen is
+    tiny (the k-column min-aggregate's generated class dominated
+    first-run wall: 13s vs 4s at 5k docs). Order-insensitive: min
+    over the same multiset regardless of collect_list order. Memory
+    is O(shingles/doc) per group, fine for bounded docs (training
+    shards cap doc length anyway).
+
+    ``wide``: k separate min-aggregate columns — constant memory per
+    group, streams through the aggregator. Use for unbounded
+    documents where a per-doc array could blow a partition."""
     based = shingled.select(
         "doc_id",
         F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE31)).alias("base"))
+    if variant == "narrow":
+        import random
+
+        rng = random.Random(seed)
+        params = F.array(*[
+            F.struct(F.lit(rng.randrange(1, _MERSENNE31)).alias("a"),
+                     F.lit(rng.randrange(0, _MERSENNE31)).alias("b"))
+            for _ in range(num_hashes)])
+        per_doc = based.groupBy("doc_id").agg(
+            F.collect_list("base").alias("bases"))
+        return per_doc.select(
+            "doc_id",
+            F.transform(params, lambda p: F.array_min(
+                F.transform("bases",
+                            lambda b: F.pmod(p["a"] * b + p["b"],
+                                             F.lit(_MERSENNE31))))
+            ).alias("sig"))
     hashed = based.select("doc_id", *_minhash_cols(num_hashes, seed))
     agged = hashed.groupBy("doc_id").agg(
         *[F.min(f"mh{i}").alias(f"mh{i}") for i in range(num_hashes)])

@@ -156,3 +156,16 @@ def test_knn_ivf_equals_bruteforce_within_list(spark, sf_dir):
     got = [(r.vec_id, round(r.cosine, 6)) for r in
            S.knn_ivf(e, 0, 10).collect()]
     assert got == expect
+
+
+def test_minhash_variants_identical(spark, sf_dir):
+    """narrow (array/HOF) and wide (k-column min-agg) signature plans
+    must produce bit-identical signatures for the same seed."""
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select(F.col("doc_id").cast("string").alias("doc_id"), "text"))
+    sh = D.shingles(docs)
+    a = {r.doc_id: r.sig for r in
+         D.minhash_signatures(sh, variant="narrow").collect()}
+    b = {r.doc_id: r.sig for r in
+         D.minhash_signatures(sh, variant="wide").collect()}
+    assert a == b and len(a) > 0
