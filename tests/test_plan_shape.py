@@ -72,3 +72,15 @@ def test_partitioned_sink_prunes_partitions(spark, sf_dir):
     # the year filter must prune at the directory level, not post-scan
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "order_year" in m.group(1)
+
+
+def test_doc_similarity_dense_plan_shape(spark, sf_dir):
+    plan = plan_of(spark, "text_doc_similarity", sf_dir)
+    # pair generation is a broadcast nested-loop on doc_a < doc_b —
+    # never a shuffled join on the (skewed) term axis
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # top-k via per-partition heaps, not a total sort of all pairs
+    assert "TakeOrderedAndProject" in plan
+    # the persisted doc-vector table feeds both join sides from cache
+    assert plan.count("InMemoryTableScan") >= 2
