@@ -221,6 +221,90 @@ def sql_api_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+@query(
+    "subquery_scalar_uncorr",
+    oracle="""
+SELECT p_partkey, p_name, round(p_retailprice, 2) AS price
+FROM part
+WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+""",
+)
+def subquery_scalar_uncorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter against an uncorrelated scalar subquery (absent from the
+    reference — app.py has no subqueries; its one driver-computed
+    scalar, the corpus count at app.py:125, is the closest analog).
+    Catalyst executes the aggregate once as a separate subquery stage
+    and folds the scalar into the scan filter, so the fact table is
+    read with a plain comparison predicate — no per-row re-evaluation
+    at any scale."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT p_partkey, p_name, round(p_retailprice, 2) AS price
+        FROM part
+        WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+    """)
+
+
+@query(
+    "subquery_scalar_corr",
+    oracle="""
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n_small,
+       round(sum(l_extendedprice), 2) AS small_qty_revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                    FROM lineitem l2
+                    WHERE l2.l_partkey = p_partkey)
+GROUP BY p_brand
+""",
+)
+def subquery_scalar_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery, TPC-H Q17 shape: lineitems below
+    half their part's average quantity, revenue by brand. Catalyst
+    decorrelates (RewriteCorrelatedScalarSubquery) into one
+    per-partkey aggregate joined back to the probe side — the
+    subquery runs once over the whole table, never per outer row, so
+    cost stays O(|lineitem|) + one equi-join at any scale. Parts with
+    no lineitems yield a NULL average whose comparison is UNKNOWN and
+    the row drops, matching ANSI semantics in both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT p_brand,
+               count(*) AS n_small,
+               round(sum(l_extendedprice), 2) AS small_qty_revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                            FROM lineitem l2
+                            WHERE l2.l_partkey = p_partkey)
+        GROUP BY p_brand
+    """)
+
+
+@query(
+    "subquery_not_in",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderstatus = 'F')
+""",
+)
+def subquery_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN with a subquery list: customers with no fully-shipped
+    order. Distinct from join_anti because NOT IN is null-aware —
+    one NULL in the subquery list empties the result under
+    three-valued logic, and Spark plans a null-aware anti join
+    (broadcast, single-key fast path) rather than a plain anti join
+    to honor that."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                WHERE o_orderstatus = 'F')
+    """)
+
+
 # ------------------------------------------------- projections / filters
 
 @query(

@@ -84,3 +84,26 @@ def test_doc_similarity_dense_plan_shape(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     # the persisted doc-vector table feeds both join sides from cache
     assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_correlated_scalar_subquery_decorrelates(spark, sf_dir):
+    plan = plan_of(spark, "subquery_scalar_corr", sf_dir)
+    # the per-partkey average runs ONCE as an aggregate joined back in,
+    # never as a re-executed per-row subquery
+    assert "HashAggregate" in plan and "avg(l_quantity" in plan
+    assert "BroadcastHashJoin" in plan
+    # no subquery node survives in the probe-side filter
+    assert "ScalarSubquery" not in plan
+
+
+def test_not_in_plans_null_aware_anti_join(spark, sf_dir):
+    plan = plan_of(spark, "subquery_not_in", sf_dir)
+    # NOT IN must keep three-valued-logic semantics: a broadcast
+    # LeftAnti with the null-aware flag set (trailing 'true')
+    assert re.search(r"BroadcastHashJoin .*LeftAnti, BuildRight, true", plan)
+
+
+def test_uncorrelated_scalar_subquery_pushes_down(spark, sf_dir):
+    plan = plan_of(spark, "subquery_scalar_uncorr", sf_dir)
+    # the once-computed scalar reaches the parquet scan as a pushed filter
+    assert re.search(r"PushedFilters: \[.*GreaterThan\(p_retailprice,ScalarSubquery", plan)
