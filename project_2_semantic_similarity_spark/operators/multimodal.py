@@ -108,6 +108,44 @@ def sample_frames(payloads: DataFrame, n_frames: int = 4) -> DataFrame:
     return payloads.mapInPandas(frame_batches, schema=FRAME_SCHEMA)
 
 
+RESIZED_SCHEMA = ("doc_id bigint, orig_bytes bigint, resized binary")
+
+
+def resize_media(payloads: DataFrame, target_bytes: int = 16) -> DataFrame:
+    """Resize each payload to exactly ``target_bytes`` by
+    nearest-neighbor sampling: output byte i is input byte
+    floor(i * n / target), for i in 0..target-1 (upsamples by
+    duplication when n < target; empty payloads stay empty).
+
+    For real images this is the interpolation step of a
+    decode→resize→re-encode pipeline (codec absent here — the 1-D
+    byte form exercises the identical contract: fixed-size output
+    rows from variable-size input rows through an Arrow batch).
+    Fixed-size outputs are what make the downstream columnar layout
+    predictable — at 100 TB the resized column is a constant
+    bytes-per-row parquet column regardless of source media size."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, origs, outs = [], [], []
+            for doc_id, payload, media_type in zip(
+                    pdf["doc_id"], pdf["payload"], pdf["media_type"]):
+                if media_type.startswith(("image/", "audio/", "video/")):
+                    raise NotImplementedError(
+                        f"no codec for {media_type} in this environment; "
+                        "plug a real resampler into resize_media")
+                n = len(payload)
+                ids.append(doc_id)
+                origs.append(n)
+                outs.append(bytes(payload[i * n // target_bytes]
+                                  for i in range(target_bytes)) if n else b"")
+            yield pd.DataFrame({
+                "doc_id": ids, "orig_bytes": origs, "resized": outs,
+            })
+
+    return payloads.mapInPandas(resize_batches, schema=RESIZED_SCHEMA)
+
+
 def decode_media(payloads: DataFrame) -> DataFrame:
     """Arrow-batched decode: (doc_id, payload, media_type) →
     (doc_id, media_type, n_bytes, mean_byte, features[8])."""

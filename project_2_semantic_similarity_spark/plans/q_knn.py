@@ -182,6 +182,38 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_resize",
+    oracle="""
+WITH d AS (
+    SELECT doc_id, text, length(text) AS n FROM documents
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS orig_bytes,
+       string_agg(substring(text, CAST((k.i * n) // 16 AS INT) + 1, 1),
+                  '' ORDER BY k.i) AS resized_text
+FROM d CROSS JOIN range(16) k(i)
+WHERE n > 0
+GROUP BY doc_id, n
+""",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size nearest-neighbor resample of each binary payload
+    (the resize step of a media pipeline, codec stubbed — see
+    operators/multimodal.py resize_media). Output byte i is input
+    byte floor(i*n/16); the oracle rebuilds the same mapping with
+    substring arithmetic over the ASCII text, so the resized bytes
+    decode back to a comparable string."""
+    from project_2_semantic_similarity_spark.operators.multimodal import (
+        attach_binary_payload, resize_media)
+
+    docs = load_table(spark, sf_dir, "documents")
+    resized = resize_media(attach_binary_payload(docs), target_bytes=16)
+    return resized.select(
+        "doc_id", "orig_bytes",
+        F.decode("resized", "UTF-8").alias("resized_text"))
+
+
+@query(
     "multimodal_frame_sample",
     oracle="""
 WITH d AS (

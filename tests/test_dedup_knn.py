@@ -169,3 +169,21 @@ def test_minhash_variants_identical(spark, sf_dir):
     b = {r.doc_id: r.sig for r in
          D.minhash_signatures(sh, variant="wide").collect()}
     assert a == b and len(a) > 0
+
+
+def test_resize_media_fixed_output(spark):
+    from project_2_semantic_similarity_spark.operators.multimodal import (
+        attach_binary_payload, resize_media)
+    df = spark.createDataFrame(
+        [(1, "abcdefghijklmnopqrstuvwxyz012345"),  # 32 -> downsample
+         (2, "ab"),                                 # 2  -> upsample
+         (3, "")],                                  # empty stays empty
+        ["doc_id", "text"])
+    out = {r.doc_id: r for r in
+           resize_media(attach_binary_payload(df), target_bytes=16).collect()}
+    # 32 bytes -> every 2nd byte (floor(i*32/16) = 2i)
+    assert bytes(out[1].resized) == b"acegikmoqsuwy024"
+    assert out[1].orig_bytes == 32
+    # 2 bytes -> each source byte duplicated 8x (floor(i*2/16))
+    assert bytes(out[2].resized) == b"a" * 8 + b"b" * 8
+    assert bytes(out[3].resized) == b"" and out[3].orig_bytes == 0
