@@ -38,11 +38,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.B."""
-    return dict(_registry().QUERIES)
+    """One entry per implemented operator from SURVEY.md §2.B.
+
+    Ordered so names without a green CORRECTNESS_r01 row come first
+    (the driver verifies in insertion order and round 1 showed a
+    50-query window; see plans/registry.py:_R01_DRIVER_CHECKED).
+    """
+    return _registry().ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalent for each query (omitted ⇒
     rows-only check for non-SQL-expressible/approximate ops)."""
-    return dict(_registry().ORACLES)
+    return _registry().ordered_oracles()
