@@ -261,21 +261,33 @@ def simhash(docs: DataFrame, text_col: str = "text",
     return voted.select("doc_id", packed.alias("simhash"))
 
 
-def simhash_near_pairs(hashes: DataFrame, max_hamming: int = 8) -> DataFrame:
-    """Pairs within Hamming distance ≤ max_hamming. Candidates are
-    generated by joining on 4 16-bit key chunks (pigeonhole: any pair
-    within distance ≤ 8 agrees exactly on at least one chunk when
-    distance < 4 chunks · ... conservative blocking), then verified
-    with bit_count(xor). At test scale the chunk join is already
-    selective; at 100 TB increase chunks per the target radius."""
-    chunked = hashes.select(
-        "doc_id", "simhash",
-        F.explode(F.array(*[
+def simhash_near_pairs(hashes: DataFrame, max_hamming: int = 8,
+                       bits: int = 63) -> DataFrame:
+    """Pairs within Hamming distance ≤ max_hamming, with EXACT recall.
+
+    Blocking splits the ``bits``-bit fingerprint into ``max_hamming+1``
+    near-equal chunks and equi-joins on (chunk_idx, chunk): d bit flips
+    can touch at most d chunks, so any pair within distance d agrees
+    exactly on ≥1 of the d+1 chunks (pigeonhole).  Candidates are then
+    verified with bit_count(xor).
+
+    Scale note: chunk width is bits // (d+1) (7 bits for the default
+    d=8 on 63 bits), so bucket selectivity drops as the radius grows —
+    at very large corpora prefer a smaller radius or a Manku-style
+    multi-block-combination join (Manku, Jain, Sarma, WWW'07); the
+    d+1-block scheme here is the exact-recall baseline."""
+    n_chunks = min(max_hamming + 1, bits)
+    base, rem = divmod(bits, n_chunks)
+    chunks, offset = [], 0
+    for i in range(n_chunks):
+        width = base + (1 if i < rem else 0)
+        chunks.append(
             F.struct(F.lit(i).alias("chunk_idx"),
-                     F.shiftright("simhash", i * 16)
-                     .bitwiseAND(F.lit(0xFFFF)).alias("chunk"))
-            for i in range(4)
-        ])).alias("c"),
+                     F.shiftright("simhash", offset)
+                     .bitwiseAND(F.lit((1 << width) - 1)).alias("chunk")))
+        offset += width
+    chunked = hashes.select(
+        "doc_id", "simhash", F.explode(F.array(*chunks)).alias("c"),
     ).select("doc_id", "simhash", "c.chunk_idx", "c.chunk")
     a, b = chunked.alias("a"), chunked.alias("b")
     cands = (

@@ -192,7 +192,6 @@ SELECT doc_id,
        string_agg(substring(text, CAST((k.i * n) // 16 AS INT) + 1, 1),
                   '' ORDER BY k.i) AS resized_text
 FROM d CROSS JOIN range(16) k(i)
-WHERE n > 0
 GROUP BY doc_id, n
 """,
 )

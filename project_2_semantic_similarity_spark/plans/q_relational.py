@@ -770,7 +770,16 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     hint forces SMJ so the demonstration doesn't degrade to a
     broadcast at test scale."""
     import os
-    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+
+    from project_2_semantic_similarity_spark.sources.tables import (
+        source_fingerprint)
+
+    # tag carries a content fingerprint of both source tables so
+    # regenerated testdata at the same path gets a fresh bucketed copy
+    # (stale-cache fix; old fingerprint dirs are just dead /tmp files)
+    fp = source_fingerprint(sf_dir, "lineitem", "orders")
+    tag = (sf_dir.strip("/").replace("/", "_").replace(".", "_")
+           + "_" + fp)
     base = f"/tmp/p2ss_bucketed_{tag}"
     for name, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
         tbl = f"p2ss_{name}_bucketed_{tag}"

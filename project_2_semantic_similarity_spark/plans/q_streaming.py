@@ -197,7 +197,9 @@ def stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     the source — which is what the batch oracle states."""
     import shutil
 
-    tag = sf_dir.strip("/").replace("/", "_")
+    # fingerprinted tag: regenerated source ⇒ fresh sink+checkpoint
+    # pair (a stale checkpoint over a new sink dir would double-write)
+    tag = S._stream_tag(sf_dir)
     out = f"/tmp/p2ss_stream_{tag}/sink_parquet"
     cp = f"/tmp/p2ss_stream_{tag}/sink_parquet_cp"
     # self-heal checkpoint/data desync: a surviving checkpoint with

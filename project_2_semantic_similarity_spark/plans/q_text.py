@@ -228,6 +228,7 @@ dots AS (
            sum(a.tfidf * b.tfidf) AS num
     FROM tfidf a JOIN tfidf b
       ON a.term = b.term AND a.doc_id < b.doc_id
+    WHERE a.tfidf <> 0 AND b.tfidf <> 0  -- mirror Spark's zero-weight pruning
     GROUP BY 1, 2
 )
 SELECT d.doc_a, d.doc_b,

@@ -9,6 +9,9 @@ pruning for free.
 
 from __future__ import annotations
 
+import hashlib
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -33,6 +36,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def source_fingerprint(sf_dir: str, *names: str) -> str:
+    """Short content fingerprint (size + mtime of every file) of one
+    or more testdata tables. /tmp caches derived from these tables
+    (bucketed copies, staged streaming dirs) key their paths on this
+    so regenerating the testdata in place invalidates the cache
+    instead of silently serving stale derived data."""
+    h = hashlib.sha1()
+    for name in names:
+        p = os.path.join(sf_dir, f"{name}.parquet")
+        files = [p] if os.path.isfile(p) else sorted(
+            os.path.join(p, f) for f in os.listdir(p))
+        for f in files:
+            st = os.stat(f)
+            h.update(f"{f}:{st.st_size}:{st.st_mtime_ns};".encode())
+    return h.hexdigest()[:10]
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

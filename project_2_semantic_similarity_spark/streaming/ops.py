@@ -36,10 +36,21 @@ EVENTS_NS_SCHEMA = T.StructType([
 ])
 
 
+def _stream_tag(sf_dir: str) -> str:
+    """Staging-dir tag: path + content fingerprint of events.parquet,
+    so regenerated testdata invalidates the /tmp staging caches
+    (same stale-cache contract as the bucketed-join copies)."""
+    from project_2_semantic_similarity_spark.sources.tables import (
+        source_fingerprint)
+
+    return (sf_dir.strip("/").replace("/", "_")
+            + "_" + source_fingerprint(sf_dir, "events"))
+
+
 def stage_events_dir(sf_dir: str) -> str:
     """The file streaming source requires a *directory*; stage the
     single events.parquet into /tmp via hardlink (copy fallback)."""
-    tag = sf_dir.strip("/").replace("/", "_")
+    tag = _stream_tag(sf_dir)
     d = f"/tmp/p2ss_stream_{tag}/events"
     os.makedirs(d, exist_ok=True)
     dst = f"{d}/events.parquet"
@@ -55,7 +66,7 @@ def stage_events_dir(sf_dir: str) -> str:
 def stage_doubled_events_dir(sf_dir: str) -> str:
     """Stage the events file TWICE (two hardlinks) so a streaming
     dedup has actual duplicates to drop."""
-    tag = sf_dir.strip("/").replace("/", "_")
+    tag = _stream_tag(sf_dir)
     d = f"/tmp/p2ss_stream_{tag}/events_x2"
     os.makedirs(d, exist_ok=True)
     for i in (1, 2):
@@ -87,7 +98,7 @@ def stage_late_events_dir(sf_dir: str, shift_days: int = 60) -> str:
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    tag = sf_dir.strip("/").replace("/", "_")
+    tag = _stream_tag(sf_dir)
     d = f"/tmp/p2ss_stream_{tag}/events_late3"
     f1, f2 = f"{d}/batch0.parquet", f"{d}/batch1.parquet"
     late = f"{d}/batch2_late.parquet"
@@ -124,7 +135,7 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
 
 
 def run_to_memory(stream_df: DataFrame, name: str,
-                  output_mode: str, timeout_s: int = 300) -> DataFrame:
+                  output_mode: str, timeout_s: float = 300) -> DataFrame:
     """Replay the stream to completion (availableNow) into a memory
     sink and return the materialized result as a batch DataFrame."""
     spark = stream_df.sparkSession
@@ -133,7 +144,11 @@ def run_to_memory(stream_df: DataFrame, name: str,
             q.stop()
     q = (stream_df.writeStream.format("memory").queryName(name)
          .outputMode(output_mode).trigger(availableNow=True).start())
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"stream '{name}' did not finish replay in {timeout_s}s; "
+            "memory table would be partial")
     return spark.table(name)
 
 

@@ -67,6 +67,61 @@ def test_simhash_identical_docs_zero_distance(spark):
     assert pairs.get((1, 3), 64) > 0
 
 
+def test_simhash_blocking_exact_recall(spark):
+    """d+1-chunk blocking must find EVERY pair within the radius —
+    including distances that spread bits across all of the old 4
+    16-bit chunks (the round-1 bug: distance 8 as 2 bits per chunk
+    left no equal chunk, silently dropping the pair)."""
+    import random
+
+    # the adversarial pair: 8 flipped bits, 2 in each old 16-bit chunk
+    spread8 = (1 << 0) | (1 << 1) | (1 << 16) | (1 << 17) \
+        | (1 << 32) | (1 << 33) | (1 << 48) | (1 << 49)
+    rng = random.Random(7)
+    vals = [0, spread8] + [rng.getrandbits(63) for _ in range(40)]
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["doc_id", "simhash"])
+    got = {(r.doc_a, r.doc_b): r.hamming
+           for r in D.simhash_near_pairs(df, max_hamming=8).collect()}
+    want = {}
+    for i in range(len(vals)):
+        for j in range(i + 1, len(vals)):
+            d = bin(vals[i] ^ vals[j]).count("1")
+            if d <= 8:
+                want[(i, j)] = d
+    assert got == want
+    assert (0, 1) in want  # the adversarial pair is actually in range
+
+
+def test_resize_empty_doc_matches_oracle(spark, tmp_path):
+    """multimodal_resize row for an EMPTY document must agree between
+    the Spark plan and the DuckDB oracle (round-1 oracle dropped n=0
+    rows while Spark emitted them)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from project_2_semantic_similarity_spark.plans.registry import (
+        ORACLES, QUERIES, load_all)
+
+    load_all()
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": ["abcdefgh", ""]}),
+        f"{d}/documents.parquet")
+    got = sorted(
+        (r.doc_id, r.orig_bytes, r.resized_text)
+        for r in QUERIES["multimodal_resize"](spark, d).collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM read_parquet('{d}/documents.parquet')")
+    want = sorted(map(tuple, con.execute(
+        ORACLES["multimodal_resize"]).fetchall()))
+    assert got == want
+    assert (2, 0, "") in got  # the empty doc produces a row on BOTH sides
+
+
 def test_knn_lsh_query_in_own_bucket(spark, sf_dir):
     """LSH knn returns a subset of brute-force candidates with
     correct cosines (bucket = exact subset re-ranked exactly)."""

@@ -115,3 +115,14 @@ def test_late_data_dropped_by_watermark(spark, sf_dir):
             p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
             for p in qq.recentProgress if p["stateOperators"])
     assert dropped > 0
+
+
+def test_run_to_memory_raises_on_timeout(spark, sf_dir):
+    """A replay that can't finish inside the timeout must raise, not
+    silently return a partial memory table (ADVICE round 1)."""
+    import pytest
+
+    ev = S.read_events_stream(spark, S.stage_events_dir(sf_dir))
+    with pytest.raises(TimeoutError, match="did not finish"):
+        S.run_to_memory(S.tumbling_counts(ev), "timeout_probe",
+                        "complete", timeout_s=0.001)
