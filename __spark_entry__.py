@@ -40,9 +40,11 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.B.
 
-    Ordered so names without a green CORRECTNESS_r01 row come first
-    (the driver verifies in insertion order and round 1 showed a
-    50-query window; see plans/registry.py:_R01_DRIVER_CHECKED).
+    Ordered for the driver's per-round verification window: the
+    flagship, queries changed this round, and never-driver-verified
+    names first, then oldest-last-verified first (derived from the
+    CORRECTNESS_r*.json artifacts at load time; see
+    plans/registry.py:ordered_queries).
     """
     return _registry().ordered_queries()
 

@@ -47,8 +47,16 @@ def source_fingerprint(sf_dir: str, *names: str) -> str:
     h = hashlib.sha1()
     for name in names:
         p = os.path.join(sf_dir, f"{name}.parquet")
-        files = [p] if os.path.isfile(p) else sorted(
-            os.path.join(p, f) for f in os.listdir(p))
+        if os.path.isfile(p):
+            files = [p]
+        else:
+            # recurse: a partitioned dataset rewrites part-files INSIDE
+            # subdirectories without changing the subdir's own
+            # size/mtime, so only leaf files carry the change signal
+            files = sorted(
+                os.path.join(root, f)
+                for root, _dirs, fnames in os.walk(p)
+                for f in fnames)
         for f in files:
             st = os.stat(f)
             h.update(f"{f}:{st.st_size}:{st.st_mtime_ns};".encode())

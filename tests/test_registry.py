@@ -1,0 +1,64 @@
+"""Registry ordering + /tmp cache fingerprint (no Spark needed)."""
+
+from __future__ import annotations
+
+import os
+
+from project_2_semantic_similarity_spark.plans import registry
+from project_2_semantic_similarity_spark.sources.tables import (
+    source_fingerprint,
+)
+
+
+def test_ordered_queries_tiers(monkeypatch):
+    """flagship first; changed-this-round and never-verified names
+    before any verified name; verified names oldest-round-first."""
+    monkeypatch.setattr(registry, "QUERIES", {
+        "verified_r2": lambda s, d: None,
+        "verified_r1": lambda s, d: None,
+        "brand_new": lambda s, d: None,
+        "changed": lambda s, d: None,
+        "flagship_term_similarity": lambda s, d: None,
+    })
+    monkeypatch.setattr(registry, "_CHANGED_THIS_ROUND",
+                        frozenset({"changed"}))
+    monkeypatch.setattr(registry, "_verified_rounds", lambda: {
+        "verified_r1": 1, "verified_r2": 2, "changed": 2,
+        "flagship_term_similarity": 2,
+    })
+    names = list(registry.ordered_queries())
+    assert names == ["flagship_term_similarity", "brand_new", "changed",
+                     "verified_r1", "verified_r2"]
+
+
+def test_verified_rounds_reads_artifacts():
+    """The real artifacts (CORRECTNESS_r01/r02.json) resolve to the
+    latest round per name — spot-check two names known to be in each."""
+    rounds = registry._verified_rounds()
+    # fn_string was driver-checked in BOTH rounds -> latest wins
+    assert rounds.get("fn_string") == 2
+    # scan_parquet was round-1-only
+    assert rounds.get("scan_parquet") == 1
+    # every name verified this far is either round 1 or 2
+    assert set(rounds.values()) <= {1, 2}
+
+
+def test_every_changed_name_is_declared():
+    """A stale _CHANGED_THIS_ROUND entry (renamed/removed query) would
+    silently shrink the verified window."""
+    registry.load_all()
+    missing = registry._CHANGED_THIS_ROUND - set(registry.QUERIES)
+    assert not missing, f"_CHANGED_THIS_ROUND names not declared: {missing}"
+
+
+def test_source_fingerprint_sees_nested_part_files(tmp_path):
+    """Rewriting a part-file INSIDE a partition subdirectory must
+    change the fingerprint (the subdir's own size/mtime may not)."""
+    ds = tmp_path / "documents.parquet" / "lang=en"
+    ds.mkdir(parents=True)
+    part = ds / "part-00000.parquet"
+    part.write_bytes(b"v1")
+    fp1 = source_fingerprint(str(tmp_path), "documents")
+    os.utime(part, ns=(1, 1))  # same size, different mtime
+    fp2 = source_fingerprint(str(tmp_path), "documents")
+    assert fp1 != fp2
