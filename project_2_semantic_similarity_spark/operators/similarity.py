@@ -13,6 +13,8 @@ instead; same join shape)."""
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -108,26 +110,38 @@ def label_centroids(embeddings: DataFrame, label_col: str = "label",
 
 def ivf_assign(embeddings: DataFrame, centroids: DataFrame,
                id_col: str = "vec_id",
-               vec_col: str = "embedding") -> DataFrame:
+               vec_col: str = "embedding",
+               with_score: bool = False) -> DataFrame:
     """Assign every vector to its nearest centroid ('inverted list'):
     broadcast the codebook (tiny by construction), score each vector
     against every centroid, keep the argmax — ties broken by lowest
-    centroid label so the partitioning is deterministic. One scan,
-    no shuffle of the vector relation."""
-    from pyspark.sql import Window
-
+    centroid label so the partitioning is deterministic. The argmax
+    is a ``min_by`` hash aggregate (partial+final, map-side combine
+    shrinks the shuffle to one row per vector) — no sort, unlike a
+    row_number window. ``with_score=True`` keeps the winning cosine
+    (``ccos``) for radius computations."""
     scored = (
         embeddings.crossJoin(F.broadcast(
             centroids.select(F.col("label").alias("list_id"), "centroid")))
         .withColumn("ccos", cosine_similarity(vec_col, "centroid"))
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.desc("ccos"), F.asc("list_id"))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, vec_col, "list_id")
+    # min_by over (-ccos, list_id): highest cosine wins, ties broken
+    # by lowest centroid label — same order the old window used.
+    best = scored.groupBy(id_col).agg(
+        F.min_by(
+            F.struct(F.col(vec_col).alias("vec"),
+                     F.col("list_id").alias("list_id"),
+                     F.col("ccos").alias("ccos")),
+            F.struct((-F.col("ccos")).alias("k1"),
+                     F.col("list_id").alias("k2")),
+        ).alias("best"))
+    out = best.select(
+        id_col,
+        F.col("best.vec").alias(vec_col),
+        F.col("best.list_id").alias("list_id"),
+        F.col("best.ccos").alias("ccos"),
     )
+    return out if with_score else out.drop("ccos")
 
 
 def knn_ivf(embeddings: DataFrame, query_vec_id: int, k: int,
@@ -153,6 +167,161 @@ def knn_ivf(embeddings: DataFrame, query_vec_id: int, k: int,
                 cosine_similarity(vec_col, "__qvec").alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
+    )
+
+
+# Guard against float round-off when comparing angles computed via
+# acos of a double-accumulated cosine (derivative of acos blows up
+# near ±1; 1e-6 rad is orders of magnitude above the observed error).
+_ANGLE_EPS = 1e-6
+
+
+def _angle(cos_col) -> "F.Column":
+    """Angular distance in radians from a cosine, clipped into the
+    acos domain so accumulated float error can't produce NaN."""
+    return F.acos(F.least(F.lit(1.0), F.greatest(F.lit(-1.0), cos_col)))
+
+
+def candidate_cluster_pairs(assigned: DataFrame, centroids: DataFrame,
+                            min_cosine: float) -> DataFrame:
+    """Ordered cluster pairs (c1, c2) — both directions plus
+    self-pairs — that the angular triangle inequality cannot prove
+    empty of cos > min_cosine vector pairs:
+    angle(cent1, cent2) ≤ θ_t + r1 + r2. Computed entirely on the
+    tiny per-cluster aggregate (K rows), so the K×K cross join is
+    free; every unordered vector pair (a < b) then matches exactly
+    one ordered (cluster_a, cluster_b) entry."""
+    theta_t = F.lit(float(math.acos(min_cosine)))
+    # NULL ccos (zero-norm vector, try_divide) → assume worst-case
+    # radius π; NULL centroid angle → assume 0. Both degrade to
+    # "keep the cluster pair", never to silently dropping one.
+    radii = assigned.groupBy("list_id").agg(
+        F.max(F.coalesce(_angle(F.col("ccos")), F.lit(math.pi)))
+        .alias("radius"))
+    cents = centroids.select(F.col("label").alias("list_id"), "centroid")
+    meta = radii.join(cents, "list_id")
+    left = meta.select(F.col("list_id").alias("c1"),
+                       F.col("radius").alias("r1"),
+                       F.col("centroid").alias("cent1"))
+    right = meta.select(F.col("list_id").alias("c2"),
+                        F.col("radius").alias("r2"),
+                        F.col("centroid").alias("cent2"))
+    return (
+        left.crossJoin(F.broadcast(right))
+        .filter(F.coalesce(_angle(cosine_similarity("cent1", "cent2")),
+                           F.lit(0.0))
+                <= theta_t + F.col("r1") + F.col("r2") + F.lit(_ANGLE_EPS))
+        .select("c1", "c2")
+    )
+
+
+def cosine_pairs_blocked(embeddings: DataFrame, min_cosine: float,
+                         centroids: DataFrame,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """EXACT all-pairs cosine self-join (cos > min_cosine) with
+    metric blocking — the scale-path replacement for the naive
+    ``a.join(b, id_a < id_b)`` broadcast-NLJ:
+
+    1. assign every vector to its nearest codebook centroid
+       (broadcast codebook, one scan — ``ivf_assign``);
+    2. per-cluster angular radius r_c = max angle(v, centroid);
+    3. candidate cluster pairs from the triangle inequality on
+       angular distance (a metric): angle(a,b) ≥ angle(c_a,c_b)
+       − r_a − r_b, so a pair with angle(a,b) ≤ θ_t can only live in
+       cluster pairs with angle(c_a,c_b) ≤ θ_t + r_a + r_b. Computed
+       on the tiny centroid aggregate, broadcast;
+    4. vectors EQUI-join the candidate cluster-pair table on cluster
+       id (hash join, never a cartesian NLJ), then the exact cosine
+       filter re-checks every surviving pair.
+
+    Exact at every scale — pruning only ever drops cluster pairs the
+    triangle inequality proves empty. How MUCH it prunes depends on
+    cluster tightness: with a real k-means codebook (radii ≪ θ_t)
+    candidate generation is near-linear; on pathologically uniform
+    data it degrades to reviewing all K² cluster pairs but keeps the
+    hash-join shape (bounded skew: rows per join key = cluster size).
+    At 100 TB: K grows with corpus size (√n rule of thumb), the
+    assigned relation is written partitioned by list_id, and the
+    pair join is cluster-local."""
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col,
+                          with_score=True).persist()
+    cand = candidate_cluster_pairs(assigned, centroids, min_cosine)
+
+    a = assigned.select(F.col(id_col).alias("vec_a"),
+                        F.col(vec_col).alias("ea"),
+                        F.col("list_id").alias("ca"))
+    b = assigned.select(F.col(id_col).alias("vec_b"),
+                        F.col(vec_col).alias("eb"),
+                        F.col("list_id").alias("cb"))
+    return (
+        a.join(F.broadcast(cand), F.col("ca") == F.col("c1"))
+        .join(b, F.col("cb") == F.col("c2"))
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", cosine_similarity("ea", "eb"))
+        .filter(F.col("cosine") > min_cosine)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+def lsh_bucket_tables(embeddings: DataFrame, dim: int,
+                      n_planes: int = 4, n_tables: int = 16,
+                      seed: int = 42,
+                      vec_col: str = "embedding") -> DataFrame:
+    """Multi-table sign-LSH: one row per (vector, table) with that
+    table's sign-pattern bucket. L independent tables of b planes
+    each — candidate recall 1−(1−p^b)^L for per-plane collision
+    p = 1 − θ/π (Charikar, STOC'02). Output is the exploded form so
+    candidate generation is a single equi-join on (table, bucket)."""
+    planes = _hyperplanes(dim, n_planes * n_tables, seed)
+    buckets = []
+    for t in range(n_tables):
+        bucket = sum(
+            F.when(dot(F.col(vec_col),
+                       F.array(*[F.lit(x) for x in p])) > 0,
+                   F.lit(2 ** i).cast("bigint"))
+            .otherwise(F.lit(0).cast("bigint"))
+            for i, p in enumerate(
+                planes[t * n_planes:(t + 1) * n_planes])
+        )
+        buckets.append(bucket)
+    return embeddings.select(
+        "*", F.posexplode(F.array(*buckets)).alias("table_id", "bucket"))
+
+
+def cosine_pairs_lsh(embeddings: DataFrame, min_cosine: float,
+                     dim: int, n_planes: int = 4, n_tables: int = 16,
+                     seed: int = 42, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """APPROXIMATE all-pairs cosine self-join: multi-table sign-LSH
+    candidates (equi-join on (table, bucket)) → distinct pairs →
+    exact cosine re-check. No false positives (exact filter), false
+    negatives bounded by the LSH recall curve — the right trade for
+    UNCLUSTERED corpora where no exact blocking can prune; recall vs
+    the exact oracle is pinned in tests/test_dedup_knn.py.
+
+    Scale shape: O(L·n) exploded rows hash-partitioned by bucket —
+    linear preprocessing, bucket-local pair generation, never an
+    all-pairs join."""
+    tabs = lsh_bucket_tables(embeddings, dim, n_planes, n_tables,
+                             seed, vec_col)
+    a = tabs.select(F.col(id_col).alias("vec_a"), "table_id", "bucket")
+    b = tabs.select(F.col(id_col).alias("vec_b"), "table_id", "bucket")
+    cand = (
+        a.join(b, ["table_id", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()  # a pair may collide in several tables
+    )
+    ea = embeddings.select(F.col(id_col).alias("vec_a"),
+                           F.col(vec_col).alias("ea"))
+    eb = embeddings.select(F.col(id_col).alias("vec_b"),
+                           F.col(vec_col).alias("eb"))
+    return (
+        cand.join(ea, "vec_a").join(eb, "vec_b")
+        .withColumn("cosine", cosine_similarity("ea", "eb"))
+        .filter(F.col("cosine") > min_cosine)
+        .select("vec_a", "vec_b", "cosine")
     )
 
 

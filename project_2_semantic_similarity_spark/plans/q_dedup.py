@@ -221,21 +221,41 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.4
 """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cos > 0.45). All-pairs at
-    test scale; the 100 TB path buckets by LSH first
-    (operators/similarity.py lsh_bucket) so the pair join is
-    bucket-local."""
-    from project_2_semantic_similarity_spark.functions import (
-        cosine_similarity)
+    """Embedding-cosine near-dup pairs (cos > 0.45), via EXACT
+    metric blocking (operators/similarity.py cosine_pairs_blocked):
+    nearest-centroid assignment → per-cluster angular radii →
+    triangle-inequality cluster-pair pruning → cluster-local hash
+    equi-join → exact cosine filter. Same results as the naive
+    all-pairs join at every scale (pruning is provably lossless),
+    but candidate generation is a bucket equi-join, not an O(n²)
+    broadcast-NLJ — the plan shape is pinned in
+    tests/test_plan_shape.py."""
+    from project_2_semantic_similarity_spark.operators.similarity import (
+        cosine_pairs_blocked,
+        label_centroids,
+    )
 
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("vec_a"),
-                 F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("vec_b"),
-                 F.col("embedding").alias("eb"))
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine", cosine_similarity("ea", "eb"))
-        .filter(F.col("cosine") > 0.45)
-        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+    pairs = cosine_pairs_blocked(e, 0.45, label_centroids(e))
+    return pairs.select(
+        "vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+
+
+@query("dedup_embedding_cosine_lsh")  # rows-only: LSH family engine-specific
+def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via multi-table sign-LSH candidates
+    + exact cosine re-check (cos > 0.45). The scale path for
+    UNCLUSTERED corpora, where no exact blocking can prune: O(L·n)
+    preprocessing, bucket-local candidate equi-join, zero false
+    positives. Probabilistic recall (hash-family-specific) →
+    rows-only; recall vs the exact pairs is pinned in
+    tests/test_dedup_knn.py."""
+    from project_2_semantic_similarity_spark.operators.similarity import (
+        cosine_pairs_lsh,
     )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs_lsh(e, 0.45, dim=64, n_planes=4,
+                             n_tables=24, seed=42)
+    return pairs.select(
+        "vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))

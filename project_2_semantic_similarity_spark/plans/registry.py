@@ -53,8 +53,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 _CHANGED_THIS_ROUND = frozenset(
     {
         "flagship_term_similarity",  # query-vector broadcast guard
-        "knn_ivf",                   # ivf_assign window -> hash agg
+        "knn_ivf",                   # ivf_assign window -> min_by agg
         "dedup_minhash",             # narrow/wide auto-selection
+        "dedup_embedding_cosine",    # all-pairs -> metric blocking
+        "knn_batch_self",            # shares ivf_assign/centroid path
     }
 )
 

@@ -242,3 +242,83 @@ def test_resize_media_fixed_output(spark):
     # 2 bytes -> each source byte duplicated 8x (floor(i*2/16))
     assert bytes(out[2].resized) == b"a" * 8 + b"b" * 8
     assert bytes(out[3].resized) == b"" and out[3].orig_bytes == 0
+
+
+def test_blocked_cosine_equals_allpairs(spark, sf_dir):
+    """Metric blocking is lossless: cosine_pairs_blocked must equal
+    the naive all-pairs join on the real table (same pairs, same
+    cosines)."""
+    from project_2_semantic_similarity_spark.functions import (
+        cosine_similarity)
+    from project_2_semantic_similarity_spark.sources import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"),
+                 F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"),
+                 F.col("embedding").alias("eb"))
+    naive = {(r.vec_a, r.vec_b): round(r.cosine, 9) for r in
+             a.join(b, F.col("vec_a") < F.col("vec_b"))
+             .withColumn("cosine", cosine_similarity("ea", "eb"))
+             .filter(F.col("cosine") > 0.45).collect()}
+    blocked = {(r.vec_a, r.vec_b): round(r.cosine, 9) for r in
+               S.cosine_pairs_blocked(e, 0.45, S.label_centroids(e))
+               .collect()}
+    assert blocked == naive and len(naive) > 0
+
+
+def test_blocked_cosine_prunes_tight_clusters(spark):
+    """On a corpus with tight, well-separated clusters the triangle
+    inequality must PRUNE cross-cluster pairs (the 100 TB payoff),
+    while the survived pairs still reproduce brute force exactly."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    anchors = [[1.0 if i == c else 0.0 for i in range(8)]
+               for c in (0, 3, 6)]  # orthogonal -> 90 deg apart
+    rows = []
+    vid = 0
+    for lab, anc in enumerate(anchors):
+        for _ in range(20):
+            v = [x + rng.gauss(0.0, 0.02) for x in anc]  # ~1-2 deg jitter
+            rows.append((vid, v, lab))
+            vid += 1
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    cents = S.label_centroids(e)
+    assigned = S.ivf_assign(e, cents, with_score=True)
+    # threshold cos > 0.9 (theta ~25.8 deg): radii ~2 deg, centroid
+    # separation 90 deg -> only the 3 self-pairs survive of 9
+    cand = {(r.c1, r.c2) for r in
+            S.candidate_cluster_pairs(assigned, cents, 0.9).collect()}
+    assert cand == {(0, 0), (1, 1), (2, 2)}
+    from project_2_semantic_similarity_spark.functions import (
+        cosine_similarity)
+    a = e.select(F.col("vec_id").alias("vec_a"),
+                 F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"),
+                 F.col("embedding").alias("eb"))
+    naive = {(r.vec_a, r.vec_b) for r in
+             a.join(b, F.col("vec_a") < F.col("vec_b"))
+             .withColumn("cosine", cosine_similarity("ea", "eb"))
+             .filter(F.col("cosine") > 0.9).collect()}
+    blocked = {(r.vec_a, r.vec_b) for r in
+               S.cosine_pairs_blocked(e, 0.9, cents).collect()}
+    assert blocked == naive and len(naive) > 0
+
+
+def test_lsh_pairs_recall(spark, sf_dir):
+    """Multi-table sign-LSH pair discovery: no false positives by
+    construction (exact re-check); recall vs the exact pairs pinned
+    (deterministic seeded family -> stable across runs)."""
+    from project_2_semantic_similarity_spark.sources import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    exact = {(r.vec_a, r.vec_b) for r in
+             S.cosine_pairs_blocked(e, 0.45, S.label_centroids(e))
+             .collect()}
+    got = {(r.vec_a, r.vec_b) for r in
+           S.cosine_pairs_lsh(e, 0.45, dim=64, n_planes=4, n_tables=24)
+           .collect()}
+    assert got <= exact          # exact cosine filter -> no false pos
+    assert len(got) >= 0.8 * len(exact) > 0

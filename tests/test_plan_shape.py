@@ -107,3 +107,31 @@ def test_uncorrelated_scalar_subquery_pushes_down(spark, sf_dir):
     plan = plan_of(spark, "subquery_scalar_uncorr", sf_dir)
     # the once-computed scalar reaches the parquet scan as a pushed filter
     assert re.search(r"PushedFilters: \[.*GreaterThan\(p_retailprice,ScalarSubquery", plan)
+
+
+def test_dedup_embedding_cosine_is_bucketed_equijoin(spark, sf_dir):
+    """The pair join must be a hash EQUI-join on cluster ids — never
+    the all-pairs cartesian/broadcast-NLJ on vec_a < vec_b. (The only
+    NLJ allowed is the tiny broadcast codebook / centroid-pair
+    attach.)"""
+    plan = plan_of(spark, "dedup_embedding_cosine", sf_dir)
+    assert "CartesianProduct" not in plan
+    # pair join on cluster id: SMJ or shuffled/broadcast hash join
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)
+    # any NLJ present must be a broadcast of a tiny aggregate (the
+    # codebook), never joining two FileScan relations
+    for frag in re.split(r"BroadcastNestedLoopJoin", plan)[1:]:
+        top = frag.splitlines()[:3]
+        assert not all("FileScan" in ln for ln in top[1:3] if ln)
+    # persisted assignment serves radii + both join sides
+    assert plan.count("InMemoryTableScan") >= 3
+
+
+def test_ivf_assign_argmin_has_no_window(spark, sf_dir):
+    """Nearest-centroid argmin is a min_by aggregate (map-side
+    partial combine, shuffle of one row per vector) — not a
+    row_number window over the n x K scored relation."""
+    plan = plan_of(spark, "knn_ivf", sf_dir)
+    assert "Window" not in plan
+    assert "min_by" in plan
