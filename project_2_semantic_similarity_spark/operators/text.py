@@ -127,7 +127,8 @@ def filter_term_pattern(weights: DataFrame, prefix: str | None = None,
 
 
 def similar_terms(weights: DataFrame, query: str, k: int = 5,
-                  round_to: int | None = None) -> DataFrame:
+                  round_to: int | None = None,
+                  broadcast_df_max: int | None = 500_000) -> DataFrame:
     """Term-term cosine similarity to `query`, top-k.
 
     Reference app.py:150-178 re-expressed: the query vector is a tiny
@@ -143,6 +144,17 @@ def similar_terms(weights: DataFrame, query: str, k: int = 5,
 
     Returns (term string, similarity double). Empty when the query
     term has no vector (reference would div-by-zero, app.py:178).
+
+    The query vector has df(query) rows — one per document containing
+    the term. For normal queries that is tiny and the broadcast is
+    right; for a stopword-like query on a billion-doc corpus it is
+    O(n_docs) and broadcasting it would OOM the executors (the
+    reference's closure-captured dict at app.py:162 has the identical
+    failure mode). Guard: count df(query) (one cheap job — the weight
+    table is persisted on the flagship path) and fall back to a
+    shuffled hash/merge join on doc_id when it exceeds
+    ``broadcast_df_max`` (default ~8 MB of (doc_id, weight) rows).
+    ``broadcast_df_max=None`` skips the probe and always broadcasts.
     """
     qvec = weights.filter(F.col("term") == query).select(
         "doc_id", F.col("tfidf").alias("v1"))
@@ -151,7 +163,10 @@ def similar_terms(weights: DataFrame, query: str, k: int = 5,
     cands = weights.filter(F.col("term") != query).select(
         "doc_id", "term", F.col("tfidf").alias("v2"))
 
-    joined = cands.join(F.broadcast(qvec), "doc_id", "left").select(
+    q_side = qvec
+    if broadcast_df_max is None or qvec.count() <= broadcast_df_max:
+        q_side = F.broadcast(qvec)
+    joined = cands.join(q_side, "doc_id", "left").select(
         "term",
         (F.coalesce(F.col("v1"), F.lit(0.0)) * F.col("v2")).alias("num_part"),
         (F.col("v2") * F.col("v2")).alias("den2_part"),
@@ -295,7 +310,9 @@ def doc_similarity_topk(corpus: DataFrame, k: int = 10,
 def term_similarity_pipeline(corpus: DataFrame, query: str, k: int = 5,
                              prefix: str | None = None,
                              suffix: str | None = None,
-                             round_to: int | None = None) -> DataFrame:
+                             round_to: int | None = None,
+                             broadcast_df_max: int | None = 500_000,
+                             ) -> DataFrame:
     """End-to-end flagship: corpus -> top-k terms most similar to
     `query` (the reference's whole program, app.py:115-181).
 
@@ -307,4 +324,5 @@ def term_similarity_pipeline(corpus: DataFrame, query: str, k: int = 5,
     shape at scale; the reference likewise computes tf-idf once
     (app.py:58) before its similarity phase."""
     weights = filter_term_pattern(tfidf(corpus), prefix, suffix).persist()
-    return similar_terms(weights, query, k, round_to=round_to)
+    return similar_terms(weights, query, k, round_to=round_to,
+                         broadcast_df_max=broadcast_df_max)

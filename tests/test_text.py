@@ -130,3 +130,26 @@ def test_doc_similarity_strategies_agree(spark, sf_dir):
                                    strategy="sparse").collect()
     assert [tuple(r) for r in dense] == [tuple(r) for r in sparse]
     assert len(dense) == 10
+
+
+def test_broadcast_guard_falls_back_for_hot_query(spark):
+    """A stopword-like query term (df = n_docs - 1 here; df = n_docs
+    would make idf and hence the whole query vector zero) must not be
+    broadcast when df(query) exceeds the guard threshold — the join
+    degrades to a shuffled join with identical results."""
+    rows = [(f"d{i}", f"common t{i} t{i+1}") for i in range(5)]
+    rows.append(("d5", "t5 t6"))
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+    w = T.tfidf(corpus).persist()
+    hinted = T.similar_terms(w, "common", k=50, broadcast_df_max=None)
+    guarded = T.similar_terms(w, "common", k=50, broadcast_df_max=2)
+    plan_h = hinted._jdf.queryExecution().executedPlan().toString()
+    plan_g = guarded._jdf.queryExecution().executedPlan().toString()
+    # hinted path: the qvec attach is a broadcast hash join
+    assert "BroadcastHashJoin" in plan_h
+    # guarded path: no broadcast of the O(n_docs) query vector —
+    # Spark plans the doc_id join as a sort-merge/shuffled-hash join
+    assert ("SortMergeJoin" in plan_g or "ShuffledHashJoin" in plan_g)
+    got_h = {(r.term, round(r.similarity, 9)) for r in hinted.collect()}
+    got_g = {(r.term, round(r.similarity, 9)) for r in guarded.collect()}
+    assert got_g == got_h and len(got_g) > 0
