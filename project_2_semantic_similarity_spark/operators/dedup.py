@@ -136,14 +136,35 @@ def _minhash_cols(num_hashes: int, seed: int) -> list:
     return cols
 
 
+# collect_list of int64 base hashes: 65k shingles/doc ≈ 0.5 MB per
+# aggregation group — far below any partition-memory concern, while
+# docs longer than this are exactly where the narrow variant's
+# per-group array stops being "obviously tiny".
+NARROW_MAX_SHINGLES_PER_DOC = 65_536
+
+
+def select_minhash_variant(
+        shingled: DataFrame,
+        narrow_max_shingles: int = NARROW_MAX_SHINGLES_PER_DOC) -> str:
+    """Pick the signature plan from the observed shingle distribution:
+    ``narrow`` when every document's distinct-shingle count fits the
+    bound, else ``wide``. One count-aggregate job over ``shingled``
+    (two hash aggs, map-side combined — trivial next to the signature
+    computation itself); callers probing AND signing should persist
+    ``shingled`` so the scan is shared."""
+    longest = shingled.groupBy("doc_id").count().agg(
+        F.max("count").alias("mx")).collect()[0].mx
+    return "narrow" if (longest or 0) <= narrow_max_shingles else "wide"
+
+
 def minhash_signatures(shingled: DataFrame, num_hashes: int = 64,
                        seed: int = 42,
-                       variant: str = "narrow") -> DataFrame:
+                       variant: str = "auto") -> DataFrame:
     """(doc_id, sig array<bigint>[k]): min of each affine hash over
     the document's shingle set, packed into one array column so
     downstream plans (banding, signature comparison) stay small.
 
-    ``narrow`` (default): collect the per-doc base hashes into an
+    ``narrow``: collect the per-doc base hashes into an
     array, then compute all k minima inside ONE transform/array_min
     expression. The whole stage is three narrow columns — codegen is
     tiny (the k-column min-aggregate's generated class dominated
@@ -154,7 +175,15 @@ def minhash_signatures(shingled: DataFrame, num_hashes: int = 64,
 
     ``wide``: k separate min-aggregate columns — constant memory per
     group, streams through the aggregator. Use for unbounded
-    documents where a per-doc array could blow a partition."""
+    documents where a per-doc array could blow a partition.
+
+    ``auto`` (default): probe the max shingles/doc
+    (``select_minhash_variant``) and choose — the narrow plan's
+    codegen win where it is safe, the wide plan's bounded group
+    memory where it is not. Both variants produce bit-identical
+    signatures (pinned in tests/test_dedup_knn.py)."""
+    if variant == "auto":
+        variant = select_minhash_variant(shingled)
     based = shingled.select(
         "doc_id",
         F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE31)).alias("base"))

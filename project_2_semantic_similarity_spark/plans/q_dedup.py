@@ -184,14 +184,17 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     xxhash64) but engine-specific → rows-only; recall vs exact
     Jaccard is pinned in tests/test_dedup.py."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = D.shingles(docs, _SHINGLE_N)
+    # Persist the shingle table: the auto variant probe (max
+    # shingles/doc) and the signature aggregation share its scan.
+    sh = D.shingles(docs, _SHINGLE_N).persist()
     # Persist the signature table: it is tiny (n_docs x 64 ints, ~3
     # orders of magnitude smaller than the corpus) and feeds three
     # consumers (band buckets + both sides of the estimation join) —
     # without it the shingle+minhash subplan executes three times.
     # Same move at 100 TB: signatures are the materialization point
     # of the dedup pipeline.
-    sigs = D.minhash_signatures(sh, num_hashes=64, seed=42).persist()
+    sigs = D.minhash_signatures(sh, num_hashes=64, seed=42,
+                                variant="auto").persist()
     cands = D.minhash_lsh_candidates(sigs, num_hashes=64, bands=16)
     est = D.minhash_estimated_jaccard(sigs, cands, num_hashes=64)
     return (

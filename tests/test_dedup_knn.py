@@ -226,6 +226,28 @@ def test_minhash_variants_identical(spark, sf_dir):
     assert a == b and len(a) > 0
 
 
+def test_minhash_auto_selects_by_doc_length(spark):
+    """auto picks narrow for bounded docs and falls back to wide for a
+    long-doc corpus, and all three spellings agree bit-for-bit on the
+    corpus that trips the switch."""
+    short = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "b c d e f g")], ["doc_id", "text"])
+    long_text = " ".join(f"tok{i}" for i in range(300))
+    mixed = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, long_text)], ["doc_id", "text"])
+    assert D.select_minhash_variant(D.shingles(short)) == "narrow"
+    # 300 tokens -> 298 shingles; bound 100 forces the wide plan
+    assert D.select_minhash_variant(
+        D.shingles(mixed), narrow_max_shingles=100) == "wide"
+    sh = D.shingles(mixed)
+    want = {r.doc_id: r.sig for r in
+            D.minhash_signatures(sh, variant="narrow").collect()}
+    for variant in ("wide", "auto"):
+        got = {r.doc_id: r.sig for r in
+               D.minhash_signatures(sh, variant=variant).collect()}
+        assert got == want and len(got) == 2
+
+
 def test_resize_media_fixed_output(spark):
     from project_2_semantic_similarity_spark.operators.multimodal import (
         attach_binary_payload, resize_media)
