@@ -74,6 +74,46 @@ def scan_text_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scan_text_corpus_ascii",
+    oracle="""
+WITH corpus AS (
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+),
+tok AS (
+    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+    FROM corpus
+)
+SELECT doc_id, term, count(*) AS tf_count
+FROM tok WHERE term <> ''
+GROUP BY doc_id, term
+""",
+)
+def scan_text_corpus_ascii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference R2 ascii normalization (app.py:124:
+    ``x.encode('ascii','ignore')`` on every raw line, BEFORE the
+    id/body split). The corpus file is written with deterministic
+    non-ASCII decoration — an accent appended to the doc id and to
+    every token, plus a fully non-ASCII token after the id — so the
+    stripped read-back equals the clean corpus iff the normalization
+    actually runs; the oracle is the clean term-count result from the
+    documents table."""
+    from project_2_semantic_similarity_spark.operators.text import (
+        term_counts, tokenize)
+    from project_2_semantic_similarity_spark.sources import read_text_corpus
+
+    out = _tmp(sf_dir, "corpus_txt_nonascii")
+    docs = load_table(spark, sf_dir, "documents")
+    (docs.select(F.concat_ws(
+        " ",
+        F.concat(F.col("doc_id").cast("string"), F.lit("é")),
+        F.lit("Ωµ≠"),  # strips to nothing -> no token
+        F.regexp_replace("text", r"(\S+)", "$1é"),
+    ).alias("value")).write.mode("overwrite").text(out))
+    return term_counts(tokenize(
+        read_text_corpus(spark, out, ascii_normalize=True)))
+
+
+@query(
     "scan_csv",
     oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
 )

@@ -109,6 +109,30 @@ def test_read_text_corpus(spark, tmp_path):
     assert toks.filter(F.col("doc_id") == "doc3").count() == 2
 
 
+def test_read_text_corpus_ascii_matches_reference_semantics(spark, tmp_path):
+    """ascii_normalize must equal the reference's per-line
+    ``line.encode('ascii','ignore')`` (app.py:124) — applied to the
+    RAW line, before the id/body split, so a non-ASCII id strips too
+    and fully non-ASCII tokens vanish."""
+    lines = [
+        "doc1é naïve café apple",      # accents inside id and tokens
+        "doc2 Ωµ≠ banana",             # fully non-ASCII token drops
+        "δδδ only_nonascii_id",        # id strips to empty -> id='only_nonascii_id'
+    ]
+    p = tmp_path / "corpus.txt"
+    p.write_text("\n".join(lines) + "\n", encoding="utf-8")
+    df = read_text_corpus(spark, str(p), ascii_normalize=True)
+    got = {r.doc_id: r.text for r in df.collect()}
+    want = {}
+    for line in lines:
+        stripped = line.encode("ascii", "ignore").decode().strip()
+        parts = stripped.split(None, 1)
+        want[parts[0]] = parts[1] if len(parts) > 1 else ""
+    assert got == want
+    assert got["doc1"] == "nave caf apple"
+    assert "banana" in got["doc2"] and "Ω" not in got["doc2"]
+
+
 def test_flagship_on_testdata(spark, sf_dir):
     import __spark_entry__ as e
     out = e.queries()["flagship_term_similarity"](spark, sf_dir)
