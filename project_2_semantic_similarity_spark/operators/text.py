@@ -307,6 +307,123 @@ def doc_similarity_topk(corpus: DataFrame, k: int = 10,
                         F.asc("doc_b")).limit(k)
 
 
+# Prime for hash->uniform conversion in the sparse sign-LSH planes:
+# large enough that pmod(xxhash64)/P is dense in [0,1), small enough
+# that the division is exact-ish in double.
+_LSH_PRIME = 1_000_003
+
+
+def doc_vector_lsh_buckets(weights: DataFrame, n_planes: int = 8,
+                           n_tables: int = 16, seed: int = 42) -> DataFrame:
+    """(doc_id, table_id, bucket): multi-table random-hyperplane
+    sign-LSH over SPARSE tf-idf document vectors (Charikar, STOC'02 —
+    sign patterns of random projections; cosine-similar vectors agree
+    on a plane with p = 1 − θ/π).
+
+    Plane components are derived per (term, plane) from
+    xxhash64(term, seed, plane_idx) mapped to uniform [-1, 1) — no
+    materialized plane vectors, so the vocabulary (the vector
+    dimensionality) can be unbounded. Each projection is one SUM
+    aggregate over the doc's weight rows: the whole operator is a
+    single wide groupBy(doc_id) with n_tables × n_planes sum columns
+    (constant memory per group, map-side partial agg), then an
+    explode to one (doc, table) bucket row."""
+    sums = []
+    for t in range(n_tables):
+        for p in range(n_planes):
+            u = (F.pmod(F.xxhash64("term", F.lit(seed),
+                                   F.lit(t * n_planes + p)),
+                        F.lit(_LSH_PRIME))
+                 / F.lit(float(_LSH_PRIME))) * 2 - 1
+            sums.append(F.sum(F.col("tfidf") * u).alias(f"s_{t}_{p}"))
+    projected = weights.groupBy("doc_id").agg(*sums)
+    tables = F.array(*[
+        F.struct(
+            F.lit(t).alias("table_id"),
+            sum(F.when(F.col(f"s_{t}_{p}") > 0,
+                       F.lit(2 ** p).cast("bigint"))
+                .otherwise(F.lit(0).cast("bigint"))
+                for p in range(n_planes)).alias("bucket"),
+        )
+        for t in range(n_tables)
+    ])
+    return (
+        projected.select("doc_id", F.explode(tables).alias("tb"))
+        .select("doc_id", "tb.table_id", "tb.bucket")
+    )
+
+
+def doc_similarity_topk_ann(corpus: DataFrame, k: int = 10,
+                            round_to: int | None = None,
+                            n_planes: int = 8,
+                            n_tables: int = 16,
+                            seed: int = 42) -> DataFrame:
+    """Top-k similar document pairs via ANN prefilter + exact
+    re-rank — the 100×-scale path for ``doc_similarity_topk``, whose
+    two exact strategies are both quadratic in pairs (the sparse term
+    self-join explodes on dense/skewed corpora; the dense variant is
+    a broadcast NLJ over all n²/2 pairs).
+
+    Shape: sign-LSH buckets over the sparse tf-idf vectors
+    (``doc_vector_lsh_buckets`` — O(n) preprocessing, one wide agg)
+    → candidate pairs by equi-join on (table, bucket), never a cross
+    product → attach per-doc SPARSE tf-idf vectors (one
+    map<term,weight> row per doc, zero-weight terms pruned) with two
+    hash equi-joins → exact cosine per candidate pair via a map-probe
+    dot product (O(|terms_a|) per pair, no term-axis join at all)
+    → top-k.
+
+    Defaults (16 tables × 8 planes): a pair at cosine 0.93 (θ≈21.6°,
+    per-plane agreement ≈0.88) collides in ≥1 table with
+    p ≈ 1−(1−0.88⁸)¹⁶ ≈ 0.999. Approximate — candidate recall is
+    probabilistic (rows-only declaration; recall vs the exact
+    operator pinned in tests/test_text.py) but every returned cosine
+    is exact. Pruning strength is data-dependent: corpora where
+    random pairs run hot (tiny vocabularies) keep many candidates,
+    realistic large-vocabulary corpora collapse to near-linear."""
+    weights = tfidf(corpus).filter(F.col("tfidf") != 0).persist()
+    vecs = weights.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("term", "tfidf"))).alias("m"),
+        F.sqrt(F.sum(F.col("tfidf") * F.col("tfidf"))).alias("norm"))
+
+    buckets = doc_vector_lsh_buckets(weights, n_planes, n_tables, seed)
+    ca = buckets.select(F.col("doc_id").alias("doc_a"),
+                        "table_id", "bucket")
+    cb = buckets.select(F.col("doc_id").alias("doc_b"),
+                        "table_id", "bucket")
+    cands = (
+        ca.join(cb, ["table_id", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()  # a pair may collide in several tables
+    )
+
+    a = vecs.select(F.col("doc_id").alias("doc_a"),
+                    F.col("m").alias("ma"), F.col("norm").alias("na"))
+    b = vecs.select(F.col("doc_id").alias("doc_b"),
+                    F.col("m").alias("mb"), F.col("norm").alias("nb"))
+    dot = F.aggregate(
+        F.map_entries("ma"), F.lit(0.0),
+        lambda acc, e: acc + e["value"] * F.coalesce(
+            F.try_element_at("mb", e["key"]), F.lit(0.0)))
+    sims = (
+        cands.join(a, "doc_a").join(b, "doc_b")
+        .select("doc_a", "doc_b", dot.alias("num"), "na", "nb")
+        .filter(F.col("num") > 0)
+        .select("doc_a", "doc_b",
+                F.try_divide(F.col("num"), F.col("na") * F.col("nb"))
+                 .alias("similarity"))
+        .filter(F.col("similarity").isNotNull())
+    )
+    if round_to is not None:
+        sims = sims.select("doc_a", "doc_b",
+                           F.round("similarity", round_to)
+                           .alias("similarity"))
+    return sims.orderBy(F.desc("similarity"), F.asc("doc_a"),
+                        F.asc("doc_b")).limit(k)
+
+
 def term_similarity_pipeline(corpus: DataFrame, query: str, k: int = 5,
                              prefix: str | None = None,
                              suffix: str | None = None,

@@ -250,6 +250,18 @@ def text_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.doc_similarity_topk(_corpus(spark, sf_dir), k=10, round_to=6)
 
 
+@query("text_doc_similarity_ann")  # rows-only: LSH family engine-specific
+def text_doc_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 doc pairs via sign-LSH candidate generation over the
+    sparse tf-idf vectors + exact cosine re-rank (operators/text.py
+    doc_similarity_topk_ann) — the scale path replacing
+    text_doc_similarity's quadratic pair joins. Probabilistic
+    candidate recall → rows-only; recall vs the exact operator is
+    pinned in tests/test_text.py."""
+    return T.doc_similarity_topk_ann(_corpus(spark, sf_dir), k=10,
+                                     round_to=6)
+
+
 @query(
     "text_stats",
     oracle="""

@@ -156,6 +156,25 @@ def test_doc_similarity_strategies_agree(spark, sf_dir):
     assert len(dense) == 10
 
 
+def test_doc_similarity_ann_recall_vs_exact(spark, sf_dir):
+    """ANN prefilter (minhash-LSH candidates + exact re-rank) must
+    recover ≥80% of the exact top-k pairs, and agree on the cosine of
+    every pair it does return (the re-rank is exact — false negatives
+    only, never wrong values)."""
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select(F.col("doc_id").cast("string").alias("doc_id"), "text"))
+    exact = {(r.doc_a, r.doc_b): r.similarity
+             for r in T.doc_similarity_topk(docs, k=10, round_to=6)
+             .collect()}
+    ann = {(r.doc_a, r.doc_b): r.similarity
+           for r in T.doc_similarity_topk_ann(docs, k=10, round_to=6)
+           .collect()}
+    common = set(exact) & set(ann)
+    assert len(common) >= 0.8 * len(exact) > 0
+    for pair in common:
+        assert abs(exact[pair] - ann[pair]) < 1e-9
+
+
 def test_broadcast_guard_falls_back_for_hot_query(spark):
     """A stopword-like query term (df = n_docs - 1 here; df = n_docs
     would make idf and hence the whole query vector zero) must not be
