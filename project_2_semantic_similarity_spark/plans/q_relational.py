@@ -790,25 +790,13 @@ def agg_skew_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_parts"))
 
 
-@query(
-    "join_bucketed",
-    oracle="""
-SELECT l.l_orderkey,
-       CAST(count(*) AS BIGINT) AS n_items,
-       round(sum(l.l_extendedprice), 2) AS revenue,
-       max(o.o_orderstatus) AS o_orderstatus
-FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-GROUP BY l.l_orderkey
-""",
-)
-def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Co-located join via bucketing: both sides written bucketed by
-    the join key (8 buckets, external tables under /tmp), so the join
-    needs NO exchange — each task reads matching buckets. This is the
-    'pre-shuffle once, join many times' layout for repeated fact
-    joins at scale (tests assert the exchange-free plan). The merge
-    hint forces SMJ so the demonstration doesn't degrade to a
-    broadcast at test scale."""
+def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """One-time staging for join_bucketed: write lineitem/orders
+    bucketed by the join key (8 buckets, external tables under /tmp)
+    keyed by a content fingerprint of the sources. Idempotent —
+    callers (the query itself, and bench.py's stage() pre-pass, so
+    cache-key changes don't masquerade as query regressions) get the
+    cached copy when it is complete. Returns the two table names."""
     import os
 
     from project_2_semantic_similarity_spark.sources.tables import (
@@ -847,8 +835,32 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             (src.write.bucketBy(8, key).sortBy(key)
              .option("path", f"{base}/{name}")
              .mode("overwrite").saveAsTable(tbl))
-    li = spark.table(f"p2ss_lineitem_bucketed_{tag}")
-    o = spark.table(f"p2ss_orders_bucketed_{tag}")
+    return (f"p2ss_lineitem_bucketed_{tag}", f"p2ss_orders_bucketed_{tag}")
+
+
+
+@query(
+    "join_bucketed",
+    oracle="""
+SELECT l.l_orderkey,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(l.l_extendedprice), 2) AS revenue,
+       max(o.o_orderstatus) AS o_orderstatus
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY l.l_orderkey
+""",
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join via bucketing: both sides written bucketed by
+    the join key (8 buckets, external tables under /tmp), so the join
+    needs NO exchange — each task reads matching buckets. This is the
+    'pre-shuffle once, join many times' layout for repeated fact
+    joins at scale (tests assert the exchange-free plan). The merge
+    hint forces SMJ so the demonstration doesn't degrade to a
+    broadcast at test scale."""
+    li_tbl, o_tbl = ensure_bucketed_tables(spark, sf_dir)
+    li = spark.table(li_tbl)
+    o = spark.table(o_tbl)
     return (
         li.hint("merge")
         .join(o, li.l_orderkey == o.o_orderkey)

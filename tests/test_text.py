@@ -173,6 +173,12 @@ def test_doc_similarity_ann_recall_vs_exact(spark, sf_dir):
     assert len(common) >= 0.8 * len(exact) > 0
     for pair in common:
         assert abs(exact[pair] - ann[pair]) < 1e-9
+    # the sparse (map-probe) re-rank must agree with the dense
+    # (zip_with) fast path pair-for-pair
+    sparse = {(r.doc_a, r.doc_b): r.similarity
+              for r in T.doc_similarity_topk_ann(
+                  docs, k=10, round_to=6, dense_vocab_max=0).collect()}
+    assert sparse == ann
 
 
 def test_broadcast_guard_falls_back_for_hot_query(spark):
