@@ -1123,6 +1123,47 @@ def topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- set ops
 
 @query(
+    "topk_per_group",
+    oracle="""
+SELECT o_orderstatus, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_orderstatus
+                           ORDER BY o_totalprice DESC, o_orderkey) <= 3
+""",
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price per order status — the per-group top-k
+    every pipeline needs (best doc per cluster, latest record per
+    key), computed SKEW-SAFELY in two stages: a plain
+    row_number window partitions by the group key alone, and with 3
+    hot statuses over the whole table that is 3 giant sorted
+    partitions on 3 tasks. Stage 1 instead ranks within
+    (status, salt=hash(orderkey) mod 32) — 96 even partitions — and
+    keeps k rows from each; stage 2 ranks the ≤ k·32 survivors per
+    status, which is now a trivially small window. Identical results
+    to the direct window (any global top-k row is also top-k within
+    its salt bucket); the same two-stage shape is what
+    TakeOrderedAndProject does for global top-k."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"))
+    salted = o.withColumn(
+        "salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(32)))
+    w1 = Window.partitionBy("o_orderstatus", "salt").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    survivors = (
+        salted.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= 3).drop("rn", "salt")
+    )
+    w2 = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        survivors.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= 3).drop("rn")
+    )
+
+
+@query(
     "set_union_all",
     oracle="""
 SELECT c_custkey AS key, c_name AS name, 'customer' AS kind FROM customer

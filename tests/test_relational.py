@@ -81,3 +81,48 @@ def test_events_ns_timestamp_reads(spark, sf_dir):
     assert dict(ev.dtypes)["ts"] == "timestamp"
     r = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
     assert r.lo.year == 2024 and r.hi.year == 2024
+
+
+def test_topk_per_group_two_stage_equals_direct(spark, sf_dir):
+    """The salted two-stage per-group top-k must equal the direct
+    single-window formulation row-for-row (with the deterministic
+    orderkey tie-break)."""
+    from pyspark.sql import Window
+
+    import __spark_entry__ as e
+    from project_2_semantic_similarity_spark.sources import load_table
+
+    got = sorted(tuple(r) for r in
+                 e.queries()["topk_per_group"](spark, sf_dir).collect())
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"))
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    want = sorted(tuple(r) for r in
+                  o.withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") <= 3).drop("rn").collect())
+    assert got == want and len(got) > 0
+
+
+def test_corpus_prep_pipeline_stages(spark, sf_dir):
+    """Pipeline output must be a subset of the quality-kept set, keep
+    at most one doc per content hash, and contain no near-dup pair
+    (J >= 0.5) internally."""
+    import __spark_entry__ as e
+    from project_2_semantic_similarity_spark.operators import dedup as D
+    from project_2_semantic_similarity_spark.plans.q_textlab import (
+        _PREP_MIN_JACCARD)
+    from project_2_semantic_similarity_spark.sources import load_table
+
+    out = e.queries()["corpus_prep_pipeline"](spark, sf_dir)
+    kept_ids = {r.doc_id for r in out.collect()}
+    assert kept_ids
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isin(list(kept_ids)))
+    # no exact dups survive
+    hashes = D.exact_dedup(docs).agg(F.max("group_size")).collect()[0][0]
+    assert hashes == 1
+    # no near-dup pair survives inside the kept set
+    pairs = D.jaccard_pairs(D.shingles(docs), _PREP_MIN_JACCARD).count()
+    assert pairs == 0
