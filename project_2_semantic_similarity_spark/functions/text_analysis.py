@@ -118,3 +118,28 @@ def fingerprint_rolling(text: Column) -> Column:
         F.lit(0).cast("bigint"),
         lambda acc, ch: F.pmod(acc * 31 + F.ascii(ch), F.lit(_FP_PRIME)),
     )
+
+
+# PII patterns chosen to behave identically under Java regex (Spark)
+# and RE2 (DuckDB): character classes, bounded repetition, \b only.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\b[0-9]{3}-[0-9]{4}\b"
+
+
+def pii_counts(text: Column) -> tuple[Column, Column]:
+    """(n_emails, n_phones) found in the text."""
+    return (
+        F.size(F.regexp_extract_all(text, F.lit(EMAIL_PATTERN), 0))
+         .cast("bigint"),
+        F.size(F.regexp_extract_all(text, F.lit(PHONE_PATTERN), 0))
+         .cast("bigint"),
+    )
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact emails then phone numbers with typed placeholders —
+    the standard pre-training scrub, pure JVM regexp (no Python in
+    the row path)."""
+    return F.regexp_replace(
+        F.regexp_replace(text, EMAIL_PATTERN, "<EMAIL>"),
+        PHONE_PATTERN, "<PHONE>")

@@ -284,6 +284,60 @@ def cosine_pairs_blocked(embeddings: DataFrame, min_cosine: float,
     )
 
 
+def knn_batch_topk(embeddings: DataFrame, k: int, centroids: DataFrame,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   salt_buckets: int = 32) -> DataFrame:
+    """EXACT k nearest neighbors for EVERY vector (batch similarity
+    search): the same salted cluster-local equi-join as
+    ``cosine_pairs_blocked`` but with no similarity threshold (every
+    ordered cluster pair is a candidate — θ_t = π prunes nothing, so
+    results are exact by construction), generating each DIRECTED pair
+    once, then a per-vector top-k window.
+
+    Worst-case work is inherently quadratic — that is what exact
+    batch kNN costs; the join is still hash-partitioned and salted
+    (never a broadcast NLJ), so it scales out evenly. At 100 TB the
+    ANN paths (knn_lsh / knn_ivf per query, cosine_pairs_lsh for
+    pair discovery) replace this; with a REAL k-means codebook the
+    same code prunes via a finite threshold (see
+    cosine_pairs_blocked). The top-k window partitions by vector id
+    — n distinct keys, no hot-group skew."""
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col,
+                          with_score=True).persist()
+    cand = candidate_cluster_pairs(assigned, centroids, -1.0)
+
+    a = assigned.select(F.col(id_col).alias("vec_id"),
+                        F.col(vec_col).alias("ea"),
+                        F.col("list_id").alias("ca"))
+    b = assigned.select(F.col(id_col).alias("neighbor"),
+                        F.col(vec_col).alias("eb"),
+                        F.col("list_id").alias("cb"))
+    a_salted = (
+        a.join(F.broadcast(cand), F.col("ca") == F.col("c1"))
+        .withColumn("salt",
+                    F.pmod(F.xxhash64("vec_id"), F.lit(salt_buckets)))
+    )
+    b_salted = b.withColumn(
+        "salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))
+                  .cast("array<bigint>")))
+    pairs = (
+        a_salted.join(b_salted, (F.col("cb") == F.col("c2"))
+                      & (a_salted["salt"] == b_salted["salt"]))
+        .filter(F.col("vec_id") != F.col("neighbor"))
+        .withColumn("cosine", cosine_similarity("ea", "eb"))
+    )
+    from pyspark.sql import Window
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("vec_id", "neighbor", "cosine")
+    )
+
+
 def lsh_bucket_tables(embeddings: DataFrame, dim: int,
                       n_planes: int = 4, n_tables: int = 16,
                       seed: int = 42,

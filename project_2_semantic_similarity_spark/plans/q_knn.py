@@ -128,6 +128,31 @@ def knn_batch_self(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "knn_batch_topk",
+    oracle="""
+WITH pairs AS (
+    SELECT a.vec_id, b.vec_id AS neighbor,
+           list_cosine_similarity(a.embedding::DOUBLE[],
+                                  b.embedding::DOUBLE[]) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+)
+SELECT vec_id, neighbor, round(cos, 6) AS cosine
+FROM pairs
+QUALIFY row_number() OVER (
+    PARTITION BY vec_id ORDER BY cos DESC, neighbor) <= 3
+""",
+)
+def knn_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-3 neighbors for EVERY vector — batch similarity
+    search via the salted cluster-local pair join + per-vector
+    top-k window (operators/similarity.py knn_batch_topk)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    out = S.knn_batch_topk(e, 3, S.label_centroids(e))
+    return out.select("vec_id", "neighbor",
+                      F.round("cosine", 6).alias("cosine"))
+
+
+@query(
     "multimodal_join",
     oracle="""
 SELECT d.doc_id, d.lang, d.n_chars,

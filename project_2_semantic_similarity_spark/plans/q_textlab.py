@@ -272,3 +272,50 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(exact_winners, "doc_id", "left_semi")
         .join(near_losers, "doc_id", "left_anti")
     )
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+WITH decorated AS (
+    SELECT doc_id,
+           text || ' contact user' || doc_id
+                || '@example.com or 555-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               AS text
+    FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+           regexp_replace(text, '{TA.EMAIL_PATTERN}', '<EMAIL>', 'g'),
+           '{TA.PHONE_PATTERN}', '<PHONE>', 'g') AS scrubbed,
+       CAST(len(regexp_extract_all(text, '{TA.EMAIL_PATTERN}'))
+            AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{TA.PHONE_PATTERN}'))
+            AS BIGINT) AS n_phones
+FROM decorated
+""",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails, phone-shaped numbers) — the standard
+    pre-training scrub pass. The synthetic corpus contains no PII,
+    so each document is deterministically decorated with a synthetic
+    email + phone derived from its id; the scrub must redact exactly
+    those (oracle applies the identical decoration + patterns). Pure
+    JVM regexp — no Python in the row path."""
+    d = load_table(spark, sf_dir, "documents")
+    decorated = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact user"),
+            F.col("doc_id").cast("string"), F.lit("@example.com or 555-"),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"),
+                   4, "0"),
+        ).alias("text"))
+    n_emails, n_phones = TA.pii_counts(F.col("text"))
+    return decorated.select(
+        "doc_id",
+        TA.scrub_pii(F.col("text")).alias("scrubbed"),
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+    )

@@ -344,3 +344,21 @@ def test_lsh_pairs_recall(spark, sf_dir):
            .collect()}
     assert got <= exact          # exact cosine filter -> no false pos
     assert len(got) >= 0.8 * len(exact) > 0
+
+
+def test_knn_batch_topk_matches_bruteforce(spark, sf_dir):
+    """Batch kNN (salted cluster-local pair join + window) must equal
+    per-vector brute force for a sample of vectors."""
+    from project_2_semantic_similarity_spark.sources import load_table
+    e = load_table(spark, sf_dir, "embeddings")
+    out = S.knn_batch_topk(e, 3, S.label_centroids(e))
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.vec_id, []).append((r.neighbor, round(r.cosine, 9)))
+    n = e.count()
+    assert set(got) == {r.vec_id for r in e.select("vec_id").collect()}
+    assert all(len(v) == 3 for v in got.values())
+    for vid in list(got)[:5]:
+        brute = [(r.vec_id, round(r.cosine, 9))
+                 for r in S.knn_brute_force(e, vid, 3).collect()]
+        assert got[vid] == brute, f"vec {vid}: {got[vid]} vs {brute}"
