@@ -157,6 +157,21 @@ def select_minhash_variant(
     return "narrow" if (longest or 0) <= narrow_max_shingles else "wide"
 
 
+def select_minhash_variant_from_docs(
+        docs: DataFrame, text_col: str = "text",
+        narrow_max_shingles: int = NARROW_MAX_SHINGLES_PER_DOC) -> str:
+    """Cheaper probe for the common docs→shingles pipeline: distinct
+    shingles/doc is bounded by token positions (tokens − n + 1 <
+    tokens), so max tokens/doc — one narrow scan aggregate, no
+    groupBy shuffle of the exploded shingle relation — decides the
+    variant conservatively (may pick wide when narrow would still
+    fit; never the unsafe direction)."""
+    longest = docs.agg(F.max(F.size(F.array_remove(
+        F.split(F.col(text_col), r"\s+"), ""))).alias("mx")) \
+        .collect()[0].mx
+    return "narrow" if (longest or 0) <= narrow_max_shingles else "wide"
+
+
 def minhash_signatures(shingled: DataFrame, num_hashes: int = 64,
                        seed: int = 42,
                        variant: str = "auto") -> DataFrame:

@@ -184,9 +184,11 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     xxhash64) but engine-specific → rows-only; recall vs exact
     Jaccard is pinned in tests/test_dedup.py."""
     docs = load_table(spark, sf_dir, "documents")
-    # Persist the shingle table: the auto variant probe (max
-    # shingles/doc) and the signature aggregation share its scan.
-    sh = D.shingles(docs, _SHINGLE_N).persist()
+    sh = D.shingles(docs, _SHINGLE_N)
+    # Variant probe from the raw docs (max tokens/doc bounds max
+    # shingles/doc): one narrow scan aggregate instead of a groupBy
+    # over the exploded shingle relation.
+    variant = D.select_minhash_variant_from_docs(docs)
     # Persist the signature table: it is tiny (n_docs x 64 ints, ~3
     # orders of magnitude smaller than the corpus) and feeds three
     # consumers (band buckets + both sides of the estimation join) —
@@ -194,7 +196,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Same move at 100 TB: signatures are the materialization point
     # of the dedup pipeline.
     sigs = D.minhash_signatures(sh, num_hashes=64, seed=42,
-                                variant="auto").persist()
+                                variant=variant).persist()
     cands = D.minhash_lsh_candidates(sigs, num_hashes=64, bands=16)
     est = D.minhash_estimated_jaccard(sigs, cands, num_hashes=64)
     return (

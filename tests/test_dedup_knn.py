@@ -239,6 +239,10 @@ def test_minhash_auto_selects_by_doc_length(spark):
     # 300 tokens -> 298 shingles; bound 100 forces the wide plan
     assert D.select_minhash_variant(
         D.shingles(mixed), narrow_max_shingles=100) == "wide"
+    # the cheap docs-side probe agrees (token count bounds shingles)
+    assert D.select_minhash_variant_from_docs(short) == "narrow"
+    assert D.select_minhash_variant_from_docs(
+        mixed, narrow_max_shingles=100) == "wide"
     sh = D.shingles(mixed)
     want = {r.doc_id: r.sig for r in
             D.minhash_signatures(sh, variant="narrow").collect()}
