@@ -893,6 +893,24 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("p95_price"))
 
 
+@query("agg_approx_percentile")  # rows-only: sketch internals engine-specific
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate median/p95 via percentile_approx (Greenwald-Khanna
+    sketch) — the fixed-memory path that replaces exact percentile's
+    per-group sort at extreme scale (mergeable partial sketches, one
+    pass). Accuracy vs the exact quantiles is bounded in
+    tests/test_relational.py; sketch internals are engine-specific →
+    rows-only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr(
+            "percentile_approx(l_extendedprice, 0.5, 1000)"), 6)
+         .alias("approx_median_price"),
+        F.round(F.expr(
+            "percentile_approx(l_extendedprice, 0.95, 1000)"), 6)
+         .alias("approx_p95_price"))
+
+
 @query(
     "agg_pivot",
     oracle="""

@@ -126,3 +126,20 @@ def test_corpus_prep_pipeline_stages(spark, sf_dir):
     # no near-dup pair survives inside the kept set
     pairs = D.jaccard_pairs(D.shingles(docs), _PREP_MIN_JACCARD).count()
     assert pairs == 0
+
+
+def test_approx_percentile_bound(spark, sf_dir):
+    """GK-sketch quantiles must land within 1% relative rank error of
+    the exact values (accuracy=1000 -> eps=0.001; 1% gives headroom
+    for value-space translation on this distribution)."""
+    import __spark_entry__ as e
+    approx = {r.l_returnflag: (r.approx_median_price, r.approx_p95_price)
+              for r in e.queries()["agg_approx_percentile"](
+                  spark, sf_dir).collect()}
+    exact = {r.l_returnflag: (r.median_price, r.p95_price)
+             for r in e.queries()["agg_percentile"](
+                 spark, sf_dir).collect()}
+    assert set(approx) == set(exact)
+    for flag in exact:
+        for a, x in zip(approx[flag], exact[flag]):
+            assert abs(a - x) / x < 0.01, (flag, a, x)
