@@ -39,3 +39,41 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     """dot(a,b) / (‖a‖·‖b‖); NULL when either norm is 0 (try_divide —
     Spark 4 ANSI mode would otherwise raise on zero vectors)."""
     return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
+
+
+def quantize_scale(a: Column | str, bits: int = 8) -> Column:
+    """Symmetric per-vector quantization scale: max|aᵢ| / (2^(b-1)-1).
+    0.0 for an all-zero vector (callers emit zero codes there)."""
+    a = F.col(a) if isinstance(a, str) else a
+    qmax = float(2 ** (bits - 1) - 1)
+    return F.array_max(
+        F.transform(a, lambda x: F.abs(x.cast("double")))) / F.lit(qmax)
+
+
+def quantize_codes(a: Column | str, scale: Column,
+                   bits: int = 8) -> Column:
+    """Integer codes floor(aᵢ/scale + 0.5) — explicit floor(x + 0.5)
+    rather than round() so the tie behavior is bit-identical across
+    engines (DuckDB round half-away differs from Java HALF_UP only in
+    edge representations; floor arithmetic is unambiguous). All-zero
+    vectors (scale 0) quantize to zero codes."""
+    a = F.col(a) if isinstance(a, str) else a
+    return F.when(
+        scale > 0,
+        F.transform(a, lambda x: F.floor(x.cast("double") / scale + 0.5)
+                    .cast("int")),
+    ).otherwise(F.transform(a, lambda x: F.lit(0)))
+
+
+def quantize_max_error(a: Column | str, scale: Column) -> Column:
+    """max |aᵢ − dequant(quant(aᵢ))| — the reconstruction error bound
+    actually achieved on this vector (≤ scale/2 by construction)."""
+    a = F.col(a) if isinstance(a, str) else a
+    return F.when(
+        scale > 0,
+        F.array_max(F.transform(
+            a,
+            lambda x: F.abs(x.cast("double")
+                            - F.floor(x.cast("double") / scale + 0.5)
+                            * scale))),
+    ).otherwise(F.lit(0.0))

@@ -153,6 +153,52 @@ def knn_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_quantize",
+    oracle="""
+WITH base AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+               / 127.0 AS scale
+    FROM embeddings
+)
+SELECT vec_id,
+       round(scale, 6) AS scale,
+       CASE WHEN scale > 0
+            THEN list_transform(v, x -> CAST(floor(x / scale + 0.5)
+                                             AS INT))
+            ELSE list_transform(v, x -> 0) END AS codes,
+       round(CASE WHEN scale > 0
+             THEN list_max(list_transform(
+                 v, x -> abs(x - floor(x / scale + 0.5) * scale)))
+             ELSE 0.0 END, 6) AS max_err
+FROM base
+""",
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column —
+    the storage-compression pass a 100 TB embedding corpus runs
+    before indexing (4× smaller than float32, dequant error ≤
+    scale/2, verified per vector). Pure higher-order Column
+    expressions (functions/vectors.py quantize_*); floor(x + 0.5)
+    keeps the rounding bit-identical between Spark and the oracle."""
+    from project_2_semantic_similarity_spark.functions import (
+        quantize_codes,
+        quantize_max_error,
+        quantize_scale,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    scale = quantize_scale("embedding")
+    return e.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale"),
+        quantize_codes("embedding", scale).alias("codes"),
+        F.round(quantize_max_error("embedding", scale), 6)
+         .alias("max_err"),
+    )
+
+
+@query(
     "multimodal_join",
     oracle="""
 SELECT d.doc_id, d.lang, d.n_chars,

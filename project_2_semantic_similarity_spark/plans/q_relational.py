@@ -262,6 +262,54 @@ def sql_api_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_api_tpch_q3",
+    oracle="""
+SELECT l.l_orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1997-06-01'
+  AND l.l_shipdate > TIMESTAMP '1997-06-01'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l.l_orderkey
+LIMIT 10
+""",
+)
+def sql_api_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping-priority: selective dimension filter
+    → two fact joins → agg → top-k) via the SQL entry point, adapted
+    to the testdata's columns (o_orderpriority for o_shippriority).
+    The plan this should and does produce: both date filters pushed
+    into the parquet scans, customer (filtered, small) broadcast,
+    TakeOrderedAndProject for the top-10 — the classic 'filter early,
+    broadcast the dimension, never total-sort' star-join shape."""
+    from project_2_semantic_similarity_spark.sources.tables import (
+        register_views)
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT l.l_orderkey,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                   AS revenue,
+               date_format(o.o_orderdate, 'yyyy-MM-dd') AS o_orderdate,
+               o.o_orderpriority
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1997-06-01'
+          AND l.l_shipdate > TIMESTAMP '1997-06-01'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, l.l_orderkey
+        LIMIT 10
+    """)
+
+
+@query(
     "subquery_scalar_uncorr",
     oracle="""
 SELECT p_partkey, p_name, round(p_retailprice, 2) AS price

@@ -366,3 +366,27 @@ def test_knn_batch_topk_matches_bruteforce(spark, sf_dir):
         brute = [(r.vec_id, round(r.cosine, 9))
                  for r in S.knn_brute_force(e, vid, 3).collect()]
         assert got[vid] == brute, f"vec {vid}: {got[vid]} vs {brute}"
+
+
+def test_embedding_quantize_properties(spark):
+    """Quantization invariants: error <= scale/2, zero vector -> zero
+    codes with scale 0, codes within int8 range."""
+    from project_2_semantic_similarity_spark.functions import (
+        quantize_codes, quantize_max_error, quantize_scale)
+    rows = [(1, [1.0, -0.5, 0.25, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),
+            (3, [-2.0, 2.0, 1.999, -1.999])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    scale = quantize_scale("embedding")
+    out = {r.vec_id: r for r in df.select(
+        "vec_id", scale.alias("scale"),
+        quantize_codes("embedding", scale).alias("codes"),
+        quantize_max_error("embedding", scale).alias("err")).collect()}
+    assert out[2].scale == 0.0 and out[2].codes == [0, 0, 0, 0] \
+        and out[2].err == 0.0
+    for vid in (1, 3):
+        r = out[vid]
+        assert r.err <= r.scale / 2 + 1e-12
+        assert all(-127 <= c <= 127 for c in r.codes)
+    # max element maps to the full-scale code
+    assert out[1].codes[0] == 127 and out[3].codes[1] == 127
