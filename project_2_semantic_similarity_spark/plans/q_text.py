@@ -246,7 +246,16 @@ def text_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-axis dual of the flagship (operators/text.py
     doc_similarity_topk). Ordering is on the 6-dp-rounded similarity
     with doc-pair tie-breaks, so near-tie float noise can't reorder
-    the top-k across engines."""
+    the top-k across engines.
+
+    SEMANTICS (this operator's spec, which the oracle mirrors): a
+    zero tf-idf weight carries no signal, so pairs whose ONLY shared
+    terms have idf=0 (terms present in every document) contribute a
+    zero dot product and emit NO row — not a row with similarity
+    0.0. This matches the flagship's reference semantics (app.py:78
+    drops zero-similarity terms before ranking, reference R17); the
+    oracle's ``tfidf <> 0`` predicate encodes that spec, it is not a
+    back-port of an implementation accident."""
     return T.doc_similarity_topk(_corpus(spark, sf_dir), k=10, round_to=6)
 
 
