@@ -1,0 +1,100 @@
+"""Deterministic sampling / splitting operators for training-data
+pipelines.
+
+Both operators key every decision on a PORTABLE content hash —
+``md5(salt ':' key)`` compared lexicographically on its hex prefix —
+rather than an engine hash (Spark murmur3 and DuckDB's hash differ)
+or an RNG (``rand()`` is partitioning-dependent, so a repartition
+would silently reshuffle a training split). Lowercase hex compares
+identically in every engine and the first 4 hex chars give 65,536
+evenly-filled buckets, plenty of resolution for split fractions.
+
+Scale shape: both are NARROW maps — no shuffle, no state, no
+collect. Splitting a 100 TB corpus is one pass over the scan with
+the filter/label pushed into the same stage; adding machines scales
+it linearly. This is why the quota-style alternative (exact K per
+stratum via a per-stratum window sort) is NOT the default: exact
+quotas need a per-stratum global order, fraction thresholds don't.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket(key: Column, salt: str) -> Column:
+    """4-hex-char bucket label in ['0000', 'ffff'] — uniform over
+    65,536 values, deterministic in (salt, key) only."""
+    return F.substring(
+        F.md5(F.concat_ws(":", F.lit(salt), key.cast("string"))), 1, 4)
+
+
+def hex_threshold(fraction: float) -> str:
+    """The threshold t such that P(bucket < t) ==
+    round(fraction * 65536) / 65536 (exact, not approximate).
+
+    fraction == 1.0 returns the sentinel 'g': lexicographically it
+    sorts after every hex string, so the comparison keeps all rows.
+    (The naive format(65536, '04x') == '10000' would sort BEFORE
+    'a3f2' and silently drop ~94% of a keep-everything stratum.)"""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    v = round(fraction * 65536)
+    return "g" if v >= 65536 else format(v, "04x")
+
+
+def hash_split(
+    df: DataFrame,
+    key: str,
+    fractions: dict[str, float],
+    salt: str = "split",
+) -> DataFrame:
+    """Label every row with a deterministic split name.
+
+    ``fractions`` maps split name -> fraction, in priority order;
+    the remainder after the last named fraction falls into the final
+    name (so {'train': .8, 'val': .1, 'test': .1} covers exactly).
+    Same (salt, key) -> same split forever, on any cluster layout —
+    the property a train/test split must have so later pipeline runs
+    never leak validation docs into training.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    names = list(fractions)
+    bucket = _bucket(F.col(key), salt)
+    cum = 0.0
+    expr: Column | None = None
+    for name in names[:-1]:
+        cum += fractions[name]
+        cond = bucket < F.lit(hex_threshold(cum))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    label = F.lit(names[0]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn("split", label)
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum: str,
+    fractions: dict[str, float],
+    key: str,
+    salt: str = "strat",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Keep a per-stratum deterministic fraction of rows — the
+    corpus-rebalancing op (downsample the dominant language, keep
+    the rare ones whole). Strata not named in ``fractions`` keep
+    ``default_fraction``. Same narrow one-pass shape as hash_split;
+    the per-stratum threshold is a CASE over broadcast literals, so
+    stratum skew is irrelevant (no grouping happens at all).
+    """
+    bucket = _bucket(F.col(key), salt)
+    thr: Column | None = None
+    for name, frac in fractions.items():
+        cond = F.col(stratum) == F.lit(name)
+        t = F.lit(hex_threshold(frac))
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    default = F.lit(hex_threshold(default_fraction))
+    threshold = default if thr is None else thr.otherwise(default)
+    return df.where(bucket < threshold)

@@ -1,0 +1,73 @@
+"""Deterministic sampling / splitting query family (SURVEY.md §2.B
+"training-data pipeline" north star): portable-hash train/val/test
+splits and stratified corpus rebalancing. Every decision is
+md5-threshold based (operators/sampling.py), so the DuckDB oracles
+replicate the arithmetic verbatim — no RNG, no engine hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from project_2_semantic_similarity_spark.operators.sampling import (
+    hash_split,
+    hex_threshold,
+    stratified_sample,
+)
+from project_2_semantic_similarity_spark.plans.registry import query
+from project_2_semantic_similarity_spark.sources import load_table
+
+# Shared split spec: 80/10/10 — the fractions every split-related
+# test and oracle below pins.
+_SPLIT = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+# Stratified rebalance: halve the dominant language, keep the rest.
+_STRATA = {"en": 0.5, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 1.0}
+
+
+@query(
+    "sample_hash_split",
+    oracle=f"""
+SELECT doc_id, lang,
+       CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)
+                 < '{hex_threshold(0.8)}' THEN 'train'
+            WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)
+                 < '{hex_threshold(0.9)}' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test labeling of the corpus
+    by md5 bucket (operators/sampling.py hash_split). Narrow map —
+    zero shuffle; rerunning on any cluster layout, any partitioning,
+    any engine yields the identical assignment, which is the
+    leak-prevention property a split must have."""
+    d = load_table(spark, sf_dir, "documents")
+    return hash_split(d, "doc_id", _SPLIT).select("doc_id", "lang", "split")
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+SELECT doc_id, lang
+FROM documents
+WHERE substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 4)
+      < CASE lang WHEN 'en' THEN '{hex_threshold(0.5)}'
+                  WHEN 'de' THEN '{hex_threshold(1.0)}'
+                  WHEN 'es' THEN '{hex_threshold(1.0)}'
+                  WHEN 'fr' THEN '{hex_threshold(1.0)}'
+                  WHEN 'zh' THEN '{hex_threshold(1.0)}'
+                  ELSE '{hex_threshold(0.0)}' END
+""",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified rebalance: keep 50% of 'en' (the dominant lang in
+    the synthetic corpus), 100% of everything else — the
+    language-mix correction pass. Per-stratum threshold is a CASE
+    over literals, so this is the same narrow no-shuffle scan as
+    sample_hash_split regardless of stratum skew (contrast the exact
+    quota alternative, which needs a per-stratum global sort)."""
+    d = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        d, "lang", _STRATA, key="doc_id").select("doc_id", "lang")

@@ -117,6 +117,7 @@ def load_all() -> None:
     import project_2_semantic_similarity_spark.plans.q_knn  # noqa: F401
     import project_2_semantic_similarity_spark.plans.q_textlab  # noqa: F401
     import project_2_semantic_similarity_spark.plans.q_relational  # noqa: F401
+    import project_2_semantic_similarity_spark.plans.q_sampling  # noqa: F401
     import project_2_semantic_similarity_spark.plans.q_streaming  # noqa: F401
     import project_2_semantic_similarity_spark.plans.q_text  # noqa: F401
     import project_2_semantic_similarity_spark.plans.q_udfs  # noqa: F401

@@ -1,0 +1,89 @@
+"""Deterministic sampling invariants (operators/sampling.py):
+partition completeness/disjointness, fraction accuracy, determinism
+under repartitioning, stratified rate correctness."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from project_2_semantic_similarity_spark.operators.sampling import (
+    hash_split,
+    hex_threshold,
+    stratified_sample,
+)
+from project_2_semantic_similarity_spark.sources import load_table
+
+
+def test_hex_threshold_exact():
+    assert hex_threshold(0.0) == "0000"
+    assert hex_threshold(1.0) == "g"  # sorts after every hex bucket
+    assert hex_threshold(0.5) == "8000"
+    # 0.8 * 65536 = 52428.8 -> 52429
+    assert hex_threshold(0.8) == format(52429, "04x")
+    with pytest.raises(ValueError):
+        hex_threshold(1.5)
+
+
+def test_hash_split_partition_and_fractions(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    n = d.count()
+    out = hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"]
+              for r in out.groupBy("split").agg(F.count("*").alias("n"))
+              .collect()}
+    # complete partition: every row labeled, nothing dropped
+    assert sum(counts.values()) == n
+    # fractions hold to within binomial noise (n≈60 at sf0.001)
+    assert counts.get("train", 0) > counts.get("val", 0)
+    assert counts.get("train", 0) > counts.get("test", 0)
+    assert counts.get("train", 0) >= int(0.6 * n)
+
+
+def test_hash_split_deterministic_under_repartition(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    split = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r.doc_id: r.split
+         for r in hash_split(d, "doc_id", split).collect()}
+    b = {r.doc_id: r.split
+         for r in hash_split(d.repartition(13), "doc_id", split).collect()}
+    assert a == b  # partitioning must not move any row between splits
+
+
+def test_hash_split_rejects_bad_fractions(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError):
+        hash_split(d, "doc_id", {"train": 0.8, "val": 0.1})
+
+
+def test_stratified_keeps_unsampled_strata_whole(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    base = {r["lang"]: r["n"]
+            for r in d.groupBy("lang").agg(F.count("*").alias("n"))
+            .collect()}
+    out = stratified_sample(
+        d, "lang", {"en": 0.5, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 1.0},
+        key="doc_id")
+    got = {r["lang"]: r["n"]
+           for r in out.groupBy("lang").agg(F.count("*").alias("n"))
+           .collect()}
+    for lang in ("de", "es", "fr", "zh"):
+        assert got.get(lang, 0) == base.get(lang, 0), lang
+    # en roughly halved (binomial at small n; just pin strictly fewer
+    # and nonzero)
+    assert 0 < got.get("en", 0) < base["en"]
+
+
+def test_stratified_default_fraction_drops_unknown(spark):
+    rows = [(1, "en"), (2, "xx"), (3, "xx")]
+    d = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_sample(d, "lang", {"en": 1.0}, key="doc_id")
+    assert [r.doc_id for r in out.collect()] == [1]
+
+
+def test_hash_split_plan_is_narrow(spark, sf_dir):
+    """The split must add zero shuffles: one scan, one project."""
+    d = load_table(spark, sf_dir, "documents")
+    out = hash_split(d, "doc_id", {"train": 0.8, "val": 0.2, "test": 0.0})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
