@@ -53,6 +53,35 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
     )
 
 
+def incremental_dedup(batch: DataFrame, corpus: DataFrame,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Novel documents in ``batch`` relative to an existing
+    ``corpus``: drop batch docs whose normalized-content hash already
+    exists in the corpus (LEFT ANTI join), then collapse duplicates
+    WITHIN the batch (lowest id wins) — the continuous-ingest dedup
+    pass a training pipeline runs on every new crawl drop.
+
+    Scale shape: the corpus side reduces to its distinct 32-byte
+    hashes before the join, so at 100 TB the anti-join streams the
+    (much smaller) hash set, keys are uniformly distributed (sha256 —
+    no skew), and both the anti-join and the intra-batch window
+    shuffle on the same content_hash key, which AQE coalesces into
+    one exchange reuse. Nothing touches the corpus text twice."""
+    bh = batch.withColumn(
+        "content_hash", F.sha2(normalize_text(F.col(text_col)), 256))
+    seen = (corpus
+            .select(F.sha2(normalize_text(F.col(text_col)), 256)
+                    .alias("content_hash"))
+            .distinct())
+    novel = bh.join(seen, "content_hash", "left_anti")
+    w = Window.partitionBy("content_hash").orderBy(F.col(id_col).asc())
+    return (novel
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn"))
+
+
 def shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
              id_col: str = "doc_id") -> DataFrame:
     """Distinct n-token shingles per document: (id, shingle).

@@ -50,6 +50,43 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_incremental",
+    oracle="""
+WITH batch AS (
+    SELECT doc_id, text,
+           sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               AS content_hash
+    FROM documents WHERE doc_id % 5 = 0
+),
+seen AS (
+    SELECT DISTINCT
+           sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               AS content_hash
+    FROM documents WHERE doc_id % 5 <> 0
+),
+novel AS (
+    SELECT b.*,
+           row_number() OVER (PARTITION BY b.content_hash
+                              ORDER BY b.doc_id) AS rn
+    FROM batch b ANTI JOIN seen s USING (content_hash)
+)
+SELECT doc_id, content_hash FROM novel WHERE rn = 1
+""",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest dedup: docs with doc_id % 5 = 0 play the
+    'new crawl drop', the rest the existing corpus; keep only batch
+    docs whose normalized content is novel (operators/dedup.py
+    incremental_dedup — anti-join against the corpus's distinct
+    hash set, then intra-batch collapse)."""
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    return D.incremental_dedup(batch, corpus).select(
+        "doc_id", "content_hash")
+
+
+@query(
     "dedup_jaccard_exact",
     oracle=f"""
 WITH corpus AS (

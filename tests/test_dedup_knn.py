@@ -390,3 +390,22 @@ def test_embedding_quantize_properties(spark):
         assert all(-127 <= c <= 127 for c in r.codes)
     # max element maps to the full-scale code
     assert out[1].codes[0] == 127 and out[3].codes[1] == 127
+
+
+def test_incremental_dedup_semantics(spark):
+    """Batch docs whose content exists in the corpus are dropped;
+    intra-batch dupes collapse to the lowest id; novel docs pass."""
+    from project_2_semantic_similarity_spark.operators.dedup import (
+        incremental_dedup)
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, "  Alpha   BETA "),   # dup of corpus doc 1 (normalized)
+         (11, "epsilon zeta"),      # novel
+         (12, "epsilon  zeta"),     # intra-batch dup of 11
+         (13, "eta theta")],        # novel
+        "doc_id long, text string")
+    got = sorted(r.doc_id
+                 for r in incremental_dedup(batch, corpus).collect())
+    assert got == [11, 13]
