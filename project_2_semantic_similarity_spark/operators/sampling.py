@@ -74,6 +74,54 @@ def hash_split(
     return df.withColumn("split", label)
 
 
+def pack_shards(
+    docs: DataFrame,
+    budget_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "shard",
+) -> DataFrame:
+    """Assign every document to a training shard of ~``budget_tokens``
+    whitespace tokens: ``n_shards = ceil(total_tokens / budget)``,
+    then hash-assign docs uniformly across shards.
+
+    Deliberately NOT greedy bin-packing: an exact running-total pack
+    is a global prefix sum — one ordered window over the entire
+    corpus, i.e. a single-partition sort that cannot scale. Hash
+    assignment needs one scalar aggregate (total token count,
+    broadcast back) plus a narrow map, and by uniformity each shard
+    lands within ~1/sqrt(docs_per_shard) of the budget — the right
+    trade at 100 TB, where shards hold millions of docs and the
+    relative deviation is negligible.
+
+    shard_id = floor(bucket * n_shards / 65536) with bucket the
+    md5-prefix integer in [0, 65535] — portable arithmetic (exact in
+    doubles far below 2^53), identical in the DuckDB oracle.
+    """
+    from project_2_semantic_similarity_spark.functions.text_analysis import (
+        n_tokens)
+
+    counted = docs.select(
+        F.col(id_col), n_tokens(F.col(text_col)).alias("n_tokens"))
+    total = counted.agg(
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(F.sum("n_tokens") / F.lit(float(budget_tokens))),
+        ).alias("n_shards"))
+    bucket_int = F.conv(
+        _bucket(F.col(id_col), salt), 16, 10).cast("long")
+    return (
+        counted
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            "n_tokens",
+            F.floor(bucket_int * F.col("n_shards") / F.lit(65536.0))
+             .cast("long").alias("shard_id"),
+        )
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     stratum: str,

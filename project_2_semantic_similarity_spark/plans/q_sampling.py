@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from project_2_semantic_similarity_spark.operators.sampling import (
     hash_split,
     hex_threshold,
+    pack_shards,
     stratified_sample,
 )
 from project_2_semantic_similarity_spark.plans.registry import query
@@ -45,6 +46,42 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     leak-prevention property a split must have."""
     d = load_table(spark, sf_dir, "documents")
     return hash_split(d, "doc_id", _SPLIT).select("doc_id", "lang", "split")
+
+
+_SHARD_BUDGET = 2000  # tokens per shard; ~14 shards at sf0.01
+
+
+@query(
+    "corpus_pack_shards",
+    oracle=f"""
+WITH counted AS (
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                t -> t <> '')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+total AS (
+    SELECT greatest(1, CAST(ceil(CAST(sum(n_tokens) AS BIGINT)
+                                 / {float(_SHARD_BUDGET)}) AS BIGINT))
+               AS n_shards
+    FROM counted
+)
+SELECT c.doc_id, c.n_tokens,
+       CAST(floor(CAST('0x' || substr(md5('shard:' ||
+                                          CAST(c.doc_id AS VARCHAR)), 1, 4)
+                       AS INTEGER) * t.n_shards / 65536.0) AS BIGINT)
+           AS shard_id
+FROM counted c CROSS JOIN total t
+""",
+)
+def corpus_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sharding of the corpus (~2000 whitespace
+    tokens per shard): one scalar aggregate for the shard count,
+    broadcast back over a narrow hash-assignment map
+    (operators/sampling.py pack_shards — docstring explains why this
+    beats greedy packing's global prefix sum at scale)."""
+    d = load_table(spark, sf_dir, "documents")
+    return pack_shards(d, _SHARD_BUDGET)
 
 
 @query(

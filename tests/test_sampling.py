@@ -87,3 +87,32 @@ def test_hash_split_plan_is_narrow(spark, sf_dir):
     out = hash_split(d, "doc_id", {"train": 0.8, "val": 0.2, "test": 0.0})
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_pack_shards_balance_and_coverage(spark, sf_dir):
+    """Every doc gets a shard in [0, n_shards); shard token totals
+    cluster near the budget (loose bound — hash assignment)."""
+    from project_2_semantic_similarity_spark.operators.sampling import (
+        pack_shards)
+    d = load_table(spark, sf_dir, "documents")
+    budget = 500
+    out = pack_shards(d, budget)
+    assert out.count() == d.count()
+    shards = {r["shard_id"]: r["tok"]
+              for r in out.groupBy("shard_id")
+              .agg(F.sum("n_tokens").alias("tok")).collect()}
+    total = sum(shards.values())
+    n_shards = -(-total // budget)  # ceil
+    assert set(shards) <= set(range(n_shards))
+    # uniform hash assignment: no shard more than 4x the budget
+    assert max(shards.values()) < 4 * budget
+
+
+def test_pack_shards_deterministic(spark, sf_dir):
+    from project_2_semantic_similarity_spark.operators.sampling import (
+        pack_shards)
+    d = load_table(spark, sf_dir, "documents")
+    a = {r.doc_id: r.shard_id for r in pack_shards(d, 500).collect()}
+    b = {r.doc_id: r.shard_id
+         for r in pack_shards(d.repartition(7), 500).collect()}
+    assert a == b
