@@ -1141,6 +1141,33 @@ def win_partition_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).cast("bigint").alias("status_n"))
 
 
+@query(
+    "win_distribution",
+    oracle="""
+SELECT o_orderkey, o_orderstatus,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus
+             ORDER BY o_totalprice ASC, o_orderkey ASC)
+""",
+)
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — ntile/percent_rank/cume_dist
+    per order status. The unique o_orderkey tie-break makes every
+    rank deterministic (percent_rank over a float key alone could
+    reorder ties across engines)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_orderstatus")
+         .orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc()))
+    return o.select(
+        "o_orderkey", "o_orderstatus",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"))
+
+
 # --------------------------------------------------------- sorts / top-k
 
 @query(
