@@ -1142,6 +1142,43 @@ def win_partition_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_selective",
+    oracle="""
+SELECT o_orderstatus,
+       arg_max(o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) * 1000000000
+                   + o_orderkey) AS best_order,
+       arg_min(o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) * 1000000000
+                   + o_orderkey) AS worst_order,
+       CAST(count(*) FILTER (WHERE o_totalprice > 150000) AS BIGINT)
+           AS n_high,
+       bool_and(o_totalprice > 0) AS all_positive,
+       bool_or(o_orderpriority = '1-URGENT') AS any_urgent
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def agg_selective(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective/conditional aggregates — max_by/min_by (one hash agg,
+    no sort: the argmin pattern knn_ivf also uses), count_if, bool
+    and/or. The ordering key packs (price_cents, orderkey) into one
+    BIGINT so the arg-extremum is UNIQUE — max_by over a bare float
+    with duplicate maxima would be engine-dependent tie-breaking."""
+    o = load_table(spark, sf_dir, "orders")
+    ordkey = (F.round(F.col("o_totalprice") * 100).cast("bigint")
+              * F.lit(1000000000).cast("bigint")
+              + F.col("o_orderkey"))
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", ordkey).alias("best_order"),
+        F.min_by("o_orderkey", ordkey).alias("worst_order"),
+        F.count_if(F.col("o_totalprice") > 150000).alias("n_high"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT")
+         .alias("any_urgent"))
+
+
+@query(
     "win_distribution",
     oracle="""
 SELECT o_orderkey, o_orderstatus,

@@ -57,6 +57,7 @@ _CHANGED_THIS_ROUND = frozenset(
         "dedup_minhash",             # narrow/wide auto-selection
         "dedup_embedding_cosine",    # all-pairs -> metric blocking
         "knn_batch_self",            # shares ivf_assign/centroid path
+        "join_bucketed",             # staging moved into stage_bucketed()
     }
 )
 

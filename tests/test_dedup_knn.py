@@ -409,3 +409,13 @@ def test_incremental_dedup_semantics(spark):
     got = sorted(r.doc_id
                  for r in incremental_dedup(batch, corpus).collect())
     assert got == [11, 13]
+
+
+def test_knn_quantized_recall_vs_exact(spark, sf_dir):
+    """int8 quantized top-10 must recover >=8 of the exact top-10
+    (64-dim vectors; quantization error ~0.4% of max|x|)."""
+    from project_2_semantic_similarity_spark.plans.q_knn import (
+        knn_embeddings, knn_quantized)
+    exact = {r.vec_id for r in knn_embeddings(spark, sf_dir).collect()}
+    quant = {r.vec_id for r in knn_quantized(spark, sf_dir).collect()}
+    assert len(exact & quant) >= 8, (exact, quant)
