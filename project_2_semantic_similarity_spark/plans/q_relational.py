@@ -229,6 +229,43 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sink_sorted_ranged",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_extendedprice), 2) AS total_price
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l_shipdate < TIMESTAMP '1997-04-01'
+GROUP BY l_returnflag
+""",
+)
+def sink_sorted_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partition + sort-within-partitions write, then a
+    pruned re-read: repartitionByRange(l_shipdate) clusters each
+    date range into ONE file and the sort makes every parquet
+    row-group's min/max stats tight, so the one-month filter on the
+    read side skips all but ~one file before decoding anything —
+    the write-side layout discipline (cluster + sort on the
+    dominant filter key) that partition pruning can't give you
+    below directory granularity. At 100 TB this is the difference
+    between scanning a day and scanning a year."""
+    out = _tmp(sf_dir, "lineitem_ranged")
+    li = load_table(spark, sf_dir, "lineitem")
+    (li.repartitionByRange(8, "l_shipdate")
+       .sortWithinPartitions("l_shipdate")
+       .write.mode("overwrite").parquet(out))
+    return (
+        spark.read.parquet(out)
+        .filter((F.col("l_shipdate") >= "1997-03-01")
+                & (F.col("l_shipdate") < "1997-04-01"))
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("l_extendedprice"), 2).alias("total_price"))
+    )
+
+
+@query(
     "sql_api_q1",
     oracle="""
 SELECT l_returnflag, l_linestatus,
