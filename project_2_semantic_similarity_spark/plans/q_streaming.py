@@ -158,6 +158,39 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_static_join",
+    oracle="""
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(e.value), 2) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.event_type = 'purchase'
+GROUP BY 1
+""",
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the one streaming join mode
+    the family didn't yet cover: purchases streaming in, joined to
+    the static customer dimension (broadcast per micro-batch — no
+    state store involvement at all, unlike stream-stream), then a
+    per-segment revenue rollup in complete mode. At scale the static
+    side is the slowly-changing dim snapshot every enrichment
+    pipeline holds; broadcast keeps the stream side shuffle-free."""
+    from project_2_semantic_similarity_spark.sources import load_table
+
+    ev = S.read_events_stream(spark, S.stage_events_dir(sf_dir))
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment")
+    joined = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(cust), F.col("user_id") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").cast("bigint").alias("n"),
+             F.round(F.sum("value"), 2).alias("sum_value")))
+    return S.run_to_memory(joined, "stream_static_join", "complete")
+
+
+@query(
     "stream_custom_state",
     oracle="""
 SELECT user_id,
