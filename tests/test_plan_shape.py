@@ -135,3 +135,39 @@ def test_ivf_assign_argmin_has_no_window(spark, sf_dir):
     plan = plan_of(spark, "knn_ivf", sf_dir)
     assert "Window" not in plan
     assert "min_by" in plan
+
+
+def test_agg_selective_is_single_hash_agg(spark, sf_dir):
+    """max_by/min_by/count_if must plan as one partial+final hash
+    agg pair — no sort, no window (the argmin-without-sort shape)."""
+    plan = plan_of(spark, "agg_selective", sf_dir)
+    assert "HashAggregate" in plan
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_knn_quantized_plan_matches_exact_knn(spark, sf_dir):
+    """Quantized search keeps the broadcast-query + top-k heap shape;
+    the dequant must not force a shuffle or sort."""
+    plan = plan_of(spark, "knn_quantized", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert ("BroadcastNestedLoopJoin" in plan
+            or "BroadcastHashJoin" in plan)
+    assert "SortMergeJoin" not in plan
+
+
+def test_sink_sorted_ranged_pushes_read_filter(spark, sf_dir):
+    """The re-read of the range-sorted copy must push the shipdate
+    predicate into the parquet scan (row-group stat skipping)."""
+    import re as _re
+    plan = plan_of(spark, "sink_sorted_ranged", sf_dir)
+    assert _re.search(r"PushedFilters: \[[^\]]*l_shipdate", plan)
+
+
+def test_pack_shards_single_scalar_exchange(spark, sf_dir):
+    """Shard assignment = scalar total broadcast back over a narrow
+    map; the only join is a broadcast of the 1-row aggregate."""
+    plan = plan_of(spark, "corpus_pack_shards", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
