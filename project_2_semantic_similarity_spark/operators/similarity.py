@@ -424,3 +424,65 @@ def nearest_centroid_per_label(embeddings: DataFrame,
         F.col("best.other_label").alias("nearest_label"),
         F.col("best.cosine").alias("cosine"),
     )
+
+
+def kmeans_train(embeddings: DataFrame, k: int = 8, iters: int = 5,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Deterministic spherical k-means over the embedding column —
+    the iterative-algorithm surface (the codebook trainer whose
+    output knn_ivf / cosine_pairs_blocked consume).
+
+    Each iteration is the textbook two-step expressed as DataFrame
+    ops: (1) assign every vector to its max-cosine centroid via the
+    broadcast-codebook argmax (``ivf_assign`` — one scan, no sort);
+    (2) recompute element-wise mean centroids (``label_centroids`` —
+    posexplode + per-(label, pos) partial+final avg). Between
+    iterations the k×dim codebook is collected to the driver and
+    re-broadcast — k rows, bounded, and it truncates the lineage so
+    iteration N's plan does not replay iterations 1..N-1 (the
+    standard Spark iterative-algorithm pattern; at 100 TB the
+    assignment pass is the only data-sized job and it is linear per
+    iteration).
+
+    Everything is deterministic by construction: init picks the k
+    vectors with the lowest (md5(id), id) — a seeded pseudo-random
+    draw with a total-order tie-break — and the argmax breaks
+    centroid ties by lowest label (ivf_assign). No RNG, no
+    partition-order dependence beyond float-sum associativity.
+
+    Returns (id, list_id, ccos): final assignment plus the winning
+    cosine. Declared rows-only downstream — a 5-deep iterative CTE
+    is not meaningfully SQL-expressible; convergence and determinism
+    are pinned in tests/test_dedup_knn.py.
+    """
+    spark = embeddings.sparkSession
+    init = (
+        embeddings
+        .select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    cent_rows = [(i, [float(x) for x in r[vec_col]])
+                 for i, r in enumerate(init)]
+    schema = "label int, centroid array<double>"
+    cents = spark.createDataFrame(cent_rows, schema)
+
+    base = embeddings.select(id_col, vec_col).persist()
+    base.count()  # materialize once; every iteration rescans the cache
+    try:
+        for _ in range(iters):
+            assigned = ivf_assign(base, cents, id_col, vec_col)
+            new_cents = label_centroids(
+                assigned.withColumnRenamed("list_id", "label"),
+                "label", vec_col)
+            cent_rows = [(int(r["label"]),
+                          [float(x) for x in r["centroid"]])
+                         for r in new_cents.collect()]
+            cents = spark.createDataFrame(cent_rows, schema)
+        return ivf_assign(base, cents, id_col, vec_col,
+                          with_score=True).select(
+            id_col, "list_id", F.round("ccos", 6).alias("ccos"))
+    finally:
+        base.unpersist()

@@ -289,6 +289,18 @@ def knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", F.round("raw", 6).alias("cosine_q")))
 
 
+@query("cluster_kmeans")  # rows-only: 5-deep iterative loop, not SQL
+def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic spherical k-means (k=8, 5 iterations) over the
+    embeddings — the iterative codebook trainer feeding knn_ivf's
+    inverted lists (operators/similarity.py kmeans_train: broadcast
+    assign + mean recompute per iteration, driver-truncated lineage).
+    Rows-only by design (iterative, not SQL-expressible); convergence
+    monotonicity and determinism pinned in tests/test_dedup_knn.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.kmeans_train(e, k=8, iters=5)
+
+
 @query(
     "multimodal_join",
     oracle="""

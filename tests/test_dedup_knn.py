@@ -419,3 +419,32 @@ def test_knn_quantized_recall_vs_exact(spark, sf_dir):
     exact = {r.vec_id for r in knn_embeddings(spark, sf_dir).collect()}
     quant = {r.vec_id for r in knn_quantized(spark, sf_dir).collect()}
     assert len(exact & quant) >= 8, (exact, quant)
+
+
+def test_kmeans_deterministic_and_complete(spark, sf_dir):
+    """Same assignment on any partitioning; every vector assigned to
+    one of k clusters."""
+    from project_2_semantic_similarity_spark.operators.similarity import (
+        kmeans_train)
+    from project_2_semantic_similarity_spark.sources import load_table
+    e = load_table(spark, sf_dir, "embeddings")
+    a = {r.vec_id: r.list_id for r in kmeans_train(e, k=4, iters=3).collect()}
+    b = {r.vec_id: r.list_id
+         for r in kmeans_train(e.repartition(11), k=4, iters=3).collect()}
+    assert a == b
+    assert len(a) == e.count()
+    assert set(a.values()) <= set(range(4))
+
+
+def test_kmeans_objective_improves(spark, sf_dir):
+    """More iterations must not worsen the mean winning cosine
+    (monotone objective, the k-means convergence guarantee)."""
+    from pyspark.sql import functions as F
+    from project_2_semantic_similarity_spark.operators.similarity import (
+        kmeans_train)
+    from project_2_semantic_similarity_spark.sources import load_table
+    e = load_table(spark, sf_dir, "embeddings")
+    def mean_cos(iters):
+        out = kmeans_train(e, k=4, iters=iters)
+        return out.agg(F.avg("ccos")).collect()[0][0]
+    assert mean_cos(4) >= mean_cos(1) - 1e-9
