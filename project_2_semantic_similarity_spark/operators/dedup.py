@@ -146,6 +146,45 @@ def jaccard_pairs(shingled: DataFrame, min_jaccard: float) -> DataFrame:
     )
 
 
+def containment_pairs(shingled: DataFrame,
+                      min_containment: float) -> DataFrame:
+    """Directional shingle containment per co-shingled pair:
+    c(A→B) = |A∩B| / |A| — the asymmetric near-dup signal Jaccard
+    dilutes: a short doc quoted wholesale inside a long one has
+    c(short→long) ≈ 1 while Jaccard ≈ |short|/|long| ≈ 0 (quote /
+    boilerplate / subset-document detection in a crawl corpus).
+
+    One row per unordered pair (doc_a < doc_b) carrying BOTH
+    directions, kept when either clears the threshold. Identical
+    join/agg skeleton as jaccard_pairs — shared-shingle equi-join,
+    partial+final count agg — so the same scale rule applies: run on
+    LSH candidates at corpus scale, not all co-shingled pairs."""
+    sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_a", "sz": "sz_a"}),
+              "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "sz": "sz_b"}),
+              "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            (F.col("n_inter") / F.col("sz_a")).alias("c_a_in_b"),
+            (F.col("n_inter") / F.col("sz_b")).alias("c_b_in_a"),
+        )
+        .filter((F.col("c_a_in_b") >= min_containment)
+                | (F.col("c_b_in_a") >= min_containment))
+    )
+
+
 def _minhash_cols(num_hashes: int, seed: int) -> list:
     """Deterministic affine hash family over a pre-materialized
     ``base`` column (= xxhash64(shingle) mod P):

@@ -86,6 +86,64 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "content_hash")
 
 
+_CONTAIN_MIN = 0.8
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+),
+tok AS (
+    SELECT doc_id,
+           CAST(generate_subscripts(string_split_regex(text, '\\s+'), 1)
+                AS BIGINT) AS pos,
+           unnest(string_split_regex(text, '\\s+')) AS term
+    FROM corpus
+),
+seq AS (
+    SELECT doc_id, pos, term,
+           lead(term, 1) OVER w AS t1,
+           lead(term, 2) OVER w AS t2
+    FROM tok WHERE term <> ''
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+sh AS (
+    SELECT DISTINCT doc_id, term || ' ' || t1 || ' ' || t2 AS shingle
+    FROM seq WHERE t2 IS NOT NULL
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+    FROM sh a JOIN sh b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       round(i.n_inter / CAST(sa.sz AS DOUBLE), 6) AS c_a_in_b,
+       round(i.n_inter / CAST(sb.sz AS DOUBLE), 6) AS c_b_in_a
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE i.n_inter / CAST(sa.sz AS DOUBLE) >= {_CONTAIN_MIN}
+   OR i.n_inter / CAST(sb.sz AS DOUBLE) >= {_CONTAIN_MIN}
+""",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional shingle-containment near-dup pairs (either
+    direction ≥ 0.8) — catches the short-doc-quoted-in-long-doc case
+    Jaccard's union denominator dilutes (operators/dedup.py
+    containment_pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.containment_pairs(D.shingles(docs, _SHINGLE_N),
+                                _CONTAIN_MIN)
+    return pairs.select(
+        "doc_a", "doc_b",
+        F.round("c_a_in_b", 6).alias("c_a_in_b"),
+        F.round("c_b_in_a", 6).alias("c_b_in_a"))
+
+
 @query(
     "dedup_jaccard_exact",
     oracle=f"""

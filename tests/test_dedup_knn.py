@@ -448,3 +448,18 @@ def test_kmeans_objective_improves(spark, sf_dir):
         out = kmeans_train(e, k=4, iters=iters)
         return out.agg(F.avg("ccos")).collect()[0][0]
     assert mean_cos(4) >= mean_cos(1) - 1e-9
+
+
+def test_containment_catches_subset_doc(spark):
+    """A short doc fully contained in a long one must clear the
+    containment threshold while its Jaccard stays below 0.5."""
+    from project_2_semantic_similarity_spark.operators.dedup import (
+        containment_pairs, jaccard_pairs, shingles)
+    short = "alpha beta gamma delta epsilon"
+    long = short + " " + " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long)], "doc_id long, text string")
+    sh = shingles(docs, 3)
+    cont = containment_pairs(sh, 0.8).collect()
+    assert len(cont) == 1 and cont[0].c_a_in_b >= 0.99
+    assert jaccard_pairs(sh, 0.5).count() == 0
