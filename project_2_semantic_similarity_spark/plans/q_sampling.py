@@ -8,12 +8,16 @@ replicate the arithmetic verbatim — no RNG, no engine hash.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from project_2_semantic_similarity_spark.operators.sampling import (
     hash_split,
     hex_threshold,
     pack_shards,
     stratified_sample,
+)
+from project_2_semantic_similarity_spark.plans.q_textlab import (
+    corpus_prep_pipeline,
 )
 from project_2_semantic_similarity_spark.plans.registry import query
 from project_2_semantic_similarity_spark.sources import load_table
@@ -82,6 +86,67 @@ def corpus_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     beats greedy packing's global prefix sum at scale)."""
     d = load_table(spark, sf_dir, "documents")
     return pack_shards(d, _SHARD_BUDGET)
+
+
+def _split_case_sql(key_sql: str) -> str:
+    return f"""CASE WHEN substr(md5('split:' || {key_sql}), 1, 4)
+                 < '{hex_threshold(0.8)}' THEN 'train'
+            WHEN substr(md5('split:' || {key_sql}), 1, 4)
+                 < '{hex_threshold(0.9)}' THEN 'val'
+            ELSE 'test' END"""
+
+
+def _shards_oracle() -> str:
+    from project_2_semantic_similarity_spark.plans.q_textlab import (
+        PREP_CTES)
+    key = "CAST(s.doc_id AS VARCHAR)"
+    return f"""
+WITH {PREP_CTES},
+total AS (
+    SELECT greatest(1, CAST(ceil(CAST(sum(n_tokens) AS BIGINT)
+                                 / {float(_SHARD_BUDGET)}) AS BIGINT))
+               AS n_shards
+    FROM survivor
+),
+labeled AS (
+    SELECT s.doc_id, s.n_tokens,
+           {_split_case_sql(key)} AS split,
+           CAST(floor(CAST('0x' || substr(md5('shard:' || {key}), 1, 4)
+                           AS INTEGER) * t.n_shards / 65536.0) AS BIGINT)
+               AS shard_id
+    FROM survivor s CROSS JOIN total t
+)
+SELECT split, shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM labeled GROUP BY 1, 2
+"""
+
+
+@query("corpus_to_training_shards", oracle=_shards_oracle())
+def corpus_to_training_shards(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """The full 100 TB story in one declared plan: quality gate →
+    exact dedup → near-dup suppression (corpus_prep_pipeline) →
+    deterministic train/val/test split (hash_split) → token-budget
+    shard assignment (pack_shards) → the (split, shard) manifest a
+    training job consumes. Every stage is a verified operator; the
+    oracle reuses the prep pipeline's exact CTE chain (q_textlab
+    PREP_CTES) so the two declarations cannot drift. At scale the
+    output is `partitionBy(split, shard_id)` on the write — this
+    manifest is its row-count/token accounting."""
+    surv = corpus_prep_pipeline(spark, sf_dir).select("doc_id")
+    docs = (load_table(spark, sf_dir, "documents")
+            .join(surv, "doc_id", "left_semi"))
+    split_df = hash_split(docs.select("doc_id"), "doc_id", _SPLIT) \
+        .select("doc_id", "split")
+    sharded = pack_shards(docs, _SHARD_BUDGET)
+    return (
+        sharded.join(split_df, "doc_id")
+        .groupBy("split", "shard_id")
+        .agg(F.count("*").cast("bigint").alias("n_docs"),
+             F.sum("n_tokens").cast("bigint").alias("n_tokens"))
+    )
 
 
 @query(

@@ -154,10 +154,11 @@ _PREP_MIN_TOKENS = 20
 _PREP_MIN_JACCARD = 0.5
 
 
-@query(
-    "corpus_prep_pipeline",
-    oracle=f"""
-WITH feat AS (
+# Shared CTE chain for the prep pipeline: quality gate -> exact-dup
+# losers -> near-dup losers. Reused verbatim by corpus_prep_pipeline
+# (below) and corpus_to_training_shards (plans/q_sampling.py) so the
+# two oracles can never drift apart.
+PREP_CTES = f"""feat AS (
     SELECT doc_id, text,
            CAST(length(text) AS BIGINT) AS n_chars,
            CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
@@ -179,7 +180,7 @@ scored AS (
     FROM feat
 ),
 kept AS (
-    SELECT doc_id, text, quality FROM scored
+    SELECT doc_id, text, quality, n_tokens FROM scored
     WHERE quality >= {_PREP_MIN_QUALITY} AND n_tokens >= {_PREP_MIN_TOKENS}
 ),
 hashed AS (
@@ -228,11 +229,20 @@ near_loser AS (
     JOIN sizes sb ON sb.doc_id = i.doc_b
     WHERE i.n_inter / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE)
           >= {_PREP_MIN_JACCARD}
-)
-SELECT k.doc_id, k.quality
-FROM kept k
-WHERE k.doc_id NOT IN (SELECT doc_id FROM exact_loser)
-  AND k.doc_id NOT IN (SELECT doc_id FROM near_loser)
+),
+survivor AS (
+    SELECT k.doc_id, k.quality, k.n_tokens
+    FROM kept k
+    WHERE k.doc_id NOT IN (SELECT doc_id FROM exact_loser)
+      AND k.doc_id NOT IN (SELECT doc_id FROM near_loser)
+)"""
+
+
+@query(
+    "corpus_prep_pipeline",
+    oracle=f"""
+WITH {PREP_CTES}
+SELECT doc_id, quality FROM survivor
 """,
 )
 def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
