@@ -1,0 +1,105 @@
+"""Graph operators for dedup clustering (SURVEY.md §2.B
+"LLM-data-pipeline extensions"): connected components over a
+near-duplicate pair relation, expressed as iterative DataFrame
+min-label propagation.
+
+Why this exists: pair-level dedup (jaccard_pairs, cosine pairs,
+minhash candidates) yields EDGES; a training pipeline needs the
+CLUSTERS those edges imply — "these 7 docs are all the same
+article" — so it can keep exactly one representative per cluster.
+One-hop suppression (dedup_pipeline) drops the b-side of each pair;
+transitive closure additionally collapses chains a~b~c where (a, c)
+was never itself a discovered pair.
+
+Scale design: the classic MapReduce connected-components literature
+(Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14) shows label propagation converges in O(diameter) rounds;
+near-dup graphs are star-/clique-like (duplicates of one source
+article), so diameter is small and bounded rounds suffice. Each
+round is one shuffle: an equi-join of the label relation with the
+edge relation on the node key followed by a min-aggregate — both
+hash-partitioned on node id, no skew beyond a cluster's degree.
+Between rounds the label relation is persisted and the previous one
+released, truncating lineage exactly like kmeans_train
+(operators/similarity.py) so round N does not replay rounds 1..N-1.
+Convergence is detected with a one-row aggregate (labels only ever
+decrease, so an unchanged sum means a fixed point) — one tiny
+driver action per round, never a data-sized collect."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(pairs: DataFrame, src: str = "doc_a",
+                         dst: str = "doc_b",
+                         max_rounds: int = 20) -> DataFrame:
+    """Connected components of the undirected graph given as a pair
+    relation. Returns ``(node, component_id)`` for every node that
+    appears in at least one pair, where ``component_id`` is the
+    MINIMUM node id in the component (deterministic canonical
+    representative).
+
+    Raises ``RuntimeError`` if the propagation has not reached a
+    fixed point after ``max_rounds`` (diameter larger than the
+    bound) rather than returning a partially-merged labeling."""
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    try:
+        for _ in range(max_rounds):
+            # Min label among self + neighbors; labels only decrease.
+            neighbor_min = (
+                edges.join(labels, edges["v"] == labels["node"])
+                .groupBy(F.col("u").alias("node"))
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            new_labels = (
+                labels.join(neighbor_min, "node", "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"),
+                        F.coalesce(F.col("nbr_label"), F.col("label")),
+                    ).alias("label"),
+                )
+                .persist()
+            )
+            new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+            labels.unpersist()
+            labels = new_labels
+            if new_sum == prev_sum:
+                return labels.select(
+                    F.col("node"), F.col("label").alias("component_id"))
+            prev_sum = new_sum
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds")
+    finally:
+        edges.unpersist()
+
+
+def dedup_clusters(pairs: DataFrame, src: str = "doc_a",
+                   dst: str = "doc_b") -> DataFrame:
+    """Duplicate clusters from near-dup pairs: every clustered doc
+    with its canonical representative (min doc id in the component)
+    and the cluster size. ``(doc_id, component_id, component_size)``,
+    non-singleton components only (singletons never appear in a
+    pair, hence carry no dedup decision)."""
+    comp = connected_components(pairs, src, dst)
+    sizes = comp.groupBy("component_id").agg(
+        F.count("*").cast("bigint").alias("component_size"))
+    return (
+        comp.join(sizes, "component_id")
+        .select(F.col("node").alias("doc_id"), "component_id",
+                "component_size")
+    )

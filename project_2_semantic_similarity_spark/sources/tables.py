@@ -25,16 +25,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table. Lazy — the scan participates in
     whatever plan the caller builds (pushdown/pruning applies).
 
-    ``events.ts`` is TIMESTAMP(NANOS) in the parquet footer, which
-    Spark 4 rejects outright (PARQUET_TYPE_ILLEGAL); read it as raw
-    nanos via the legacy conf and convert to a µs timestamp with
-    integer arithmetic (``div`` — a double division would lose
-    precision on ~1.7e18 nano epochs). DuckDB truncates ns→µs the
-    same way, so oracle parity holds."""
+    ``events.ts`` has shipped in two physical layouts across testdata
+    generations: TIMESTAMP(NANOS) — which Spark 4 rejects outright
+    (PARQUET_TYPE_ILLEGAL) unless read as raw nano longs via the
+    legacy conf — and plain TIMESTAMP(MICROS) without a UTC
+    annotation, which Spark reads as TIMESTAMP_NTZ. Normalize both to
+    a session-TZ TimestampType: nanos convert with integer ``div``
+    arithmetic (a double division would lose precision on ~1.7e18
+    nano epochs); NTZ casts 1:1 because the session timezone is UTC
+    (session.py). DuckDB sees naive µs timestamps either way, so
+    oracle parity holds."""
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":  # TIMESTAMP(NANOS) read as raw longs
+            return df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
