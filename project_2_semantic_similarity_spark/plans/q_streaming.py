@@ -276,12 +276,7 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the final watermark (end <= max_ts - 1h); windows newer than
     that are withheld — which is what the batch oracle states."""
     d = S.stage_late_events_dir(sf_dir)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = (
-        spark.readStream.schema(S.EVENTS_NS_SCHEMA)
-        .option("maxFilesPerTrigger", "1").parquet(d)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    ev = S.read_events_stream(spark, d, maxFilesPerTrigger="1")
     agg = (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"))

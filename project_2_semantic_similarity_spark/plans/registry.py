@@ -52,12 +52,25 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # change is in fact result-preserving).
 _CHANGED_THIS_ROUND = frozenset(
     {
-        "flagship_term_similarity",  # query-vector broadcast guard
-        "knn_ivf",                   # ivf_assign window -> min_by agg
-        "dedup_minhash",             # narrow/wide auto-selection
-        "dedup_embedding_cosine",    # all-pairs -> metric blocking
-        "knn_batch_self",            # shares ivf_assign/centroid path
-        "join_bucketed",             # staging moved into stage_bucketed()
+        # round 4: the streaming events reader now probes the parquet
+        # footer and handles BOTH ts layouts (nanos-as-long and
+        # micros/NTZ) — every stream_* query reads through it
+        "stream_tumbling_count",
+        "stream_sliding_avg",
+        "stream_session",
+        "stream_dedup_watermark",
+        "stream_stream_join",
+        "stream_static_join",
+        "stream_custom_state",
+        "stream_sink_parquet",
+        "stream_late_data",
+        # round 4: array outputs -> exploded (vec_id, pos, value) rows
+        "embedding_quantize",
+        "embedding_normalize",
+        # round 4: broadcast-guard probe bypassed + weight-table cache
+        "flagship_term_similarity",
+        # round 4: blocking codebook label_centroids -> trained k-means
+        "dedup_embedding_cosine",
     }
 )
 

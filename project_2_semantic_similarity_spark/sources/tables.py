@@ -34,16 +34,40 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     arithmetic (a double division would lose precision on ~1.7e18
     nano epochs); NTZ casts 1:1 because the session timezone is UTC
     (session.py). DuckDB sees naive µs timestamps either way, so
-    oracle parity holds."""
+    oracle parity holds.
+
+    The layout is probed from the parquet footer (pyarrow, driver-
+    local) so the session-wide legacy nanosAsLong conf is only set
+    when the file actually is nanos — on the micros layout no
+    unrelated parquet read in the session can be affected. When set
+    it stays set: Spark consults it at scan execution, not just at
+    schema inference, so save/restore around the lazy read would
+    corrupt the deferred action."""
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        ts_type = dict(df.dtypes)["ts"]
-        if ts_type == "bigint":  # TIMESTAMP(NANOS) read as raw longs
-            return df.withColumn(
+        path = f"{sf_dir}/{name}.parquet"
+        if events_ts_is_nanos(path):
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            return spark.read.parquet(path).withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return spark.read.parquet(path).withColumn(
+            "ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def events_ts_is_nanos(parquet_path_or_dir: str) -> bool:
+    """Footer probe: True iff the events file(s) carry ts as
+    TIMESTAMP(NANOS). Reads one footer only (pyarrow, driver-local,
+    no Spark job) — all files in a staged streaming dir are
+    hardlinks/derivatives of the same source layout."""
+    import pyarrow.parquet as pq
+
+    p = parquet_path_or_dir
+    if os.path.isdir(p):
+        files = sorted(f for f in os.listdir(p) if f.endswith(".parquet"))
+        if not files:
+            raise FileNotFoundError(f"no parquet files under {p}")
+        p = os.path.join(p, files[0])
+    return str(pq.read_schema(p).field("ts").type) == "timestamp[ns]"
 
 
 def source_fingerprint(sf_dir: str, *names: str) -> str:

@@ -1,7 +1,6 @@
 """Structured Streaming operators (SURVEY.md §2.B "Streaming")."""
 
 from project_2_semantic_similarity_spark.streaming.ops import (
-    EVENTS_NS_SCHEMA,
     click_purchase_join,
     custom_state_totals,
     dedup_stream,
@@ -15,7 +14,6 @@ from project_2_semantic_similarity_spark.streaming.ops import (
 )
 
 __all__ = [
-    "EVENTS_NS_SCHEMA",
     "read_events_stream",
     "stage_events_dir",
     "run_to_memory",

@@ -22,18 +22,26 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# events.parquet carries ts as TIMESTAMP(NANOS) which Spark rejects;
-# streaming reads use an explicit schema with ts as raw nanos
-# (+ nanosAsLong conf) and convert via integer div — same parity
-# contract as sources/tables.py.
-EVENTS_NS_SCHEMA = T.StructType([
-    T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),
-    T.StructField("user_id", T.LongType()),
-    T.StructField("event_type", T.StringType()),
-    T.StructField("value", T.DoubleType()),
-    T.StructField("props", T.StringType()),
-])
+# events.ts has shipped in two physical layouts across testdata
+# generations (same dual-layout contract as sources/tables.py):
+# TIMESTAMP(NANOS) — which Spark 4 rejects unless read as raw nano
+# longs via the legacy conf — and plain TIMESTAMP(MICROS) without a
+# UTC annotation, which Spark reads as TIMESTAMP_NTZ. readStream
+# needs an explicit schema, so the layout is probed from the parquet
+# footer (pyarrow, driver-local, no Spark job) and the matching
+# schema + ts conversion chosen per file set.
+
+
+def _events_schema(ts_is_nanos: bool) -> T.StructType:
+    ts_type = T.LongType() if ts_is_nanos else T.TimestampNTZType()
+    return T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", ts_type),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
 
 
 def _stream_tag(sf_dir: str) -> str:
@@ -110,9 +118,12 @@ def stage_late_events_dir(sf_dir: str, shift_days: int = 60) -> str:
     pq.write_table(t.slice(0, half), f1)
     pq.write_table(t.slice(half), f2)
     ts_type = t.schema.field("ts").type
+    # int64 view of a timestamp column is in the column's own unit —
+    # scale the shift accordingly (ns and µs layouts both ship)
+    per_sec = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[ts_type.unit]
     shifted_ts = pc.cast(
         pc.subtract(pc.cast(t.column("ts"), pa.int64()),
-                    pa.scalar(shift_days * 86_400 * 10**9, pa.int64())),
+                    pa.scalar(shift_days * 86_400 * per_sec, pa.int64())),
         ts_type)
     shifted_id = pc.add(t.column("event_id"),
                         pa.scalar(10**9, pa.int64()))
@@ -125,13 +136,32 @@ def stage_late_events_dir(sf_dir: str, shift_days: int = 60) -> str:
     return d
 
 
-def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
-    """Streaming scan of an events directory (ns→µs ts conversion)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return (
-        spark.readStream.schema(EVENTS_NS_SCHEMA).parquet(path)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+def read_events_stream(spark: SparkSession, path: str,
+                       **options: str) -> DataFrame:
+    """Streaming scan of an events directory, normalizing ts to a
+    session-TZ TimestampType whichever physical layout the files
+    carry: raw-nanos longs convert with integer ``div`` arithmetic
+    (double division would lose precision on ~1.7e18 nano epochs);
+    the MICROS/NTZ layout casts 1:1 because the session timezone is
+    UTC (session.py). The legacy nanosAsLong conf is only set when
+    the files actually are nanos — it must stay set for the
+    stream's lifetime (the scan consults it per micro-batch), which
+    is why it can't be save/restored here. ``options`` pass through
+    to the reader (e.g. maxFilesPerTrigger for multi-batch replays)."""
+    from project_2_semantic_similarity_spark.sources.tables import (
+        events_ts_is_nanos)
+
+    nanos = events_ts_is_nanos(path)
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(_events_schema(nanos))
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    df = reader.parquet(path)
+    if nanos:
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def run_to_memory(stream_df: DataFrame, name: str,

@@ -32,15 +32,25 @@ def test_ordered_queries_tiers(monkeypatch):
 
 
 def test_verified_rounds_reads_artifacts():
-    """The real artifacts (CORRECTNESS_r01/r02.json) resolve to the
-    latest round per name — spot-check two names known to be in each."""
+    """The real CORRECTNESS_r*.json artifacts resolve to the latest
+    round per name — artifact-agnostic so the test stays green as new
+    rounds land (the round-3 hardcoded {1, 2} broke on r03)."""
+    import glob
+    import os
+    import re
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    on_disk = {
+        int(re.search(r"CORRECTNESS_r(\d+)\.json$", p).group(1))
+        for p in glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))
+    }
     rounds = registry._verified_rounds()
-    # fn_string was driver-checked in BOTH rounds -> latest wins
-    assert rounds.get("fn_string") == 2
-    # scan_parquet was round-1-only
-    assert rounds.get("scan_parquet") == 1
-    # every name verified this far is either round 1 or 2
-    assert set(rounds.values()) <= {1, 2}
+    # fn_string was driver-checked in rounds 1 AND 2 -> latest wins
+    assert rounds.get("fn_string", 0) >= 2
+    # every resolved round must come from an artifact that exists
+    assert set(rounds.values()) <= on_disk
+    # flagship is re-verified every round -> always at the max round
+    assert rounds.get("flagship_term_similarity") == max(on_disk)
 
 
 def test_every_changed_name_is_declared():

@@ -71,10 +71,7 @@ def test_custom_state_accumulates_across_batches(spark, sf_dir):
     # the totals emitted in batch 2 are exactly double the per-user
     # batch totals.
     d = S.stage_doubled_events_dir(sf_dir)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = (spark.readStream.schema(S.EVENTS_NS_SCHEMA)
-          .option("maxFilesPerTrigger", "1").parquet(d)
-          .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    ev = S.read_events_stream(spark, d, maxFilesPerTrigger="1")
     out = S.run_to_memory(S.custom_state_totals(ev),
                           "custom_state_2batch", "update")
     final = {r.user_id: r.n_events for r in
@@ -102,10 +99,7 @@ def test_late_data_dropped_by_watermark(spark, sf_dir):
     # query already stopped by availableNow → fall back to re-running
     if not prog:
         d = S.stage_late_events_dir(sf_dir)
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        ev2 = (spark.readStream.schema(S.EVENTS_NS_SCHEMA)
-               .option("maxFilesPerTrigger", "1").parquet(d)
-               .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+        ev2 = S.read_events_stream(spark, d, maxFilesPerTrigger="1")
         agg = (ev2.withWatermark("ts", "1 hour")
                .groupBy(F.window("ts", "1 hour")).agg(F.count("*").alias("n")))
         qq = (agg.writeStream.format("memory").queryName("late_metric")
