@@ -160,27 +160,38 @@ WITH base AS (
            list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
                / 127.0 AS scale
     FROM embeddings
+),
+q AS (
+    SELECT vec_id,
+           round(scale, 6) AS scale,
+           CASE WHEN scale > 0
+                THEN list_transform(v, x -> CAST(floor(x / scale + 0.5)
+                                                 AS INT))
+                ELSE list_transform(v, x -> 0) END AS codes,
+           round(CASE WHEN scale > 0
+                 THEN list_max(list_transform(
+                     v, x -> abs(x - floor(x / scale + 0.5) * scale)))
+                 ELSE 0.0 END, 6) AS max_err
+    FROM base
 )
 SELECT vec_id,
-       round(scale, 6) AS scale,
-       CASE WHEN scale > 0
-            THEN list_transform(v, x -> CAST(floor(x / scale + 0.5)
-                                             AS INT))
-            ELSE list_transform(v, x -> 0) END AS codes,
-       round(CASE WHEN scale > 0
-             THEN list_max(list_transform(
-                 v, x -> abs(x - floor(x / scale + 0.5) * scale)))
-             ELSE 0.0 END, 6) AS max_err
-FROM base
+       CAST(generate_subscripts(codes, 1) - 1 AS BIGINT) AS pos,
+       unnest(codes) AS code,
+       scale, max_err
+FROM q
 """,
 )
 def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 scalar quantization of the embedding column —
     the storage-compression pass a 100 TB embedding corpus runs
     before indexing (4× smaller than float32, dequant error ≤
-    scale/2, verified per vector). Pure higher-order Column
+    scale/2, verified per element). Pure higher-order Column
     expressions (functions/vectors.py quantize_*); floor(x + 0.5)
-    keeps the rounding bit-identical between Spark and the oracle."""
+    keeps the rounding bit-identical between Spark and the oracle.
+    Emitted EXPLODED — one (vec_id, pos, code) row per element — so
+    the result is scalar-typed and hash-checkable (array cells crash
+    the driver's canonical sort, CORRECTNESS_r03); the array form is
+    what knn_quantized consumes internally."""
     from project_2_semantic_similarity_spark.functions import (
         quantize_codes,
         quantize_max_error,
@@ -189,12 +200,20 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     scale = quantize_scale("embedding")
-    return e.select(
+    per_vec = e.select(
         "vec_id",
         F.round(scale, 6).alias("scale"),
         quantize_codes("embedding", scale).alias("codes"),
         F.round(quantize_max_error("embedding", scale), 6)
          .alias("max_err"),
+    )
+    return per_vec.select(
+        "vec_id",
+        F.posexplode("codes").alias("pos", "code"),
+        "scale", "max_err",
+    ).select(
+        "vec_id", F.col("pos").cast("bigint").alias("pos"),
+        "code", "scale", "max_err",
     )
 
 
@@ -206,20 +225,30 @@ WITH base AS (
            sqrt(list_sum(list_transform(embedding::DOUBLE[],
                                         x -> x * x))) AS nrm
     FROM embeddings
+),
+q AS (
+    SELECT vec_id,
+           CASE WHEN nrm > 0
+                THEN list_transform(v, x -> round(x / nrm, 6))
+                ELSE list_transform(v, x -> 0.0) END AS unit,
+           round(nrm, 6) AS norm
+    FROM base
 )
 SELECT vec_id,
-       CASE WHEN nrm > 0
-            THEN list_transform(v, x -> round(x / nrm, 6))
-            ELSE list_transform(v, x -> 0.0) END AS unit,
-       round(nrm, 6) AS norm
-FROM base
+       CAST(generate_subscripts(unit, 1) - 1 AS BIGINT) AS pos,
+       unnest(unit) AS unit_val,
+       norm
+FROM q
 """,
 )
 def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2-normalize the embedding column (unit vectors turn cosine
     into a plain dot product — the standard pre-pass before any
     large-scale similarity index). Pure higher-order Column exprs,
-    narrow map, zero-vector-safe."""
+    narrow map, zero-vector-safe. Emitted EXPLODED — one (vec_id,
+    pos, unit_val) row per element — so the result is scalar-typed
+    and hash-checkable (array cells crash the driver's canonical
+    sort, CORRECTNESS_r03)."""
     e = load_table(spark, sf_dir, "embeddings")
     nrm = l2_norm("embedding")
     unit = F.when(
@@ -227,8 +256,16 @@ def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding",
                     lambda x: F.round(x.cast("double") / nrm, 6)),
     ).otherwise(F.transform("embedding", lambda x: F.lit(0.0)))
-    return e.select("vec_id", unit.alias("unit"),
-                    F.round(nrm, 6).alias("norm"))
+    per_vec = e.select("vec_id", unit.alias("unit"),
+                       F.round(nrm, 6).alias("norm"))
+    return per_vec.select(
+        "vec_id",
+        F.posexplode("unit").alias("pos", "unit_val"),
+        "norm",
+    ).select(
+        "vec_id", F.col("pos").cast("bigint").alias("pos"),
+        "unit_val", "norm",
+    )
 
 
 @query(
