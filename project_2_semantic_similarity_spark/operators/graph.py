@@ -22,9 +22,9 @@ hash-partitioned on node id, no skew beyond a cluster's degree.
 Between rounds the label relation is persisted and the previous one
 released, truncating lineage exactly like kmeans_train
 (operators/similarity.py) so round N does not replay rounds 1..N-1.
-Convergence is detected with a one-row aggregate (labels only ever
-decrease, so an unchanged sum means a fixed point) — one tiny
-driver action per round, never a data-sized collect."""
+Convergence is one count-aggregate per round over the rows whose
+label changed — type-agnostic (string or numeric node ids), one
+scalar driver action, never a data-sized collect."""
 
 from __future__ import annotations
 
@@ -38,8 +38,15 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     """Connected components of the undirected graph given as a pair
     relation. Returns ``(node, component_id)`` for every node that
     appears in at least one pair, where ``component_id`` is the
-    MINIMUM node id in the component (deterministic canonical
-    representative).
+    minimum node id in the component UNDER THE ID COLUMN'S NATURAL
+    ORDERING (numeric min for numeric ids, lexicographic min for
+    strings — either way a deterministic canonical representative;
+    ``F.min``/``F.least`` and the fixed point all use that same
+    order, so the propagation is monotone for any orderable type).
+
+    The returned DataFrame is localCheckpoint-materialized: lineage
+    is truncated and every per-round cache entry has been released —
+    callers own no unpersist obligation.
 
     Raises ``RuntimeError`` if the propagation has not reached a
     fixed point after ``max_rounds`` (diameter larger than the
@@ -50,51 +57,61 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         .distinct()
         .persist()
     )
-    labels = (
+    cached = (
         edges.select(F.col("u").alias("node")).distinct()
         .withColumn("label", F.col("node"))
         .persist()
     )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    labels = cached
     try:
         for _ in range(max_rounds):
-            # Min label among self + neighbors; labels only decrease.
+            # Min label among self + neighbors; per-node labels are
+            # non-increasing in the column's ordering, so "no row
+            # changed" is a true fixed point.
             neighbor_min = (
                 edges.join(labels, edges["v"] == labels["node"])
                 .groupBy(F.col("u").alias("node"))
                 .agg(F.min("label").alias("nbr_label"))
             )
-            new_labels = (
-                labels.join(neighbor_min, "node", "left")
+            stepped = (
+                labels.withColumnRenamed("label", "old_label")
+                .join(neighbor_min, "node", "left")
                 .select(
-                    "node",
+                    "node", "old_label",
                     F.least(
-                        F.col("label"),
-                        F.coalesce(F.col("nbr_label"), F.col("label")),
+                        F.col("old_label"),
+                        F.coalesce(F.col("nbr_label"),
+                                   F.col("old_label")),
                     ).alias("label"),
                 )
                 .persist()
             )
-            new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
-            labels.unpersist()
-            labels = new_labels
-            if new_sum == prev_sum:
+            n_changed = stepped.filter(
+                F.col("label") != F.col("old_label")).count()
+            cached.unpersist()
+            cached = stepped
+            labels = stepped.select("node", "label")
+            if n_changed == 0:
+                # Materialize off the per-round cache chain so the
+                # last persisted relation can be released too.
                 return labels.select(
-                    F.col("node"), F.col("label").alias("component_id"))
-            prev_sum = new_sum
+                    "node", F.col("label").alias("component_id"),
+                ).localCheckpoint(eager=True)
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} rounds")
     finally:
+        cached.unpersist()
         edges.unpersist()
 
 
 def dedup_clusters(pairs: DataFrame, src: str = "doc_a",
                    dst: str = "doc_b") -> DataFrame:
     """Duplicate clusters from near-dup pairs: every clustered doc
-    with its canonical representative (min doc id in the component)
-    and the cluster size. ``(doc_id, component_id, component_size)``,
-    non-singleton components only (singletons never appear in a
-    pair, hence carry no dedup decision)."""
+    with its canonical representative (min doc id in the component,
+    under the id column's natural ordering) and the cluster size.
+    ``(doc_id, component_id, component_size)``, non-singleton
+    components only (singletons never appear in a pair, hence carry
+    no dedup decision)."""
     comp = connected_components(pairs, src, dst)
     sizes = comp.groupBy("component_id").agg(
         F.count("*").cast("bigint").alias("component_size"))

@@ -14,6 +14,7 @@ instead; same join shape)."""
 from __future__ import annotations
 
 import math
+from collections.abc import Hashable
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -23,6 +24,7 @@ from project_2_semantic_similarity_spark.functions import (
     dot,
     l2_norm,
 )
+from project_2_semantic_similarity_spark.operators.cache import keyed_persist
 
 
 def knn_brute_force(embeddings: DataFrame, query_vec_id: int, k: int,
@@ -219,7 +221,8 @@ def cosine_pairs_blocked(embeddings: DataFrame, min_cosine: float,
                          centroids: DataFrame,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding",
-                         salt_buckets: int = 32) -> DataFrame:
+                         salt_buckets: int = 32,
+                         cache_key: Hashable = None) -> DataFrame:
     """EXACT all-pairs cosine self-join (cos > min_cosine) with
     metric blocking — the scale-path replacement for the naive
     ``a.join(b, id_a < id_b)`` broadcast-NLJ:
@@ -255,8 +258,10 @@ def cosine_pairs_blocked(embeddings: DataFrame, min_cosine: float,
     (cluster, salt) — every pair still matches exactly once, work
     spreads over K × S even tasks, replication cost is O(S·n) with S
     constant."""
-    assigned = ivf_assign(embeddings, centroids, id_col, vec_col,
-                          with_score=True).persist()
+    assigned = keyed_persist(
+        "blocked_assigned", None if cache_key is None else cache_key,
+        lambda: ivf_assign(embeddings, centroids, id_col, vec_col,
+                           with_score=True))
     cand = candidate_cluster_pairs(assigned, centroids, min_cosine)
 
     a = assigned.select(F.col(id_col).alias("vec_a"),
@@ -287,7 +292,8 @@ def cosine_pairs_blocked(embeddings: DataFrame, min_cosine: float,
 def knn_batch_topk(embeddings: DataFrame, k: int, centroids: DataFrame,
                    id_col: str = "vec_id",
                    vec_col: str = "embedding",
-                   salt_buckets: int = 32) -> DataFrame:
+                   salt_buckets: int = 32,
+                   cache_key: Hashable = None) -> DataFrame:
     """EXACT k nearest neighbors for EVERY vector (batch similarity
     search): the same salted cluster-local equi-join as
     ``cosine_pairs_blocked`` but with no similarity threshold (every
@@ -303,8 +309,10 @@ def knn_batch_topk(embeddings: DataFrame, k: int, centroids: DataFrame,
     same code prunes via a finite threshold (see
     cosine_pairs_blocked). The top-k window partitions by vector id
     — n distinct keys, no hot-group skew."""
-    assigned = ivf_assign(embeddings, centroids, id_col, vec_col,
-                          with_score=True).persist()
+    assigned = keyed_persist(
+        "batchtopk_assigned", None if cache_key is None else cache_key,
+        lambda: ivf_assign(embeddings, centroids, id_col, vec_col,
+                           with_score=True))
     cand = candidate_cluster_pairs(assigned, centroids, -1.0)
 
     a = assigned.select(F.col(id_col).alias("vec_id"),
@@ -457,6 +465,51 @@ def kmeans_train(embeddings: DataFrame, k: int = 8, iters: int = 5,
     are pinned in tests/test_dedup_knn.py.
     """
     spark = embeddings.sparkSession
+    cent_rows = _kmeans_fit(embeddings, k, iters, id_col, vec_col)
+    cents = spark.createDataFrame(cent_rows, _CODEBOOK_SCHEMA)
+    return ivf_assign(embeddings.select(id_col, vec_col), cents,
+                      id_col, vec_col, with_score=True).select(
+        id_col, "list_id", F.round("ccos", 6).alias("ccos"))
+
+
+_CODEBOOK_SCHEMA = "label int, centroid array<double>"
+
+
+def kmeans_codebook(embeddings: DataFrame, k: int = 8, iters: int = 5,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    fit_sample_max: int | None = None) -> DataFrame:
+    """The TRAINED centroids themselves, ``(label, centroid)`` — the
+    codebook ``knn_ivf`` / ``cosine_pairs_blocked`` consume. The
+    returned DataFrame is built from k driver-local rows —
+    broadcasting it is free.
+
+    ``fit_sample_max``: fit on a deterministic hash-sample of at most
+    ~this many vectors (the standard IVF practice — codebook quality
+    saturates long before the full corpus is seen, and at 100 TB
+    fitting on the full relation would cost iters × full scans for no
+    quality gain). The sample is pmod(xxhash64(id)) — stable across
+    runs and partitionings. Only the FIT is sampled; callers assign
+    the full relation against the result."""
+    spark = embeddings.sparkSession
+    fit = embeddings
+    if fit_sample_max is not None:
+        n = embeddings.count()
+        if n > fit_sample_max:
+            denom = -(-n // fit_sample_max)  # ceil
+            fit = embeddings.where(
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(denom)) == 0)
+    return spark.createDataFrame(
+        _kmeans_fit(fit, k, iters, id_col, vec_col),
+        _CODEBOOK_SCHEMA)
+
+
+def _kmeans_fit(embeddings: DataFrame, k: int, iters: int,
+                id_col: str, vec_col: str) -> list[tuple]:
+    """Lloyd iterations (spherical, deterministic); returns the final
+    k (label, centroid) rows. Per-iteration driver traffic is the
+    k×dim codebook only; the persisted base is released in finally."""
+    spark = embeddings.sparkSession
     init = (
         embeddings
         .select(id_col, vec_col)
@@ -466,8 +519,7 @@ def kmeans_train(embeddings: DataFrame, k: int = 8, iters: int = 5,
     )
     cent_rows = [(i, [float(x) for x in r[vec_col]])
                  for i, r in enumerate(init)]
-    schema = "label int, centroid array<double>"
-    cents = spark.createDataFrame(cent_rows, schema)
+    cents = spark.createDataFrame(cent_rows, _CODEBOOK_SCHEMA)
 
     base = embeddings.select(id_col, vec_col).persist()
     base.count()  # materialize once; every iteration rescans the cache
@@ -480,9 +532,7 @@ def kmeans_train(embeddings: DataFrame, k: int = 8, iters: int = 5,
             cent_rows = [(int(r["label"]),
                           [float(x) for x in r["centroid"]])
                          for r in new_cents.collect()]
-            cents = spark.createDataFrame(cent_rows, schema)
-        return ivf_assign(base, cents, id_col, vec_col,
-                          with_score=True).select(
-            id_col, "list_id", F.round("ccos", 6).alias("ccos"))
+            cents = spark.createDataFrame(cent_rows, _CODEBOOK_SCHEMA)
+        return cent_rows
     finally:
         base.unpersist()

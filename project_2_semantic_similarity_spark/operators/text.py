@@ -40,8 +40,12 @@ with vocabulary size.
 
 from __future__ import annotations
 
+from collections.abc import Hashable
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from project_2_semantic_similarity_spark.operators.cache import keyed_persist
 
 TOKEN_SPLIT = r"\s+"
 
@@ -150,11 +154,16 @@ def similar_terms(weights: DataFrame, query: str, k: int = 5,
     right; for a stopword-like query on a billion-doc corpus it is
     O(n_docs) and broadcasting it would OOM the executors (the
     reference's closure-captured dict at app.py:162 has the identical
-    failure mode). Guard: count df(query) (one cheap job — the weight
-    table is persisted on the flagship path) and fall back to a
-    shuffled hash/merge join on doc_id when it exceeds
-    ``broadcast_df_max`` (default ~8 MB of (doc_id, weight) rows).
-    ``broadcast_df_max=None`` skips the probe and always broadcasts.
+    failure mode). Guard: probe df(query) with a LIMIT-bounded count
+    (``limit(max+1)`` — tasks stop producing past the bound, so the
+    probe never materializes more than max+1 rows even for a stopword
+    query) and fall back to a shuffled hash/merge join on doc_id when
+    it exceeds ``broadcast_df_max`` (default ~8 MB of (doc_id,
+    weight) rows). ``broadcast_df_max=None`` skips the probe and
+    always broadcasts — right when the caller knows the query is
+    rare, e.g. the flagship's fixed mid-frequency term (the round-3
+    unbounded ``qvec.count()`` probe ran a full extra weight-table
+    materialization per call, +443% on the flagship bench).
     """
     qvec = weights.filter(F.col("term") == query).select(
         "doc_id", F.col("tfidf").alias("v1"))
@@ -164,7 +173,8 @@ def similar_terms(weights: DataFrame, query: str, k: int = 5,
         "doc_id", "term", F.col("tfidf").alias("v2"))
 
     q_side = qvec
-    if broadcast_df_max is None or qvec.count() <= broadcast_df_max:
+    if (broadcast_df_max is None
+            or qvec.limit(broadcast_df_max + 1).count() <= broadcast_df_max):
         q_side = F.broadcast(qvec)
     joined = cands.join(q_side, "doc_id", "left").select(
         "term",
@@ -201,7 +211,8 @@ def similar_terms(weights: DataFrame, query: str, k: int = 5,
 def doc_similarity_topk(corpus: DataFrame, k: int = 10,
                         round_to: int | None = None,
                         strategy: str = "auto",
-                        dense_vocab_max: int = 4096) -> DataFrame:
+                        dense_vocab_max: int = 4096,
+                        cache_key: Hashable = None) -> DataFrame:
     """Top-k most similar DOCUMENT pairs by TF-IDF cosine — the
     doc-axis dual of the reference's term-term query (terms become
     the shared join axis instead of documents).
@@ -229,33 +240,39 @@ def doc_similarity_topk(corpus: DataFrame, k: int = 10,
     # zero-weight entries (idf = 0 ⇔ term in every doc) contribute
     # nothing to any dot product or norm but ARE the hottest join
     # keys — dropping them is exact and removes the worst skew class
-    weights = tfidf(corpus).filter(F.col("tfidf") != 0).persist()
+    weights = keyed_persist(
+        "docsim_weights", None if cache_key is None else cache_key,
+        lambda: tfidf(corpus).filter(F.col("tfidf") != 0))
     if strategy == "auto":
         n_terms = weights.select("term").distinct().count()
         strategy = "dense" if n_terms <= dense_vocab_max else "sparse"
     if strategy == "dense":
         vocab = sorted(
             r[0] for r in weights.select("term").distinct().collect())
-        vecs = (
-            weights.groupBy("doc_id")
-            .agg(F.map_from_entries(
-                F.collect_list(F.struct("term", "tfidf"))).alias("m"))
-            .select(
-                "doc_id",
-                F.transform(
-                    F.array(*[F.lit(t) for t in vocab]),
-                    lambda t: F.coalesce(F.element_at("m", t), F.lit(0.0)),
-                ).alias("vec"))
-            .select(
-                "doc_id", "vec",
-                F.sqrt(F.aggregate(
-                    "vec", F.lit(0.0), lambda acc, x: acc + x * x))
-                 .alias("norm"))
-            # without this persist Catalyst collapses the vector-
-            # building projection INTO the pair-join consumers, re-
-            # evaluating the per-doc transform/map-lookup for every
-            # pair row (O(pairs·|V|) map probes instead of O(docs·|V|))
-            .persist()
+        # persisted (replacement slot): without materialization
+        # Catalyst collapses the vector-building projection INTO the
+        # pair-join consumers, re-evaluating the per-doc transform/
+        # map-lookup for every pair row (O(pairs·|V|) map probes
+        # instead of O(docs·|V|))
+        vecs = keyed_persist(
+            "docsim_vecs", None if cache_key is None else cache_key,
+            lambda: (
+                weights.groupBy("doc_id")
+                .agg(F.map_from_entries(
+                    F.collect_list(F.struct("term", "tfidf"))).alias("m"))
+                .select(
+                    "doc_id",
+                    F.transform(
+                        F.array(*[F.lit(t) for t in vocab]),
+                        lambda t: F.coalesce(F.element_at("m", t),
+                                             F.lit(0.0)),
+                    ).alias("vec"))
+                .select(
+                    "doc_id", "vec",
+                    F.sqrt(F.aggregate(
+                        "vec", F.lit(0.0), lambda acc, x: acc + x * x))
+                     .alias("norm"))
+            ),
         )
         a = vecs.select(F.col("doc_id").alias("doc_a"),
                         F.col("vec").alias("va"), F.col("norm").alias("na"))
@@ -358,7 +375,8 @@ def doc_similarity_topk_ann(corpus: DataFrame, k: int = 10,
                             n_planes: int = 8,
                             n_tables: int = 16,
                             seed: int = 42,
-                            dense_vocab_max: int = 4096) -> DataFrame:
+                            dense_vocab_max: int = 4096,
+                            cache_key: Hashable = None) -> DataFrame:
     """Top-k similar document pairs via ANN prefilter + exact
     re-rank — the 100×-scale path for ``doc_similarity_topk``, whose
     two exact strategies are both quadratic in pairs (the sparse term
@@ -387,7 +405,9 @@ def doc_similarity_topk_ann(corpus: DataFrame, k: int = 10,
     faster per pair than string-keyed map probes at sf0.1);
     otherwise sparse map<term,weight> rows with a map-probe dot
     (O(|terms_a|) per pair, unbounded vocabulary)."""
-    weights = tfidf(corpus).filter(F.col("tfidf") != 0).persist()
+    weights = keyed_persist(
+        "docsim_ann_weights", None if cache_key is None else cache_key,
+        lambda: tfidf(corpus).filter(F.col("tfidf") != 0))
 
     buckets = doc_vector_lsh_buckets(weights, n_planes, n_tables, seed)
     ca = buckets.select(F.col("doc_id").alias("doc_a"),
@@ -405,25 +425,28 @@ def doc_similarity_topk_ann(corpus: DataFrame, k: int = 10,
     if n_terms <= dense_vocab_max:
         vocab = sorted(
             r[0] for r in weights.select("term").distinct().collect())
-        vecs = (
-            weights.groupBy("doc_id")
-            .agg(F.map_from_entries(
-                F.collect_list(F.struct("term", "tfidf"))).alias("m"))
-            .select(
-                "doc_id",
-                F.transform(
-                    F.array(*[F.lit(t) for t in vocab]),
-                    lambda t: F.coalesce(F.element_at("m", t), F.lit(0.0)),
-                ).alias("vec"))
-            .select(
-                "doc_id", "vec",
-                F.sqrt(F.aggregate(
-                    "vec", F.lit(0.0), lambda acc, x: acc + x * x))
-                 .alias("norm"))
-            # persist: without it the vector-building projection
-            # collapses into the pair-join consumers and re-evaluates
-            # the per-doc map lookups once per candidate pair
-            .persist()
+        # persisted (replacement slot): without materialization the
+        # vector-building projection collapses into the pair-join
+        # consumers and re-evaluates the map lookups once per pair
+        vecs = keyed_persist(
+            "docsim_ann_vecs", None if cache_key is None else cache_key,
+            lambda: (
+                weights.groupBy("doc_id")
+                .agg(F.map_from_entries(
+                    F.collect_list(F.struct("term", "tfidf"))).alias("m"))
+                .select(
+                    "doc_id",
+                    F.transform(
+                        F.array(*[F.lit(t) for t in vocab]),
+                        lambda t: F.coalesce(F.element_at("m", t),
+                                             F.lit(0.0)),
+                    ).alias("vec"))
+                .select(
+                    "doc_id", "vec",
+                    F.sqrt(F.aggregate(
+                        "vec", F.lit(0.0), lambda acc, x: acc + x * x))
+                     .alias("norm"))
+            ),
         )
         a = vecs.select(F.col("doc_id").alias("doc_a"),
                         F.col("vec").alias("va"), F.col("norm").alias("na"))
@@ -467,7 +490,7 @@ def term_similarity_pipeline(corpus: DataFrame, query: str, k: int = 5,
                              suffix: str | None = None,
                              round_to: int | None = None,
                              broadcast_df_max: int | None = 500_000,
-                             ) -> DataFrame:
+                             cache_key: Hashable = None) -> DataFrame:
     """End-to-end flagship: corpus -> top-k terms most similar to
     `query` (the reference's whole program, app.py:115-181).
 
@@ -477,7 +500,16 @@ def term_similarity_pipeline(corpus: DataFrame, query: str, k: int = 5,
     verified via explain). The weight table IS the inverted index —
     materializing it once and querying it many times is the standard
     shape at scale; the reference likewise computes tf-idf once
-    (app.py:58) before its similarity phase."""
-    weights = filter_term_pattern(tfidf(corpus), prefix, suffix).persist()
+    (app.py:58) before its similarity phase.
+
+    The persisted table lives in a single-entry replacement slot
+    (operators/cache.py): with a ``cache_key`` identifying the corpus
+    snapshot, repeated queries reuse the cached index; without one,
+    each call still unpersists its predecessor — never the round-3
+    leak of one cache entry per invocation."""
+    weights = keyed_persist(
+        "term_weights",
+        None if cache_key is None else (cache_key, prefix, suffix),
+        lambda: filter_term_pattern(tfidf(corpus), prefix, suffix))
     return similar_terms(weights, query, k, round_to=round_to,
                          broadcast_df_max=broadcast_df_max)

@@ -146,8 +146,13 @@ def knn_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-3 neighbors for EVERY vector — batch similarity
     search via the salted cluster-local pair join + per-vector
     top-k window (operators/similarity.py knn_batch_topk)."""
+    from project_2_semantic_similarity_spark.sources.tables import (
+        source_fingerprint)
+
     e = load_table(spark, sf_dir, "embeddings")
-    out = S.knn_batch_topk(e, 3, S.label_centroids(e))
+    out = S.knn_batch_topk(
+        e, 3, S.label_centroids(e),
+        cache_key=(sf_dir, source_fingerprint(sf_dir, "embeddings")))
     return out.select("vec_id", "neighbor",
                       F.round("cosine", 6).alias("cosine"))
 

@@ -267,9 +267,16 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         TA.n_tokens(F.col("text")).alias("n_tokens"),
         F.round(TA.quality_score(F.col("text")), 6).alias("quality"),
     )
-    kept = scored.filter(
-        (F.col("quality") >= _PREP_MIN_QUALITY)
-        & (F.col("n_tokens") >= _PREP_MIN_TOKENS)).persist()
+    from project_2_semantic_similarity_spark.operators.cache import (
+        keyed_persist)
+    from project_2_semantic_similarity_spark.sources.tables import (
+        source_fingerprint)
+
+    kept = keyed_persist(
+        "prep_kept", (sf_dir, source_fingerprint(sf_dir, "documents")),
+        lambda: scored.filter(
+            (F.col("quality") >= _PREP_MIN_QUALITY)
+            & (F.col("n_tokens") >= _PREP_MIN_TOKENS)))
     exact_winners = D.exact_dedup(kept.select("doc_id", "text")) \
         .select("doc_id")
     near_losers = (

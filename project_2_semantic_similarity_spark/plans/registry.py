@@ -71,6 +71,14 @@ _CHANGED_THIS_ROUND = frozenset(
         "flagship_term_similarity",
         # round 4: blocking codebook label_centroids -> trained k-means
         "dedup_embedding_cosine",
+        # round 4: per-call persist leaks -> replacement slots (result-
+        # preserving plan changes; the driver hash is the independent
+        # check that they are in fact result-preserving)
+        "text_doc_similarity",
+        "text_doc_similarity_ann",
+        "dedup_minhash",
+        "knn_batch_topk",
+        "corpus_prep_pipeline",
     }
 )
 

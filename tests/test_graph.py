@@ -1,0 +1,72 @@
+"""Connected-components / dedup-clusters operator tests (ADVICE r3:
+the transitive-closure semantics need direct coverage, including
+string ids where lexicographic and numeric order disagree)."""
+
+from __future__ import annotations
+
+import pytest
+
+from project_2_semantic_similarity_spark.operators.graph import (
+    connected_components,
+    dedup_clusters,
+)
+
+
+def test_chain_collapses_transitively_numeric(spark):
+    """a~b, b~c with no a~c pair must land in ONE component with the
+    numeric-min representative — the case one-hop suppression
+    (dedup_pipeline) cannot express."""
+    pairs = spark.createDataFrame(
+        [(10, 2), (10, 30), (7, 5)], "doc_a long, doc_b long")
+    comp = {r.node: r.component_id
+            for r in connected_components(pairs).collect()}
+    assert comp == {2: 2, 10: 2, 30: 2, 5: 5, 7: 5}
+
+
+def test_string_ids_use_lexicographic_min(spark):
+    """String node ids are first-class (corpus doc_ids are strings in
+    the text-corpus shape): the representative is the min under the
+    column's natural ordering — for strings that is LEXICOGRAPHIC
+    ('10' < '2'), and convergence must not assume numeric labels
+    (round-3 ADVICE: sum-based convergence broke on exactly this)."""
+    pairs = spark.createDataFrame(
+        [("2", "10"), ("10", "30"), ("x", "y")],
+        "doc_a string, doc_b string")
+    comp = {r.node: r.component_id
+            for r in connected_components(pairs).collect()}
+    assert comp == {"2": "10", "10": "10", "30": "10", "x": "x", "y": "x"}
+
+
+def test_dedup_clusters_sizes_and_membership(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (9, 8)], "doc_a long, doc_b long")
+    rows = dedup_clusters(pairs).collect()
+    got = {r.doc_id: (r.component_id, r.component_size) for r in rows}
+    assert got == {1: (1, 4), 2: (1, 4), 3: (1, 4), 4: (1, 4),
+                   8: (8, 2), 9: (8, 2)}
+
+
+def test_raises_rather_than_partial_labeling(spark):
+    """A diameter larger than max_rounds must raise — never silently
+    return a partially-merged labeling."""
+    chain = [(i, i + 1) for i in range(1, 8)]
+    pairs = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_rounds=2)
+
+
+def test_no_leaked_cache_entries(spark):
+    """The operator must release every per-round persisted relation
+    it created (round-3 ADVICE: the labels relation leaked). The one
+    allowed survivor is the localCheckpoint backing the RESULT —
+    that is the result's own storage, released when the returned
+    DataFrame is garbage-collected, and its count stays 1 no matter
+    how many propagation rounds ran."""
+    sc = spark.sparkContext
+    before = len(sc._jsc.getPersistentRDDs())
+    # 3-chain: needs several rounds, each persisting a label relation
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "doc_a long, doc_b long")
+    connected_components(pairs).collect()
+    after = len(sc._jsc.getPersistentRDDs())
+    assert after <= before + 1
