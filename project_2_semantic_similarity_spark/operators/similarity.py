@@ -187,6 +187,44 @@ def knn_ivf(embeddings: DataFrame, query_vec_id: int, k: int,
     )
 
 
+def knn_ivf_probe(embeddings: DataFrame, centroids: DataFrame,
+                  query_vec_id: int, k: int, nprobe: int = 8,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """IVF approximate top-k with MULTI-PROBE over an arbitrary
+    (typically k-means-trained) codebook: the query scores the tiny
+    codebook, its ``nprobe`` nearest inverted lists are searched with
+    exact cosine, the rest of the corpus is never touched. This is
+    how a trained codebook feeds the ANN path (``knn_ivf`` keeps the
+    label-centroid codebook + nprobe=1 for its SQL oracle): recall
+    rises with nprobe while scan cost stays nprobe/K of the corpus —
+    the standard IVF recall/latency dial. All joins are broadcasts of
+    k-row/1-row relations; the corpus-sized relation is scanned once
+    for assignment and once (partition-pruned at scale) for the
+    probe."""
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    q = embeddings.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("__qvec"))
+    probe_lists = (
+        centroids.crossJoin(F.broadcast(q))
+        .select(F.col("label").alias("__plist"),
+                cosine_similarity("centroid", "__qvec").alias("__pc"))
+        .orderBy(F.desc("__pc"), F.asc("__plist"))
+        .limit(nprobe)
+        .select("__plist")
+    )
+    return (
+        assigned.join(F.broadcast(probe_lists),
+                      F.col("list_id") == F.col("__plist"))
+        .filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(id_col,
+                cosine_similarity(vec_col, "__qvec").alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 # Guard against float round-off when comparing angles computed via
 # acos of a double-accumulated cosine (derivative of acos blows up
 # near ±1; 1e-6 rad is orders of magnitude above the observed error).

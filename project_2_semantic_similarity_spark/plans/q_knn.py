@@ -83,6 +83,24 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+@query("knn_ivf_trained")  # rows-only: iterative k-means codebook, not SQL
+def knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-10 over the TRAINED k-means codebook (k ≈ √n, the
+    /tmp-cached artifact dedup_embedding_cosine blocks on) with
+    multi-probe (nprobe=8 of k ≈ √n lists): the trained-codebook ANN
+    serving path — recall vs brute force pinned in
+    tests/test_dedup_knn.py. The label-centroid knn_ivf keeps its
+    full SQL oracle; this variant is rows-only because the codebook
+    is iteratively trained."""
+    from project_2_semantic_similarity_spark.plans.q_dedup import (
+        _trained_codebook)
+
+    e = load_table(spark, sf_dir, "embeddings")
+    codebook, _k = _trained_codebook(spark, sf_dir)
+    out = S.knn_ivf_probe(e, codebook, _QUERY_VEC_ID, _K, nprobe=8)
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
 @query("knn_lsh")  # rows-only: bucket membership is hash-family-specific
 def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via random-hyperplane LSH bucketing (the
