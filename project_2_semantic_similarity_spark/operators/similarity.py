@@ -163,7 +163,8 @@ def ivf_assign(embeddings: DataFrame, centroids: DataFrame,
 
 def knn_ivf(embeddings: DataFrame, query_vec_id: int, k: int,
             id_col: str = "vec_id",
-            vec_col: str = "embedding") -> DataFrame:
+            vec_col: str = "embedding",
+            cache_key: Hashable = None) -> DataFrame:
     """IVF-style approximate top-k: vectors are partitioned into
     inverted lists by nearest codebook centroid (here the label
     centroids — a learned k-means codebook drops in identically);
@@ -172,9 +173,14 @@ def knn_ivf(embeddings: DataFrame, query_vec_id: int, k: int,
 
     At scale this is the standard ANN partition-pruning shape: the
     corpus is written partitioned by list_id, a query reads 1/n_lists
-    of the data, and the codebook broadcast is O(n_lists x dim)."""
-    assigned = ivf_assign(embeddings, label_centroids(embeddings),
-                          id_col, vec_col)
+    of the data, and the codebook broadcast is O(n_lists x dim).
+    ``cache_key`` slots the assigned relation (the inverted index —
+    built once per source snapshot, probed per query); repeated
+    queries skip the assignment scan entirely."""
+    assigned = keyed_persist(
+        "ivf_assigned", None if cache_key is None else cache_key,
+        lambda: ivf_assign(embeddings, label_centroids(embeddings),
+                           id_col, vec_col))
     q = assigned.filter(F.col(id_col) == query_vec_id).select(
         F.col("list_id").alias("__qlist"), F.col(vec_col).alias("__qvec"))
     return (

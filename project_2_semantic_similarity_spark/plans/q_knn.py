@@ -78,8 +78,13 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted list, exact cosine re-rank inside. The assignment is a
     broadcast of the tiny codebook — the vector relation is never
     shuffled."""
+    from project_2_semantic_similarity_spark.sources.tables import (
+        source_fingerprint)
+
     e = load_table(spark, sf_dir, "embeddings")
-    out = S.knn_ivf(e, _QUERY_VEC_ID, _K)
+    out = S.knn_ivf(
+        e, _QUERY_VEC_ID, _K,
+        cache_key=(sf_dir, source_fingerprint(sf_dir, "embeddings")))
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 

@@ -78,6 +78,7 @@ _CHANGED_THIS_ROUND = frozenset(
         "text_doc_similarity_ann",
         "dedup_minhash",
         "knn_batch_topk",
+        "knn_ivf",
         "corpus_prep_pipeline",
     }
 )
