@@ -120,3 +120,54 @@ def test_run_to_memory_raises_on_timeout(spark, sf_dir):
     with pytest.raises(TimeoutError, match="did not finish"):
         S.run_to_memory(S.tumbling_counts(ev), "timeout_probe",
                         "complete", timeout_s=0.001)
+
+
+def test_events_dual_ts_layouts(spark, tmp_path):
+    """Both physical events layouts — TIMESTAMP(NANOS) (older
+    testdata generations) and TIMESTAMP(MICROS)/NTZ (current) — must
+    decode to the SAME session-TZ timestamps in batch AND streaming
+    reads. The current testdata is all-micros, so without this
+    fixture the nanos path has no coverage left (round-3 lesson: the
+    streaming reader kept the nanos division on micros data and
+    silently landed every event in 1970)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from project_2_semantic_similarity_spark.sources.tables import (
+        events_ts_is_nanos)
+
+    us_epochs = [1_700_000_000_000_000, 1_700_000_003_600_000]
+    expect = [datetime.datetime.utcfromtimestamp(u / 1e6)
+              for u in us_epochs]
+
+    def write_events(path, unit):
+        factor = 1000 if unit == "ns" else 1
+        t = pa.table({
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([u * factor for u in us_epochs],
+                           pa.timestamp(unit)),
+            "user_id": pa.array([7, 7], pa.int64()),
+            "event_type": pa.array(["click", "view"]),
+            "value": pa.array([1.0, 2.0]),
+            "props": pa.array(["{}", "{}"]),
+        })
+        # parquet 2.6 keeps ns as TIMESTAMP(NANOS) (no µs coercion)
+        pq.write_table(t, path, version="2.6")
+
+    for unit in ("us", "ns"):
+        d = tmp_path / unit
+        d.mkdir()
+        write_events(str(d / "events.parquet"), unit)
+        assert events_ts_is_nanos(str(d / "events.parquet")) == (unit == "ns")
+
+        batch = load_table(spark, str(d), "events")
+        got_batch = [r.ts for r in batch.orderBy("event_id").collect()]
+        assert got_batch == expect, f"batch {unit}: {got_batch}"
+
+        stream = S.read_events_stream(spark, str(d))
+        out = S.run_to_memory(stream.select("event_id", "ts"),
+                              f"dual_layout_{unit}", "append")
+        got_stream = [r.ts for r in out.orderBy("event_id").collect()]
+        assert got_stream == expect, f"stream {unit}: {got_stream}"
