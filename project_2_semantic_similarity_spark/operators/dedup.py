@@ -112,6 +112,31 @@ def shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
     )
 
 
+def decontaminate(train: DataFrame, eval_set: DataFrame, n: int = 5,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Benchmark decontamination: drop every training document that
+    shares AT LEAST ONE n-token shingle with the evaluation set —
+    the standard n-gram-overlap contamination rule LLM pipelines run
+    before training (an eval answer appearing verbatim in training
+    data invalidates the benchmark).
+
+    Scale shape: the eval side is benchmark suites — megabytes, not
+    terabytes — so its distinct shingle set BROADCASTS and the
+    training corpus is scanned exactly once with a broadcast
+    left-semi probe (no shuffle of the corpus at all); the survivors
+    anti-join on doc id. Returns the surviving training rows."""
+    ev_sh = (shingles(eval_set, n, text_col, id_col)
+             .select("shingle").distinct())
+    tr_sh = shingles(train, n, text_col, id_col)
+    contaminated = (
+        tr_sh.join(F.broadcast(ev_sh), "shingle", "left_semi")
+        .select("doc_id").distinct()
+        .withColumnRenamed("doc_id", id_col)
+    )
+    return train.join(contaminated, id_col, "left_anti")
+
+
 def jaccard_pairs(shingled: DataFrame, min_jaccard: float) -> DataFrame:
     """Exact shingle-set Jaccard for every co-shingled pair:
     |A∩B| / (|A| + |B| - |A∩B|), pairs with doc_a < doc_b.

@@ -361,6 +361,60 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clusters_op(pairs)
 
 
+@query(
+    "corpus_decontaminate",
+    oracle="""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+),
+tok AS (
+    SELECT doc_id,
+           CAST(generate_subscripts(string_split_regex(text, '\\s+'), 1)
+                AS BIGINT) AS pos,
+           unnest(string_split_regex(text, '\\s+')) AS term
+    FROM corpus
+),
+seq AS (
+    SELECT doc_id, pos, term,
+           lead(term, 1) OVER w AS t1,
+           lead(term, 2) OVER w AS t2,
+           lead(term, 3) OVER w AS t3,
+           lead(term, 4) OVER w AS t4
+    FROM tok WHERE term <> ''
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+sh AS (
+    SELECT DISTINCT doc_id,
+           term || ' ' || t1 || ' ' || t2 || ' ' || t3 || ' ' || t4
+               AS shingle
+    FROM seq WHERE t4 IS NOT NULL
+),
+ev AS (
+    SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0
+),
+bad AS (
+    SELECT DISTINCT s.doc_id
+    FROM sh s JOIN ev USING (shingle)
+    WHERE s.doc_id % 97 <> 0
+)
+SELECT d.doc_id
+FROM documents d
+WHERE d.doc_id % 97 <> 0
+  AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+""",
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination over the documents table: docs with
+    doc_id % 97 = 0 play the held-out eval set, the rest the training
+    corpus; training docs sharing any 5-token shingle with the eval
+    set are dropped (operators/dedup.py decontaminate — broadcast
+    eval-shingle probe, the corpus is never shuffled)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 97 == 0)
+    tr = docs.where(F.col("doc_id") % 97 != 0)
+    return D.decontaminate(tr, ev, n=5).select("doc_id")
+
+
 # Minhash narrow/wide variant decision per corpus fingerprint: the
 # probe is one narrow scan aggregate, but re-running it on every call
 # added a full-corpus job per bench pass (round-3 regression #3).

@@ -480,3 +480,19 @@ def test_knn_ivf_trained_recall(spark, sf_dir):
     got = {r.vec_id for r in S.knn_ivf_probe(e, cb, 0, 10).collect()}
     brute = {r.vec_id for r in S.knn_brute_force(e, 0, 10).collect()}
     assert len(got & brute) >= 7
+
+
+def test_decontaminate_drops_overlapping_train_docs(spark):
+    """A train doc sharing ANY n-shingle with the eval set is
+    dropped; clean docs and sub-n overlaps survive."""
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string")
+    tr = spark.createDataFrame(
+        [(1, "xx alpha beta gamma delta epsilon yy"),  # 5-gram overlap
+         (2, "alpha beta gamma something else here"),  # only 3-gram
+         (3, "completely unrelated training content")],
+        "doc_id long, text string")
+    kept = sorted(r.doc_id
+                  for r in D.decontaminate(tr, ev, n=5).collect())
+    assert kept == [2, 3]
