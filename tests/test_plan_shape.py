@@ -171,3 +171,31 @@ def test_pack_shards_single_scalar_exchange(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "Window" not in plan
+
+
+def test_decontaminate_broadcasts_eval_probe(spark, sf_dir):
+    """The eval-shingle contamination probe must be a broadcast
+    left-semi hash join — the training corpus is scanned once and
+    never shuffled by shingle (the eval side is benchmark-suite
+    sized by construction)."""
+    plan = plan_of(spark, "corpus_decontaminate", sf_dir)
+    assert re.search(r"BroadcastHashJoin[^\n]*LeftSemi", plan)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_knn_ivf_trained_broadcast_only(spark, sf_dir):
+    """Multi-probe IVF: every join is a broadcast of a k-row/1-row
+    relation (codebook, probe lists, query vector) — the corpus
+    relation is never shuffled or NLJ'd against itself."""
+    plan = plan_of(spark, "knn_ivf_trained", sf_dir)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dedup_clusters_no_cartesian(spark, sf_dir):
+    """Label propagation + sizes: every join is an equi-join on node
+    or component id; nothing may plan as a cartesian product."""
+    plan = plan_of(spark, "dedup_clusters", sf_dir)
+    assert "CartesianProduct" not in plan
