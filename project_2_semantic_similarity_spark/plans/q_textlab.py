@@ -99,6 +99,80 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_source_mix",
+    oracle="""
+WITH feat AS (
+    SELECT doc_id, source, lang,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                t -> t <> '')) AS BIGINT) AS n_tokens,
+           length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha,
+           length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+           len(list_filter(string_split_regex(trim(text), '\\s+'),
+                           t -> t IN ({en}))) AS sw,
+           sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               AS ch
+    FROM documents
+),
+scored AS (
+    SELECT source, lang, n_tokens, ch,
+           round(
+               0.4 * least(n_tokens / 50.0, 1.0)
+             + 0.3 * coalesce(alpha / CAST(n_chars AS DOUBLE), 0.0)
+             + 0.2 * least(coalesce(sw / CAST(n_tokens AS DOUBLE), 0.0)
+                           * 5.0, 1.0)
+             - 0.1 * coalesce(digits / CAST(n_chars AS DOUBLE), 0.0),
+             6) AS q
+    FROM feat
+),
+hc AS (SELECT ch, count(*) AS cnt FROM scored GROUP BY ch)
+SELECT s.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(s.n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(s.q), 4) AS mean_quality,
+       CAST(count(DISTINCT s.lang) AS BIGINT) AS n_langs,
+       CAST(sum(CASE WHEN h.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS dup_docs
+FROM scored s JOIN hc h USING (ch)
+GROUP BY s.source
+""".replace("{en}", _EN),
+)
+def corpus_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data-mix report — the accounting table every
+    training-data pipeline keeps: document and token volume, mean
+    quality, language spread, and exact-duplicate share per source.
+    The duplicate flag joins each doc to its corpus-wide content-hash
+    count (hash-partitioned, sha256 ⇒ uniform keys, no skew); the
+    rest is one partial+final hash aggregation by source. Mean
+    quality averages the 6-dp-rounded per-doc score and re-rounds to
+    4 dp so cross-engine float-summation-order noise (~1e-13) cannot
+    flip the hash."""
+    from project_2_semantic_similarity_spark.operators.dedup import (
+        normalize_text)
+
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "source", "lang",
+        TA.n_tokens(F.col("text")).alias("n_tokens"),
+        F.round(TA.quality_score(F.col("text")), 6).alias("q"),
+        F.sha2(normalize_text(F.col("text")), 256).alias("ch"),
+    )
+    hash_counts = per_doc.groupBy("ch").agg(F.count("*").alias("cnt"))
+    return (
+        per_doc.join(hash_counts, "ch")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("q"), 4).alias("mean_quality"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0))
+             .alias("dup_docs"),
+        )
+    )
+
+
+@query(
     "text_token_count",
     oracle=f"""
 SELECT doc_id,
