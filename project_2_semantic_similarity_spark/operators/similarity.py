@@ -344,10 +344,15 @@ def cosine_pairs_blocked(embeddings: DataFrame, min_cosine: float,
         .withColumn("salt",
                     F.pmod(F.xxhash64("vec_a"), F.lit(salt_buckets)))
     )
+    # SHUFFLE_HASH: Catalyst's default SortMergeJoin would sort both
+    # sides — 64-dim array rows on a low-cardinality (cluster, salt)
+    # key, where the sort buys nothing and costs most of the join
+    # (measured 7.9s SMJ vs 3.4s SHJ warm at sf0.1). A hash join
+    # builds per-partition maps instead; correctness identical.
     b_salted = b.withColumn(
         "salt",
         F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))
-                  .cast("array<bigint>")))
+                  .cast("array<bigint>"))).hint("SHUFFLE_HASH")
     return (
         a_salted.join(b_salted, (F.col("cb") == F.col("c2"))
                       & (a_salted["salt"] == b_salted["salt"]))
@@ -403,10 +408,12 @@ def knn_batch_topk(embeddings: DataFrame, k: int, centroids: DataFrame,
         .withColumn("salt",
                     F.pmod(F.xxhash64("vec_id"), F.lit(salt_buckets)))
     )
+    # SHUFFLE_HASH for the same reason as cosine_pairs_blocked: no
+    # point sorting wide array rows on a low-cardinality join key.
     b_salted = b.withColumn(
         "salt",
         F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))
-                  .cast("array<bigint>")))
+                  .cast("array<bigint>"))).hint("SHUFFLE_HASH")
     pairs = (
         a_salted.join(b_salted, (F.col("cb") == F.col("c2"))
                       & (a_salted["salt"] == b_salted["salt"]))
