@@ -80,6 +80,9 @@ _CHANGED_THIS_ROUND = frozenset(
         "knn_batch_topk",
         "knn_ivf",
         "corpus_prep_pipeline",
+        # round 4: kmeans_train refactored through _kmeans_fit (the
+        # final assignment no longer reads the training-persisted base)
+        "cluster_kmeans",
     }
 )
 
