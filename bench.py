@@ -52,6 +52,7 @@ HEADLINE = [
     "dedup_exact",               # sha2 groupBy on documents
     "dedup_minhash",             # shingle -> minhash -> LSH bands
     "dedup_embedding_cosine",    # metric-blocked exact cosine pairs
+    "dedup_embedding_cosine_gemm",  # same pairs via Arrow+BLAS matmul
     "knn_embeddings",            # brute-force cosine top-k
     "knn_ivf",                   # inverted-list ANN (broadcast codebook)
     "join_bucketed",             # exchange-free co-located join

@@ -432,6 +432,93 @@ def knn_batch_topk(embeddings: DataFrame, k: int, centroids: DataFrame,
     )
 
 
+def cosine_pairs_blocked_gemm(embeddings: DataFrame, min_cosine: float,
+                              centroids: DataFrame,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding",
+                              cache_key: Hashable = None) -> DataFrame:
+    """Same EXACT semantics and blocking as ``cosine_pairs_blocked``
+    — nearest-centroid assignment, triangle-inequality cluster-pair
+    pruning — but the per-pair cosine work runs as ONE BLAS matmul
+    per candidate cluster pair inside an Arrow-batched
+    ``mapInPandas`` instead of millions of interpreted higher-order
+    folds.
+
+    Why this exists next to the Column-expression variant: "UDFs are
+    the slow path" holds for row-at-a-time logic, but DENSE VECTOR
+    MATH is the documented exception — zip_with/aggregate evaluates
+    interpreted lambdas per element (~4M pairs × 64 dims measured
+    ~3.5s at sf0.1), while numpy hands the same arithmetic to BLAS.
+    The Spark-side plan is unchanged in shape: each cluster packs
+    into one block row (groupBy + collect_list — block size is
+    cluster_size × dim, bounded by k ≈ √n sizing), candidate pairs
+    equi-join the k-row block relation twice (broadcast — the block
+    relation is k rows), and the matmul emits only pairs above the
+    threshold. Executor memory per task is two blocks, not a
+    partition of pairs; skew bound is the largest cluster², same as
+    the equi-join variant.
+
+    Normalization divides by per-vector norms computed in numpy;
+    float64 accumulation differences vs the fold variant are ~1e-15
+    relative — both engines' 6-dp rounding absorbs it (same argument
+    that lets DuckDB's own summation order hash-match)."""
+    import pandas as pd
+
+    assigned = keyed_persist(
+        "blocked_gemm_assigned", None if cache_key is None else cache_key,
+        lambda: ivf_assign(embeddings, centroids, id_col, vec_col,
+                           with_score=True))
+    cand = candidate_cluster_pairs(assigned, centroids, min_cosine)
+
+    blocks = assigned.groupBy("list_id").agg(
+        F.collect_list(F.struct(F.col(id_col).alias("id"),
+                                F.col(vec_col).alias("v"))).alias("blk"))
+    paired = (
+        cand.join(F.broadcast(blocks.select(
+            F.col("list_id").alias("c1"), F.col("blk").alias("blk1"))),
+            "c1")
+        .join(F.broadcast(blocks.select(
+            F.col("list_id").alias("c2"), F.col("blk").alias("blk2"))),
+            "c2")
+        # one matmul per candidate cluster pair; spread the k² rows
+        .repartition(F.col("c1"), F.col("c2"))
+    )
+
+    thr = float(min_cosine)
+
+    def gemm(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for blk1, blk2 in zip(pdf["blk1"], pdf["blk2"]):
+                ids1 = np.array([r["id"] for r in blk1])
+                m1 = np.array([r["v"] for r in blk1], dtype=np.float64)
+                ids2 = np.array([r["id"] for r in blk2])
+                m2 = np.array([r["v"] for r in blk2], dtype=np.float64)
+                n1 = np.linalg.norm(m1, axis=1)
+                n2 = np.linalg.norm(m2, axis=1)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = (m1 @ m2.T) / np.outer(n1, n2)
+                ia, ib = np.nonzero(
+                    np.nan_to_num(cos, nan=-2.0) > thr)
+                keep = ids1[ia] < ids2[ib]  # unordered pair once
+                out_a.append(ids1[ia][keep])
+                out_b.append(ids2[ib][keep])
+                out_c.append(cos[ia, ib][keep])
+            if out_a:
+                yield pd.DataFrame({
+                    "vec_a": np.concatenate(out_a),
+                    "vec_b": np.concatenate(out_b),
+                    "cosine": np.concatenate(out_c),
+                })
+
+    return paired.mapInPandas(
+        gemm, schema=f"vec_a {dict(embeddings.dtypes)[id_col]}, "
+                     f"vec_b {dict(embeddings.dtypes)[id_col]}, "
+                     "cosine double")
+
+
 def lsh_bucket_tables(embeddings: DataFrame, dim: int,
                       n_planes: int = 4, n_tables: int = 16,
                       seed: int = 42,

@@ -562,6 +562,36 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
 
 
+@query(
+    "dedup_embedding_cosine_gemm",
+    oracle="""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+           AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.45
+""",
+)
+def dedup_embedding_cosine_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same exact pairs as dedup_embedding_cosine (identical oracle,
+    identical blocking) with the per-pair cosine as one BLAS matmul
+    per candidate cluster pair (operators/similarity.py
+    cosine_pairs_blocked_gemm, Arrow mapInPandas) — the measured
+    fast path when dense vector math dominates: interpreted
+    higher-order folds evaluate per element, BLAS does the same
+    float64 arithmetic at memory bandwidth."""
+    from project_2_semantic_similarity_spark.operators.similarity import (
+        cosine_pairs_blocked_gemm,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    codebook, _k = _trained_codebook(spark, sf_dir)
+    pairs = cosine_pairs_blocked_gemm(
+        e, 0.45, codebook, cache_key=_table_key(sf_dir, "embeddings"))
+    return pairs.select(
+        "vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+
+
 @query("dedup_embedding_cosine_lsh")  # rows-only: LSH family engine-specific
 def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs via multi-table sign-LSH candidates

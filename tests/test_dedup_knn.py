@@ -496,3 +496,20 @@ def test_decontaminate_drops_overlapping_train_docs(spark):
     kept = sorted(r.doc_id
                   for r in D.decontaminate(tr, ev, n=5).collect())
     assert kept == [2, 3]
+
+
+def test_blocked_gemm_equals_fold_variant(spark, sf_dir):
+    """The BLAS mapInPandas variant must produce the identical pair
+    set and cosines (to float noise) as the Column-expression fold
+    variant — same blocking, same semantics, different arithmetic
+    engine."""
+    from project_2_semantic_similarity_spark.sources import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = S.label_centroids(e)
+    fold = {(r.vec_a, r.vec_b): r.cosine for r in
+            S.cosine_pairs_blocked(e, 0.45, cents).collect()}
+    gemm = {(r.vec_a, r.vec_b): r.cosine for r in
+            S.cosine_pairs_blocked_gemm(e, 0.45, cents).collect()}
+    assert set(fold) == set(gemm)
+    assert all(abs(fold[k] - gemm[k]) < 1e-9 for k in fold)

@@ -199,3 +199,11 @@ def test_dedup_clusters_no_cartesian(spark, sf_dir):
     or component id; nothing may plan as a cartesian product."""
     plan = plan_of(spark, "dedup_clusters", sf_dir)
     assert "CartesianProduct" not in plan
+
+
+def test_blocked_gemm_is_arrow_map(spark, sf_dir):
+    """The GEMM variant's pair work runs inside an Arrow mapInPandas
+    over block rows — no cartesian, no pair-expanded shuffle."""
+    plan = plan_of(spark, "dedup_embedding_cosine_gemm", sf_dir)
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
