@@ -500,8 +500,11 @@ def cosine_pairs_blocked_gemm(embeddings: DataFrame, min_cosine: float,
                 n2 = np.linalg.norm(m2, axis=1)
                 with np.errstate(divide="ignore", invalid="ignore"):
                     cos = (m1 @ m2.T) / np.outer(n1, n2)
+                # zero-norm vectors divide to ±inf/nan — the fold
+                # variant's try_divide yields NULL there and drops
+                # the pair; mask ALL non-finite the same way
                 ia, ib = np.nonzero(
-                    np.nan_to_num(cos, nan=-2.0) > thr)
+                    np.where(np.isfinite(cos), cos, -2.0) > thr)
                 keep = ids1[ia] < ids2[ib]  # unordered pair once
                 out_a.append(ids1[ia][keep])
                 out_b.append(ids2[ib][keep])

@@ -513,3 +513,18 @@ def test_blocked_gemm_equals_fold_variant(spark, sf_dir):
             S.cosine_pairs_blocked_gemm(e, 0.45, cents).collect()}
     assert set(fold) == set(gemm)
     assert all(abs(fold[k] - gemm[k]) < 1e-9 for k in fold)
+
+
+def test_blocked_gemm_drops_zero_norm_vectors(spark):
+    """A zero vector has no defined cosine: the fold variant's
+    try_divide yields NULL and drops the pair — the BLAS variant must
+    do the same (inf/nan from the 0-norm division may never pass the
+    threshold)."""
+    rows = [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 0.0])]
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "label int, centroid array<double>")
+    got = {(r.vec_a, r.vec_b) for r in
+           S.cosine_pairs_blocked_gemm(e, 0.5, cents).collect()}
+    assert got == {(1, 2)}  # no pair involving the zero vector 3
