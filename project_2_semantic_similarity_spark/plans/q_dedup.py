@@ -415,6 +415,84 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.decontaminate(tr, ev, n=5).select("doc_id")
 
 
+@query(
+    "dedup_transitive_keep",
+    oracle=f"""
+WITH RECURSIVE corpus AS (
+    SELECT doc_id, text FROM documents
+),
+tok AS (
+    SELECT doc_id,
+           CAST(generate_subscripts(string_split_regex(text, '\\s+'), 1)
+                AS BIGINT) AS pos,
+           unnest(string_split_regex(text, '\\s+')) AS term
+    FROM corpus
+),
+seq AS (
+    SELECT doc_id, pos, term,
+           lead(term, 1) OVER w AS t1,
+           lead(term, 2) OVER w AS t2
+    FROM tok WHERE term <> ''
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+sh AS (
+    SELECT DISTINCT doc_id, term || ' ' || t1 || ' ' || t2 AS shingle
+    FROM seq WHERE t2 IS NOT NULL
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+    FROM sh a JOIN sh b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+near AS (
+    SELECT i.doc_a, i.doc_b
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE i.n_inter / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE)
+          >= {_JACCARD_MIN}
+),
+edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM near
+    UNION
+    SELECT doc_b AS u, doc_a AS v FROM near
+),
+walk(node, label) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+    UNION
+    SELECT e.u, w.label FROM edges e JOIN walk w ON w.node = e.v
+),
+comp AS (
+    SELECT node AS doc_id, min(label) AS component_id
+    FROM walk GROUP BY node
+)
+SELECT d.doc_id
+FROM documents d
+WHERE d.doc_id NOT IN
+      (SELECT doc_id FROM comp WHERE doc_id <> component_id)
+""",
+)
+def dedup_transitive_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep set a TRANSITIVE dedup materializes: one canonical
+    representative (min doc_id) per near-dup cluster, plus every
+    unclustered doc. This is what dedup_pipeline's one-hop
+    suppression approximates — chains a~b~c keep only a here, and a
+    doc that is the b-side of one pair but the a-side of another is
+    never double-dropped. Composition of dedup_clusters
+    (operators/graph.py) + one anti-join."""
+    from project_2_semantic_similarity_spark.operators.graph import (
+        dedup_clusters as clusters_op)
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(D.shingles(docs, _SHINGLE_N), _JACCARD_MIN)
+    losers = (clusters_op(pairs)
+              .filter(F.col("doc_id") != F.col("component_id"))
+              .select("doc_id"))
+    return docs.select("doc_id").join(losers, "doc_id", "left_anti")
+
+
 # Minhash narrow/wide variant decision per corpus fingerprint: the
 # probe is one narrow scan aggregate, but re-running it on every call
 # added a full-corpus job per bench pass (round-3 regression #3).
