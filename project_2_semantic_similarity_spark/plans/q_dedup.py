@@ -353,12 +353,29 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     what a training-data dedup keeps. The oracle reproduces the
     transitive closure with a recursive CTE: every node walks to
     every reachable label, min per node = component id."""
+    return _jaccard_clusters(spark, sf_dir)
+
+
+# The propagation result is a localCheckpoint-materialized DataFrame
+# (lineage-free, executor-resident); cache it per corpus fingerprint
+# so dedup_clusters and dedup_transitive_keep don't each re-run the
+# iterative loop.
+_CLUSTERS_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _jaccard_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from project_2_semantic_similarity_spark.operators.graph import (
         dedup_clusters as clusters_op)
 
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = D.jaccard_pairs(D.shingles(docs, _SHINGLE_N), _JACCARD_MIN)
-    return clusters_op(pairs)
+    key = _table_key(sf_dir, "documents")
+    df = _CLUSTERS_CACHE.get(key)
+    if df is None:
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = D.jaccard_pairs(D.shingles(docs, _SHINGLE_N),
+                                _JACCARD_MIN)
+        df = clusters_op(pairs)
+        _CLUSTERS_CACHE[key] = df
+    return df
 
 
 @query(
@@ -482,12 +499,8 @@ def dedup_transitive_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc that is the b-side of one pair but the a-side of another is
     never double-dropped. Composition of dedup_clusters
     (operators/graph.py) + one anti-join."""
-    from project_2_semantic_similarity_spark.operators.graph import (
-        dedup_clusters as clusters_op)
-
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.jaccard_pairs(D.shingles(docs, _SHINGLE_N), _JACCARD_MIN)
-    losers = (clusters_op(pairs)
+    losers = (_jaccard_clusters(spark, sf_dir)
               .filter(F.col("doc_id") != F.col("component_id"))
               .select("doc_id"))
     return docs.select("doc_id").join(losers, "doc_id", "left_anti")
