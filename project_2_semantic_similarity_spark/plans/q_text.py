@@ -341,6 +341,84 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_bm25",
+    oracle=f"""
+WITH corpus AS (
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+),
+tok AS (
+    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+    FROM corpus
+),
+tc AS (
+    SELECT doc_id, term, count(*) AS tf
+    FROM tok WHERE term <> '' GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, sum(tf) AS doc_len FROM tc GROUP BY doc_id),
+stats AS (
+    SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl
+),
+dfreq AS (
+    SELECT count(*) AS df FROM tc
+    WHERE term = '{FLAGSHIP_QUERY_TERM}'
+),
+scored AS (
+    SELECT t.doc_id,
+           ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1)
+             * t.tf * 2.2
+             / (t.tf + 1.2 * (1 - 0.75 + 0.75 * d.doc_len / s.avgdl))
+               AS score
+    FROM tc t
+    JOIN dl d ON d.doc_id = t.doc_id
+    CROSS JOIN stats s CROSS JOIN dfreq f
+    WHERE t.term = '{FLAGSHIP_QUERY_TERM}'
+)
+SELECT doc_id, round(score, 6) AS bm25
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+""",
+)
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document retrieval for the flagship query term (k1=1.2,
+    b=0.75 — the standard Robertson parameters): the doc-ranking
+    dual of the term-term flagship, and the first-stage retriever a
+    RAG/training-data pipeline runs before embedding re-rank. All
+    corpus statistics (N, avgdl, df) are 1-row aggregates attached
+    by broadcast cross-join — in-plan, no driver scalars — and the
+    candidate relation is pre-filtered to rows containing the query
+    term, so the scan feeding the score is df(term) rows, not the
+    corpus. Top-k plans as TakeOrderedAndProject."""
+    corpus = _corpus(spark, sf_dir)
+    counts = T.term_counts(T.tokenize(corpus))
+    doc_len = counts.groupBy("doc_id").agg(
+        F.sum("tf_count").alias("doc_len"))
+    stats = doc_len.agg(F.count("*").alias("n_docs"),
+                        F.avg("doc_len").alias("avgdl"))
+    dfreq = (counts.filter(F.col("term") == FLAGSHIP_QUERY_TERM)
+             .agg(F.count("*").alias("df")))
+    k1, b = 1.2, 0.75
+    scored = (
+        counts.filter(F.col("term") == FLAGSHIP_QUERY_TERM)
+        .join(doc_len, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(dfreq))
+        .select(
+            "doc_id",
+            (
+                F.log((F.col("n_docs") - F.col("df") + 0.5)
+                      / (F.col("df") + 0.5) + 1)
+                * F.col("tf_count") * (k1 + 1)
+                / (F.col("tf_count")
+                   + k1 * (1 - b + b * F.col("doc_len") / F.col("avgdl")))
+            ).alias("score"),
+        )
+    )
+    return (scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+            .select("doc_id", F.round("score", 6).alias("bm25")))
+
+
+@query(
     "text_ngrams",
     oracle="""
 WITH corpus AS (
