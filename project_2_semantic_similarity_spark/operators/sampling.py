@@ -146,3 +146,52 @@ def stratified_sample(
     default = F.lit(hex_threshold(default_fraction))
     threshold = default if thr is None else thr.otherwise(default)
     return df.where(bucket < threshold)
+
+
+def temperature_sample(
+    df: DataFrame,
+    stratum: str,
+    temperature: float,
+    target_fraction: float,
+    key: str,
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-scaled source mixing — the standard LLM-pretraining
+    rebalance: per-stratum keep rates ∝ count^(1/T), scaled so the
+    expected kept total is ``target_fraction`` of the corpus and
+    capped at 1. T=1 keeps natural proportions; T→∞ flattens toward
+    uniform across strata, up-weighting small (usually higher-value)
+    sources relative to the head.
+
+    Deterministic: the per-doc keep decision compares the md5-derived
+    uniform (65,536-bucket resolution, same ``_bucket`` idiom as
+    hash_split) against the stratum's rate. Scale shape: one tiny
+    per-stratum aggregate broadcast back over a narrow filter map —
+    the corpus never shuffles; re-running on any partitioning yields
+    the identical sample (the property an ablation-reproducible data
+    mix needs). Expected-count semantics, not exact quotas — same
+    deliberate trade as stratified_sample (exact quotas need a
+    per-stratum global sort)."""
+    counts = df.groupBy(stratum).agg(F.count("*").alias("n_s"))
+    w = counts.withColumn(
+        "w", F.pow(F.col("n_s").cast("double"),
+                   F.lit(1.0 / temperature)))
+    tot = w.agg(F.sum("w").alias("sw"),
+                F.sum("n_s").cast("double").alias("n"))
+    rates = (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            stratum,
+            F.least(
+                F.lit(1.0),
+                F.lit(target_fraction) * F.col("n") * F.col("w")
+                / (F.col("sw") * F.col("n_s")),
+            ).alias("rate"),
+        )
+    )
+    u = (F.conv(_bucket(F.col(key), salt), 16, 10).cast("long")
+         / F.lit(65536.0))
+    return (
+        df.join(F.broadcast(rates), stratum)
+        .filter(u < F.col("rate"))
+    )

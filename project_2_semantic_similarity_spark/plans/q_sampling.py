@@ -15,6 +15,7 @@ from project_2_semantic_similarity_spark.operators.sampling import (
     hex_threshold,
     pack_shards,
     stratified_sample,
+    temperature_sample,
 )
 from project_2_semantic_similarity_spark.plans.q_textlab import (
     corpus_prep_pipeline,
@@ -50,6 +51,47 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     leak-prevention property a split must have."""
     d = load_table(spark, sf_dir, "documents")
     return hash_split(d, "doc_id", _SPLIT).select("doc_id", "lang", "split")
+
+
+@query(
+    "sample_temperature",
+    oracle="""
+WITH counts AS (
+    SELECT source, count(*) AS n_s FROM documents GROUP BY source
+),
+w AS (
+    SELECT source, n_s,
+           pow(CAST(n_s AS DOUBLE), 1.0 / 2.0) AS w
+    FROM counts
+),
+tot AS (
+    SELECT sum(w) AS sw, CAST(sum(n_s) AS DOUBLE) AS n FROM w
+),
+rates AS (
+    SELECT w.source,
+           least(1.0, 0.5 * t.n * w.w / (t.sw * w.n_s)) AS rate
+    FROM w CROSS JOIN tot t
+)
+SELECT d.doc_id, d.source, round(r.rate, 6) AS rate
+FROM documents d JOIN rates r ON d.source = r.source
+WHERE CAST('0x' || substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)),
+                          1, 4) AS INTEGER) / 65536.0 < r.rate
+""",
+)
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (T=2, target half the
+    corpus): per-source keep rates ∝ √count, scaled to the budget and
+    capped at 1 — up-weights tail sources relative to the head, the
+    standard LLM-pretraining data-mix move
+    (operators/sampling.py temperature_sample). Deterministic
+    md5-threshold decisions; both engines compute the identical rate
+    expression, so even the float comparison at the keep boundary
+    agrees."""
+    d = load_table(spark, sf_dir, "documents")
+    kept = temperature_sample(d, "source", temperature=2.0,
+                              target_fraction=0.5, key="doc_id")
+    return kept.select("doc_id", "source",
+                       F.round("rate", 6).alias("rate"))
 
 
 _SHARD_BUDGET = 2000  # tokens per shard; ~14 shards at sf0.01

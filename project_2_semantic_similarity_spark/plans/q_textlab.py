@@ -99,6 +99,66 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_perplexity_proxy",
+    oracle="""
+WITH corpus AS (
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+),
+tok AS (
+    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+    FROM corpus
+),
+tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+tcnt AS (SELECT term, count(*) AS cnt FROM tok2 GROUP BY term),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok2)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(-ln(c.cnt / tt.n)), 6) AS xent
+FROM tok2 t JOIN tcnt c USING (term) CROSS JOIN tot tt
+GROUP BY t.doc_id
+""",
+)
+def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram cross-entropy against the corpus's own
+    unigram LM — the model-based quality filter (CCNet-style: docs
+    whose token distribution diverges from the corpus score high and
+    get reviewed/dropped), complementing the heuristic
+    text_quality_score. exp(xent) is the unigram perplexity.
+
+    Plan shape: token relation joins the (term, count) table on term
+    — deliberately a hash join, NOT a broadcast: the vocabulary of a
+    web-scale corpus (rare tokens, typos) is itself huge, and the
+    join output is exactly one row per token either way. The corpus
+    total is a broadcast 1-row aggregate; per-doc reduce is one
+    partial+final hash agg."""
+    corpus = _corpus_docs(spark, sf_dir)
+    toks = (corpus.select(
+        "doc_id",
+        F.explode(F.array_remove(F.split("text", r"\s+"), ""))
+         .alias("term")))
+    tcnt = toks.groupBy("term").agg(F.count("*").alias("cnt"))
+    tot = toks.agg(F.count("*").cast("double").alias("n"))
+    return (
+        toks.join(tcnt, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("cnt") / F.col("n"))), 6)
+             .alias("xent"),
+        )
+    )
+
+
+def _corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with doc_id as string, matching the text-corpus
+    shape the oracles' ``CAST(doc_id AS VARCHAR)`` mirrors."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(F.col("doc_id").cast("string").alias("doc_id"),
+                    "text")
+
+
+@query(
     "corpus_source_mix",
     oracle="""
 WITH feat AS (

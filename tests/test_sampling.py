@@ -116,3 +116,26 @@ def test_pack_shards_deterministic(spark, sf_dir):
     b = {r.doc_id: r.shard_id
          for r in pack_shards(d.repartition(7), 500).collect()}
     assert a == b
+
+
+def test_temperature_sample_flattens_head(spark):
+    """T=2 mixing: the tail source gets a strictly higher keep rate
+    than the head (∝ √count scaling), rates never exceed 1, and the
+    sample is identical under any repartitioning (md5 decisions)."""
+    from project_2_semantic_similarity_spark.operators.sampling import (
+        temperature_sample)
+
+    rows = ([(i, "head") for i in range(80)]
+            + [(100 + i, "tail") for i in range(20)])
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = temperature_sample(df, "source", temperature=2.0,
+                              target_fraction=0.5, key="doc_id")
+    rates = {r.source: r.rate
+             for r in kept.select("source", "rate").distinct().collect()}
+    assert rates["tail"] > rates["head"]
+    assert all(0.0 < v <= 1.0 for v in rates.values())
+    k1 = sorted(r.doc_id for r in kept.collect())
+    k2 = sorted(r.doc_id for r in
+                temperature_sample(df.repartition(7), "source", 2.0,
+                                   0.5, "doc_id").collect())
+    assert k1 == k2
