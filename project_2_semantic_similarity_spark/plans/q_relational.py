@@ -1179,6 +1179,78 @@ def win_partition_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "win_sessionize",
+    oracle="""
+WITH flagged AS (
+    SELECT user_id, event_id, ts, value,
+           CASE WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  OR lag(ts) OVER w IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id, ts, value,
+           sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+)
+SELECT user_id,
+       CAST(session_id AS BIGINT) AS session_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM sess
+GROUP BY user_id, session_id
+""",
+)
+def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH sessionization — the gaps-and-islands window pattern:
+    flag rows starting a new session (gap > 30 min from the previous
+    event), running-sum the flags into a session id, aggregate per
+    (user, session). The batch twin of stream_session (whose state
+    store does the same island detection incrementally); at scale
+    this is one shuffle by user_id with an in-partition sort — the
+    window and the final agg share the partitioning, so AQE plans a
+    single exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id", "event_id", "ts", "value",
+        # µs-precision gap (cast-to-long would truncate to seconds
+        # and disagree with the oracle's interval compare on
+        # sub-second boundaries); >= gap starts a new session — the
+        # same exclusive-end boundary session_window uses, so this
+        # operator is the exact batch twin of stream_session
+        F.when(
+            F.unix_micros("ts")
+            - F.lag(F.unix_micros("ts")).over(w) >= 1_800_000_000, 1)
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0).alias("new_session"),
+    )
+    ws = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    sess = flagged.withColumn(
+        "session_id", F.sum("new_session").over(ws))
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+             .alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+             .alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select("user_id", F.col("session_id").cast("bigint")
+                .alias("session_id"), "session_start", "session_end",
+                "n_events", "sum_value")
+    )
+
+
+@query(
     "agg_selective",
     oracle="""
 SELECT o_orderstatus,

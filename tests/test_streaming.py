@@ -171,3 +171,17 @@ def test_events_dual_ts_layouts(spark, tmp_path):
                               f"dual_layout_{unit}", "append")
         got_stream = [r.ts for r in out.orderBy("event_id").collect()]
         assert got_stream == expect, f"stream {unit}: {got_stream}"
+
+
+def test_batch_sessionize_is_stream_session_twin(spark, sf_dir):
+    """win_sessionize (gaps-and-islands windows) must find the SAME
+    sessions as stream_session (session_window state store): same
+    (user, start, n_events, sum_value) sets — the >= gap boundary is
+    session_window's exclusive end."""
+    batch = e.queries()["win_sessionize"](spark, sf_dir)
+    stream = e.queries()["stream_session"](spark, sf_dir)
+    b = sorted((r.user_id, r.session_start, r.n_events, r.sum_value)
+               for r in batch.collect())
+    s = sorted((r.user_id, r.session_start, r.n_events, r.sum_value)
+               for r in stream.collect())
+    assert b == s
