@@ -159,6 +159,140 @@ def _corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_repetition_score",
+    oracle="""
+WITH corpus AS (
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+),
+tok AS (
+    SELECT doc_id,
+           CAST(generate_subscripts(string_split_regex(text, '\\s+'), 1)
+                AS BIGINT) AS pos,
+           unnest(string_split_regex(text, '\\s+')) AS term
+    FROM corpus
+),
+seq AS (
+    SELECT doc_id, pos, term,
+           lead(term, 1) OVER w AS t1,
+           lead(term, 2) OVER w AS t2
+    FROM tok WHERE term <> ''
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+sh AS (
+    SELECT doc_id, term || ' ' || t1 || ' ' || t2 AS shingle
+    FROM seq WHERE t2 IS NOT NULL
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(count(DISTINCT shingle) AS BIGINT) AS n_distinct,
+       round(1 - count(DISTINCT shingle) / CAST(count(*) AS DOUBLE), 6)
+           AS repetition
+FROM sh GROUP BY doc_id
+""",
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Internal-repetition quality rule (the Gopher/MassiveText
+    filter: docs where most 3-grams repeat are boilerplate/spam):
+    1 − distinct/total 3-gram shingles per doc. Computed array-side
+    per document — size and array_distinct over one token array, a
+    narrow map with NO shuffle at all (the oracle's window
+    formulation shuffles the whole token stream; values identical).
+    Docs with fewer than 3 tokens carry no shingles and emit no row
+    (both engines)."""
+    corpus = _corpus_docs(spark, sf_dir)
+    toks = F.array_remove(F.split("text", r"\s+"), "")
+    with_toks = corpus.select("doc_id", toks.alias("toks"))
+    sh = F.when(
+        F.size("toks") >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 2),
+            lambda i: F.concat_ws(" ", F.slice("toks", i, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        with_toks.select("doc_id", sh.alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select(
+            "doc_id",
+            F.size("sh").cast("bigint").alias("n_shingles"),
+            F.size(F.array_distinct("sh")).cast("bigint")
+             .alias("n_distinct"),
+            F.round(
+                1 - F.size(F.array_distinct("sh"))
+                / F.size("sh").cast("double"), 6).alias("repetition"),
+        )
+    )
+
+
+_CHUNK_SIZE = 64
+_CHUNK_STRIDE = 48
+_CHUNK_MAX = 64  # oracle range() bound; fixture docs ≪ this many chunks
+
+
+@query(
+    "text_chunk",
+    oracle=f"""
+WITH d AS (
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           list_filter(string_split_regex(text, '\\s+'),
+                       t -> t <> '') AS toks
+    FROM documents
+),
+n AS (
+    SELECT doc_id, toks, len(toks) AS nt,
+           CASE WHEN len(toks) <= {_CHUNK_SIZE} THEN 1
+                ELSE CAST(ceil((len(toks) - {_CHUNK_SIZE})
+                               / {float(_CHUNK_STRIDE)}) AS BIGINT) + 1
+           END AS n_chunks
+    FROM d
+)
+SELECT doc_id,
+       CAST(k.i AS BIGINT) AS chunk_id,
+       CAST(len(toks[CAST(k.i * {_CHUNK_STRIDE} + 1 AS BIGINT)
+                     : CAST(k.i * {_CHUNK_STRIDE} + {_CHUNK_SIZE}
+                            AS BIGINT)]) AS BIGINT) AS n_tokens,
+       array_to_string(toks[CAST(k.i * {_CHUNK_STRIDE} + 1 AS BIGINT)
+                            : CAST(k.i * {_CHUNK_STRIDE} + {_CHUNK_SIZE}
+                                   AS BIGINT)], ' ') AS chunk_text
+FROM n CROSS JOIN range({_CHUNK_MAX}) k(i)
+WHERE k.i < n.n_chunks AND n.nt > 0
+""",
+)
+def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (64-token chunks, stride
+    48) — the context-window packing / RAG chunking pass: every
+    document becomes ⌈(n−size)/stride⌉+1 chunks,
+    the final chunk keeps the tail (may be short), empty docs emit
+    nothing. Array-side transform + posexplode: a narrow map, no
+    shuffle; chunk boundaries are pure arithmetic so any engine
+    reproduces them (the determinism a resumable preprocessing job
+    needs)."""
+    corpus = _corpus_docs(spark, sf_dir)
+    toks = F.array_remove(F.split("text", r"\s+"), "")
+    with_toks = (corpus.select("doc_id", toks.alias("toks"))
+                 .filter(F.size("toks") > 0))
+    n_chunks = F.when(
+        F.size("toks") <= _CHUNK_SIZE, F.lit(1)
+    ).otherwise(
+        F.ceil((F.size("toks") - _CHUNK_SIZE)
+               / float(_CHUNK_STRIDE)).cast("int") + 1)
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice("toks", i * _CHUNK_STRIDE + 1, _CHUNK_SIZE),
+    )
+    return (
+        with_toks.select(
+            "doc_id", F.posexplode(chunks).alias("chunk_id", "chunk"))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.size("chunk").cast("bigint").alias("n_tokens"),
+            F.concat_ws(" ", F.col("chunk")).alias("chunk_text"),
+        )
+    )
+
+
+@query(
     "corpus_source_mix",
     oracle="""
 WITH feat AS (
