@@ -1179,6 +1179,95 @@ def win_partition_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_funnel",
+    oracle="""
+WITH v AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'view' THEN ts END) AS v_ts
+    FROM events GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id,
+           min(CASE WHEN e.event_type = 'click'
+                     AND e.ts >= v.v_ts
+                     AND e.ts <= v.v_ts + INTERVAL 1 HOUR
+                THEN e.ts END) AS c_ts
+    FROM events e JOIN v ON v.user_id = e.user_id
+    WHERE v.v_ts IS NOT NULL
+    GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id,
+           min(CASE WHEN e.event_type = 'purchase'
+                     AND e.ts >= c.c_ts
+                     AND e.ts <= c.c_ts + INTERVAL 1 HOUR
+                THEN e.ts END) AS p_ts
+    FROM events e JOIN c ON c.user_id = e.user_id
+    WHERE c.c_ts IS NOT NULL
+    GROUP BY e.user_id
+),
+staged AS (
+    SELECT u.user_id,
+           CASE WHEN p.p_ts IS NOT NULL THEN 3
+                WHEN c.c_ts IS NOT NULL THEN 2
+                WHEN v.v_ts IS NOT NULL THEN 1
+                ELSE 0 END AS stage
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN v ON v.user_id = u.user_id
+    LEFT JOIN c ON c.user_id = u.user_id
+    LEFT JOIN p ON p.user_id = u.user_id
+)
+SELECT stage, CAST(count(*) AS BIGINT) AS n_users
+FROM staged GROUP BY stage
+""",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis (view → click within 1 h →
+    purchase within a further 1 h): per-user conditional-min timestamps
+    chained through three aggregations, then users counted per
+    deepest stage reached. Every aggregation and join keys on
+    user_id — one hash partitioning reused across the whole chain
+    (AQE plans a single exchange per relation); conditional mins are
+    partial+final hash aggs, so no per-user event ordering or window
+    sort is ever needed. The canonical sequence-analytics shape at
+    scale: n passes over the events relation for an n-step funnel,
+    each pass a map-side-combined aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+        .alias("v_ts"))
+    c = (ev.join(v.filter(F.col("v_ts").isNotNull()), "user_id")
+         .groupBy("user_id")
+         .agg(F.min(F.when(
+             (F.col("event_type") == "click")
+             & (F.col("ts") >= F.col("v_ts"))
+             & (F.col("ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+             F.col("ts"))).alias("c_ts")))
+    p = (ev.join(c.filter(F.col("c_ts").isNotNull()), "user_id")
+         .groupBy("user_id")
+         .agg(F.min(F.when(
+             (F.col("event_type") == "purchase")
+             & (F.col("ts") >= F.col("c_ts"))
+             & (F.col("ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+             F.col("ts"))).alias("p_ts")))
+    users = ev.select("user_id").distinct()
+    staged = (
+        users.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("p_ts").isNotNull(), 3)
+            .when(F.col("c_ts").isNotNull(), 2)
+            .when(F.col("v_ts").isNotNull(), 1)
+            .otherwise(0).alias("stage"),
+        )
+    )
+    return staged.groupBy("stage").agg(
+        F.count("*").alias("n_users"))
+
+
+@query(
     "win_sessionize",
     oracle="""
 WITH flagged AS (
