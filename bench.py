@@ -60,7 +60,10 @@ HEADLINE = [
     "stream_tumbling_count",     # availableNow replay, stateful agg
 ]
 
-WARM_PASSES = 3
+# 5 passes: the warm median must survive one-off GC/JIT spikes — with
+# 3 passes a single spiked pass drags the median (observed ±2x swings
+# on the biggest shuffle query); median-of-5 needs three bad passes.
+WARM_PASSES = 5
 
 
 def stage(spark, sf_dir: str) -> float:
@@ -183,9 +186,9 @@ def main() -> int:
             continue
         times[name] = round(run(name), 3)
 
-    # Steady-state: median of 3 further passes per query (plan compile
-    # + codegen amortized, robust to one-off GC pauses) — the
-    # per-query figure a long-running cluster job sees.
+    # Steady-state: median of WARM_PASSES further passes per query
+    # (plan compile + codegen amortized, robust to one-off GC pauses)
+    # — the per-query figure a long-running cluster job sees.
     warm_runs: dict[str, list[float]] = {n: [] for n in times}
     for _ in range(WARM_PASSES):
         for name in times:
