@@ -161,6 +161,71 @@ def ivf_assign(embeddings: DataFrame, centroids: DataFrame,
     return out if with_score else out.drop("ccos")
 
 
+def ivf_assign_gemm(embeddings: DataFrame, centroids: DataFrame,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    with_score: bool = False) -> DataFrame:
+    """``ivf_assign`` with the scoring as one BLAS matmul per Arrow
+    batch instead of n×k interpreted higher-order folds — the
+    assignment engine for large k×n (measured at 100k vectors ×
+    k=316: the HOF crossJoin+min_by path spends ~90 s on 31.6M
+    interpreted cosines; this runs the identical arithmetic at
+    memory bandwidth). Same deterministic tie rule: ``np.argmax``
+    takes the FIRST maximum and the codebook matrix is sorted by
+    label, so ties break to the lowest label exactly like min_by's
+    (-ccos, list_id) ordering.
+
+    Used where assignment is an internal blocking/training step
+    (k-means fit, the blocked pair joins, the trained-IVF probe) —
+    all of which are either provably assignment-independent (the
+    triangle-inequality blocking is lossless whatever the
+    assignment) or declared rows-only. ``knn_ivf`` keeps the
+    Column-expression path: its SQL oracle mirrors the assignment
+    arithmetic fold-for-fold, so its engine must not change.
+
+    Zero-norm vectors score 0.0 against every centroid (→ lowest
+    label, ccos 0.0); they can never appear in a result pair anyway
+    (their pair cosine is NULL/masked in every consumer)."""
+    import numpy as np
+
+    rows = sorted((int(r["label"]), [float(x) for x in r["centroid"]])
+                  for r in centroids.collect())
+    labels = np.array([lbl for lbl, _ in rows], dtype=np.int64)
+    cmat = np.array([v for _, v in rows], dtype=np.float64)
+    cnorm = np.linalg.norm(cmat, axis=1, keepdims=True)
+    cn = np.divide(cmat, cnorm, out=np.zeros_like(cmat),
+                   where=cnorm > 0)
+
+    dtypes = dict(embeddings.dtypes)
+    out_schema = (f"{id_col} {dtypes[id_col]}, "
+                  f"{vec_col} {dtypes[vec_col]}, "
+                  "list_id int, ccos double")
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec_col]])
+            xnorm = np.linalg.norm(x, axis=1, keepdims=True)
+            xn = np.divide(x, xnorm, out=np.zeros_like(x),
+                           where=xnorm > 0)
+            scores = xn @ cn.T
+            best = np.argmax(scores, axis=1)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].values,
+                vec_col: pdf[vec_col].values,
+                "list_id": labels[best].astype("int32"),
+                "ccos": scores[np.arange(len(best)), best],
+            })
+
+    out = _spread(embeddings.select(id_col, vec_col)).mapInPandas(
+        assign, schema=out_schema)
+    return out if with_score else out.drop("ccos")
+
+
 def knn_ivf(embeddings: DataFrame, query_vec_id: int, k: int,
             id_col: str = "vec_id",
             vec_col: str = "embedding",
@@ -208,7 +273,7 @@ def knn_ivf_probe(embeddings: DataFrame, centroids: DataFrame,
     k-row/1-row relations; the corpus-sized relation is scanned once
     for assignment and once (partition-pruned at scale) for the
     probe."""
-    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    assigned = ivf_assign_gemm(embeddings, centroids, id_col, vec_col)
     q = embeddings.filter(F.col(id_col) == query_vec_id).select(
         F.col(vec_col).alias("__qvec"))
     probe_lists = (
@@ -326,8 +391,8 @@ def cosine_pairs_blocked(embeddings: DataFrame, min_cosine: float,
     arrays) — measured 3.3s → ~1.3s warm at sf0.1."""
     assigned = keyed_persist(
         "blocked_assigned", None if cache_key is None else cache_key,
-        lambda: ivf_assign(embeddings, centroids, id_col, vec_col,
-                           with_score=True)
+        lambda: ivf_assign_gemm(embeddings, centroids, id_col, vec_col,
+                                with_score=True)
         .withColumn("nrm", l2_norm(vec_col)))
     cand = candidate_cluster_pairs(assigned, centroids, min_cosine)
 
@@ -390,8 +455,8 @@ def knn_batch_topk(embeddings: DataFrame, k: int, centroids: DataFrame,
     per pair)."""
     assigned = keyed_persist(
         "batchtopk_assigned", None if cache_key is None else cache_key,
-        lambda: ivf_assign(embeddings, centroids, id_col, vec_col,
-                           with_score=True)
+        lambda: ivf_assign_gemm(embeddings, centroids, id_col, vec_col,
+                                with_score=True)
         .withColumn("nrm", l2_norm(vec_col)))
     cand = candidate_cluster_pairs(assigned, centroids, -1.0)
 
@@ -466,8 +531,8 @@ def cosine_pairs_blocked_gemm(embeddings: DataFrame, min_cosine: float,
 
     assigned = keyed_persist(
         "blocked_gemm_assigned", None if cache_key is None else cache_key,
-        lambda: ivf_assign(embeddings, centroids, id_col, vec_col,
-                           with_score=True))
+        lambda: ivf_assign_gemm(embeddings, centroids, id_col, vec_col,
+                                with_score=True))
     cand = candidate_cluster_pairs(assigned, centroids, min_cosine)
 
     blocks = assigned.groupBy("list_id").agg(
@@ -643,8 +708,8 @@ def kmeans_train(embeddings: DataFrame, k: int = 8, iters: int = 5,
     spark = embeddings.sparkSession
     cent_rows = _kmeans_fit(embeddings, k, iters, id_col, vec_col)
     cents = spark.createDataFrame(cent_rows, _CODEBOOK_SCHEMA)
-    return ivf_assign(embeddings.select(id_col, vec_col), cents,
-                      id_col, vec_col, with_score=True).select(
+    return ivf_assign_gemm(embeddings.select(id_col, vec_col), cents,
+                           id_col, vec_col, with_score=True).select(
         id_col, "list_id", F.round("ccos", 6).alias("ccos"))
 
 
@@ -701,7 +766,7 @@ def _kmeans_fit(embeddings: DataFrame, k: int, iters: int,
     base.count()  # materialize once; every iteration rescans the cache
     try:
         for _ in range(iters):
-            assigned = ivf_assign(base, cents, id_col, vec_col)
+            assigned = ivf_assign_gemm(base, cents, id_col, vec_col)
             new_cents = label_centroids(
                 assigned.withColumnRenamed("list_id", "label"),
                 "label", vec_col)
