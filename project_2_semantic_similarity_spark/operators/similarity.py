@@ -433,65 +433,99 @@ def cosine_pairs_blocked(embeddings: DataFrame, min_cosine: float,
 def knn_batch_topk(embeddings: DataFrame, k: int, centroids: DataFrame,
                    id_col: str = "vec_id",
                    vec_col: str = "embedding",
-                   salt_buckets: int = 32,
                    cache_key: Hashable = None) -> DataFrame:
     """EXACT k nearest neighbors for EVERY vector (batch similarity
-    search): the same salted cluster-local equi-join as
-    ``cosine_pairs_blocked`` but with no similarity threshold (every
-    ordered cluster pair is a candidate — θ_t = π prunes nothing, so
-    results are exact by construction), generating each DIRECTED pair
-    once, then a per-vector top-k window.
+    search), as block-pair matmuls with per-block partial top-k:
 
-    Worst-case work is inherently quadratic — that is what exact
-    batch kNN costs; the join is still hash-partitioned and salted
-    (never a broadcast NLJ), so it scales out evenly. At 100 TB the
-    ANN paths (knn_lsh / knn_ivf per query, cosine_pairs_lsh for
-    pair discovery) replace this; with a REAL k-means codebook the
-    same code prunes via a finite threshold (see
-    cosine_pairs_blocked). The top-k window partitions by vector id
-    — n distinct keys, no hot-group skew. Per-vector norms are
-    precomputed into the cached assignment (see
-    ``cosine_pairs_blocked`` — identical doubles, 3× fewer HOF folds
-    per pair)."""
+    1. pack each cluster into one block row (bounded by the k ≈ √n
+       codebook sizing);
+    2. every ordered cluster pair (no threshold — θ_t = π, so
+       results are exact by construction) joins the two blocks and
+       one BLAS matmul scores all cross-pairs;
+    3. each task emits only its block-pair's per-vector top-k — the
+       global-window relation is n·k·B rows, not the n² raw pairs
+       (at sf0.1: 264k vs 4M windowed rows);
+    4. the per-vector window merges partial top-ks into the final
+       exact top-k (correct because the global top-k is a subset of
+       the union of per-block top-ks).
+
+    Worst-case FLOPs are inherently quadratic — that is what exact
+    batch kNN costs — but they run at BLAS speed and the shuffled
+    data volume is linear in n. Tie rule everywhere: higher cosine
+    first, then lowest neighbor id (block columns are sorted by id
+    and the argsort is stable, matching the window's ordering). At
+    100 TB the ANN paths (knn_ivf_probe per query, cosine_pairs_lsh
+    for pair discovery) replace this exact pass."""
+    import numpy as np
+    import pandas as pd
+
     assigned = keyed_persist(
         "batchtopk_assigned", None if cache_key is None else cache_key,
         lambda: ivf_assign_gemm(embeddings, centroids, id_col, vec_col,
-                                with_score=True)
-        .withColumn("nrm", l2_norm(vec_col)))
+                                with_score=True))
     cand = candidate_cluster_pairs(assigned, centroids, -1.0)
 
-    a = assigned.select(F.col(id_col).alias("vec_id"),
-                        F.col(vec_col).alias("ea"),
-                        F.col("list_id").alias("ca"),
-                        F.col("nrm").alias("na"))
-    b = assigned.select(F.col(id_col).alias("neighbor"),
-                        F.col(vec_col).alias("eb"),
-                        F.col("list_id").alias("cb"),
-                        F.col("nrm").alias("nb"))
-    a_salted = (
-        a.join(F.broadcast(cand), F.col("ca") == F.col("c1"))
-        .withColumn("salt",
-                    F.pmod(F.xxhash64("vec_id"), F.lit(salt_buckets)))
+    blocks = assigned.groupBy("list_id").agg(
+        F.collect_list(F.struct(F.col(id_col).alias("id"),
+                                F.col(vec_col).alias("v"))).alias("blk"))
+    paired = (
+        cand.join(F.broadcast(blocks.select(
+            F.col("list_id").alias("c1"), F.col("blk").alias("blk1"))),
+            "c1")
+        .join(F.broadcast(blocks.select(
+            F.col("list_id").alias("c2"), F.col("blk").alias("blk2"))),
+            "c2")
+        .repartition(F.col("c1"), F.col("c2"))
     )
-    # SHUFFLE_HASH for the same reason as cosine_pairs_blocked: no
-    # point sorting wide array rows on a low-cardinality join key.
-    b_salted = b.withColumn(
-        "salt",
-        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))
-                  .cast("array<bigint>"))).hint("SHUFFLE_HASH")
-    pairs = (
-        a_salted.join(b_salted, (F.col("cb") == F.col("c2"))
-                      & (a_salted["salt"] == b_salted["salt"]))
-        .filter(F.col("vec_id") != F.col("neighbor"))
-        .withColumn("cosine",
-                    F.try_divide(dot("ea", "eb"),
-                                 F.col("na") * F.col("nb")))
-    )
+
+    id_type = dict(embeddings.dtypes)[id_col]
+    kk = int(k)
+
+    def topk_blocks(batches):
+        for pdf in batches:
+            out_v, out_n, out_c = [], [], []
+            for blk1, blk2 in zip(pdf["blk1"], pdf["blk2"]):
+                ids1 = np.array([r["id"] for r in blk1])
+                m1 = np.array([r["v"] for r in blk1], dtype=np.float64)
+                # sort the neighbor side by id so stable argsort
+                # breaks cosine ties toward the lowest neighbor id
+                ids2 = np.array([r["id"] for r in blk2])
+                order2 = np.argsort(ids2)
+                ids2 = ids2[order2]
+                m2 = np.array([r["v"] for r in blk2],
+                              dtype=np.float64)[order2]
+                n1 = np.linalg.norm(m1, axis=1, keepdims=True)
+                n2 = np.linalg.norm(m2, axis=1, keepdims=True)
+                u1 = np.divide(m1, n1, out=np.zeros_like(m1),
+                               where=n1 > 0)
+                u2 = np.divide(m2, n2, out=np.zeros_like(m2),
+                               where=n2 > 0)
+                cos = u1 @ u2.T
+                cos[ids1[:, None] == ids2[None, :]] = -np.inf  # self
+                take = min(kk, cos.shape[1])
+                top = np.argsort(-cos, axis=1, kind="stable")[:, :take]
+                rows = np.repeat(np.arange(len(ids1)), take)
+                cols = top.ravel()
+                keep = np.isfinite(cos[rows, cols])
+                out_v.append(ids1[rows][keep])
+                out_n.append(ids2[cols][keep])
+                out_c.append(cos[rows, cols][keep])
+            if out_v:
+                yield pd.DataFrame({
+                    "vec_id": np.concatenate(out_v),
+                    "neighbor": np.concatenate(out_n),
+                    "cosine": np.concatenate(out_c),
+                })
+
+    partial = paired.mapInPandas(
+        topk_blocks,
+        schema=f"vec_id {id_type}, neighbor {id_type}, cosine double")
+
     from pyspark.sql import Window
     w = Window.partitionBy("vec_id").orderBy(
         F.desc("cosine"), F.asc("neighbor"))
     return (
-        pairs.withColumn("rn", F.row_number().over(w))
+        partial.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("vec_id", "neighbor", "cosine")
     )
