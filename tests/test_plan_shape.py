@@ -207,3 +207,21 @@ def test_blocked_gemm_is_arrow_map(spark, sf_dir):
     plan = plan_of(spark, "dedup_embedding_cosine_gemm", sf_dir)
     assert "MapInPandas" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_prefilters_and_heaps(spark, sf_dir):
+    """BM25 retrieval: corpus stats attach as broadcasts, top-k
+    plans as per-partition heaps — never a total sort."""
+    plan = plan_of(spark, "text_bm25", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_batch_topk_is_blocked_map(spark, sf_dir):
+    """Batch kNN: the pair work runs inside an Arrow mapInPandas
+    over block-pair rows; the merge window sees n*k*B rows, never
+    the raw n^2 pair relation."""
+    plan = plan_of(spark, "knn_batch_topk", sf_dir)
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan  # the exact merge step
