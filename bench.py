@@ -51,8 +51,8 @@ HEADLINE = [
     "topk",                      # TakeOrderedAndProject
     "dedup_exact",               # sha2 groupBy on documents
     "dedup_minhash",             # shingle -> minhash -> LSH bands
-    "dedup_embedding_cosine",    # metric-blocked exact cosine pairs
-    "dedup_embedding_cosine_gemm",  # same pairs via Arrow+BLAS matmul
+    "dedup_embedding_cosine",    # metric-blocked exact pairs (BLAS gemm)
+    "dedup_embedding_cosine_fold",  # same pairs, pure-JVM fold engine
     "knn_embeddings",            # brute-force cosine top-k
     "knn_ivf",                   # inverted-list ANN (broadcast codebook)
     "join_bucketed",             # exchange-free co-located join
@@ -136,25 +136,30 @@ def bench_reference_corpus(spark, n_docs: int) -> tuple[float, int]:
 
 
 def load_prev_bench(repo_root: str) -> tuple[str, dict] | None:
-    """Newest BENCH_r*.json (by round number) in the repo root."""
-    best: tuple[int, str] | None = None
+    """Newest USABLE BENCH_r*.json (by round number) in the repo
+    root. Usable = has per-query warm timings; a driver artifact
+    whose stdout tail truncated parses to `parsed: null` (BENCH_r03)
+    — skip past those to the newest round that can anchor the
+    comparison instead of silently emitting an empty vs_prev
+    (r4 VERDICT #8)."""
+    rounds: list[tuple[int, str]] = []
     for path in glob.glob(os.path.join(repo_root, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
         if m:
-            rnd = int(m.group(1))
-            if best is None or rnd > best[0]:
-                best = (rnd, path)
-    if best is None:
-        return None
-    try:
-        with open(best[1]) as fh:
-            data = json.load(fh)
-    except (OSError, ValueError):
-        return None
-    # driver artifacts wrap the bench line under "parsed"
-    if isinstance(data.get("parsed"), dict):
-        data = data["parsed"]
-    return os.path.basename(best[1]), data
+            rounds.append((int(m.group(1)), path))
+    for _, path in sorted(rounds, reverse=True):
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        # driver artifacts wrap the bench line under "parsed"
+        if isinstance(data.get("parsed"), dict):
+            data = data["parsed"]
+        if data.get("queries_warm_median") or data.get("queries_warm") \
+                or data.get("queries"):
+            return os.path.basename(path), data
+    return None
 
 
 def main() -> int:
@@ -257,6 +262,12 @@ def main() -> int:
     }
     with open(os.path.join(repo_root, "BENCH_DETAIL.json"), "w") as fh:
         json.dump(detail, fh, indent=1)
+
+    # release persisted replacement slots before the session dies
+    from project_2_semantic_similarity_spark.operators.cache import (
+        clear_slots)
+
+    clear_slots()
 
     print(json.dumps({
         "metric": "headline_queries_total_cold",

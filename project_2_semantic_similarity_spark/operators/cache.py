@@ -32,19 +32,49 @@ from pyspark.sql import DataFrame
 _SLOTS: dict[str, tuple[Hashable, DataFrame]] = {}
 
 
+def _app_id(df: DataFrame | None = None) -> str | None:
+    """applicationId of the DataFrame's session (or the active
+    session). A cached DataFrame is only valid inside the session
+    that built it — if the session was stopped and recreated in the
+    same process, a key hit would serve a relation bound to the dead
+    JVM state (ADVICE r4)."""
+    try:
+        if df is not None:
+            return df.sparkSession.sparkContext.applicationId
+        from pyspark.sql import SparkSession
+
+        s = SparkSession.getActiveSession()
+        return None if s is None else s.sparkContext.applicationId
+    except Exception:
+        return None
+
+
 def keyed_persist(slot: str, key: Hashable,
                   builder: Callable[[], DataFrame]) -> DataFrame:
     """Persisted DataFrame for ``slot``, rebuilt iff ``key`` differs
     from the cached entry's (or is None). Evicted entries are
-    unpersisted — at most one cached relation per slot, ever."""
+    unpersisted — at most one cached relation per slot, ever. The
+    session's applicationId is folded into the stored key, so a
+    stopped-and-recreated session in the same process rebuilds
+    instead of serving a dead-session DataFrame."""
     hit = _SLOTS.get(slot)
-    if hit is not None and key is not None and hit[0] == key:
-        return hit[1]
+    if hit is not None and key is not None and isinstance(hit[0], tuple):
+        stored_key, stored_app = hit[0]
+        cur_app = _app_id()
+        # cur_app None = can't determine the active session (never
+        # observed in practice) — keep the old same-process behavior
+        # rather than thrash the cache.
+        if stored_key == key and (cur_app is None
+                                  or stored_app == cur_app):
+            return hit[1]
     if hit is not None:
-        hit[1].unpersist()
+        try:
+            hit[1].unpersist()
+        except Exception:
+            pass  # previous session already stopped
         del _SLOTS[slot]
     df = builder().persist()
-    _SLOTS[slot] = (key, df)
+    _SLOTS[slot] = ((key, _app_id(df)) if key is not None else None, df)
     return df
 
 

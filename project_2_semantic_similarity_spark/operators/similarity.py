@@ -296,6 +296,52 @@ def knn_ivf_probe(embeddings: DataFrame, centroids: DataFrame,
     )
 
 
+def _codebook_key(centroids: DataFrame) -> tuple[int, int]:
+    """(identity hash, dim) of a codebook's rows. The hash is folded
+    into every slot key that caches a centroid ASSIGNMENT (ADVICE
+    r4: a caller-supplied cache_key identifies the embeddings table
+    only — a second call with the same table but a different
+    codebook must not reuse the stale assignment). Codebooks are k
+    driver-local rows by construction (kmeans_codebook /
+    label_centroids collected), so the collect here is bounded and
+    cheap."""
+    rows = sorted((int(r[0]), tuple(float(x) for x in r[1]))
+                  for r in centroids.select("label", "centroid").collect())
+    dim = len(rows[0][1]) if rows else 0
+    return hash(tuple(rows)), dim
+
+
+# Broadcasting the packed block relation ships the ENTIRE corpus
+# (n×dim doubles) to every executor and materializes it on the
+# driver — fine at test scale, an OOM at 100 TB (ADVICE r4). Above
+# this estimated size the block attach switches to a shuffle hash
+# join on cluster id: 2 corpus-sized shuffles instead of
+# n_executors corpus-sized copies.
+_BLOCK_BCAST_MAX_BYTES = 64 << 20
+
+
+def _attach_blocks(cand: DataFrame, blocks: DataFrame,
+                   est_bytes: int) -> DataFrame:
+    """Join candidate cluster pairs (c1, c2) to the packed block
+    relation twice — by broadcast when the whole corpus fits the
+    budget, by SHUFFLE_HASH on the cluster id otherwise (the key has
+    k distinct values; sorting packed block rows buys nothing)."""
+    b1 = blocks.select(F.col("list_id").alias("c1"),
+                       F.col("blk").alias("blk1"))
+    b2 = blocks.select(F.col("list_id").alias("c2"),
+                       F.col("blk").alias("blk2"))
+    if est_bytes <= _BLOCK_BCAST_MAX_BYTES:
+        b1, b2 = F.broadcast(b1), F.broadcast(b2)
+    else:
+        b1, b2 = b1.hint("SHUFFLE_HASH"), b2.hint("SHUFFLE_HASH")
+    return (
+        cand.join(b1, "c1")
+        .join(b2, "c2")
+        # one matmul per candidate cluster pair; spread the k² rows
+        .repartition(F.col("c1"), F.col("c2"))
+    )
+
+
 # Guard against float round-off when comparing angles computed via
 # acos of a double-accumulated cosine (derivative of acos blows up
 # near ±1; 1e-6 rad is orders of magnitude above the observed error).
@@ -389,8 +435,10 @@ def cosine_pairs_blocked(embeddings: DataFrame, min_cosine: float,
     identical data), but the interpreted-HOF fold count per pair
     drops 3× (one dot instead of dot + two norms over the 64-dim
     arrays) — measured 3.3s → ~1.3s warm at sf0.1."""
+    cb_fp, _dim = _codebook_key(centroids)
     assigned = keyed_persist(
-        "blocked_assigned", None if cache_key is None else cache_key,
+        "blocked_assigned",
+        None if cache_key is None else (cache_key, cb_fp),
         lambda: ivf_assign_gemm(embeddings, centroids, id_col, vec_col,
                                 with_score=True)
         .withColumn("nrm", l2_norm(vec_col)))
@@ -459,8 +507,10 @@ def knn_batch_topk(embeddings: DataFrame, k: int, centroids: DataFrame,
     import numpy as np
     import pandas as pd
 
+    cb_fp, dim = _codebook_key(centroids)
     assigned = keyed_persist(
-        "batchtopk_assigned", None if cache_key is None else cache_key,
+        "batchtopk_assigned",
+        None if cache_key is None else (cache_key, cb_fp),
         lambda: ivf_assign_gemm(embeddings, centroids, id_col, vec_col,
                                 with_score=True))
     cand = candidate_cluster_pairs(assigned, centroids, -1.0)
@@ -468,15 +518,9 @@ def knn_batch_topk(embeddings: DataFrame, k: int, centroids: DataFrame,
     blocks = assigned.groupBy("list_id").agg(
         F.collect_list(F.struct(F.col(id_col).alias("id"),
                                 F.col(vec_col).alias("v"))).alias("blk"))
-    paired = (
-        cand.join(F.broadcast(blocks.select(
-            F.col("list_id").alias("c1"), F.col("blk").alias("blk1"))),
-            "c1")
-        .join(F.broadcast(blocks.select(
-            F.col("list_id").alias("c2"), F.col("blk").alias("blk2"))),
-            "c2")
-        .repartition(F.col("c1"), F.col("c2"))
-    )
+    # count over the persisted assignment — sizes the block attach
+    paired = _attach_blocks(cand, blocks,
+                            est_bytes=assigned.count() * dim * 8)
 
     id_type = dict(embeddings.dtypes)[id_col]
     kk = int(k)
@@ -551,11 +595,12 @@ def cosine_pairs_blocked_gemm(embeddings: DataFrame, min_cosine: float,
     The Spark-side plan is unchanged in shape: each cluster packs
     into one block row (groupBy + collect_list — block size is
     cluster_size × dim, bounded by k ≈ √n sizing), candidate pairs
-    equi-join the k-row block relation twice (broadcast — the block
-    relation is k rows), and the matmul emits only pairs above the
-    threshold. Executor memory per task is two blocks, not a
-    partition of pairs; skew bound is the largest cluster², same as
-    the equi-join variant.
+    equi-join the block relation twice (k ROWS but n×dim BYTES — the
+    whole corpus packed; ``_attach_blocks`` broadcasts only below a
+    size budget and shuffle-hash-joins on the cluster id past it),
+    and the matmul emits only pairs above the threshold. Executor
+    memory per task is two blocks, not a partition of pairs; skew
+    bound is the largest cluster², same as the equi-join variant.
 
     Normalization divides by per-vector norms computed in numpy;
     float64 accumulation differences vs the fold variant are ~1e-15
@@ -563,8 +608,10 @@ def cosine_pairs_blocked_gemm(embeddings: DataFrame, min_cosine: float,
     that lets DuckDB's own summation order hash-match)."""
     import pandas as pd
 
+    cb_fp, dim = _codebook_key(centroids)
     assigned = keyed_persist(
-        "blocked_gemm_assigned", None if cache_key is None else cache_key,
+        "blocked_gemm_assigned",
+        None if cache_key is None else (cache_key, cb_fp),
         lambda: ivf_assign_gemm(embeddings, centroids, id_col, vec_col,
                                 with_score=True))
     cand = candidate_cluster_pairs(assigned, centroids, min_cosine)
@@ -572,16 +619,9 @@ def cosine_pairs_blocked_gemm(embeddings: DataFrame, min_cosine: float,
     blocks = assigned.groupBy("list_id").agg(
         F.collect_list(F.struct(F.col(id_col).alias("id"),
                                 F.col(vec_col).alias("v"))).alias("blk"))
-    paired = (
-        cand.join(F.broadcast(blocks.select(
-            F.col("list_id").alias("c1"), F.col("blk").alias("blk1"))),
-            "c1")
-        .join(F.broadcast(blocks.select(
-            F.col("list_id").alias("c2"), F.col("blk").alias("blk2"))),
-            "c2")
-        # one matmul per candidate cluster pair; spread the k² rows
-        .repartition(F.col("c1"), F.col("c2"))
-    )
+    # count over the persisted assignment — sizes the block attach
+    paired = _attach_blocks(cand, blocks,
+                            est_bytes=assigned.count() * dim * 8)
 
     thr = float(min_cosine)
 

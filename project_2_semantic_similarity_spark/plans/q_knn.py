@@ -88,6 +88,77 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+@query(
+    "sink_ivf_partitioned",
+    oracle=f"""
+WITH e AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+),
+flat AS (
+    SELECT label, generate_subscripts(emb, 1) AS idx, unnest(emb) AS val
+    FROM e
+),
+cent AS (
+    SELECT label AS list_id, list(avg_val ORDER BY idx) AS cvec
+    FROM (SELECT label, idx, avg(val) AS avg_val
+          FROM flat GROUP BY label, idx)
+    GROUP BY label
+),
+scored AS (
+    SELECT e.vec_id, e.emb, c.list_id,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.emb, c.cvec) DESC,
+                        c.list_id) AS rn
+    FROM e CROSS JOIN cent c
+),
+assigned AS (SELECT vec_id, emb, list_id FROM scored WHERE rn = 1),
+q AS (SELECT list_id AS qlist, emb AS qemb FROM assigned
+      WHERE vec_id = {_QUERY_VEC_ID})
+SELECT a.vec_id,
+       round(list_cosine_similarity(a.emb, q.qemb), 6) AS cosine
+FROM assigned a, q
+WHERE a.list_id = q.qlist AND a.vec_id <> {_QUERY_VEC_ID}
+ORDER BY list_cosine_similarity(a.emb, q.qemb) DESC, a.vec_id
+LIMIT {_K}
+""",
+)
+def sink_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF layout MATERIALIZED: the assigned corpus is written
+    ``partitionBy("list_id")`` (Hive layout, one directory per
+    inverted list) and the kNN probe re-reads it with the query's
+    list as a partition filter — so the probe touches 1/n_lists of
+    the files on disk, which is the claim in knn_ivf's docstring
+    made physical. The partition filter arrives via DYNAMIC
+    partition pruning (broadcast of the 1-row query relation into
+    the scan's PartitionFilters — pinned in tests/test_plan_shape);
+    at 100 TB this is exactly how an IVF index over parquet serves
+    point queries without a driver round-trip. Same result rows as
+    ``knn_ivf`` (identical oracle): the layout changes IO, not
+    semantics."""
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned = S.ivf_assign(e, S.label_centroids(e))
+    out = f"/tmp/p2ss_{sf_dir.strip('/').replace('/', '_')}_ivf_layout"
+    (assigned.select("vec_id", "embedding", "list_id")
+     .write.mode("overwrite").partitionBy("list_id").parquet(out))
+    idx = spark.read.parquet(out)
+    q = (idx.filter(F.col("vec_id") == _QUERY_VEC_ID)
+         .select(F.col("list_id").alias("__qlist"),
+                 F.col("embedding").alias("__qvec")))
+    from project_2_semantic_similarity_spark.functions import (
+        cosine_similarity)
+
+    return (
+        idx.join(F.broadcast(q), F.col("list_id") == F.col("__qlist"))
+        .filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .select("vec_id",
+                F.round(cosine_similarity("embedding", "__qvec"), 6)
+                 .alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(_K)
+    )
+
+
 @query("knn_ivf_trained")  # rows-only: iterative k-means codebook, not SQL
 def knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-10 over the TRAINED k-means codebook (k ≈ √n, the
@@ -364,6 +435,72 @@ def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     monotonicity and determinism pinned in tests/test_dedup_knn.py."""
     e = load_table(spark, sf_dir, "embeddings")
     return S.kmeans_train(e, k=8, iters=5)
+
+
+@query(
+    "cluster_kmeans_1iter",
+    oracle="""
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+),
+init AS (
+    SELECT emb,
+           CAST(row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+               AS INT) AS label
+    FROM e
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+    LIMIT 8
+),
+scored0 AS (
+    SELECT e.vec_id, e.emb, i.label,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.emb, i.emb) DESC,
+                        i.label) AS rn
+    FROM e CROSS JOIN init i
+),
+assigned0 AS (SELECT vec_id, emb, label FROM scored0 WHERE rn = 1),
+flat AS (
+    SELECT label, generate_subscripts(emb, 1) AS idx, unnest(emb) AS val
+    FROM assigned0
+),
+cent AS (
+    SELECT label, list(avg_val ORDER BY idx) AS cvec
+    FROM (SELECT label, idx, avg(val) AS avg_val
+          FROM flat GROUP BY label, idx)
+    GROUP BY label
+),
+scored1 AS (
+    SELECT e.vec_id, c.label,
+           list_cosine_similarity(e.emb, c.cvec) AS ccos,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.emb, c.cvec) DESC,
+                        c.label) AS rn
+    FROM e CROSS JOIN cent c
+)
+SELECT vec_id, label AS list_id, round(ccos, 6) AS ccos
+FROM scored1 WHERE rn = 1
+""",
+)
+def cluster_kmeans_1iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE Lloyd iteration of the same deterministic spherical
+    k-means, declared with a FULL SQL oracle (r4 VERDICT #7): fixed
+    md5-seeded init (k lowest (md5(id), id) vectors) → one
+    argmax-cosine assignment → element-wise mean centroids → final
+    assignment against the 1-iter codebook. This hash-pins the exact
+    per-iteration arithmetic the 5-iter `cluster_kmeans` loop
+    repeats — the loop itself stays rows-only (a 5-deep iterative
+    CTE is not meaningfully SQL), but its step function is now
+    independently verified. Column-expression assignment
+    (`ivf_assign`) so the oracle mirrors the fold arithmetic
+    fold-for-fold, as in knn_ivf."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cb = S.kmeans_codebook(e, k=8, iters=1)
+    return S.ivf_assign(e.select("vec_id", "embedding"), cb,
+                        with_score=True).select(
+        "vec_id", "list_id", F.round("ccos", 6).alias("ccos"))
 
 
 @query(

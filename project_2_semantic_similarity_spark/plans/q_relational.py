@@ -875,6 +875,70 @@ def agg_skew_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_parts"))
 
 
+_SKEW_SALT = 8
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+WITH fact AS (
+    SELECT event_type, value,
+           CASE WHEN user_id % 100 < 90 THEN 0
+                ELSE user_id % 100 END AS hot_key
+    FROM events
+),
+dim AS (
+    SELECT c_custkey % 100 AS hot_key,
+           CAST(count(*) AS BIGINT) AS n_cust
+    FROM customer GROUP BY 1
+)
+SELECT f.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(f.value * d.n_cust), 2) AS weighted
+FROM fact f JOIN dim d USING (hot_key)
+GROUP BY f.event_type
+""",
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipfian skew-join, salted (SURVEY §4.2's stopword case made
+    relational): the fact side's engineered hot key funnels ~90% of
+    events onto ONE join key, so an unsalted shuffle join serializes
+    the hot partition on a single task — the classic straggler at
+    100 TB, and AQE's skew split only engages past size thresholds a
+    test corpus never reaches. The cure is explicit and exact: the
+    fact side takes salt = hash(row id) mod S, the dim side
+    replicates S ways on (hot_key, salt), every fact row still
+    matches its dim row exactly once, and the hot key's rows spread
+    over S even tasks. SHUFFLE_HASH keeps the demonstration a
+    shuffle join (a broadcast dim would sidestep the skew at test
+    scale and learn nothing). Same salting shape as
+    cosine_pairs_blocked's expansion join; plan pinned in
+    tests/test_plan_shape.py (join keys include the salt)."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    fact = ev.select(
+        "event_type", "value", "event_id",
+        F.when(F.col("user_id") % 100 < 90, F.lit(0))
+         .otherwise(F.col("user_id") % 100)
+         .cast("bigint").alias("hot_key"))
+    dim = cust.groupBy(
+        (F.col("c_custkey") % 100).cast("bigint").alias("hot_key")
+    ).agg(F.count("*").alias("n_cust"))
+    fact_s = fact.withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(_SKEW_SALT)))
+    dim_s = dim.withColumn(
+        "salt",
+        F.explode(F.sequence(F.lit(0), F.lit(_SKEW_SALT - 1))
+                  .cast("array<bigint>")))
+    return (
+        fact_s.join(dim_s.hint("SHUFFLE_HASH"), ["hot_key", "salt"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum(F.col("value") * F.col("n_cust")), 2)
+              .alias("weighted"))
+    )
+
+
 def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """One-time staging for join_bucketed: write lineitem/orders
     bucketed by the join key (8 buckets, external tables under /tmp)

@@ -52,37 +52,20 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # change is in fact result-preserving).
 _CHANGED_THIS_ROUND = frozenset(
     {
-        # round 4: the streaming events reader now probes the parquet
-        # footer and handles BOTH ts layouts (nanos-as-long and
-        # micros/NTZ) — every stream_* query reads through it
-        "stream_tumbling_count",
-        "stream_sliding_avg",
-        "stream_session",
-        "stream_dedup_watermark",
-        "stream_stream_join",
-        "stream_static_join",
-        "stream_custom_state",
-        "stream_sink_parquet",
-        "stream_late_data",
-        # round 4: array outputs -> exploded (vec_id, pos, value) rows
-        "embedding_quantize",
-        "embedding_normalize",
-        # round 4: broadcast-guard probe bypassed + weight-table cache
-        "flagship_term_similarity",
-        # round 4: blocking codebook label_centroids -> trained k-means
+        # round 5: primary engine swapped fold -> BLAS gemm (r4
+        # VERDICT #1); the fold engine keeps the same oracle under
+        # its new explicit name
         "dedup_embedding_cosine",
-        # round 4: per-call persist leaks -> replacement slots (result-
-        # preserving plan changes; the driver hash is the independent
-        # check that they are in fact result-preserving)
-        "text_doc_similarity",
-        "text_doc_similarity_ann",
-        "dedup_minhash",
+        "dedup_embedding_cosine_fold",
+        # round 5: block attach is now size-aware (broadcast under a
+        # budget, SHUFFLE_HASH past it) + codebook identity folded
+        # into the assignment slot keys (result-preserving — driver
+        # hash is the independent check)
         "knn_batch_topk",
-        "knn_ivf",
-        "corpus_prep_pipeline",
-        # round 4: kmeans_train refactored through _kmeans_fit (the
-        # final assignment no longer reads the training-persisted base)
-        "cluster_kmeans",
+        # round 5: dense-strategy guard now also bounds doc count
+        "text_doc_similarity",
+        # round 5: minhash variant probe verdict /tmp-cached
+        "dedup_minhash",
     }
 )
 

@@ -515,6 +515,92 @@ def test_blocked_gemm_equals_fold_variant(spark, sf_dir):
     assert all(abs(fold[k] - gemm[k]) < 1e-9 for k in fold)
 
 
+def test_ivf_probe_rerank_is_exact(spark, sf_dir):
+    """Fixed candidate set → full-precision oracle for the RE-RANK
+    stage of knn_ivf_trained (r4 VERDICT #5): take the probe's
+    deterministic candidate lists as given (that stage is covered by
+    the recall test), then the returned (id, cosine) rows must equal
+    an independent numpy exact-cosine top-k over exactly the vectors
+    in those lists — same ids, same order, values to 1e-9."""
+    import numpy as np
+
+    from project_2_semantic_similarity_spark.plans.q_dedup import (
+        _trained_codebook)
+    from project_2_semantic_similarity_spark.sources import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cb, _k = _trained_codebook(spark, sf_dir)
+    nprobe, k = 8, 10
+    got = [(r.vec_id, r.cosine)
+           for r in S.knn_ivf_probe(e, cb, 0, k, nprobe=nprobe).collect()]
+
+    # the same deterministic candidate set, derived independently of
+    # the operator's join plumbing
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in e.collect()}
+    cents = sorted((int(r.label), np.array(r.centroid, dtype=np.float64))
+                   for r in cb.collect())
+    q = vecs[0]
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        return 0.0 if na == 0 or nb == 0 else float(a @ b) / (na * nb)
+
+    probe_lists = [lbl for lbl, _ in sorted(
+        cents, key=lambda lc: (-cos(lc[1], q), lc[0]))[:nprobe]]
+    assigned = {r.vec_id: r.list_id
+                for r in S.ivf_assign_gemm(e, cb).collect()}
+    cand = [v for v in vecs if assigned[v] in probe_lists and v != 0]
+    expect = sorted(((v, cos(vecs[v], q)) for v in cand),
+                    key=lambda t: (-t[1], t[0]))[:k]
+    assert [v for v, _ in got] == [v for v, _ in expect]
+    for (_, g), (_, x) in zip(got, expect):
+        assert abs(g - x) < 1e-9
+
+
+def test_lsh_pairs_rerank_is_exact(spark, sf_dir):
+    """Fixed candidate set → full-precision oracle for the RE-RANK
+    stage of dedup_embedding_cosine_lsh (r4 VERDICT #5): recompute
+    the candidate pairs from the same public bucketing function,
+    then the operator's output must be EXACTLY the candidates whose
+    numpy cosine clears the threshold — pair set equality and values
+    to 1e-9 (no false positives, no re-rank arithmetic drift).
+    Bounded to 300 vectors so the driver-side candidate set stays
+    small."""
+    import itertools
+
+    import numpy as np
+
+    from project_2_semantic_similarity_spark.sources import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 300)
+    got = {(r.vec_a, r.vec_b): r.cosine
+           for r in S.cosine_pairs_lsh(e, 0.45, dim=64, n_planes=4,
+                                       n_tables=24).collect()}
+
+    buckets = {}
+    for r in S.lsh_bucket_tables(e, 64, 4, 24, 42).select(
+            "vec_id", "table_id", "bucket").collect():
+        buckets.setdefault((r.table_id, r.bucket), []).append(r.vec_id)
+    cand = set()
+    for ids in buckets.values():
+        for a, b in itertools.combinations(sorted(ids), 2):
+            cand.add((a, b))
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in e.collect()}
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        return 0.0 if na == 0 or nb == 0 else float(a @ b) / (na * nb)
+
+    expect = {(a, b): cos(vecs[a], vecs[b]) for a, b in cand
+              if cos(vecs[a], vecs[b]) > 0.45}
+    assert set(got) == set(expect)
+    for pair, g in got.items():
+        assert abs(g - expect[pair]) < 1e-9
+
+
 def test_blocked_gemm_drops_zero_norm_vectors(spark):
     """A zero vector has no defined cosine: the fold variant's
     try_divide yields NULL and drops the pair — the BLAS variant must

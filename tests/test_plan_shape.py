@@ -109,12 +109,12 @@ def test_uncorrelated_scalar_subquery_pushes_down(spark, sf_dir):
     assert re.search(r"PushedFilters: \[.*GreaterThan\(p_retailprice,ScalarSubquery", plan)
 
 
-def test_dedup_embedding_cosine_is_bucketed_equijoin(spark, sf_dir):
-    """The pair join must be a hash EQUI-join on cluster ids — never
-    the all-pairs cartesian/broadcast-NLJ on vec_a < vec_b. (The only
-    NLJ allowed is the tiny broadcast codebook / centroid-pair
-    attach.)"""
-    plan = plan_of(spark, "dedup_embedding_cosine", sf_dir)
+def test_dedup_embedding_cosine_fold_is_bucketed_equijoin(spark, sf_dir):
+    """The fold engine's pair join must be a hash EQUI-join on
+    cluster ids — never the all-pairs cartesian/broadcast-NLJ on
+    vec_a < vec_b. (The only NLJ allowed is the tiny broadcast
+    codebook / centroid-pair attach.)"""
+    plan = plan_of(spark, "dedup_embedding_cosine_fold", sf_dir)
     assert "CartesianProduct" not in plan
     # pair join on cluster id: SMJ or shuffled/broadcast hash join
     assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
@@ -194,6 +194,28 @@ def test_knn_ivf_trained_broadcast_only(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_join_skew_salted_spreads_hot_key(spark, sf_dir):
+    """The skew join must execute as a shuffle hash join whose keys
+    include the salt (never a broadcast that sidesteps the skew, and
+    never an unsalted single-key shuffle)."""
+    plan = plan_of(spark, "join_skew_salted", sf_dir)
+    m = re.search(r"ShuffledHashJoin \[([^\]]*)\]", plan)
+    assert m, plan[:2000]
+    assert "hot_key" in m.group(1) and "salt" in m.group(1)
+    # dim replication is the explode of a salt sequence
+    assert "explode" in plan.lower()
+
+
+def test_sink_ivf_partitioned_prunes_dynamically(spark, sf_dir):
+    """The IVF-layout probe must reach the partitioned corpus scan
+    as a DYNAMIC partition filter (broadcast of the 1-row query
+    relation into PartitionFilters) — the probe reads 1/n_lists of
+    the files, never the whole layout."""
+    plan = plan_of(spark, "sink_ivf_partitioned", sf_dir)
+    assert "dynamicpruning" in plan.lower()
+    assert "TakeOrderedAndProject" in plan  # top-k, no total sort
+
+
 def test_dedup_clusters_no_cartesian(spark, sf_dir):
     """Label propagation + sizes: every join is an equi-join on node
     or component id; nothing may plan as a cartesian product."""
@@ -202,9 +224,10 @@ def test_dedup_clusters_no_cartesian(spark, sf_dir):
 
 
 def test_blocked_gemm_is_arrow_map(spark, sf_dir):
-    """The GEMM variant's pair work runs inside an Arrow mapInPandas
-    over block rows — no cartesian, no pair-expanded shuffle."""
-    plan = plan_of(spark, "dedup_embedding_cosine_gemm", sf_dir)
+    """The declared dedup_embedding_cosine (gemm engine since r5)
+    runs its pair work inside an Arrow mapInPandas over block rows —
+    no cartesian, no pair-expanded shuffle."""
+    plan = plan_of(spark, "dedup_embedding_cosine", sf_dir)
     assert "MapInPandas" in plan
     assert "CartesianProduct" not in plan
 
