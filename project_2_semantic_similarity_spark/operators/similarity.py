@@ -296,19 +296,45 @@ def knn_ivf_probe(embeddings: DataFrame, centroids: DataFrame,
     )
 
 
-def _codebook_key(centroids: DataFrame) -> tuple[int, int]:
-    """(identity hash, dim) of a codebook's rows. The hash is folded
-    into every slot key that caches a centroid ASSIGNMENT (ADVICE
-    r4: a caller-supplied cache_key identifies the embeddings table
-    only — a second call with the same table but a different
-    codebook must not reuse the stale assignment). Codebooks are k
-    driver-local rows by construction (kmeans_codebook /
-    label_centroids collected), so the collect here is bounded and
-    cheap."""
+def _codebook_key(centroids: DataFrame) -> int:
+    """Identity hash of a codebook's rows, folded into every slot
+    key that caches a centroid ASSIGNMENT (ADVICE r4: a
+    caller-supplied cache_key identifies the embeddings table only —
+    a second call with the same table but a different codebook must
+    not reuse the stale assignment). Codebooks are k driver-local
+    rows by construction, so the collect is bounded — but it IS a
+    Spark job per call, so callers that already hold a durable
+    identity for their codebook (the /tmp-artifact key of a trained
+    codebook, the source fingerprint behind label centroids) should
+    pass it as ``codebook_key`` and skip this probe on the warm
+    path."""
     rows = sorted((int(r[0]), tuple(float(x) for x in r[1]))
                   for r in centroids.select("label", "centroid").collect())
-    dim = len(rows[0][1]) if rows else 0
-    return hash(tuple(rows)), dim
+    return hash(tuple(rows))
+
+
+# (n_rows, dim) of each persisted assignment, computed once per slot
+# key at build time so the warm path makes the broadcast-vs-shuffle
+# attach decision without running a job. Entries are tiny tuples;
+# lifetime mirrors the replacement slots they describe.
+_SLOT_STATS: dict[tuple, tuple[int, int]] = {}
+
+
+def _assignment_stats(slot: str, full_key, assigned: DataFrame,
+                      vec_col: str) -> tuple[int, int]:
+    """(n, dim) of the persisted assignment — one aggregate job on
+    first sight of the key, a dict hit afterwards."""
+    if full_key is not None:
+        hit = _SLOT_STATS.get((slot, full_key))
+        if hit is not None:
+            return hit
+    row = assigned.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first(F.size(vec_col)).alias("d")).first()
+    stats = (int(row["n"]), int(row["d"] or 0))
+    if full_key is not None:
+        _SLOT_STATS[(slot, full_key)] = stats
+    return stats
 
 
 # Broadcasting the packed block relation ships the ENTIRE corpus
@@ -392,7 +418,8 @@ def cosine_pairs_blocked(embeddings: DataFrame, min_cosine: float,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding",
                          salt_buckets: int = 32,
-                         cache_key: Hashable = None) -> DataFrame:
+                         cache_key: Hashable = None,
+                         codebook_key: Hashable = None) -> DataFrame:
     """EXACT all-pairs cosine self-join (cos > min_cosine) with
     metric blocking — the scale-path replacement for the naive
     ``a.join(b, id_a < id_b)`` broadcast-NLJ:
@@ -435,7 +462,8 @@ def cosine_pairs_blocked(embeddings: DataFrame, min_cosine: float,
     identical data), but the interpreted-HOF fold count per pair
     drops 3× (one dot instead of dot + two norms over the 64-dim
     arrays) — measured 3.3s → ~1.3s warm at sf0.1."""
-    cb_fp, _dim = _codebook_key(centroids)
+    cb_fp = codebook_key if codebook_key is not None \
+        else _codebook_key(centroids)
     assigned = keyed_persist(
         "blocked_assigned",
         None if cache_key is None else (cache_key, cb_fp),
@@ -481,7 +509,8 @@ def cosine_pairs_blocked(embeddings: DataFrame, min_cosine: float,
 def knn_batch_topk(embeddings: DataFrame, k: int, centroids: DataFrame,
                    id_col: str = "vec_id",
                    vec_col: str = "embedding",
-                   cache_key: Hashable = None) -> DataFrame:
+                   cache_key: Hashable = None,
+                   codebook_key: Hashable = None) -> DataFrame:
     """EXACT k nearest neighbors for EVERY vector (batch similarity
     search), as block-pair matmuls with per-block partial top-k:
 
@@ -507,10 +536,11 @@ def knn_batch_topk(embeddings: DataFrame, k: int, centroids: DataFrame,
     import numpy as np
     import pandas as pd
 
-    cb_fp, dim = _codebook_key(centroids)
+    cb_fp = codebook_key if codebook_key is not None \
+        else _codebook_key(centroids)
+    full_key = None if cache_key is None else (cache_key, cb_fp)
     assigned = keyed_persist(
-        "batchtopk_assigned",
-        None if cache_key is None else (cache_key, cb_fp),
+        "batchtopk_assigned", full_key,
         lambda: ivf_assign_gemm(embeddings, centroids, id_col, vec_col,
                                 with_score=True))
     cand = candidate_cluster_pairs(assigned, centroids, -1.0)
@@ -518,9 +548,9 @@ def knn_batch_topk(embeddings: DataFrame, k: int, centroids: DataFrame,
     blocks = assigned.groupBy("list_id").agg(
         F.collect_list(F.struct(F.col(id_col).alias("id"),
                                 F.col(vec_col).alias("v"))).alias("blk"))
-    # count over the persisted assignment — sizes the block attach
-    paired = _attach_blocks(cand, blocks,
-                            est_bytes=assigned.count() * dim * 8)
+    n, dim = _assignment_stats("batchtopk_assigned", full_key,
+                               assigned, vec_col)
+    paired = _attach_blocks(cand, blocks, est_bytes=n * dim * 8)
 
     id_type = dict(embeddings.dtypes)[id_col]
     kk = int(k)
@@ -579,7 +609,8 @@ def cosine_pairs_blocked_gemm(embeddings: DataFrame, min_cosine: float,
                               centroids: DataFrame,
                               id_col: str = "vec_id",
                               vec_col: str = "embedding",
-                              cache_key: Hashable = None) -> DataFrame:
+                              cache_key: Hashable = None,
+                              codebook_key: Hashable = None) -> DataFrame:
     """Same EXACT semantics and blocking as ``cosine_pairs_blocked``
     — nearest-centroid assignment, triangle-inequality cluster-pair
     pruning — but the per-pair cosine work runs as ONE BLAS matmul
@@ -608,10 +639,11 @@ def cosine_pairs_blocked_gemm(embeddings: DataFrame, min_cosine: float,
     that lets DuckDB's own summation order hash-match)."""
     import pandas as pd
 
-    cb_fp, dim = _codebook_key(centroids)
+    cb_fp = codebook_key if codebook_key is not None \
+        else _codebook_key(centroids)
+    full_key = None if cache_key is None else (cache_key, cb_fp)
     assigned = keyed_persist(
-        "blocked_gemm_assigned",
-        None if cache_key is None else (cache_key, cb_fp),
+        "blocked_gemm_assigned", full_key,
         lambda: ivf_assign_gemm(embeddings, centroids, id_col, vec_col,
                                 with_score=True))
     cand = candidate_cluster_pairs(assigned, centroids, min_cosine)
@@ -619,9 +651,9 @@ def cosine_pairs_blocked_gemm(embeddings: DataFrame, min_cosine: float,
     blocks = assigned.groupBy("list_id").agg(
         F.collect_list(F.struct(F.col(id_col).alias("id"),
                                 F.col(vec_col).alias("v"))).alias("blk"))
-    # count over the persisted assignment — sizes the block attach
-    paired = _attach_blocks(cand, blocks,
-                            est_bytes=assigned.count() * dim * 8)
+    n, dim = _assignment_stats("blocked_gemm_assigned", full_key,
+                               assigned, vec_col)
+    paired = _attach_blocks(cand, blocks, est_bytes=n * dim * 8)
 
     thr = float(min_cosine)
 

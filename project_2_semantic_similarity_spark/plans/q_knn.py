@@ -244,9 +244,12 @@ def knn_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         source_fingerprint)
 
     e = load_table(spark, sf_dir, "embeddings")
+    # codebook_key: label centroids are fully determined by the
+    # source relation the cache_key fingerprints — no collect probe
     out = S.knn_batch_topk(
         e, 3, S.label_centroids(e),
-        cache_key=(sf_dir, source_fingerprint(sf_dir, "embeddings")))
+        cache_key=(sf_dir, source_fingerprint(sf_dir, "embeddings")),
+        codebook_key="label_centroids")
     return out.select("vec_id", "neighbor",
                       F.round("cosine", 6).alias("cosine"))
 

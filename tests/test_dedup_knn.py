@@ -601,6 +601,28 @@ def test_lsh_pairs_rerank_is_exact(spark, sf_dir):
         assert abs(g - expect[pair]) < 1e-9
 
 
+def test_block_attach_shuffle_branch_matches_broadcast(spark, sf_dir,
+                                                       monkeypatch):
+    """Past the broadcast budget the packed block relation attaches
+    via SHUFFLE_HASH on the cluster id instead of an n-proportional
+    broadcast (ADVICE r4). Forcing the budget to 0 must flip the
+    join strategy without changing a single pair."""
+    from project_2_semantic_similarity_spark.operators import (
+        similarity as sim)
+    from project_2_semantic_similarity_spark.sources import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = S.label_centroids(e)
+    bcast = {(r.vec_a, r.vec_b): r.cosine for r in
+             S.cosine_pairs_blocked_gemm(e, 0.45, cents).collect()}
+    monkeypatch.setattr(sim, "_BLOCK_BCAST_MAX_BYTES", 0)
+    shuf_df = S.cosine_pairs_blocked_gemm(e, 0.45, cents)
+    plan = shuf_df._jdf.queryExecution().executedPlan().toString()
+    shuf = {(r.vec_a, r.vec_b): r.cosine for r in shuf_df.collect()}
+    assert "ShuffledHashJoin" in plan
+    assert shuf == bcast and len(bcast) > 0
+
+
 def test_blocked_gemm_drops_zero_norm_vectors(spark):
     """A zero vector has no defined cosine: the fold variant's
     try_divide yields NULL and drops the pair — the BLAS variant must

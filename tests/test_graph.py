@@ -55,6 +55,29 @@ def test_raises_rather_than_partial_labeling(spark):
         connected_components(pairs, max_rounds=2)
 
 
+def test_keyed_persist_slot_is_session_scoped(spark):
+    """Replacement slots fold the session's applicationId into the
+    stored key (ADVICE r4: a stopped-and-recreated session in the
+    same process must rebuild, not serve a dead-session DataFrame):
+    a same-key call is a hit; tampering the stored app id must force
+    a rebuild."""
+    from project_2_semantic_similarity_spark.operators import cache
+
+    df = cache.keyed_persist("t_scope", ("k1",), lambda: spark.range(3))
+    app = spark.sparkContext.applicationId
+    assert cache._SLOTS["t_scope"][0] == (("k1",), app)
+    # same key, same session -> hit (builder not invoked)
+    assert cache.keyed_persist(
+        "t_scope", ("k1",),
+        lambda: (_ for _ in ()).throw(AssertionError("rebuilt"))) is df
+    # stale app id (simulated dead session) -> rebuild
+    cache._SLOTS["t_scope"] = ((("k1",), "app-dead"), df)
+    df2 = cache.keyed_persist("t_scope", ("k1",), lambda: spark.range(4))
+    assert df2 is not df
+    df2.unpersist()
+    del cache._SLOTS["t_scope"]
+
+
 def test_no_leaked_cache_entries(spark):
     """The operator must release every per-round persisted relation
     it created (round-3 ADVICE: the labels relation leaked). The one
