@@ -15,8 +15,20 @@ Scale design (the 100 TB story):
 - simhash is one pass + a 63-bit key; near-dup pairs via bit_count of
   xor on bucket-joined candidates.
 
-All hash functions are JVM built-ins (xxhash64, sha2) — fixed seeds,
-deterministic across runs and partitionings.
+All hash functions are JVM built-ins — fixed seeds, deterministic
+across runs and partitionings. Two families:
+
+- ``fast`` (default): xxhash64 — cheapest per byte, engine-specific
+  bit pattern (not reproducible outside Spark).
+- ``portable``: the low 60 bits of md5, extracted as
+  ``conv(substr(md5(s), 1, 15), 16, 10)``. Any engine with md5 and
+  hex-parse computes the identical integer (DuckDB:
+  ``('0x' || substr(md5(s), 1, 15))::BIGINT``), which makes the
+  whole minhash/simhash pipeline cross-engine auditable — a real
+  property for training-data dedup, where a keep/drop decision may
+  need to be re-derived years later in a different engine. Costs one
+  md5 per distinct shingle/term instead of one xxhash64 (~3× the
+  hash time, a small slice of the operator).
 """
 
 from __future__ import annotations
@@ -27,6 +39,14 @@ from pyspark.sql import functions as F
 # Mersenne prime 2^31-1: big enough for minhash dispersion, small
 # enough that a_i * h never overflows int64 (ANSI mode would throw).
 _MERSENNE31 = 2_147_483_647
+
+
+def portable_hash60(col):
+    """Low 60 bits of md5(col) as a non-negative BIGINT, computed so
+    that any md5-capable engine reproduces it bit-for-bit (DuckDB:
+    ``('0x' || substr(md5(s), 1, 15))::BIGINT``). 15 hex chars = 60
+    bits, so the value is always positive and overflow-free."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
 def normalize_text(col):
@@ -267,7 +287,8 @@ def select_minhash_variant_from_docs(
 
 def minhash_signatures(shingled: DataFrame, num_hashes: int = 64,
                        seed: int = 42,
-                       variant: str = "auto") -> DataFrame:
+                       variant: str = "auto",
+                       hash_family: str = "fast") -> DataFrame:
     """(doc_id, sig array<bigint>[k]): min of each affine hash over
     the document's shingle set, packed into one array column so
     downstream plans (banding, signature comparison) stay small.
@@ -289,12 +310,20 @@ def minhash_signatures(shingled: DataFrame, num_hashes: int = 64,
     (``select_minhash_variant``) and choose — the narrow plan's
     codegen win where it is safe, the wide plan's bounded group
     memory where it is not. Both variants produce bit-identical
-    signatures (pinned in tests/test_dedup_knn.py)."""
+    signatures (pinned in tests/test_dedup_knn.py).
+
+    ``hash_family``: ``fast`` (xxhash64 base) or ``portable``
+    (md5-low-60-bits base, reproducible in any md5-capable engine —
+    see module docstring). Same affine family over the base either
+    way, so the two families differ only in the base hash."""
     if variant == "auto":
         variant = select_minhash_variant(shingled)
+    base_expr = (portable_hash60(F.col("shingle"))
+                 if hash_family == "portable"
+                 else F.xxhash64("shingle"))
     based = shingled.select(
         "doc_id",
-        F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE31)).alias("base"))
+        F.pmod(base_expr, F.lit(_MERSENNE31)).alias("base"))
     if variant == "narrow":
         import random
 
@@ -351,37 +380,62 @@ def minhash_lsh_candidates(signatures: DataFrame, num_hashes: int = 64,
 
 def minhash_estimated_jaccard(signatures: DataFrame,
                               candidates: DataFrame,
-                              num_hashes: int = 64) -> DataFrame:
+                              num_hashes: int = 64,
+                              verify_bands: int | None = None) -> DataFrame:
     """Estimate J(a,b) as the fraction of agreeing minhashes — one
-    zip_with/aggregate expression over the signature arrays."""
+    zip_with/aggregate expression over the signature arrays.
+
+    ``verify_bands``: when set, keep only pairs where at least one of
+    that many bands agrees on ALL its rows, re-checked on the raw
+    signature arrays. The LSH bucket join then becomes a purely
+    *physical* discovery mechanism: a band-hash collision (two
+    different slices hashing alike) can never leak a false candidate
+    into the output, so the result is exactly "pairs with a fully
+    agreeing band" — a deterministic, engine-independent predicate an
+    external oracle can re-derive."""
     sig_a = signatures.select(F.col("doc_id").alias("doc_a"),
                               F.col("sig").alias("sig_a"))
     sig_b = signatures.select(F.col("doc_id").alias("doc_b"),
                               F.col("sig").alias("sig_b"))
-    agree = F.aggregate(
-        F.zip_with("sig_a", "sig_b",
-                   lambda x, y: (x == y).cast("int")),
-        F.lit(0), lambda acc, x: acc + x)
-    return (
-        candidates.join(sig_a, "doc_a").join(sig_b, "doc_b")
-        .select("doc_a", "doc_b",
-                (agree / F.lit(num_hashes)).alias("est_jaccard"))
-    )
+    matches = F.zip_with("sig_a", "sig_b",
+                         lambda x, y: (x == y).cast("int"))
+    joined = (candidates.join(sig_a, "doc_a").join(sig_b, "doc_b")
+              .withColumn("m", matches))
+    if verify_bands:
+        rows = num_hashes // verify_bands
+        band_ok = F.exists(
+            F.sequence(F.lit(0), F.lit(verify_bands - 1)),
+            lambda i: F.aggregate(
+                F.slice("m", i * rows + 1, rows),
+                F.lit(0), lambda acc, x: acc + x) == rows)
+        joined = joined.filter(band_ok)
+    return joined.select(
+        "doc_a", "doc_b",
+        (F.aggregate("m", F.lit(0), lambda acc, x: acc + x)
+         / F.lit(num_hashes)).alias("est_jaccard"))
 
 
 def simhash(docs: DataFrame, text_col: str = "text",
-            id_col: str = "doc_id", bits: int = 63) -> DataFrame:
-    """63-bit SimHash per document (Charikar 2002): for each bit
-    position, sum tf-weighted ±1 votes from xxhash64(term); the sign
-    pattern packs into one BIGINT (63 bits keeps it positive — no
-    int64 sign games). One tokenize + one aggregation."""
+            id_col: str = "doc_id", bits: int = 63,
+            hash_family: str = "fast") -> DataFrame:
+    """SimHash per document (Charikar 2002): for each bit position,
+    sum tf-weighted ±1 votes from hash(term); the sign pattern packs
+    into one BIGINT (≤63 bits keeps it positive — no int64 sign
+    games). One tokenize + one aggregation.
+
+    ``hash_family='portable'`` votes from the md5-low-60-bits term
+    hash (``portable_hash60`` — identical in any md5-capable engine),
+    capping ``bits`` at 60; ``fast`` (default) votes from xxhash64."""
     from project_2_semantic_similarity_spark.operators.text import (
         term_counts, tokenize)
 
+    if hash_family == "portable" and bits > 60:
+        raise ValueError("portable family exposes 60 hash bits")
     counts = term_counts(tokenize(
         docs.select(F.col(id_col).alias("doc_id"),
                     F.col(text_col).alias("text"))))
-    h = F.xxhash64("term")
+    h = (portable_hash60(F.col("term")) if hash_family == "portable"
+         else F.xxhash64("term"))
     votes = [
         F.sum(
             F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1,

@@ -57,10 +57,39 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
             for _ in range(n_planes)]
 
 
+def hyperplanes_rademacher(dim: int, n_planes: int,
+                           seed: int) -> list[list[float]]:
+    """±1 (Rademacher) hyperplane components, each the low md5 bit of
+    ``"{seed}:{plane}:{coord}"`` — sign-LSH with ±1 projections is the
+    standard cheap variant of Charikar's random-hyperplane scheme
+    (Achlioptas 2003 shows ±1 projections preserve the JL guarantees
+    of gaussians). The draw is hashlib.md5, so the plane matrix is a
+    pure function of (seed, dim, n_planes) that ANY md5-capable
+    system reproduces — which lets a SQL oracle re-derive the exact
+    buckets (the same portability contract as
+    operators/dedup.py portable_hash60)."""
+    import hashlib
+
+    return [
+        [1.0 if (hashlib.md5(f"{seed}:{i}:{j}".encode())
+                 .digest()[-1] & 1) else -1.0
+         for j in range(dim)]
+        for i in range(n_planes)
+    ]
+
+
+def _planes(dim: int, n_planes: int, seed: int,
+            plane_family: str) -> list[list[float]]:
+    return (hyperplanes_rademacher(dim, n_planes, seed)
+            if plane_family == "rademacher"
+            else _hyperplanes(dim, n_planes, seed))
+
+
 def lsh_bucket(embeddings: DataFrame, dim: int, n_planes: int = 8,
-               seed: int = 42, vec_col: str = "embedding"):
+               seed: int = 42, vec_col: str = "embedding",
+               plane_family: str = "gauss"):
     """Attach a sign-pattern bucket id: bit i = sign(v · plane_i)."""
-    planes = _hyperplanes(dim, n_planes, seed)
+    planes = _planes(dim, n_planes, seed, plane_family)
     bucket = sum(
         F.when(dot(F.col(vec_col),
                    F.array(*[F.lit(x) for x in p])) > 0,
@@ -72,11 +101,13 @@ def lsh_bucket(embeddings: DataFrame, dim: int, n_planes: int = 8,
 
 def knn_lsh(embeddings: DataFrame, query_vec_id: int, k: int, dim: int,
             n_planes: int = 8, seed: int = 42,
-            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            plane_family: str = "gauss") -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH
     bucket, exact cosine re-ranking inside it. Recall is tunable via
     n_planes (fewer planes → bigger buckets → higher recall)."""
-    bucketed = lsh_bucket(embeddings, dim, n_planes, seed, vec_col)
+    bucketed = lsh_bucket(embeddings, dim, n_planes, seed, vec_col,
+                          plane_family)
     qb = bucketed.filter(F.col(id_col) == query_vec_id).select(
         F.col("bucket").alias("__qb"), F.col(vec_col).alias("__qvec"))
     return (
@@ -696,13 +727,14 @@ def cosine_pairs_blocked_gemm(embeddings: DataFrame, min_cosine: float,
 def lsh_bucket_tables(embeddings: DataFrame, dim: int,
                       n_planes: int = 4, n_tables: int = 16,
                       seed: int = 42,
-                      vec_col: str = "embedding") -> DataFrame:
+                      vec_col: str = "embedding",
+                      plane_family: str = "gauss") -> DataFrame:
     """Multi-table sign-LSH: one row per (vector, table) with that
     table's sign-pattern bucket. L independent tables of b planes
     each — candidate recall 1−(1−p^b)^L for per-plane collision
     p = 1 − θ/π (Charikar, STOC'02). Output is the exploded form so
     candidate generation is a single equi-join on (table, bucket)."""
-    planes = _hyperplanes(dim, n_planes * n_tables, seed)
+    planes = _planes(dim, n_planes * n_tables, seed, plane_family)
     buckets = []
     for t in range(n_tables):
         bucket = sum(
@@ -721,7 +753,8 @@ def lsh_bucket_tables(embeddings: DataFrame, dim: int,
 def cosine_pairs_lsh(embeddings: DataFrame, min_cosine: float,
                      dim: int, n_planes: int = 4, n_tables: int = 16,
                      seed: int = 42, id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> DataFrame:
+                     vec_col: str = "embedding",
+                     plane_family: str = "gauss") -> DataFrame:
     """APPROXIMATE all-pairs cosine self-join: multi-table sign-LSH
     candidates (equi-join on (table, bucket)) → distinct pairs →
     exact cosine re-check. No false positives (exact filter), false
@@ -733,7 +766,7 @@ def cosine_pairs_lsh(embeddings: DataFrame, min_cosine: float,
     linear preprocessing, bucket-local pair generation, never an
     all-pairs join."""
     tabs = lsh_bucket_tables(embeddings, dim, n_planes, n_tables,
-                             seed, vec_col)
+                             seed, vec_col, plane_family)
     a = tabs.select(F.col(id_col).alias("vec_a"), "table_id", "bucket")
     b = tabs.select(F.col(id_col).alias("vec_b"), "table_id", "bucket")
     cand = (
@@ -835,9 +868,15 @@ def kmeans_codebook(embeddings: DataFrame, k: int = 8, iters: int = 5,
     ~this many vectors (the standard IVF practice — codebook quality
     saturates long before the full corpus is seen, and at 100 TB
     fitting on the full relation would cost iters × full scans for no
-    quality gain). The sample is pmod(xxhash64(id)) — stable across
-    runs and partitionings. Only the FIT is sampled; callers assign
-    the full relation against the result."""
+    quality gain). The sample is pmod(portable_hash60(id), denom) —
+    stable across runs, partitionings, AND engines (the md5-derived
+    family of operators/dedup.py, so a SQL oracle can re-derive the
+    exact sample and therefore the exact trained codebook). Only the
+    FIT is sampled; callers assign the full relation against the
+    result."""
+    from project_2_semantic_similarity_spark.operators.dedup import (
+        portable_hash60)
+
     spark = embeddings.sparkSession
     fit = embeddings
     if fit_sample_max is not None:
@@ -845,7 +884,8 @@ def kmeans_codebook(embeddings: DataFrame, k: int = 8, iters: int = 5,
         if n > fit_sample_max:
             denom = -(-n // fit_sample_max)  # ceil
             fit = embeddings.where(
-                F.pmod(F.xxhash64(F.col(id_col)), F.lit(denom)) == 0)
+                F.pmod(portable_hash60(F.col(id_col).cast("string")),
+                       F.lit(denom)) == 0)
     return spark.createDataFrame(
         _kmeans_fit(fit, k, iters, id_col, vec_col),
         _CODEBOOK_SCHEMA)

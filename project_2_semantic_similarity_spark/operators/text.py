@@ -340,26 +340,37 @@ _LSH_PRIME = 1_000_003
 
 
 def doc_vector_lsh_buckets(weights: DataFrame, n_planes: int = 8,
-                           n_tables: int = 16, seed: int = 42) -> DataFrame:
+                           n_tables: int = 16, seed: int = 42,
+                           hash_family: str = "fast") -> DataFrame:
     """(doc_id, table_id, bucket): multi-table random-hyperplane
     sign-LSH over SPARSE tf-idf document vectors (Charikar, STOC'02 —
     sign patterns of random projections; cosine-similar vectors agree
     on a plane with p = 1 − θ/π).
 
-    Plane components are derived per (term, plane) from
-    xxhash64(term, seed, plane_idx) mapped to uniform [-1, 1) — no
-    materialized plane vectors, so the vocabulary (the vector
-    dimensionality) can be unbounded. Each projection is one SUM
-    aggregate over the doc's weight rows: the whole operator is a
-    single wide groupBy(doc_id) with n_tables × n_planes sum columns
-    (constant memory per group, map-side partial agg), then an
-    explode to one (doc, table) bucket row."""
+    Plane components are derived per (term, plane) from a hash of the
+    term mapped to uniform [-1, 1) — no materialized plane vectors,
+    so the vocabulary (the vector dimensionality) can be unbounded.
+    ``hash_family='fast'`` hashes with xxhash64(term, seed, idx);
+    ``'portable'`` with md5-low-60-bits of ``term:seed:idx``
+    (operators/dedup.py portable_hash60) so an external md5-capable
+    engine re-derives the identical plane matrix and buckets. Each
+    projection is one SUM aggregate over the doc's weight rows: the
+    whole operator is a single wide groupBy(doc_id) with
+    n_tables × n_planes sum columns (constant memory per group,
+    map-side partial agg), then an explode to one (doc, table)
+    bucket row."""
+    from project_2_semantic_similarity_spark.operators.dedup import (
+        portable_hash60)
+
     sums = []
     for t in range(n_tables):
         for p in range(n_planes):
-            u = (F.pmod(F.xxhash64("term", F.lit(seed),
-                                   F.lit(t * n_planes + p)),
-                        F.lit(_LSH_PRIME))
+            idx = t * n_planes + p
+            h = (portable_hash60(
+                    F.concat(F.col("term"), F.lit(f":{seed}:{idx}")))
+                 if hash_family == "portable"
+                 else F.xxhash64("term", F.lit(seed), F.lit(idx)))
+            u = (F.pmod(h, F.lit(_LSH_PRIME))
                  / F.lit(float(_LSH_PRIME))) * 2 - 1
             sums.append(F.sum(F.col("tfidf") * u).alias(f"s_{t}_{p}"))
     projected = weights.groupBy("doc_id").agg(*sums)
@@ -385,7 +396,8 @@ def doc_similarity_topk_ann(corpus: DataFrame, k: int = 10,
                             n_tables: int = 16,
                             seed: int = 42,
                             dense_vocab_max: int = 4096,
-                            cache_key: Hashable = None) -> DataFrame:
+                            cache_key: Hashable = None,
+                            hash_family: str = "fast") -> DataFrame:
     """Top-k similar document pairs via ANN prefilter + exact
     re-rank — the 100×-scale path for ``doc_similarity_topk``, whose
     two exact strategies are both quadratic in pairs (the sparse term
@@ -418,7 +430,8 @@ def doc_similarity_topk_ann(corpus: DataFrame, k: int = 10,
         "docsim_ann_weights", None if cache_key is None else cache_key,
         lambda: tfidf(corpus).filter(F.col("tfidf") != 0))
 
-    buckets = doc_vector_lsh_buckets(weights, n_planes, n_tables, seed)
+    buckets = doc_vector_lsh_buckets(weights, n_planes, n_tables, seed,
+                                     hash_family)
     ca = buckets.select(F.col("doc_id").alias("doc_a"),
                         "table_id", "bucket")
     cb = buckets.select(F.col("doc_id").alias("doc_b"),

@@ -1,10 +1,13 @@
 """Deduplication query family (SURVEY.md §2.B "LLM-data-pipeline
 extensions"), over the documents table.
 
-dedup_exact / dedup_jaccard_exact / dedup_embedding_cosine carry full
-DuckDB oracles. dedup_minhash / dedup_simhash are probabilistic /
-hash-family-specific → rows-only checks here, with recall asserted
-against exact Jaccard in tests/test_dedup.py."""
+Every query here carries a full DuckDB oracle. dedup_minhash /
+dedup_simhash were rows-only through r4 (xxhash64 bit patterns are
+engine-specific); r5 moved their declared plans to the *portable*
+md5-based hash family (operators/dedup.py portable_hash60) and exact
+candidate re-verification, so even the LSH pipelines are now
+re-derived end-to-end by the oracle. Recall vs exact Jaccard is
+additionally asserted in tests/test_dedup_knn.py."""
 
 from __future__ import annotations
 
@@ -546,12 +549,94 @@ def ensure_minhash_variant(spark: SparkSession, sf_dir: str,
     return variant
 
 
-@query("dedup_minhash")  # rows-only: hash family not portable to SQL
+def _minhash_consts_values(num_hashes: int = 64, seed: int = 42) -> str:
+    """The exact (a_i, b_i) affine constants minhash_signatures draws
+    (same RNG, same draw order — operators/dedup.py _minhash_cols),
+    rendered as a SQL VALUES list so the DuckDB oracle runs the
+    identical hash family."""
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(num_hashes):
+        a = rng.randrange(1, D._MERSENNE31)
+        b = rng.randrange(0, D._MERSENNE31)
+        rows.append(f"({i}, {a}, {b})")
+    return ", ".join(rows)
+
+
+_MINHASH_ORACLE = f"""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+),
+tok AS (
+    SELECT doc_id,
+           CAST(generate_subscripts(string_split_regex(text, '\\s+'), 1)
+                AS BIGINT) AS pos,
+           unnest(string_split_regex(text, '\\s+')) AS term
+    FROM corpus
+),
+seq AS (
+    SELECT doc_id, pos, term,
+           lead(term, 1) OVER w AS t1,
+           lead(term, 2) OVER w AS t2
+    FROM tok WHERE term <> ''
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+sh AS (
+    SELECT DISTINCT doc_id, term || ' ' || t1 || ' ' || t2 AS shingle
+    FROM seq WHERE t2 IS NOT NULL
+),
+base AS (
+    SELECT doc_id,
+           (('0x' || substr(md5(shingle), 1, 15))::BIGINT) % 2147483647
+               AS base
+    FROM sh
+),
+consts(i, a, b) AS (VALUES {_minhash_consts_values()}),
+mh AS (
+    SELECT doc_id, i, min((a * base + b) % 2147483647) AS v
+    FROM base CROSS JOIN consts
+    GROUP BY doc_id, i
+),
+m AS (
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.i AS i
+    FROM mh x JOIN mh y
+      ON x.i = y.i AND x.v = y.v AND x.doc_id < y.doc_id
+),
+band_ok AS (
+    SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT doc_a, doc_b, i // 4 AS band, count(*) AS c
+        FROM m GROUP BY 1, 2, 3
+    ) WHERE c = 4
+),
+est AS (
+    SELECT doc_a, doc_b, count(*) / 64.0 AS est_jaccard
+    FROM m GROUP BY 1, 2
+)
+SELECT b.doc_a, b.doc_b, round(e.est_jaccard, 6) AS est_jaccard
+FROM band_ok b JOIN est e USING (doc_a, doc_b)
+WHERE e.est_jaccard >= 0.35
+"""
+
+
+@query("dedup_minhash", oracle=_MINHASH_ORACLE)
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(64) + LSH(16 bands × 4 rows) candidate pairs with
-    estimated Jaccard ≥ 0.35. Deterministic (seeded family over
-    xxhash64) but engine-specific → rows-only; recall vs exact
-    Jaccard is pinned in tests/test_dedup.py."""
+    """MinHash(64) + LSH(16 bands × 4 rows) near-dup pairs with
+    estimated Jaccard ≥ 0.35.
+
+    Fully oracle-verified (upgraded from rows-only in r5): the
+    signature base hash is the *portable* family (md5 low 60 bits —
+    operators/dedup.py portable_hash60), whose integer value any
+    md5-capable engine reproduces, and candidates are re-verified
+    against the raw signature arrays (``verify_bands``), so the
+    output is exactly "pairs sharing a fully-agreeing band with
+    est-J ≥ 0.35" — a deterministic predicate the DuckDB oracle
+    re-derives from scratch, including the same 64 affine constants.
+    The banded-LSH equi-join remains the physical discovery plan
+    (O(n) signatures, candidates only inside (band, band_hash)
+    buckets — never all pairs); recall vs exact Jaccard is separately
+    pinned in tests/test_dedup_knn.py."""
     docs = load_table(spark, sf_dir, "documents")
     sh = D.shingles(docs, _SHINGLE_N)
     # Variant probe from the raw docs (max tokens/doc bounds max
@@ -568,11 +653,13 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 100 TB: signatures are the materialization point of the dedup
     # pipeline.
     sigs = keyed_persist(
-        "minhash_sigs", key,
+        "minhash_sigs_portable", key,
         lambda: D.minhash_signatures(sh, num_hashes=64, seed=42,
-                                     variant=variant))
+                                     variant=variant,
+                                     hash_family="portable"))
     cands = D.minhash_lsh_candidates(sigs, num_hashes=64, bands=16)
-    est = D.minhash_estimated_jaccard(sigs, cands, num_hashes=64)
+    est = D.minhash_estimated_jaccard(sigs, cands, num_hashes=64,
+                                      verify_bands=16)
     return (
         est.filter(F.col("est_jaccard") >= 0.35)
         .select("doc_a", "doc_b", F.round("est_jaccard", 6)
@@ -580,13 +667,60 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash")  # rows-only: xxhash64 bit pattern is engine-specific
+_SIMHASH_ORACLE = """
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+),
+tok AS (
+    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+    FROM corpus
+),
+tc AS (
+    SELECT doc_id, term, count(*) AS tf_count
+    FROM tok WHERE term <> '' GROUP BY doc_id, term
+),
+hv AS (
+    SELECT doc_id, tf_count,
+           ('0x' || substr(md5(term), 1, 15))::BIGINT AS h
+    FROM tc
+),
+votes AS (
+    SELECT doc_id, j,
+           sum(CASE WHEN ((h >> j) & 1) = 1
+                    THEN tf_count ELSE -tf_count END) AS vote
+    FROM hv
+    CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j) js
+    GROUP BY doc_id, j
+),
+fp AS (
+    SELECT doc_id,
+           CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << j)
+                         ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+"""
+
+
+@query("dedup_simhash", oracle=_SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(63-bit) near-dup pairs at Hamming ≤ 8, candidates
-    blocked on 16-bit chunks. Deterministic; rows-only for the same
-    reason as minhash."""
+    """SimHash(60-bit, portable md5 hash family) near-dup pairs at
+    Hamming ≤ 8.
+
+    Fully oracle-verified (upgraded from rows-only in r5): term-hash
+    bits come from portable_hash60 so DuckDB re-derives the identical
+    fingerprints, and the chunk blocking (9 near-equal chunks for
+    d=8 on 60 bits) has *exact* recall by pigeonhole — so the blocked
+    equi-join output equals the oracle's brute-force all-pairs
+    Hamming filter. The blocking stays the physical plan: candidates
+    only inside equal (chunk_idx, chunk) buckets."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.simhash_near_pairs(D.simhash(docs), max_hamming=8)
+    return D.simhash_near_pairs(
+        D.simhash(docs, bits=60, hash_family="portable"),
+        max_hamming=8, bits=60)
 
 
 # Trained codebook per (corpus fingerprint, k): the k-means fit runs
@@ -726,21 +860,76 @@ def dedup_embedding_cosine_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
 
 
-@query("dedup_embedding_cosine_lsh")  # rows-only: LSH family engine-specific
+def _cosine_lsh_oracle() -> str:
+    """DuckDB oracle for the multi-table sign-LSH pair pipeline: the
+    same md5-derived ±1 plane matrix (24 tables × 4 planes, seed 42),
+    per-table buckets exploded from a struct list, candidate
+    equi-join on (table, bucket), exact-cosine re-check — the full
+    approximate pipeline re-derived from scratch."""
+    from project_2_semantic_similarity_spark.operators.similarity import (
+        hyperplanes_rademacher,
+    )
+    from project_2_semantic_similarity_spark.plans.q_knn import (
+        _bucket_sql,
+    )
+
+    n_planes, n_tables = 4, 24
+    planes = hyperplanes_rademacher(64, n_planes * n_tables, seed=42)
+    entries = []
+    for t in range(n_tables):
+        tp = planes[t * n_planes:(t + 1) * n_planes]
+        entries.append(
+            "{'table_id': %d, 'bucket': %s}"
+            % (t, _bucket_sql(tp).replace("\n", " ")))
+    struct_list = ",\n               ".join(entries)
+    return f"""
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+),
+tb AS (
+    SELECT vec_id,
+           unnest([{struct_list}]) AS t
+    FROM e
+),
+tabs AS (
+    SELECT vec_id, t.table_id AS table_id, t.bucket AS bucket FROM tb
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM tabs a JOIN tabs b
+      ON a.table_id = b.table_id AND a.bucket = b.bucket
+     AND a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b,
+       round(list_cosine_similarity(ea.emb, eb.emb), 6) AS cosine
+FROM cand c
+JOIN e ea ON ea.vec_id = c.vec_a
+JOIN e eb ON eb.vec_id = c.vec_b
+WHERE list_cosine_similarity(ea.emb, eb.emb) > 0.45
+"""
+
+
+@query("dedup_embedding_cosine_lsh", oracle=_cosine_lsh_oracle())
 def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs via multi-table sign-LSH candidates
     + exact cosine re-check (cos > 0.45). The scale path for
     UNCLUSTERED corpora, where no exact blocking can prune: O(L·n)
     preprocessing, bucket-local candidate equi-join, zero false
-    positives. Probabilistic recall (hash-family-specific) →
-    rows-only; recall vs the exact pairs is pinned in
-    tests/test_dedup_knn.py."""
+    positives.
+
+    Fully oracle-verified (upgraded from rows-only in r5): the
+    hyperplanes are the md5-derived ±1 Rademacher family
+    (operators/similarity.py hyperplanes_rademacher), so the DuckDB
+    oracle re-derives the identical bucket matrix and candidate set —
+    the approximation is deterministic and engine-independent. Recall
+    vs the exact pairs stays pinned in tests/test_dedup_knn.py."""
     from project_2_semantic_similarity_spark.operators.similarity import (
         cosine_pairs_lsh,
     )
 
     e = load_table(spark, sf_dir, "embeddings")
     pairs = cosine_pairs_lsh(e, 0.45, dim=64, n_planes=4,
-                             n_tables=24, seed=42)
+                             n_tables=24, seed=42,
+                             plane_family="rademacher")
     return pairs.select(
         "vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))

@@ -159,15 +159,109 @@ def sink_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("knn_ivf_trained")  # rows-only: iterative k-means codebook, not SQL
+def _lloyd_iteration_ctes(src: str, iters: int) -> str:
+    """``iters`` chained (assign → mean-recompute) CTE pairs over the
+    relation ``src`` (columns vec_id, emb), starting from cent0 —
+    exactly the step cluster_kmeans_1iter's oracle pins, repeated.
+    SQL can't loop, but it can repeat: the unrolling is generated, so
+    an oracle stays in exact lockstep with a declared iteration
+    count."""
+    parts = []
+    for t in range(1, iters + 1):
+        parts.append(f""",
+assigned{t} AS (
+    SELECT vec_id, emb, label FROM (
+        SELECT s.vec_id, s.emb, c.label,
+               row_number() OVER (
+                   PARTITION BY s.vec_id
+                   ORDER BY list_cosine_similarity(s.emb, c.cvec) DESC,
+                            c.label) AS rn
+        FROM {src} s CROSS JOIN cent{t - 1} c
+    ) WHERE rn = 1
+),
+cent{t} AS (
+    SELECT label, list(avg_val ORDER BY idx) AS cvec
+    FROM (SELECT label, idx, avg(val) AS avg_val
+          FROM (SELECT label, generate_subscripts(emb, 1) AS idx,
+                       unnest(emb) AS val
+                FROM assigned{t})
+          GROUP BY label, idx)
+    GROUP BY label
+)""")
+    return "".join(parts)
+
+
+def _ivf_trained_oracle(iters: int = 2, nprobe: int = 8,
+                        fit_sample_max: int = 4096) -> str:
+    """The ENTIRE trained-IVF serving path re-derived in SQL: the
+    portable-hash fit sample (identity when n ≤ fit_sample_max,
+    matching the Python n-gate), k = clamp(⌊√n⌋, 8, 256) computed
+    from the data, md5-seeded init, ``iters`` unrolled Lloyd steps
+    over the sample, full-corpus assignment against the trained
+    codebook, nprobe-list multi-probe, exact-cosine top-k."""
+    return f"""
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+),
+kk AS (
+    SELECT GREATEST(8, LEAST(256, CAST(floor(sqrt(count(*))) AS INT)))
+               AS k,
+           CAST(ceil(count(*) / {fit_sample_max}.0) AS BIGINT) AS denom
+    FROM e
+),
+fit AS (
+    SELECT e.vec_id, e.emb FROM e, kk
+    WHERE (('0x' || substr(md5(CAST(e.vec_id AS VARCHAR)), 1, 15))::BIGINT
+           % kk.denom) = 0
+),
+init AS (
+    SELECT emb, CAST(rn - 1 AS INT) AS label FROM (
+        SELECT emb,
+               row_number() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM fit
+    ), kk WHERE rn <= kk.k
+),
+cent0 AS (SELECT label, emb AS cvec FROM init){_lloyd_iteration_ctes("fit", iters)},
+assignedF AS (
+    SELECT vec_id, emb, label AS list_id FROM (
+        SELECT e.vec_id, e.emb, c.label,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.emb, c.cvec) DESC,
+                            c.label) AS rn
+        FROM e CROSS JOIN cent{iters} c
+    ) WHERE rn = 1
+),
+q AS (SELECT emb AS qemb FROM e WHERE vec_id = {_QUERY_VEC_ID}),
+probe AS (
+    SELECT label AS plist
+    FROM cent{iters} c, q
+    ORDER BY list_cosine_similarity(c.cvec, q.qemb) DESC, c.label
+    LIMIT {nprobe}
+)
+SELECT a.vec_id,
+       round(list_cosine_similarity(a.emb, q.qemb), 6) AS cosine
+FROM assignedF a JOIN probe p ON a.list_id = p.plist, q
+WHERE a.vec_id <> {_QUERY_VEC_ID}
+ORDER BY list_cosine_similarity(a.emb, q.qemb) DESC, a.vec_id
+LIMIT {_K}"""
+
+
+@query("knn_ivf_trained", oracle=_ivf_trained_oracle())
 def knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-10 over the TRAINED k-means codebook (k ≈ √n, the
     /tmp-cached artifact dedup_embedding_cosine blocks on) with
     multi-probe (nprobe=8 of k ≈ √n lists): the trained-codebook ANN
     serving path — recall vs brute force pinned in
-    tests/test_dedup_knn.py. The label-centroid knn_ivf keeps its
-    full SQL oracle; this variant is rows-only because the codebook
-    is iteratively trained."""
+    tests/test_dedup_knn.py.
+
+    Fully oracle-verified (upgraded from rows-only in r5): with the
+    fit sample on the portable md5 hash family, every stage of the
+    training and serving path is a deterministic, engine-independent
+    function of the data, so the oracle re-trains the codebook from
+    scratch (sample → seeded init → unrolled Lloyd steps) and
+    re-derives the identical probe + re-rank."""
     from project_2_semantic_similarity_spark.plans.q_dedup import (
         _trained_codebook)
 
@@ -177,12 +271,60 @@ def knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
-@query("knn_lsh")  # rows-only: bucket membership is hash-family-specific
+def plane_sql_literal(plane: list[float]) -> str:
+    """One hyperplane as a DuckDB DOUBLE[] literal."""
+    return "[" + ", ".join(repr(x) for x in plane) + "]"
+
+
+def _bucket_sql(planes: list[list[float]], emb: str = "emb") -> str:
+    """The sign-pattern bucket id as SQL: bit i set iff
+    dot(v, plane_i) > 0 — mirrors operators/similarity.py
+    lsh_bucket bit for bit."""
+    terms = [
+        f"(CASE WHEN list_dot_product({emb}, {plane_sql_literal(p)}) > 0 "
+        f"THEN {2 ** i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    ]
+    return "\n         + ".join(terms)
+
+
+_KNN_LSH_PLANES = S.hyperplanes_rademacher(_DIM, 6, seed=42)
+
+_KNN_LSH_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+),
+b AS (
+    SELECT vec_id, emb,
+           {_bucket_sql(_KNN_LSH_PLANES)} AS bucket
+    FROM e
+),
+q AS (SELECT bucket AS qb, emb AS qemb FROM b
+      WHERE vec_id = {_QUERY_VEC_ID})
+SELECT b.vec_id,
+       round(list_cosine_similarity(b.emb, q.qemb), 6) AS cosine
+FROM b, q
+WHERE b.bucket = q.qb AND b.vec_id <> {_QUERY_VEC_ID}
+ORDER BY list_cosine_similarity(b.emb, q.qemb) DESC, b.vec_id
+LIMIT {_K}
+"""
+
+
+@query("knn_lsh", oracle=_KNN_LSH_ORACLE)
 def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 via random-hyperplane LSH bucketing (the
-    scale path); recall vs brute force asserted in tests."""
+    """Approximate top-10 via sign-LSH bucketing (the scale path).
+
+    Fully oracle-verified (upgraded from rows-only in r5): the
+    hyperplanes are the ±1 Rademacher family derived from md5
+    (operators/similarity.py hyperplanes_rademacher), a pure function
+    of (seed, plane, coord) any engine reproduces — the oracle embeds
+    the same ±1 matrix and re-derives buckets + re-rank from scratch.
+    The approximation (bucket pruning) is deterministic, so even the
+    approximate path value-hashes; recall vs brute force is
+    separately asserted in tests."""
     e = load_table(spark, sf_dir, "embeddings")
-    out = S.knn_lsh(e, _QUERY_VEC_ID, _K, dim=_DIM, n_planes=6)
+    out = S.knn_lsh(e, _QUERY_VEC_ID, _K, dim=_DIM, n_planes=6,
+                    plane_family="rademacher")
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
@@ -428,14 +570,49 @@ def knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", F.round("raw", 6).alias("cosine_q")))
 
 
-@query("cluster_kmeans")  # rows-only: 5-deep iterative loop, not SQL
+def _kmeans_unrolled_oracle(k: int = 8, iters: int = 5) -> str:
+    """The full iterative Lloyd loop UNROLLED into a CTE chain from
+    the md5-seeded init (_lloyd_iteration_ctes), then the final
+    assignment with its winning cosine."""
+    return f"""
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+),
+init AS (
+    SELECT emb,
+           CAST(row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+               AS INT) AS label
+    FROM e
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+    LIMIT {k}
+),
+cent0 AS (SELECT label, emb AS cvec FROM init){_lloyd_iteration_ctes("e", iters)}
+SELECT vec_id, label AS list_id, round(ccos, 6) AS ccos
+FROM (
+    SELECT e.vec_id, c.label,
+           list_cosine_similarity(e.emb, c.cvec) AS ccos,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.emb, c.cvec) DESC,
+                        c.label) AS rn
+    FROM e CROSS JOIN cent{iters} c
+) WHERE rn = 1"""
+
+
+@query("cluster_kmeans", oracle=_kmeans_unrolled_oracle())
 def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic spherical k-means (k=8, 5 iterations) over the
     embeddings — the iterative codebook trainer feeding knn_ivf's
     inverted lists (operators/similarity.py kmeans_train: broadcast
     assign + mean recompute per iteration, driver-truncated lineage).
-    Rows-only by design (iterative, not SQL-expressible); convergence
-    monotonicity and determinism pinned in tests/test_dedup_knn.py."""
+
+    Fully oracle-verified (upgraded from rows-only in r5): the init
+    is a seeded md5 draw and every step is deterministic, so the
+    whole 5-iteration loop is re-derived by an UNROLLED CTE chain
+    (_kmeans_unrolled_oracle) — iterative, but not RNG-dependent.
+    Convergence monotonicity and determinism stay pinned in
+    tests/test_dedup_knn.py."""
     e = load_table(spark, sf_dir, "embeddings")
     return S.kmeans_train(e, k=8, iters=5)
 

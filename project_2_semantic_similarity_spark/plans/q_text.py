@@ -282,17 +282,75 @@ def text_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  cache_key=_corpus_key(sf_dir))
 
 
-@query("text_doc_similarity_ann")  # rows-only: LSH family engine-specific
+# Plane component for (term, plane idx): md5-low-60-bits of
+# "term:seed:idx" mapped to uniform [-1, 1) — the exact arithmetic of
+# operators/text.py doc_vector_lsh_buckets' portable family,
+# spelled out for DuckDB. 128 = n_tables(16) × n_planes(8).
+_DOCSIM_ANN_ORACLE = f"""
+WITH {{ctes}},
+wnz AS (SELECT doc_id, term, tfidf FROM tfidf WHERE tfidf <> 0),
+proj AS (
+    SELECT doc_id, idx,
+           sum(tfidf * (((
+               (('0x' || substr(md5(term || ':42:' ||
+                                CAST(idx AS VARCHAR)), 1, 15))::BIGINT
+                % 1000003) / 1000003.0) * 2) - 1)) AS s
+    FROM wnz
+    CROSS JOIN (SELECT unnest(generate_series(0, 127)) AS idx) i
+    GROUP BY doc_id, idx
+),
+buckets AS (
+    SELECT doc_id, idx // 8 AS table_id,
+           CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << (idx % 8))
+                         ELSE 0 END) AS BIGINT) AS bucket
+    FROM proj GROUP BY doc_id, idx // 8
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM buckets a JOIN buckets b
+      ON a.table_id = b.table_id AND a.bucket = b.bucket
+     AND a.doc_id < b.doc_id
+),
+norms AS (
+    SELECT doc_id, sqrt(sum(tfidf * tfidf)) AS norm
+    FROM tfidf GROUP BY doc_id
+),
+dots AS (
+    SELECT c.doc_a, c.doc_b, sum(a.tfidf * b.tfidf) AS num
+    FROM cand c
+    JOIN wnz a ON a.doc_id = c.doc_a
+    JOIN wnz b ON b.doc_id = c.doc_b AND b.term = a.term
+    GROUP BY 1, 2
+)
+SELECT d.doc_a, d.doc_b,
+       round(d.num / (na.norm * nb.norm), 6) AS similarity
+FROM dots d
+JOIN norms na ON na.doc_id = d.doc_a
+JOIN norms nb ON nb.doc_id = d.doc_b
+WHERE d.num > 0 AND na.norm * nb.norm <> 0
+ORDER BY round(d.num / (na.norm * nb.norm), 6) DESC, d.doc_a, d.doc_b
+LIMIT 10
+""".format(ctes=_TFIDF_CTES)
+
+
+@query("text_doc_similarity_ann", oracle=_DOCSIM_ANN_ORACLE)
 def text_doc_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 doc pairs via sign-LSH candidate generation over the
     sparse tf-idf vectors + exact cosine re-rank (operators/text.py
     doc_similarity_topk_ann) — the scale path replacing
-    text_doc_similarity's quadratic pair joins. Probabilistic
-    candidate recall → rows-only; recall vs the exact operator is
-    pinned in tests/test_text.py."""
+    text_doc_similarity's quadratic pair joins.
+
+    Fully oracle-verified (upgraded from rows-only in r5): plane
+    components come from the portable md5 hash family, so the DuckDB
+    oracle re-derives the identical 16×8 projection matrix, buckets,
+    candidate set, and re-rank — the approximation (bucket pruning)
+    is deterministic and engine-independent. Ordering is on the
+    6-dp-rounded similarity with doc-pair tie-breaks. Recall vs the
+    exact operator stays pinned in tests/test_text.py."""
     return T.doc_similarity_topk_ann(_corpus(spark, sf_dir), k=10,
                                      round_to=6,
-                                     cache_key=_corpus_key(sf_dir))
+                                     cache_key=_corpus_key(sf_dir),
+                                     hash_family="portable")
 
 
 @query(

@@ -67,6 +67,44 @@ def test_simhash_identical_docs_zero_distance(spark):
     assert pairs.get((1, 3), 64) > 0
 
 
+def test_portable_hash60_cross_engine(spark):
+    """The portable hash family's contract IS cross-engine bit
+    equality: Spark's conv(substr(md5,1,15),16,10) must equal
+    DuckDB's ('0x'||substr(md5,1,15))::BIGINT for the same input —
+    the property the dedup_minhash / dedup_simhash oracles stand on."""
+    import duckdb
+
+    samples = ["the quick", "brown fox", "", "héllo wörld", "a" * 500]
+    df = spark.createDataFrame([(s,) for s in samples], ["s"])
+    got = {r.s: r.h for r in df.select(
+        "s", D.portable_hash60(F.col("s")).alias("h")).collect()}
+    con = duckdb.connect()
+    for s in samples:
+        want = con.execute(
+            "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT", [s]
+        ).fetchone()[0]
+        assert got[s] == want, s
+        assert 0 <= got[s] < (1 << 60)
+
+
+def test_minhash_portable_family_same_pipeline_shape(spark):
+    """Portable-family signatures run the same banding pipeline and
+    find the same obvious near-dups as the fast family on literal
+    data (values differ — the families are different hash functions —
+    but the LSH discovery semantics must hold for both)."""
+    df = docs_df(spark)
+    sh = D.shingles(df, 3)
+    for fam in ("fast", "portable"):
+        sigs = D.minhash_signatures(sh, 64, seed=42, variant="narrow",
+                                    hash_family=fam)
+        cands = D.minhash_lsh_candidates(sigs, 64, bands=16)
+        est = D.minhash_estimated_jaccard(sigs, cands, 64,
+                                          verify_bands=16)
+        pairs = {(r.doc_a, r.doc_b): r.est_jaccard for r in est.collect()}
+        # identical docs 0/1 must agree on every hash in both families
+        assert pairs.get((0, 1)) == 1.0, fam
+
+
 def test_simhash_blocking_exact_recall(spark):
     """d+1-chunk blocking must find EVERY pair within the radius —
     including distances that spread bits across all of the old 4
