@@ -1,0 +1,169 @@
+"""Portable distributed sketches — approximate aggregates whose
+result is a deterministic, engine-independent function of the data.
+
+Spark's built-in sketches (approx_count_distinct's HLL++,
+approx_percentile's variant of KLL) are correct and fast but their
+outputs are engine-specific: no external system can re-derive the
+same number, so they can only ever be rows-only / error-bounded in a
+differential harness. The sketches here trade a little speed for full
+auditability: every hash is the portable md5 family
+(operators/dedup.py portable_hash60), every step is exact integer or
+reproducible float arithmetic, and the matching DuckDB oracle
+recomputes the identical estimate from scratch.
+
+Scale shape (the 100 TB story): hll_distinct is the canonical
+mergeable sketch — the map side reduces each partition to (bucket,
+max rho) pairs (≤ m rows), the merge is an element-wise max, and the
+final estimate reads m rows. Shuffled volume is O(m) per partition
+regardless of input size, the same contract as Spark's own HLL
+partial aggregation. histogram_quantiles is one min/max scan plus one
+O(n_buckets) aggregation — two linear passes, shuffle bounded by the
+bucket count, with a deterministic rank rule (no interpolation
+ambiguity across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from project_2_semantic_similarity_spark.operators.dedup import (
+    portable_hash60)
+
+
+def _hll_alpha(m: int) -> float:
+    """Bias-correction constant from the HLL paper (Flajolet et al.
+    2007) for m ≥ 128."""
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_distinct(df: DataFrame, col: str, m_log2: int = 8) -> DataFrame:
+    """HyperLogLog distinct-count estimate over ``col`` with
+    m = 2^m_log2 registers, built from the portable hash family.
+
+    Per value: h = portable_hash60(value) (60 bits); the low m_log2
+    bits pick a register, rho = 1 + number of leading zeros of the
+    remaining (60 − m_log2)-bit word (computed as bit-length via the
+    bin() string — identical in Spark and DuckDB, no float log2
+    boundary hazard). Registers take the MAX rho — a partial+final
+    max aggregation, i.e. the sketch is mergeable exactly like the
+    built-in. Estimate: alpha·m²/Σ2^−M_j with the small-range linear
+    counting correction (m·ln(m/V) when E ≤ 2.5m and empty registers
+    exist) — the original paper's estimator, no engine-specific bias
+    tables, so any engine reproduces it bit-for-bit modulo one ln().
+
+    Returns one row: (m, n_registers_used, approx_distinct)."""
+    m = 1 << m_log2
+    rem_bits = 60 - m_log2
+    h = portable_hash60(F.col(col).cast("string"))
+    bucket = h.bitwiseAND(F.lit(m - 1))
+    w = F.shiftright(h, m_log2)
+    rho = F.when(w == 0, F.lit(rem_bits + 1)).otherwise(
+        F.lit(rem_bits + 1) - F.length(F.bin(w)))
+    regs = (df.select(bucket.alias("bucket"), rho.alias("rho"))
+            .groupBy("bucket").agg(F.max("rho").alias("M")))
+    # 2^-M as 1/(1<<M): exact powers of two, no libm pow involved.
+    agg = regs.agg(
+        F.count("*").alias("used"),
+        F.sum(F.lit(1.0)
+              / F.expr("shiftleft(cast(1 as bigint), M)").cast("double")
+              ).alias("sum_inv"))
+    alpha = _hll_alpha(m)
+    raw = (F.lit(alpha * m * m)
+           / (F.col("sum_inv") + (F.lit(m) - F.col("used"))))
+    v = F.lit(m) - F.col("used")  # empty registers
+    est = F.when((raw <= F.lit(2.5 * m)) & (v > 0),
+                 F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+                 ).otherwise(raw)
+    return agg.select(
+        F.lit(m).alias("m"),
+        F.col("used").cast("bigint").alias("n_registers_used"),
+        F.round(est, 6).alias("approx_distinct"))
+
+
+def hll_oracle_sql(source_sql: str, col: str, m_log2: int = 8) -> str:
+    """The DuckDB re-derivation of ``hll_distinct`` — same hash, same
+    rho rule, same estimator, generated so the constants can never
+    drift from the Spark side."""
+    m = 1 << m_log2
+    rem = 60 - m_log2
+    alpha = _hll_alpha(m)
+    amm = alpha * m * m  # one literal, bit-identical to the F.lit side
+    return f"""
+WITH h AS (
+    SELECT ('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15))::BIGINT
+               AS h
+    FROM ({source_sql})
+),
+rr AS (
+    SELECT h & {m - 1} AS bucket,
+           CASE WHEN (h >> {m_log2}) = 0 THEN {rem + 1}
+                ELSE {rem + 1} - length(bin(h >> {m_log2})) END AS rho
+    FROM h
+),
+regs AS (SELECT bucket, max(rho) AS M FROM rr GROUP BY bucket),
+agg AS (
+    SELECT count(*) AS used,
+           sum(1.0 / CAST(1::BIGINT << M AS DOUBLE)) AS sum_inv
+    FROM regs
+)
+SELECT CAST({m} AS INT) AS m,
+       CAST(used AS BIGINT) AS n_registers_used,
+       round(CASE WHEN ({amm!r}::DOUBLE
+                        / (sum_inv + ({m} - used))) <= {2.5 * m}::DOUBLE
+                   AND ({m} - used) > 0
+                  THEN {float(m)!r}::DOUBLE
+                       * ln({float(m)!r}::DOUBLE / ({m} - used))
+                  ELSE {amm!r}::DOUBLE / (sum_inv + ({m} - used))
+             END, 6) AS approx_distinct
+FROM agg
+"""
+
+
+def histogram_quantiles(df: DataFrame, col: str,
+                        quantiles: list[float],
+                        n_buckets: int = 1024) -> DataFrame:
+    """Approximate quantiles from a fixed-width histogram: one
+    min/max pass sizes the buckets, one aggregation fills them, the
+    q-quantile is the LOWER EDGE of the first bucket whose cumulative
+    count reaches ⌈q·n⌉ (a deterministic rank rule — no
+    interpolation, so any engine lands on the same edge). Error is
+    bounded by one bucket width = (max−min)/n_buckets.
+
+    Returns (quantile, approx_value) rows, quantile ascending."""
+    stats = df.agg(F.min(F.col(col).cast("double")).alias("lo"),
+                   F.max(F.col(col).cast("double")).alias("hi"),
+                   F.count(col).alias("n"))
+    width = (F.col("hi") - F.col("lo")) / F.lit(n_buckets)
+    hist = (
+        df.crossJoin(F.broadcast(stats))
+        .select(
+            F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("long"))
+            .otherwise(F.least(
+                F.lit(n_buckets - 1),
+                F.floor((F.col(col).cast("double") - F.col("lo"))
+                        / width).cast("long"))).alias("b"),
+            "lo", "hi", "n")
+        .groupBy("b", "lo", "hi", "n").agg(F.count("*").alias("c"))
+    )
+    cum = hist.select(
+        "b", "lo", "hi", "n",
+        F.sum("c").over(
+            Window.orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, 0)).alias("cum"))
+    qs = [(float(q),) for q in quantiles]
+    qdf = df.sparkSession.createDataFrame(qs, "quantile double")
+    picked = (
+        cum.crossJoin(F.broadcast(qdf))
+        .filter(F.col("cum") >= F.ceil(F.col("quantile") * F.col("n")))
+        .groupBy("quantile")
+        .agg(F.min(F.struct("b", "lo", "hi")).alias("first"))
+        .select(
+            "quantile",
+            F.round(
+                F.col("first.lo")
+                + F.col("first.b")
+                * ((F.col("first.hi") - F.col("first.lo"))
+                   / F.lit(n_buckets)), 6).alias("approx_value"))
+    )
+    return picked.orderBy("quantile")

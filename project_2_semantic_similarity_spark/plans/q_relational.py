@@ -763,11 +763,38 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("agg_approx_count_distinct")  # rows-only: HLL++ is approximate
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — no exact oracle by
-    construction; bounded-error property is unit-tested instead."""
+    construction (Spark's sketch internals are engine-specific);
+    bounded-error property is unit-tested instead. For the fully
+    auditable sketch see agg_hll_portable."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.count("*").alias("n"))
+
+
+def _hll_oracle() -> str:
+    from project_2_semantic_similarity_spark.operators.sketch import (
+        hll_oracle_sql)
+
+    return hll_oracle_sql("SELECT o_custkey FROM orders", "o_custkey")
+
+
+@query("agg_hll_portable", oracle=_hll_oracle())
+def agg_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-rolled HyperLogLog distinct-customer estimate over
+    orders.o_custkey (operators/sketch.py hll_distinct): the
+    PORTABLE twin of agg_approx_count_distinct. Built on the md5
+    hash family, so the DuckDB oracle recomputes the identical
+    registers and estimate — an approximate aggregate that still
+    value-hashes. Same scale contract as the built-in: per-partition
+    (bucket, max rho) partials, element-wise-max merge, O(m) shuffled
+    rows per partition; estimation error vs the exact count is
+    additionally bounded in tests/test_relational.py."""
+    o = load_table(spark, sf_dir, "orders")
+    from project_2_semantic_similarity_spark.operators.sketch import (
+        hll_distinct)
+
+    return hll_distinct(o, "o_custkey")
 
 
 @query(
@@ -1058,6 +1085,54 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr(
             "percentile_approx(l_extendedprice, 0.95, 1000)"), 6)
          .alias("approx_p95_price"))
+
+
+_QHIST_BUCKETS = 1024
+_QHIST_QS = [0.25, 0.5, 0.9, 0.99]
+
+
+@query(
+    "agg_quantile_hist",
+    oracle=f"""
+WITH s AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem),
+st AS (SELECT min(v) AS lo, max(v) AS hi, count(*) AS n FROM s),
+hist AS (
+    SELECT CASE WHEN st.hi = st.lo THEN 0
+                ELSE LEAST({_QHIST_BUCKETS - 1},
+                           CAST(floor((v - lo)
+                                / ((hi - lo) / {_QHIST_BUCKETS}))
+                                AS BIGINT))
+           END AS b,
+           count(*) AS c
+    FROM s, st GROUP BY 1
+),
+cum AS (SELECT b, sum(c) OVER (ORDER BY b) AS cum FROM hist),
+q(quantile) AS (VALUES {", ".join(f"({q}::DOUBLE)" for q in _QHIST_QS)}),
+pick AS (
+    SELECT q.quantile, min(cum.b) AS b
+    FROM q JOIN cum ON cum.cum >= ceil(q.quantile * (SELECT n FROM st))
+    GROUP BY q.quantile
+)
+SELECT p.quantile,
+       round(st.lo + p.b * ((st.hi - st.lo) / {_QHIST_BUCKETS}), 6)
+           AS approx_value
+FROM pick p, st
+""",
+)
+def agg_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch quantiles of l_extendedprice — the PORTABLE
+    twin of agg_approx_percentile (operators/sketch.py
+    histogram_quantiles): a fixed-width 1024-bucket histogram with a
+    deterministic lower-edge rank rule, so the approximate answer is
+    an engine-independent function of the data and the DuckDB oracle
+    recomputes it exactly. Error ≤ one bucket width = range/1024; two
+    linear passes, shuffle bounded by the bucket count."""
+    from project_2_semantic_similarity_spark.operators.sketch import (
+        histogram_quantiles)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return histogram_quantiles(li, "l_extendedprice", _QHIST_QS,
+                               _QHIST_BUCKETS)
 
 
 @query(

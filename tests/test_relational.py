@@ -75,6 +75,37 @@ def test_approx_count_distinct_bound(spark, sf_dir):
         assert rel < 0.1, f"{r.l_returnflag}: {r.approx_parts} vs {exact}"
 
 
+def test_hll_portable_bound(spark, sf_dir):
+    """The hand-rolled portable HLL (m=256) must land within ~3/√m ≈
+    20% of the exact distinct count (the paper's σ ≈ 1.04/√m = 6.5%;
+    3σ gives headroom for one unlucky register layout)."""
+    import __spark_entry__ as e
+    from project_2_semantic_similarity_spark.sources import load_table
+    row = e.queries()["agg_hll_portable"](spark, sf_dir).collect()[0]
+    exact = load_table(spark, sf_dir, "orders").agg(
+        F.countDistinct("o_custkey").alias("x")).collect()[0].x
+    assert abs(row.approx_distinct - exact) / exact < 0.2, (
+        row.approx_distinct, exact)
+
+
+def test_quantile_hist_bound(spark, sf_dir):
+    """Histogram quantiles must sit within one bucket width of the
+    exact quantile — the operator's stated error contract."""
+    import __spark_entry__ as e
+    from project_2_semantic_similarity_spark.sources import load_table
+    got = {r.quantile: r.approx_value
+           for r in e.queries()["agg_quantile_hist"](
+               spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem")
+    st = li.agg(F.min("l_extendedprice").alias("lo"),
+                F.max("l_extendedprice").alias("hi")).collect()[0]
+    width = (float(st.hi) - float(st.lo)) / 1024
+    for q, approx in got.items():
+        exact = li.agg(F.expr(
+            f"percentile(l_extendedprice, {q})").alias("x")).collect()[0].x
+        assert abs(approx - float(exact)) <= width + 1e-9, (q, approx, exact)
+
+
 def test_events_ns_timestamp_reads(spark, sf_dir):
     from project_2_semantic_similarity_spark.sources import load_table
     ev = load_table(spark, sf_dir, "events")
