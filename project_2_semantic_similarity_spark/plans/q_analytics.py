@@ -1,0 +1,361 @@
+"""Event-analytics and graph-analytics surface: cohort retention,
+last-touch attribution, hypertable-style cascading rollups, and
+PageRank over the part–supplier bipartite graph.
+
+These extend the SURVEY §2.B inventory with the remaining shapes a
+warehouse-grade engine is expected to cover (cohort matrices,
+attribution windows, continuous-aggregate rollups, iterative graph
+ranking). Hash-matching rules follow FIXTURES.md §3: floats rounded
+to 6 dp (money 2 dp) on both sides, timestamps emitted as formatted
+strings, computed integers cast to BIGINT, deterministic tie-breaks
+on any row_number.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from project_2_semantic_similarity_spark.plans.registry import query
+from project_2_semantic_similarity_spark.sources import load_table
+
+
+# ------------------------------------------------------- retention
+
+@query(
+    "events_retention",
+    oracle="""
+WITH cohort AS (
+    SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date
+    FROM events GROUP BY user_id
+),
+activity AS (
+    SELECT DISTINCT c.cohort_date,
+           date_diff('day', c.cohort_date, CAST(e.ts AS DATE)) AS day_offset,
+           e.user_id
+    FROM events e JOIN cohort c ON c.user_id = e.user_id
+)
+SELECT strftime(cohort_date, '%Y-%m-%d') AS cohort_date,
+       CAST(day_offset AS BIGINT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM activity
+WHERE day_offset <= 30
+GROUP BY cohort_date, day_offset
+""",
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-activity date,
+    counted once per (cohort, day-offset) they were active on.
+
+    Scale shape: two hash aggregations and one equi-join, all keyed on
+    user_id — the cohort relation is |users| rows (small vs events) so
+    AQE broadcast-joins it back; the distinct and final count are
+    map-side-combined hash aggs over (cohort_date, day_offset, user)
+    whose key space is bounded by |users| × horizon. No window sort,
+    no per-user event ordering — the canonical retention query stays a
+    pure aggregation pipeline at any corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    cohort = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_date"))
+    activity = (
+        ev.join(cohort, "user_id")
+        .select(
+            "cohort_date",
+            F.datediff(F.to_date("ts"), F.col("cohort_date"))
+            .alias("day_offset"),
+            "user_id",
+        )
+        .filter(F.col("day_offset") <= 30)
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_date", "day_offset")
+        .agg(F.count("*").alias("n_users"))
+        .select(
+            F.date_format("cohort_date", "yyyy-MM-dd").alias("cohort_date"),
+            F.col("day_offset").cast("bigint").alias("day_offset"),
+            "n_users",
+        )
+    )
+
+
+# ----------------------------------------------------- attribution
+
+@query(
+    "events_attribution",
+    oracle="""
+WITH purchases AS (
+    SELECT event_id AS purchase_id, user_id, ts AS p_ts
+    FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+    SELECT event_id AS touch_id, user_id, event_type AS touch_type,
+           ts AS t_ts
+    FROM events WHERE event_type IN ('click', 'view')
+),
+ranked AS (
+    SELECT p.purchase_id, p.user_id, t.touch_id, t.touch_type,
+           row_number() OVER (
+               PARTITION BY p.purchase_id
+               ORDER BY t.t_ts DESC, t.touch_id DESC) AS rn
+    FROM purchases p
+    LEFT JOIN touches t
+      ON t.user_id = p.user_id
+     AND t.t_ts <= p.p_ts
+     AND t.t_ts > p.p_ts - INTERVAL 1 HOUR
+)
+SELECT purchase_id, user_id, touch_id, touch_type
+FROM ranked WHERE rn = 1
+""",
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the latest
+    click/view by the same user inside a 1-hour lookback window
+    (NULL touch when nothing qualifies — unattributed purchases are
+    kept, not dropped).
+
+    Scale shape: the candidate join is an equi-join on user_id with
+    the time predicates as join-level filters, so the pair blow-up is
+    bounded by events-per-user-per-hour, not by corpus size; the
+    winner is picked with a row_number window partitioned by
+    purchase_id (tie-broken on (ts, touch_id) for determinism).
+    Both the join and the window hash-partition on keys derived from
+    user activity — skew equals the hottest single user, which AQE's
+    skew-join split handles. This is the bounded-horizon variant of
+    join_asof (operators/joins.py): same semantics, expressed as
+    join+window so the lookback cap prunes candidates before the sort."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts").alias("p_ts"))
+    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("touch_id"),
+        F.col("user_id").alias("t_user"),
+        F.col("event_type").alias("touch_type"),
+        F.col("ts").alias("t_ts"))
+    cand = purchases.join(
+        touches,
+        (F.col("t_user") == F.col("user_id"))
+        & (F.col("t_ts") <= F.col("p_ts"))
+        & (F.col("t_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.col("t_ts").desc(), F.col("touch_id").desc())
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("purchase_id", "user_id", "touch_id", "touch_type")
+    )
+
+
+# ------------------------------------------------ hypertable rollup
+
+@query(
+    "events_rollup_hypertable",
+    oracle="""
+WITH hourly AS (
+    SELECT date_trunc('hour', ts) AS bucket, event_type,
+           count(*) AS n_events, sum(value) AS sum_value
+    FROM events GROUP BY bucket, event_type
+),
+daily AS (
+    -- group by the explicit expression: a bare `bucket` here binds to
+    -- hourly.bucket (the hour), not the day alias
+    SELECT date_trunc('day', bucket) AS bucket, event_type,
+           sum(n_events) AS n_events, sum(sum_value) AS sum_value
+    FROM hourly GROUP BY date_trunc('day', bucket), event_type
+)
+SELECT 'hour' AS grain, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+       event_type, CAST(n_events AS BIGINT) AS n_events,
+       round(sum_value, 2) AS sum_value
+FROM hourly
+UNION ALL
+SELECT 'day' AS grain, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+       event_type, CAST(n_events AS BIGINT) AS n_events,
+       round(sum_value, 2) AS sum_value
+FROM daily
+""",
+)
+def events_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style cascading rollup (the TimescaleDB
+    continuous-aggregate pattern): hourly partials aggregated once
+    from raw events, then the DAILY grain re-aggregated FROM THE
+    HOURLY PARTIALS — the raw relation is scanned exactly once no
+    matter how many grains the cascade emits.
+
+    Scale shape: the hourly agg is a map-side-combined hash agg whose
+    key space is hours × event_types (tiny vs events); the daily
+    re-agg runs over that already-reduced relation, so each extra
+    grain costs O(buckets), not O(events). At 100 TB this is the
+    difference between one scan and one scan per grain. sum_value is
+    rounded only at the EDGE (2 dp) — the cascade itself re-aggregates
+    unrounded partials, so hour-level and day-level sums stay
+    consistent with a direct daily aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum("value").alias("sum_value"),
+    )
+    daily = hourly.groupBy(
+        F.date_trunc("day", "bucket").alias("bucket"), "event_type"
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("sum_value").alias("sum_value"),
+    )
+
+    def edge(df: DataFrame, grain: str) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"),
+            F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "event_type",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.round("sum_value", 2).alias("sum_value"),
+        )
+
+    return edge(hourly, "hour").unionAll(edge(daily, "day"))
+
+
+# ------------------------------------------------------- pagerank
+
+_PR_DAMPING = 0.85
+
+# Symmetric bipartite edge list over distinct (part, supplier)
+# shipping relationships: p:<key> <-> s:<key>. Symmetry guarantees no
+# dangling nodes, so the PageRank update needs no leaked-mass term.
+_PR_EDGES_CTE = """
+edges AS (
+    SELECT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+           's' || CAST(l_suppkey AS VARCHAR) AS dst
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    UNION ALL
+    SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+           'p' || CAST(l_partkey AS VARCHAR) AS dst
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+),
+outdeg AS (
+    SELECT src, count(*) AS deg FROM edges GROUP BY src
+)
+"""
+
+
+def _pr_iter_ctes(n_iters: int) -> str:
+    """Unrolled PageRank iterations as chained CTEs (r0 .. r<n>).
+    DuckDB has no mutable state, so the oracle unrolls the loop the
+    same way the Spark plan chains DataFrames — identical dataflow,
+    independently evaluated."""
+    ctes = ["r0 AS (SELECT src AS node, 1.0 AS rank FROM outdeg)"]
+    for i in range(1, n_iters + 1):
+        ctes.append(f"""
+r{i} AS (
+    SELECT d.src AS node,
+           0.15 + {_PR_DAMPING} * coalesce(c.contrib, 0.0) AS rank
+    FROM outdeg d
+    LEFT JOIN (
+        SELECT e.dst, sum(r.rank / o.deg) AS contrib
+        FROM edges e
+        JOIN r{i - 1} r ON r.node = e.src
+        JOIN outdeg o ON o.src = e.src
+        GROUP BY e.dst
+    ) c ON c.dst = d.src
+)""")
+    return ",\n".join(ctes)
+
+
+def _pagerank_oracle(n_iters: int) -> str:
+    return f"""
+WITH {_PR_EDGES_CTE.strip().rstrip()},
+{_pr_iter_ctes(n_iters)}
+SELECT node, round(rank, 6) AS rank
+FROM r{n_iters}
+"""
+
+
+def _pagerank_spark(spark: SparkSession, sf_dir: str,
+                    n_iters: int) -> DataFrame:
+    """Shared PageRank dataflow. Edges are the symmetric bipartite
+    part<->supplier graph; ranks start at 1.0 and update
+    r' = 0.15 + 0.85 * sum(in-contributions).
+
+    Scale shape: per iteration one equi-join (edges ⋈ ranks on src —
+    edges pre-partitioned by src would make this shuffle-free; here
+    AQE handles it) and one hash agg on dst; the rank relation is
+    |nodes| rows, orders of magnitude below |edges|, so at cluster
+    scale it broadcast-joins. Each iteration's result is persisted
+    and the previous released, exactly the per-round
+    persist-and-release discipline of operators/graph.py's label
+    propagation (the iterative-algorithm pattern this engine uses for
+    all fixed-point computations); lineage stays O(1) per round."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rel = li.select("l_partkey", "l_suppkey").distinct()
+    edges = (
+        rel.select(
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+            .alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+            .alias("dst"))
+        .unionAll(rel.select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+            .alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+            .alias("dst")))
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # weighted edges: contribution fraction src -> dst; persisted once
+    # and reused every iteration (the loop-invariant relation).
+    wedges = edges.join(outdeg, "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("deg")).alias("w"))
+    wedges = wedges.persist()
+    ranks = outdeg.select(F.col("src").alias("node"),
+                          F.lit(1.0).alias("rank"))
+    prev_persisted = None
+    for _ in range(n_iters):
+        contribs = (
+            wedges.join(ranks, wedges["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
+        )
+        nxt = (
+            outdeg.select(F.col("src").alias("node"))
+            .join(contribs, F.col("node") == F.col("dst"), "left")
+            .select(
+                "node",
+                (F.lit(0.15) + F.lit(_PR_DAMPING)
+                 * F.coalesce(F.col("contrib"), F.lit(0.0))).alias("rank"))
+        ).persist()
+        nxt.count()  # materialize before releasing the parent round
+        if prev_persisted is not None:
+            prev_persisted.unpersist()
+        prev_persisted = nxt
+        ranks = nxt
+    # localCheckpoint the edge-rounded result so every per-round cache
+    # entry can be released here (graph.py discipline: callers own no
+    # unpersist obligation, and the leak-accounting tests see zero
+    # live entries).
+    result = (ranks.select("node", F.round("rank", 6).alias("rank"))
+              .localCheckpoint(eager=True))
+    if prev_persisted is not None:
+        prev_persisted.unpersist()
+    wedges.unpersist()
+    return result
+
+
+@query("graph_pagerank_step", oracle=_pagerank_oracle(1))
+def graph_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE PageRank iteration from uniform init — fully
+    SQL-expressible, so the per-iteration arithmetic (contribution
+    join + damped sum) is hash-pinned against the oracle; the
+    multi-iteration twin below reuses the identical dataflow."""
+    return _pagerank_spark(spark, sf_dir, 1)
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle(5))
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five PageRank iterations (the kmeans-step pattern in reverse:
+    here even the full iterative run is hash-pinned, because the
+    oracle unrolls the loop as chained CTEs — float sum-order drift
+    stays far below the 6 dp edge rounding for ranks of magnitude
+    ~1)."""
+    return _pagerank_spark(spark, sf_dir, 5)

@@ -121,6 +121,7 @@ def ordered_oracles() -> dict[str, str]:
 
 def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
+    import project_2_semantic_similarity_spark.plans.q_analytics  # noqa: F401
     import project_2_semantic_similarity_spark.plans.q_dedup  # noqa: F401
     import project_2_semantic_similarity_spark.plans.q_functions  # noqa: F401
     import project_2_semantic_similarity_spark.plans.q_knn  # noqa: F401
