@@ -933,3 +933,77 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                              plane_family="rademacher")
     return pairs.select(
         "vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+
+
+_PASSAGE_W = 8
+
+
+@query(
+    "dedup_passage",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\\s+'),
+                       t -> t <> '') AS toks
+    FROM documents
+),
+win AS (
+    SELECT doc_id,
+           md5(array_to_string(
+               toks[t.n + 1 : t.n + {_PASSAGE_W}], ' ')) AS passage_md5
+    FROM tok,
+         UNNEST(range(greatest(len(toks) - {_PASSAGE_W} + 1, 0))) AS t(n)
+)
+SELECT passage_md5,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       min(doc_id) AS sample_doc
+FROM win
+GROUP BY passage_md5
+HAVING count(DISTINCT doc_id) >= 2
+""",
+)
+def dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-passage detection: every {W}-token rolling window,
+    hashed, grouped, kept where it appears in ≥ 2 distinct docs — the
+    bounded-window form of exact-substring training-data dedup (the
+    suffix-array method's common fixed-length approximation; the
+    reference's shared-term discovery, app.py:141-151, is the 1-token
+    degenerate case of the same shape).
+
+    Scale shape: the window explode is a narrow per-doc map emitting
+    ~len(doc) rows of (16-byte hash) — no pairwise comparison ever
+    happens; duplication detection is ONE hash aggregation on the
+    passage hash (count + count-distinct partials combine map-side).
+    At 100 TB, W-token windows make the shuffled volume W× a plain
+    token shuffle, all uniformly-distributed md5 keys (no skew), and
+    the HAVING filter prunes the unique-passage long tail before any
+    driver contact. Compare dedup_minhash (probabilistic whole-doc)
+    and dedup_containment (shingle containment): this one finds the
+    VERBATIM cross-doc passages those ops only score in aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split("text", r"\s+"),
+                 lambda t: t != F.lit("")).alias("toks"))
+    # size guard BEFORE sequence: sequence(0, -1) would count DOWN
+    # (Spark infers step -1), emitting bogus windows for docs shorter
+    # than W tokens — those docs must emit none, as the oracle's
+    # range(greatest(len-W+1, 0)) does.
+    win = toks.filter(F.size("toks") >= _PASSAGE_W).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - _PASSAGE_W),
+                lambda i: F.md5(F.concat_ws(
+                    " ", F.slice("toks", i + 1, _PASSAGE_W)))),
+        ).alias("passage_md5"))
+    return (
+        win.groupBy("passage_md5")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            F.min("doc_id").alias("sample_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -800,3 +800,60 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "doc_id", "frame_idx",
         F.decode("frame", "UTF-8").alias("frame_text"), "n_bytes")
+
+
+@query(
+    "embedding_gram",
+    oracle=f"""
+SELECT CAST(i.n AS BIGINT) AS i,
+       CAST(j.n AS BIGINT) AS j,
+       round(sum(CAST(embedding[i.n + 1] AS DOUBLE)
+                 * CAST(embedding[j.n + 1] AS DOUBLE)), 6) AS g
+FROM embeddings,
+     UNNEST(range({_DIM})) AS i(n),
+     UNNEST(range({_DIM})) AS j(n)
+WHERE i.n <= j.n
+GROUP BY i.n, j.n
+""",
+)
+def embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram matrix G = Xᵀ X over the embedding corpus
+    (upper triangle, 0-based dim indices) — the building block for
+    PCA / covariance / whitening over web-scale embedding tables.
+
+    Scale shape: the classic two-phase reduction — each Arrow batch
+    computes its LOCAL dim×dim outer-product sum with one BLAS
+    syrk-shaped matmul (numpy float64 for oracle parity with
+    DuckDB's double arithmetic), emits the dim(dim+1)/2 upper
+    triangle, and ONE hash aggregation sums the partials. Shuffled
+    volume is dim² × n_partitions rows — INDEPENDENT of corpus row
+    count — vs the dim² × n_rows a naive explode-join would move.
+    Rounding happens only at the edge; partials stay unrounded."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings")
+    dim = _DIM
+
+    def partial_gram(batches):
+        import numpy as np
+
+        iu_idx = np.triu_indices(dim)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64)
+                 for v in pdf["embedding"]])
+            g = x.T @ x
+            yield pd.DataFrame({
+                "i": iu_idx[0].astype("int64"),
+                "j": iu_idx[1].astype("int64"),
+                "partial": g[iu_idx],
+            })
+
+    partials = e.select("embedding").mapInPandas(
+        partial_gram, "i long, j long, partial double")
+    return (
+        partials.groupBy("i", "j")
+        .agg(F.round(F.sum("partial"), 6).alias("g"))
+    )

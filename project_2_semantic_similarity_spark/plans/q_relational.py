@@ -1696,3 +1696,113 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("custkey"))
     return c.subtract(o)
+
+
+# ------------------------------------------------- TPC-H Q5 + range join
+
+@query(
+    "sql_api_tpch_q5",
+    oracle="""
+SELECT n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+               AND c.c_nationkey = s.s_nationkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n.n_name
+""",
+)
+def sql_api_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local-supplier volume): the canonical 6-way star
+    join with a cycle — lineitem joins supplier on BOTH the ship key
+    and the customer's nation, so the plan cannot be a pure
+    snowflake. The right 100-TB plan, and the one Catalyst produces
+    here: region→nation→supplier collapse into one broadcast chain
+    (all tiny), the customer join broadcasts after AQE sees the
+    filtered size, and lineitem — the only large relation — is
+    scanned once with the date filter pushed down; the nation-match
+    predicate rides the supplier broadcast join as a residual. Total
+    shuffles: one, for the final small group-by."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT n.n_name,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                   AS revenue
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                       AND c.c_nationkey = s.s_nationkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY n.n_name
+        ORDER BY revenue DESC, n.n_name
+    """)
+
+
+@query(
+    "join_range_interval",
+    oracle="""
+SELECT o.o_orderkey,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       round(sum(l.l_extendedprice), 2) AS sum_price
+FROM orders o
+JOIN lineitem l
+  ON l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate <  o.o_orderdate + INTERVAL 7 DAY
+WHERE o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 450000
+GROUP BY o.o_orderkey
+""",
+)
+def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned interval join (point-in-interval, no equi-key): each
+    7-day order interval is exploded into the WEEK BUCKETS it covers
+    (≤ 2 rows per interval), each lineitem maps to exactly one
+    bucket, and the join becomes a plain equi-join on bucket with the
+    exact range predicate as a residual filter.
+
+    This is the range-join-bin technique (Databricks' range join
+    hint, DuckDB's IEJoin target): Catalyst alone would plan a
+    broadcast-nested-loop over the pure inequality — O(|orders| ×
+    |lineitem|) comparisons. Binning makes the candidate count
+    |lineitem| × (interval_len / bin_len + 1), linear in the fact
+    table, shuffled as an ordinary hash join that AQE can size. A
+    point falls in one bucket so no dedup pass is needed; bin width
+    chosen equal to the interval length (the optimal 1–2 buckets per
+    interval)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 450000)
+    ).select("o_orderkey", "o_orderdate",
+             F.date_add(F.to_date("o_orderdate"), 7).alias("o_end"))
+    # week bucket = days-since-epoch div 7; interval covers the
+    # buckets of [start, end) — sequence is 1 or 2 rows here
+    ob = o.withColumn(
+        "bucket",
+        F.explode(F.sequence(
+            F.floor(F.datediff(F.to_date("o_orderdate"),
+                               F.lit("1970-01-01")) / 7),
+            F.floor((F.datediff(F.to_date("o_end"),
+                                F.lit("1970-01-01")) - 1) / 7),
+        )),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_extendedprice",
+        F.floor(F.datediff(F.to_date("l_shipdate"),
+                           F.lit("1970-01-01")) / 7).alias("bucket"))
+    joined = ob.join(li, "bucket").filter(
+        (F.col("l_shipdate") >= F.col("o_orderdate"))
+        & (F.to_date("l_shipdate") < F.col("o_end")))
+    return joined.groupBy("o_orderkey").agg(
+        F.count("*").alias("n_lines"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"))
