@@ -248,3 +248,65 @@ def test_batch_topk_is_blocked_map(spark, sf_dir):
     assert "MapInPandas" in plan
     assert "CartesianProduct" not in plan
     assert "Window" in plan  # the exact merge step
+
+
+def test_range_interval_join_is_equi_not_nlj(spark, sf_dir):
+    """The binned rewrite must plan as a hash/SMJ equi-join on the
+    bucket key — a BroadcastNestedLoopJoin here means the bins were
+    lost and the plan degenerated to the quadratic form."""
+    plan = plan_of(spark, "join_range_interval", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "bucket" in plan
+
+
+def test_tpch_q5_broadcasts_all_dims_single_agg_exchange(spark, sf_dir):
+    """Q5's star shape: every dimension joins lineitem by broadcast
+    (region/nation/supplier/customer/orders are all small or
+    AQE-shrunk) — no sort-merge join anywhere, and the only exchange
+    feeds the final group-by."""
+    plan = plan_of(spark, "sql_api_tpch_q5", sf_dir)
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_dedup_passage_single_agg_no_join(spark, sf_dir):
+    """Passage detection is explode + ONE hash aggregation — any join
+    or window in the plan means a pairwise stage crept in."""
+    plan = plan_of(spark, "dedup_passage", sf_dir)
+    for op in ("Join", "Window", "CartesianProduct"):
+        assert op not in plan, op
+    assert "HashAggregate" in plan
+
+
+def test_embedding_gram_shuffles_partials_not_rows(spark, sf_dir):
+    """The Gram pipeline is Arrow map -> hash agg: the only exchange
+    carries dim^2-sized partials, and there is no join/explode of the
+    corpus itself."""
+    plan = plan_of(spark, "embedding_gram", sf_dir)
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_pagerank_step_no_cartesian(spark, sf_dir):
+    plan = plan_of(spark, "graph_pagerank_step", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_events_attribution_equi_join_with_residual_range(spark, sf_dir):
+    """The lookback predicates must ride the user_id equi-join as
+    residual conditions, never force an NLJ."""
+    plan = plan_of(spark, "events_attribution", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rollup_hypertable_scans_events_once(spark, sf_dir):
+    """The cascade reads raw events exactly once: one file scan; the
+    daily grain hangs off the hourly aggregate, not a second scan."""
+    plan = plan_of(spark, "events_rollup_hypertable", sf_dir)
+    assert plan.count("Scan parquet") + plan.count(
+        "FileScan parquet") >= 1
+    assert len(re.findall(r"events\.parquet", plan)) <= 2
