@@ -359,3 +359,39 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays far below the 6 dp edge rounding for ranks of magnitude
     ~1)."""
     return _pagerank_spark(spark, sf_dir, 5)
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+WITH stats AS (
+    SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sigma
+    FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       round((e.value - s.mu) / s.sigma, 6) AS z
+FROM events e JOIN stats s ON s.event_type = e.event_type
+WHERE abs((e.value - s.mu) / s.sigma) > 2.5
+""",
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outlier detection: events whose value sits
+    more than 2.5 population-σ from their type's mean.
+
+    Scale shape: the per-type stats relation is |event_types| rows —
+    one map-side-combined agg, broadcast back over a second narrow
+    scan; the filter stays a codegen'd Column predicate. The
+    two-scan shape is deliberate (vs a window over event_type):
+    a window would shuffle the FULL corpus by a 5-value key — the
+    worst possible skew — while the broadcast re-scan shuffles
+    nothing at all."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_pop("value").alias("sigma"))
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 2.5)
+        .select("event_id", "event_type", F.round(z, 6).alias("z"))
+    )

@@ -857,3 +857,49 @@ def embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         partials.groupBy("i", "j")
         .agg(F.round(F.sum("partial"), 6).alias("g"))
     )
+
+
+@query(
+    "embedding_standardize",
+    oracle="""
+WITH flat AS (
+    SELECT vec_id,
+           CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+           CAST(unnest(embedding) AS DOUBLE) AS v
+    FROM embeddings
+),
+stats AS (
+    SELECT i, avg(v) AS mu, stddev_pop(v) AS sigma
+    FROM flat GROUP BY i
+)
+SELECT f.vec_id, f.i, round((f.v - s.mu) / s.sigma, 6) AS z
+FROM flat f JOIN stats s ON s.i = f.i
+""",
+)
+def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score standardization (feature whitening's
+    diagonal case) — the preprocessing step quantizers and distance
+    metrics assume.
+
+    Scale shape: the per-dim (mean, stddev_pop) relation is dim rows
+    — computed with one map-side-combined hash agg over the exploded
+    corpus and then BROADCAST back, so the rewrite pass is a narrow
+    map; nothing data-sized ever shuffles twice. The output explode
+    is inherent to the exploded result shape (the quantize/normalize
+    ops' convention, q_knn.py). Population stddev, not sample: the
+    denominator is then corpus-size-independent arithmetic both
+    engines implement identically."""
+    e = load_table(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "vec_id",
+        F.posexplode("embedding").alias("i", "v_raw"),
+    ).select("vec_id", F.col("i").cast("bigint").alias("i"),
+             F.col("v_raw").cast("double").alias("v"))
+    stats = flat.groupBy("i").agg(
+        F.avg("v").alias("mu"), F.stddev_pop("v").alias("sigma"))
+    return (
+        flat.join(F.broadcast(stats), "i")
+        .select("vec_id", "i",
+                F.round((F.col("v") - F.col("mu")) / F.col("sigma"), 6)
+                .alias("z"))
+    )

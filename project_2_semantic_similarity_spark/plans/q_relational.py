@@ -1806,3 +1806,132 @@ def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("o_orderkey").agg(
         F.count("*").alias("n_lines"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_price"))
+
+
+def zvalue(x, y, bits: int = 8):
+    """Morton/Z-order interleave of two normalized int columns
+    (lower `bits` bits each): bit b of x lands at position 2b, of y
+    at 2b+1. Pure Column arithmetic — stays in whole-stage codegen.
+
+    Inputs MUST be range-normalized to [0, 2^bits) first: raw keys
+    with wildly different magnitudes (custkey ≤ thousands vs
+    days-since-epoch ≥ ~10k) put one key's entropy entirely above the
+    other's bit range, and the curve degenerates to a single-key sort
+    — which is why every production z-order (Delta OPTIMIZE ZORDER,
+    Iceberg sort orders) rank- or range-quantizes before
+    interleaving."""
+    z = F.lit(0).cast("bigint")
+    for b in range(bits):
+        z = (z
+             + F.shiftleft(F.shiftright(x.cast("bigint"), b)
+                           .bitwiseAND(F.lit(1)), 2 * b)
+             + F.shiftleft(F.shiftright(y.cast("bigint"), b)
+                           .bitwiseAND(F.lit(1)), 2 * b + 1))
+    return z
+
+
+def _scale_to_bits(col, lo, hi, bits: int = 8):
+    """Min-max scale a numeric column into [0, 2^bits) integer cells
+    (the range-quantization step zvalue requires)."""
+    cells = (1 << bits) - 1
+    span = max(hi - lo, 1)
+    return F.least(
+        F.lit(cells),
+        F.floor((col - F.lit(lo)) * F.lit(cells) / F.lit(span))
+    ).cast("bigint")
+
+
+@query(
+    "sink_zorder",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(o_totalprice, 2) AS o_totalprice
+FROM orders
+WHERE o_custkey >= 100 AND o_custkey < 120
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+""",
+)
+def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered sink + 2-dimensional pruned re-read: orders
+    rewritten clustered by the Morton interleave of (o_custkey,
+    days(o_orderdate)), then filtered on BOTH dimensions.
+
+    Why this layout at 100 TB: range-sorting on one key (the
+    sink_sorted_ranged discipline) gives tight min/max stats on that
+    key only — a filter on the OTHER key scans everything. Z-order
+    interleaves the two key spaces so every file/row-group is a
+    near-square tile in (custkey × date): min/max stats stay tight on
+    BOTH dimensions and either predicate (or their conjunction) skips
+    most tiles. The read back through parquet row-group stats prunes
+    without any catalog support; with a file-index catalog the same
+    layout prunes whole files. Tile disjointness across files is
+    pinned in tests via parquet footers."""
+    out = _tmp(sf_dir, "orders_zorder")
+    o = load_table(spark, sf_dir, "orders")
+    # bounded scalar probe (4 values) for the range quantization —
+    # same class of driver contact as the flagship's corpus-count
+    # scalar; at scale this comes from table stats instead of a scan
+    b = o.agg(
+        F.min("o_custkey").alias("clo"), F.max("o_custkey").alias("chi"),
+        F.min(F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")))
+        .alias("dlo"),
+        F.max(F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")))
+        .alias("dhi"),
+    ).first()
+    z = o.withColumn(
+        "zval",
+        zvalue(
+            _scale_to_bits(F.col("o_custkey"), b.clo, b.chi),
+            _scale_to_bits(
+                F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")),
+                b.dlo, b.dhi)))
+    (z.repartitionByRange(8, "zval")
+      .sortWithinPartitions("zval")
+      .drop("zval")
+      .write.mode("overwrite").parquet(out))
+    return (
+        spark.read.parquet(out)
+        .filter((F.col("o_custkey") >= 100) & (F.col("o_custkey") < 120)
+                & (F.col("o_orderdate") >= "1997-01-01")
+                & (F.col("o_orderdate") < "1998-01-01"))
+        .select("o_orderkey", "o_custkey",
+                F.date_format("o_orderdate", "yyyy-MM-dd")
+                .alias("o_orderdate"),
+                F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+SELECT p_brand, p_type AS mode_type, CAST(cnt AS BIGINT) AS n
+FROM (
+    SELECT p_brand, p_type, count(*) AS cnt,
+           row_number() OVER (PARTITION BY p_brand
+                              ORDER BY count(*) DESC, p_type ASC) AS rn
+    FROM part GROUP BY p_brand, p_type
+)
+WHERE rn = 1
+""",
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode (most frequent value, ties broken by value
+    order) per group — the two-level shape that scales: a hash agg on
+    (group, value) collapses the data to distinct-combination counts
+    FIRST, so the row_number window sorts only |distinct types| rows
+    per brand, never raw part rows. Spark's built-in mode() is
+    non-deterministic on ties and unusable for reproducible
+    pipelines; this form pins the tie-break."""
+    p = load_table(spark, sf_dir, "part")
+    counted = p.groupBy("p_brand", "p_type").agg(
+        F.count("*").alias("cnt"))
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("cnt").desc(), F.col("p_type").asc())
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_brand", F.col("p_type").alias("mode_type"),
+                F.col("cnt").cast("bigint").alias("n"))
+    )

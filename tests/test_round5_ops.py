@@ -105,3 +105,93 @@ def test_tpch_q5_revenue_positive_sorted(spark, sf_dir):
     revs = [r.revenue for r in rows]
     assert revs == sorted(revs, reverse=True)
     assert all(r.revenue > 0 for r in rows)
+
+
+def test_zorder_files_tile_both_dimensions(spark, sf_dir):
+    """After the z-ordered write, per-file min/max footer stats must
+    be materially tighter than the global range on BOTH keys — the
+    property that lets stats-based skipping serve 2-dim predicates.
+    (A single-key sort gives tight ranges on that key only.)"""
+    import glob
+
+    import pyarrow.parquet as pq
+    from project_2_semantic_similarity_spark.plans.q_relational import (
+        sink_zorder, _tmp)
+
+    sink_zorder(spark, sf_dir).collect()
+    files = sorted(glob.glob(_tmp(sf_dir, "orders_zorder") + "/*.parquet"))
+    assert len(files) >= 4
+    spans_cust, spans_date = [], []
+    glob_cust, glob_date = [None, None], [None, None]
+    for f in files:
+        md = pq.read_metadata(f)
+        cmin = cmax = dmin = dmax = None
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                st = col.statistics
+                if st is None:
+                    continue
+                if col.path_in_schema == "o_custkey":
+                    cmin = st.min if cmin is None else min(cmin, st.min)
+                    cmax = st.max if cmax is None else max(cmax, st.max)
+                if col.path_in_schema == "o_orderdate":
+                    dmin = st.min if dmin is None else min(dmin, st.min)
+                    dmax = st.max if dmax is None else max(dmax, st.max)
+        spans_cust.append((cmin, cmax))
+        spans_date.append((dmin, dmax))
+        glob_cust = [cmin if glob_cust[0] is None else min(glob_cust[0], cmin),
+                     cmax if glob_cust[1] is None else max(glob_cust[1], cmax)]
+        glob_date = [dmin if glob_date[0] is None else min(glob_date[0], dmin),
+                     dmax if glob_date[1] is None else max(glob_date[1], dmax)]
+    full_cust = glob_cust[1] - glob_cust[0]
+    full_date = (glob_date[1] - glob_date[0]).total_seconds()
+    # at least one file's custkey span AND one file's date span is
+    # under 60% of the global range: z-tiles are bounded in both dims,
+    # where a pure date sort would leave every file's custkey span at
+    # ~100%
+    assert any((cmax - cmin) < 0.6 * full_cust
+               for cmin, cmax in spans_cust)
+    assert any((dmax - dmin).total_seconds() < 0.6 * full_date
+               for dmin, dmax in spans_date)
+
+
+def test_agg_mode_ties_break_by_value(spark):
+    """Engineered tie: two types with equal counts — the mode must be
+    the lexicographically smaller one, every run."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F2
+    df = spark.createDataFrame(
+        [("b1", "zeta"), ("b1", "zeta"), ("b1", "alpha"), ("b1", "alpha"),
+         ("b2", "only")],
+        "p_brand string, p_type string")
+    counted = df.groupBy("p_brand", "p_type").agg(
+        F2.count("*").alias("cnt"))
+    w = Window.partitionBy("p_brand").orderBy(
+        F2.col("cnt").desc(), F2.col("p_type").asc())
+    got = {r.p_brand: r.p_type for r in
+           counted.withColumn("rn", F2.row_number().over(w))
+           .filter(F2.col("rn") == 1).collect()}
+    assert got == {"b1": "alpha", "b2": "only"}
+
+
+def test_embedding_standardize_unit_moments(spark, sf_dir):
+    """Standardized output has per-dim mean ~0 and population std ~1
+    (up to the 6 dp edge rounding)."""
+    from project_2_semantic_similarity_spark.plans.q_knn import (
+        embedding_standardize)
+    z = embedding_standardize(spark, sf_dir)
+    m = z.groupBy("i").agg(
+        F.avg("z").alias("mu"), F.stddev_pop("z").alias("sd")).collect()
+    assert len(m) == 64
+    assert all(abs(r.mu) < 1e-4 for r in m)
+    assert all(abs(r.sd - 1.0) < 1e-4 for r in m)
+
+
+def test_anomaly_zscore_all_beyond_threshold(spark, sf_dir):
+    from project_2_semantic_similarity_spark.plans.q_analytics import (
+        events_anomaly_zscore)
+    rows = events_anomaly_zscore(spark, sf_dir).collect()
+    assert rows
+    assert all(abs(r.z) > 2.5 for r in rows)
