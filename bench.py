@@ -61,6 +61,11 @@ HEADLINE = [
     "join_bucketed",             # exchange-free co-located join
     "text_quality_score",        # text-analysis built-in pipeline
     "stream_tumbling_count",     # availableNow replay, stateful agg
+    # round 5 additions — one per new family
+    "dedup_passage",             # window-hash explode + one hash agg
+    "events_retention",          # cohort matrix, agg-only pipeline
+    "sql_api_tpch_q5",           # 6-way star join w/ cycle
+    "embedding_gram",            # Arrow BLAS partials + dim^2 shuffle
 ]
 
 # 5 passes: the warm median must survive one-off GC/JIT spikes — with
