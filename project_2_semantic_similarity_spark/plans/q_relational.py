@@ -1935,3 +1935,174 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_brand", F.col("p_type").alias("mode_type"),
                 F.col("cnt").cast("bigint").alias("n"))
     )
+
+
+@query(
+    "merge_upsert",
+    oracle="""
+WITH updates AS (
+    SELECT o_orderkey,
+           'U' AS o_orderstatus,
+           round(o_totalprice * 1.1, 2) AS o_totalprice
+    FROM orders WHERE o_orderkey % 97 = 0
+),
+merged AS (
+    SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+           coalesce(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+           round(coalesce(u.o_totalprice, b.o_totalprice), 2)
+               AS o_totalprice,
+           b.o_custkey
+    FROM orders b FULL OUTER JOIN updates u
+      ON u.o_orderkey = b.o_orderkey
+)
+SELECT o_orderkey, o_orderstatus, o_totalprice,
+       CAST(o_custkey AS BIGINT) AS o_custkey
+FROM merged
+""",
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (copy-on-write upsert): an updates relation —
+    derived deterministically here (every 97th order re-priced) —
+    full-outer-joins the base snapshot on the key; matched rows take
+    the update's columns, unmatched keep the base, update-only keys
+    would insert. The merged snapshot is WRITTEN and re-read: the
+    parquet copy-on-write cycle Delta/Iceberg MERGE performs per
+    touched file.
+
+    Scale shape: the join keys on the table's primary key —
+    uniformly distributed, no skew; with the base bucketed by key
+    (join_bucketed's layout) the merge is exchange-free on the big
+    side, and updates (typically ≪ base) broadcast. Copy-on-write
+    rewrites only what it must: at 100 TB the physical MERGE
+    rewrites touched FILES, which is exactly why the z-order/range
+    layouts (sink_zorder, sink_sorted_ranged) matter — clustering
+    bounds the touched-file count for keyed updates."""
+    out = _tmp(sf_dir, "orders_merged")
+    base = load_table(spark, sf_dir, "orders")
+    updates = base.filter(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("u_status"),
+        F.round(F.col("o_totalprice") * 1.1, 2).alias("u_price"))
+    merged = (
+        base.join(F.broadcast(updates), "o_orderkey", "full_outer")
+        .select(
+            "o_orderkey",
+            F.coalesce("u_status", "o_orderstatus").alias("o_orderstatus"),
+            F.round(F.coalesce("u_price", "o_totalprice"), 2)
+            .alias("o_totalprice"),
+            F.col("o_custkey").cast("bigint").alias("o_custkey"),
+        )
+    )
+    merged.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
+@query(
+    "scd2_history",
+    oracle="""
+WITH daily AS (
+    -- last event of the day, tie-broken on event_id (DuckDB 1.0's
+    -- arg_max lacks composite ordering, so row_number here; Spark
+    -- uses max_by over a (ts, event_id) struct — same winner)
+    SELECT user_id, day, state FROM (
+        SELECT user_id, CAST(ts AS DATE) AS day, event_type AS state,
+               row_number() OVER (
+                   PARTITION BY user_id, CAST(ts AS DATE)
+                   ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+),
+flagged AS (
+    SELECT user_id, day, state,
+           CASE WHEN lag(state) OVER w IS DISTINCT FROM state
+                THEN 1 ELSE 0 END AS changed
+    FROM daily
+    WINDOW w AS (PARTITION BY user_id ORDER BY day)
+),
+islands AS (
+    SELECT user_id, day, state,
+           sum(changed) OVER (PARTITION BY user_id ORDER BY day
+                              ROWS UNBOUNDED PRECEDING) AS version
+    FROM flagged
+)
+SELECT user_id, CAST(version AS BIGINT) AS version, state,
+       strftime(min(day), '%Y-%m-%d') AS valid_from,
+       strftime(max(day), '%Y-%m-%d') AS valid_to,
+       CAST(count(*) AS BIGINT) AS n_days
+FROM islands
+GROUP BY user_id, version, state
+""",
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history compression: each user's daily state (their
+    last event type that day, arg_max tie-broken on (ts, event_id))
+    collapsed into versioned [valid_from, valid_to] ranges wherever
+    consecutive days repeat the state — the value-change
+    gaps-and-islands variant (win_sessionize islands on TIME GAPS;
+    this islands on VALUE CHANGES — together they cover both
+    dimension-history idioms).
+
+    Scale shape: one hash agg to daily grain (events reduced ~event-
+    rate× before any window), then lag-flag + running-sum + final agg
+    all share ONE user_id hash partitioning — a single exchange for
+    the whole chain; version counts are per-user-monotone so the SCD
+    table appends cleanly under incremental recompute."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.max_by("event_type", F.struct("ts", "event_id"))
+             .alias("state"))
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    flagged = daily.withColumn(
+        "changed",
+        F.when(~F.lag("state").over(w).eqNullSafe(F.col("state")), 1)
+        .otherwise(0))
+    ws = (Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    islands = flagged.withColumn(
+        "version", F.sum("changed").over(ws))
+    return (
+        islands.groupBy("user_id", "version", "state")
+        .agg(
+            F.date_format(F.min("day"), "yyyy-MM-dd").alias("valid_from"),
+            F.date_format(F.max("day"), "yyyy-MM-dd").alias("valid_to"),
+            F.count("*").alias("n_days"),
+        )
+        .select("user_id", F.col("version").cast("bigint").alias("version"),
+                "state", "valid_from", "valid_to", "n_days")
+    )
+
+
+@query(
+    "agg_corr",
+    oracle="""
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(covar_pop(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+       round(regr_slope(l_extendedprice, l_quantity), 6) AS slope
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistical aggregates per group: Pearson
+    correlation, population covariance, OLS slope — all one-pass
+    mergeable moment sketches (sum, sum², cross-sum), so they
+    map-side-combine like any hash agg and never rescan. The slope is
+    covar_pop/var_pop — computed HERE from the same moments (Spark
+    has no regr_slope until 3.4's regr_* family; deriving it pins the
+    arithmetic identity the oracle's built-in uses)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6)
+            .alias("corr_qty_price"),
+            F.round(F.covar_pop("l_quantity", "l_extendedprice"), 2)
+            .alias("covar_qty_price"),
+            F.round(
+                F.covar_pop("l_quantity", "l_extendedprice")
+                / F.var_pop("l_quantity"), 6).alias("slope"),
+        )
+    )

@@ -195,3 +195,50 @@ def test_anomaly_zscore_all_beyond_threshold(spark, sf_dir):
     rows = events_anomaly_zscore(spark, sf_dir).collect()
     assert rows
     assert all(abs(r.z) > 2.5 for r in rows)
+
+
+def test_merge_upsert_key_preserved_and_updates_applied(spark, sf_dir):
+    from project_2_semantic_similarity_spark.plans.q_relational import (
+        merge_upsert)
+    base = load_table(spark, sf_dir, "orders")
+    merged = merge_upsert(spark, sf_dir)
+    # same key set, no dupes (copy-on-write preserves the PK)
+    assert merged.count() == base.count()
+    assert merged.select("o_orderkey").distinct().count() == base.count()
+    # every 97th key got the update, nobody else did
+    upd = merged.filter(F.col("o_orderkey") % 97 == 0)
+    assert upd.filter(F.col("o_orderstatus") != "U").count() == 0
+    untouched = merged.filter(F.col("o_orderkey") % 97 != 0)
+    assert untouched.filter(F.col("o_orderstatus") == "U").count() == 0
+
+
+def test_scd2_versions_are_contiguous_per_user(spark, sf_dir):
+    """Versions per user are 1..n with no gaps, ranges don't invert,
+    and consecutive versions never share a state (else they'd have
+    been merged)."""
+    from pyspark.sql import Window
+    from project_2_semantic_similarity_spark.plans.q_relational import (
+        scd2_history)
+    h = scd2_history(spark, sf_dir)
+    assert h.filter(F.col("valid_from") > F.col("valid_to")).count() == 0
+    w = Window.partitionBy("user_id").orderBy("version")
+    flagged = h.select(
+        "user_id", "version", "state",
+        (F.col("version") - F.lag("version").over(w)).alias("gap"),
+        (F.lag("state").over(w) == F.col("state")).alias("same"))
+    assert flagged.filter(F.col("gap").isNotNull()
+                          & (F.col("gap") != 1)).count() == 0
+    assert flagged.filter(F.col("same")).count() == 0
+    assert h.groupBy("user_id").agg(
+        F.min("version").alias("v")).filter(F.col("v") != 1).count() == 0
+
+
+def test_agg_corr_bounds_and_slope_identity(spark, sf_dir):
+    from project_2_semantic_similarity_spark.plans.q_relational import (
+        agg_corr)
+    rows = agg_corr(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r.corr_qty_price <= 1.0
+    # slope shares covar's sign
+    assert all((r.slope >= 0) == (r.covar_qty_price >= 0) for r in rows)
