@@ -288,3 +288,46 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return S.run_to_memory(agg, "stream_late_data", "append")
+
+
+@query(
+    "stream_rollup_cascade",
+    oracle="""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def stream_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous-aggregate serving pattern
+    (events_rollup_hypertable's streaming half): the HOURLY grain is
+    maintained by the streaming engine (stateful tumbling-window agg,
+    replayed availableNow here), and the DAILY grain is answered by a
+    BATCH re-aggregation over the materialized hourly partials —
+    never over raw events. Under live ingestion the stream keeps the
+    hourly table current incrementally (state store holds only open
+    windows past the watermark) while every coarser grain stays a
+    cheap O(buckets) batch query; raw history is read by nobody.
+    Partials stay UNROUNDED through the cascade (sum_value rounds
+    only at the edge), so the daily numbers are identical to a
+    direct daily aggregation — which is exactly what the oracle
+    computes."""
+    ev = S.read_events_stream(spark, S.stage_events_dir(sf_dir))
+    hourly = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+        .select(F.col("w.start").alias("h"), "event_type", "n", "sv")
+    )
+    mat = S.run_to_memory(hourly, "stream_rollup_cascade", "complete")
+    return (
+        mat.groupBy(
+            F.date_format(F.date_trunc("day", "h"), "yyyy-MM-dd")
+            .alias("day"),
+            "event_type")
+        .agg(F.sum("n").cast("bigint").alias("n_events"),
+             F.round(F.sum("sv"), 2).alias("sum_value"))
+    )
