@@ -2106,3 +2106,58 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.var_pop("l_quantity"), 6).alias("slope"),
         )
     )
+
+
+@query(
+    "scan_mergeschema",
+    oracle="""
+WITH gen1 AS (
+    SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 0
+),
+gen2 AS (
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 1
+),
+unioned AS (
+    SELECT * FROM gen1 UNION ALL SELECT * FROM gen2
+)
+SELECT coalesce(o_orderpriority, '<pre-evolution>') AS priority,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM unioned
+GROUP BY priority
+""",
+)
+def scan_mergeschema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two physical file generations — gen1
+    written BEFORE a column existed, gen2 after — read back as one
+    relation with ``mergeSchema``; pre-evolution rows surface NULL in
+    the added column and the query coalesces them explicitly.
+
+    Scale shape: schema merge is a FOOTER operation (one small read
+    per file at planning; at very large file counts Spark samples
+    footers or takes the schema from the summary/catalog — no data
+    pass either way). The scan itself stays a plain columnar read
+    with pushdown intact; missing columns materialize as null vectors
+    at decode, costing nothing. This is the contract that lets a
+    100 TB table evolve columns without rewriting history — the
+    read-side half of what merge_upsert's copy-on-write is for the
+    write side."""
+    out = _tmp(sf_dir, "orders_evolved")
+    o = load_table(spark, sf_dir, "orders")
+    (o.filter(F.col("o_orderkey") % 2 == 0)
+     .select("o_orderkey", "o_totalprice")
+     .write.mode("overwrite").parquet(out + "/gen=1"))
+    (o.filter(F.col("o_orderkey") % 2 == 1)
+     .select("o_orderkey", "o_totalprice", "o_orderpriority")
+     .write.mode("overwrite").parquet(out + "/gen=2"))
+    evolved = spark.read.option("mergeSchema", "true").parquet(
+        out + "/gen=1", out + "/gen=2")
+    return (
+        evolved.groupBy(
+            F.coalesce("o_orderpriority", F.lit("<pre-evolution>"))
+            .alias("priority"))
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
