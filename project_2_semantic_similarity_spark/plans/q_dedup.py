@@ -981,7 +981,15 @@ def dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver contact. Compare dedup_minhash (probabilistic whole-doc)
     and dedup_containment (shingle containment): this one finds the
     VERBATIM cross-doc passages those ops only score in aggregate."""
-    docs = load_table(spark, sf_dir, "documents")
+    from project_2_semantic_similarity_spark.operators.similarity import (
+        _spread)
+
+    # _spread: a small-SF corpus is one parquet file → one scan
+    # partition, and the md5-per-window map (the dominant cost) would
+    # serialize on a single core (measured 2.0s single-task vs 0.4s
+    # spread at sf0.1). No-op at scale where the scan has ≥cores
+    # partitions.
+    docs = _spread(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id",
         F.filter(F.split("text", r"\s+"),
