@@ -331,3 +331,44 @@ def stream_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n").cast("bigint").alias("n_events"),
              F.round(F.sum("sv"), 2).alias("sum_value"))
     )
+
+
+@query(
+    "stream_latest_state",
+    oracle="""
+SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+       round(value, 2) AS last_value
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+) WHERE rn = 1
+""",
+)
+def stream_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-snapshot materialized view (streaming CDC upsert,
+    latest-wins): one row per user holding their most recent event,
+    maintained incrementally by a streaming max_by aggregation —
+    the state store keeps exactly |keys| rows, each new event either
+    replaces its user's row or is discarded, which is the
+    apply-changes/upsert-view pattern every CDC pipeline serves
+    reads from. Tie-broken on (ts, event_id) so replay order can
+    never change the snapshot. Batch equivalent (the oracle):
+    row_number latest-per-key."""
+    ev = S.read_events_stream(spark, S.stage_events_dir(sf_dir))
+    snap = (
+        ev.groupBy("user_id")
+        .agg(F.max_by(
+            F.struct("event_id", "event_type", "ts", "value"),
+            F.struct("ts", "event_id")).alias("s"))
+        .select(
+            "user_id",
+            F.col("s.event_id").alias("last_event_id"),
+            F.col("s.event_type").alias("last_type"),
+            F.date_format("s.ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .alias("last_ts"),
+            F.round("s.value", 2).alias("last_value"),
+        )
+    )
+    return S.run_to_memory(snap, "stream_latest_state", "complete")
