@@ -242,3 +242,20 @@ def test_agg_corr_bounds_and_slope_identity(spark, sf_dir):
         assert -1.0 <= r.corr_qty_price <= 1.0
     # slope shares covar's sign
     assert all((r.slope >= 0) == (r.covar_qty_price >= 0) for r in rows)
+
+
+def test_join_fuzzy_recovers_every_corruption(spark, sf_dir):
+    """Each probe is a catalog name minus its last char, so a match at
+    distance ≤ 1 must exist and be found for every probe (blocking
+    may not lose the engineered corruption)."""
+    from project_2_semantic_similarity_spark.plans.q_relational import (
+        join_fuzzy)
+    p = load_table(spark, sf_dir, "part")
+    n_probes = p.filter(F.col("p_partkey") % 50 == 0).count()
+    out = join_fuzzy(spark, sf_dir)
+    assert out.count() == n_probes
+    assert out.filter(F.col("dist") > 1).count() == 0
+    # and the matched name really is within the declared distance
+    bad = out.filter(
+        F.levenshtein("q_name", "matched_name") != F.col("dist")).count()
+    assert bad == 0
