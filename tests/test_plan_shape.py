@@ -310,3 +310,53 @@ def test_rollup_hypertable_scans_events_once(spark, sf_dir):
     assert plan.count("Scan parquet") + plan.count(
         "FileScan parquet") >= 1
     assert len(re.findall(r"events\.parquet", plan)) <= 2
+
+
+def test_merge_upsert_broadcasts_updates(spark, sf_dir):
+    """The update side (≪ base) must ride a broadcast full-outer (or
+    at minimum never a cartesian) — at scale the base side streams."""
+    plan = plan_of(spark, "merge_upsert", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scd2_single_exchange_for_window_chain(spark, sf_dir):
+    """Daily-grain agg, lag window, running sum, and final agg all key
+    on user_id — at most the daily-agg exchange plus one user_id
+    exchange may appear (the window chain must reuse partitioning)."""
+    plan = plan_of(spark, "scd2_history", sf_dir)
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_join_fuzzy_is_blocked_equijoin(spark, sf_dir):
+    """Blocking must reach the join as an equi-key (substring
+    prefix), with levenshtein only as a filter — an NLJ means the
+    block key fell out of the join condition."""
+    plan = plan_of(spark, "join_fuzzy", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "levenshtein" in plan
+
+
+def test_agg_mode_aggregates_before_window(spark, sf_dir):
+    """The count agg must run BELOW the row_number window (window
+    input is distinct (brand, type) pairs, not raw part rows)."""
+    plan = plan_of(spark, "agg_mode", sf_dir)
+    agg_pos = plan.rfind("HashAggregate")
+    win_pos = plan.find("Window")
+    assert win_pos != -1 and agg_pos > win_pos
+
+
+def test_sink_zorder_pushes_both_read_filters(spark, sf_dir):
+    """The re-read must push BOTH dimension predicates into the
+    parquet scan (row-group skipping needs them at the reader)."""
+    plan = plan_of(spark, "sink_zorder", sf_dir)
+    # the toString() truncates long filter lists, so assert on the
+    # whole FileScan line (DataFilters + PushedFilters) instead of
+    # inside the possibly-truncated bracket
+    scan_lines = [ln for ln in plan.splitlines()
+                  if "FileScan parquet" in ln and "zorder" in ln]
+    assert scan_lines
+    assert any("PushedFilters: [IsNotNull" in ln
+               and "o_custkey" in ln and "o_orderdate" in ln
+               for ln in scan_lines)
