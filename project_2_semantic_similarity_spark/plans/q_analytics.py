@@ -420,3 +420,55 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(z) > 2.5)
         .select("event_id", "event_type", F.round(z, 6).alias("z"))
     )
+
+
+@query(
+    "events_path_transitions",
+    oracle="""
+WITH seq AS (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM events
+),
+trans AS (
+    SELECT prev_type, event_type AS next_type, count(*) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+),
+tot AS (SELECT prev_type, sum(n) AS t FROM trans GROUP BY prev_type)
+SELECT tr.prev_type, tr.next_type,
+       CAST(tr.n AS BIGINT) AS n,
+       round(tr.n / CAST(tot.t AS DOUBLE), 6) AS p
+FROM trans tr JOIN tot ON tot.prev_type = tr.prev_type
+""",
+)
+def events_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event paths:
+    per-user chronological lag pairs (tie-broken on event_id),
+    counted into (prev → next) cells with row-normalized transition
+    probabilities — the path-analysis primitive behind funnels,
+    next-action prediction, and session flow charts.
+
+    Scale shape: ONE shuffle by user_id feeds the lag window (the
+    same partitioning win_sessionize and scd2_history ride); the
+    transition agg collapses to |event_types|² cells map-side, and
+    the row totals join is a broadcast of a |event_types|-row
+    aggregate. Nothing after the window sort touches data-sized
+    relations."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"))
+    trans = (seq.filter(F.col("prev_type").isNotNull())
+             .groupBy("prev_type", F.col("event_type").alias("next_type"))
+             .agg(F.count("*").alias("n")))
+    tot = trans.groupBy("prev_type").agg(F.sum("n").alias("t"))
+    return (
+        trans.join(F.broadcast(tot), "prev_type")
+        .select("prev_type", "next_type",
+                F.col("n").cast("bigint").alias("n"),
+                F.round(F.col("n") / F.col("t").cast("double"), 6)
+                .alias("p"))
+    )
