@@ -185,3 +185,29 @@ def test_batch_sessionize_is_stream_session_twin(spark, sf_dir):
     s = sorted((r.user_id, r.session_start, r.n_events, r.sum_value)
                for r in stream.collect())
     assert b == s
+
+
+def test_latest_state_idempotent_under_duplicate_delivery(spark, sf_dir):
+    """The CDC latest-wins snapshot must be replay/duplicate-proof:
+    feeding every event TWICE (at-least-once delivery) yields the
+    byte-identical snapshot, because max_by over (ts, event_id) is
+    idempotent — the property that lets the view be rebuilt from an
+    unreliable log."""
+    from pyspark.sql import functions as F
+    from project_2_semantic_similarity_spark.streaming import ops as S
+
+    ev1 = S.read_events_stream(spark, S.stage_events_dir(sf_dir))
+    ev2 = S.read_events_stream(spark, S.stage_doubled_events_dir(sf_dir))
+
+    def snapshot(ev, name):
+        snap = (ev.groupBy("user_id")
+                .agg(F.max_by(
+                    F.struct("event_id", "event_type", "ts", "value"),
+                    F.struct("ts", "event_id")).alias("s"))
+                .select("user_id", "s.event_id", "s.ts"))
+        return S.run_to_memory(snap, name, "complete")
+
+    a = snapshot(ev1, "lsi_once")
+    b = snapshot(ev2, "lsi_twice")
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
