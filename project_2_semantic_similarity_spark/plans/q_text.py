@@ -8,7 +8,7 @@ testdata vocabulary, df ≈ 380/500, so idf > 0).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from project_2_semantic_similarity_spark.operators import text as T
@@ -520,4 +520,55 @@ def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_toks.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("cnt"))
+    )
+
+
+@query(
+    "text_keywords",
+    oracle=f"""
+WITH {_TFIDF_CTES},
+ranked AS (
+    SELECT doc_id, term, round(tfidf, 6) AS tfidf,
+           row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY round(tfidf, 6) DESC, term ASC) AS rn
+    FROM tfidf WHERE tfidf > 0
+)
+SELECT doc_id, term, tfidf, CAST(rn AS BIGINT) AS rank
+FROM ranked WHERE rn <= 3
+""",
+)
+def text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: the top-3 tf-idf terms of
+    every document (zero-weight terms excluded — idf=0 terms appear
+    in every doc and are definitionally not keywords). The ranking
+    runs on the 6-dp-ROUNDED weight with a term tie-break, so float
+    noise can't reorder near-ties across engines.
+
+    Scale shape: reuses the persisted tf-idf weight relation (the
+    same slot the flagship, doc-similarity, and BM25 share — one
+    corpus pass serves all four), then ONE doc_id-partitioned
+    row_number window. doc_id is the natural high-cardinality
+    partition key — per-doc vocabularies are bounded, so no task ever
+    sees more than one document's terms: this window CANNOT skew, in
+    contrast to a term-partitioned window (the stopword trap SURVEY
+    §4.2 documents)."""
+    from project_2_semantic_similarity_spark.operators.cache import (
+        keyed_persist)
+
+    # the exact slot doc_similarity_topk fills (operators/text.py:249)
+    # — same name, same key, same builder, so whichever of the two
+    # ops runs first pays the corpus pass and the other reuses it
+    corpus = _corpus(spark, sf_dir)
+    weights = keyed_persist(
+        "docsim_weights", _corpus_key(sf_dir),
+        lambda: T.tfidf(corpus).filter(F.col("tfidf") != 0))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.round("tfidf", 6).desc(), F.col("term").asc())
+    return (
+        weights
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", F.round("tfidf", 6).alias("tfidf"),
+                F.col("rank").cast("bigint").alias("rank"))
     )
