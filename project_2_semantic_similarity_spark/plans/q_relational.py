@@ -1970,21 +1970,33 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     touched file.
 
     Scale shape: the join keys on the table's primary key —
-    uniformly distributed, no skew; with the base bucketed by key
-    (join_bucketed's layout) the merge is exchange-free on the big
-    side, and updates (typically ≪ base) broadcast. Copy-on-write
+    uniformly distributed, no skew. A FULL OUTER cannot broadcast
+    (every Spark broadcast strategy preserves only one side's
+    unmatched rows), so the merge is a SortMergeJoin by design; with
+    the base bucketed by key (join_bucketed's layout) its exchange
+    and sort vanish on the big side. When the update set contains no
+    inserts, the cheaper broadcastable form is LEFT join + coalesce;
+    the full-outer here keeps insert semantics honest. Copy-on-write
     rewrites only what it must: at 100 TB the physical MERGE
     rewrites touched FILES, which is exactly why the z-order/range
     layouts (sink_zorder, sink_sorted_ranged) matter — clustering
     bounds the touched-file count for keyed updates."""
     out = _tmp(sf_dir, "orders_merged")
+    merged = merge_plan(spark, sf_dir)
+    merged.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
+def merge_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGE dataflow itself (pre-write) — split out so the plan
+    pin can inspect the join strategy rather than the re-read scan."""
     base = load_table(spark, sf_dir, "orders")
     updates = base.filter(F.col("o_orderkey") % 97 == 0).select(
         "o_orderkey",
         F.lit("U").alias("u_status"),
         F.round(F.col("o_totalprice") * 1.1, 2).alias("u_price"))
-    merged = (
-        base.join(F.broadcast(updates), "o_orderkey", "full_outer")
+    return (
+        base.join(updates, "o_orderkey", "full_outer")
         .select(
             "o_orderkey",
             F.coalesce("u_status", "o_orderstatus").alias("o_orderstatus"),
@@ -1993,8 +2005,6 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey").cast("bigint").alias("o_custkey"),
         )
     )
-    merged.write.mode("overwrite").parquet(out)
-    return spark.read.parquet(out)
 
 
 @query(

@@ -312,12 +312,19 @@ def test_rollup_hypertable_scans_events_once(spark, sf_dir):
     assert len(re.findall(r"events\.parquet", plan)) <= 2
 
 
-def test_merge_upsert_broadcasts_updates(spark, sf_dir):
-    """The update side (≪ base) must ride a broadcast full-outer (or
-    at minimum never a cartesian) — at scale the base side streams."""
-    plan = plan_of(spark, "merge_upsert", sf_dir)
+def test_merge_upsert_full_outer_is_keyed_smj(spark, sf_dir):
+    """The MERGE dataflow (pre-write — the declared query returns the
+    re-read scan) must be a KEYED full-outer join: SortMergeJoin on
+    the PK, never a nested loop. (FULL OUTER cannot broadcast in
+    Spark — both sides' unmatched rows must survive — so SMJ is the
+    correct strategy, and bucketing the base removes its exchange.)"""
+    from project_2_semantic_similarity_spark.plans.q_relational import (
+        merge_plan)
+    plan = (merge_plan(spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin [o_orderkey" in plan and "FullOuter" in plan
 
 
 def test_scd2_single_exchange_for_window_chain(spark, sf_dir):
