@@ -211,3 +211,24 @@ def test_latest_state_idempotent_under_duplicate_delivery(spark, sf_dir):
     b = snapshot(ev2, "lsi_twice")
     assert a.count() == b.count()
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_rollup_cascade_matches_batch_hypertable_daily(spark, sf_dir):
+    """Batch/stream twin pin (the win_sessionize ↔ stream_session
+    pattern): the streamed hourly→daily cascade must equal the batch
+    hypertable rollup's daily grain row-for-row."""
+    from pyspark.sql import functions as F
+    from project_2_semantic_similarity_spark.plans.q_analytics import (
+        events_rollup_hypertable)
+    from project_2_semantic_similarity_spark.plans.q_streaming import (
+        stream_rollup_cascade)
+
+    streamed = stream_rollup_cascade(spark, sf_dir)
+    batch_daily = (
+        events_rollup_hypertable(spark, sf_dir)
+        .filter(F.col("grain") == "day")
+        .select(F.substring("bucket", 1, 10).alias("day"),
+                "event_type", "n_events", "sum_value"))
+    assert streamed.count() == batch_daily.count()
+    assert streamed.exceptAll(batch_daily).count() == 0
+    assert batch_daily.exceptAll(streamed).count() == 0
