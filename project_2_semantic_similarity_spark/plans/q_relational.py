@@ -1943,7 +1943,7 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH updates AS (
     SELECT o_orderkey,
            'U' AS o_orderstatus,
-           round(o_totalprice * 1.1, 2) AS o_totalprice
+           round(o_totalprice + 1000.0, 2) AS o_totalprice
     FROM orders WHERE o_orderkey % 97 = 0
 ),
 merged AS (
@@ -1994,7 +1994,13 @@ def merge_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     updates = base.filter(F.col("o_orderkey") % 97 == 0).select(
         "o_orderkey",
         F.lit("U").alias("u_status"),
-        F.round(F.col("o_totalprice") * 1.1, 2).alias("u_price"))
+        # additive reprice, NOT multiplicative: a x1.1 product lands
+        # on third-decimal half-boundaries (71995.15 * 1.1 =
+        # 79194.665) where Spark's HALF_UP on the shortest decimal
+        # repr and DuckDB's rounding of the true binary double
+        # disagree — found by the sf0.1 sweep; +1000.00 keeps every
+        # value at the base table's own 2 dp grid
+        F.round(F.col("o_totalprice") + 1000.0, 2).alias("u_price"))
     return (
         base.join(updates, "o_orderkey", "full_outer")
         .select(
