@@ -300,69 +300,42 @@ def _pagerank_spark(spark: SparkSession, sf_dir: str,
     #     rows) that AQE broadcasts back onto the pair relation, so
     #     the symmetric edge list + weights is ONE narrow map over
     #     the persisted join result, not a second distinct+groupBy.
+    from project_2_semantic_similarity_spark.operators.graph import (
+        pagerank_weighted)
+
     rel = li.select("l_partkey", "l_suppkey").distinct()
     pdeg = rel.groupBy("l_partkey").agg(F.count("*").alias("p_deg"))
     sdeg = rel.groupBy("l_suppkey").agg(F.count("*").alias("s_deg"))
     pairs = (rel.join(F.broadcast(pdeg), "l_partkey")
              .join(F.broadcast(sdeg), "l_suppkey")).persist()
-    # kind 0 = part node, kind 1 = supplier node
+    # bit-packed BIGINT node ids: part = key, supplier = key + 2^40
+    # (keys sit far below 2^40 at any declared SF) — one numeric
+    # join/agg key, unpacked to the oracle's 'p…'/'s…' string ids
+    # only at the output edge
+    _SUPP = 1 << 40
     wedges = (
         pairs.select(
-            F.lit(0).alias("sk"), F.col("l_partkey").alias("skey"),
-            F.lit(1).alias("dk"), F.col("l_suppkey").alias("dkey"),
+            F.col("l_partkey").alias("src"),
+            (F.col("l_suppkey") + _SUPP).alias("dst"),
             (F.lit(1.0) / F.col("p_deg")).alias("w"))
         .unionAll(pairs.select(
-            F.lit(1).alias("sk"), F.col("l_suppkey").alias("skey"),
-            F.lit(0).alias("dk"), F.col("l_partkey").alias("dkey"),
+            (F.col("l_suppkey") + _SUPP).alias("src"),
+            F.col("l_partkey").alias("dst"),
             (F.lit(1.0) / F.col("s_deg")).alias("w")))
-    ).persist()
+    )
     nodes = (
-        pdeg.select(F.lit(0).alias("nk"),
-                    F.col("l_partkey").alias("nkey"))
-        .unionAll(sdeg.select(F.lit(1).alias("nk"),
-                              F.col("l_suppkey").alias("nkey")))
-    ).persist()
-    ranks = nodes.withColumn("rank", F.lit(1.0))
-    prev_persisted = None
-    for _ in range(n_iters):
-        # per iteration: one equi-join on the cached edges (AQE
-        # broadcasts the |nodes|-row rank relation while it fits; at
-        # billions of nodes the same loop runs Pregel-style on a
-        # src-pre-partitioned edge cache) + one map-side-combined agg
-        # no nodes-left-join per round: the symmetric edge construction
-        # guarantees every node has in-edges, so the contribution agg
-        # already emits exactly |nodes| rows (the oracle's LEFT JOIN is
-        # a no-op there too — kept in SQL only for self-evidence)
-        nxt = (
-            wedges.join(ranks,
-                        (F.col("sk") == F.col("nk"))
-                        & (F.col("skey") == F.col("nkey")))
-            .groupBy("dk", "dkey")
-            .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
-            .select(
-                F.col("dk").alias("nk"), F.col("dkey").alias("nkey"),
-                (F.lit(0.15) + F.lit(_PR_DAMPING)
-                 * F.col("contrib")).alias("rank"))
-        ).persist()
-        nxt.count()  # materialize before releasing the parent round
-        if prev_persisted is not None:
-            prev_persisted.unpersist()
-        prev_persisted = nxt
-        ranks = nxt
-    # localCheckpoint the edge-rounded result so every per-round cache
-    # entry can be released here (graph.py discipline: callers own no
-    # unpersist obligation, and the leak-accounting tests see zero
-    # live entries). String node ids materialize only HERE.
-    result = (
-        ranks.select(
-            F.concat(F.when(F.col("nk") == 0, "p").otherwise("s"),
-                     F.col("nkey").cast("string")).alias("node"),
-            F.round("rank", 6).alias("rank"))
-        .localCheckpoint(eager=True))
-    if prev_persisted is not None:
-        prev_persisted.unpersist()
-    wedges.unpersist()
-    nodes.unpersist()
+        pdeg.select(F.col("l_partkey").alias("node"))
+        .unionAll(sdeg.select((F.col("l_suppkey") + _SUPP).alias("node")))
+    )
+    ranks = pagerank_weighted(wedges, nodes, n_iters=n_iters,
+                              damping=_PR_DAMPING)
+    result = ranks.select(
+        F.when(F.col("node") >= _SUPP,
+               F.concat(F.lit("s"),
+                        (F.col("node") - _SUPP).cast("string")))
+        .otherwise(F.concat(F.lit("p"), F.col("node").cast("string")))
+        .alias("node"),
+        F.round("rank", 6).alias("rank"))
     pairs.unpersist()
     return result
 
