@@ -2246,3 +2246,58 @@ def join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("p_name").alias("matched_name"),
                 F.col("dist").cast("bigint").alias("dist"))
     )
+
+
+@query(
+    "scan_json_corrupt",
+    oracle="""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_good,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+WHERE doc_id % 10 <> 0
+GROUP BY lang
+""",
+)
+def scan_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input ingestion (PERMISSIVE mode): a JSONL staging of
+    the documents table where every 10th record is corrupted into
+    invalid JSON; the read keeps good rows, parks bad lines in
+    ``_corrupt_record`` (columnNameOfCorruptRecord), and the query
+    filters them out — the quarantine pattern every web-scale ingest
+    needs, because at 100 TB there is ALWAYS a malformed shard and a
+    FAILFAST job that dies 90 TB in is not an option.
+
+    Scale shape: corruption handling is per-record inside the scan —
+    no extra pass, no shuffle; the quarantined rows stay a column you
+    can route to a dead-letter sink. The oracle never sees the file:
+    it derives the expected survivors from the base table (doc_id %
+    10 ≠ 0), so the check proves the corrupt rows are EXACTLY the
+    engineered ones — no silent over- or under-dropping."""
+    import os
+
+    out = _tmp(sf_dir, "documents_jsonl_corrupt")
+    docs = load_table(spark, sf_dir, "documents")
+    good = docs.filter(F.col("doc_id") % 10 != 0).select(
+        F.to_json(F.struct("doc_id", "lang", "n_chars")).alias("line"))
+    # corrupt rows: truncated JSON (unclosed brace) — parse must fail
+    bad = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.concat(F.lit('{"doc_id": '), F.col("doc_id").cast("string"),
+                 F.lit(', "lang": "')).alias("line"))
+    good.unionAll(bad).write.mode("overwrite").text(out)
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+        T.StructField("_corrupt_record", T.StringType()),
+    ])
+    parsed = (spark.read.schema(schema)
+              .option("mode", "PERMISSIVE")
+              .option("columnNameOfCorruptRecord", "_corrupt_record")
+              .json(out))
+    return (
+        parsed.filter(F.col("_corrupt_record").isNull())
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_good"),
+             F.sum("n_chars").alias("total_chars"))
+    )
