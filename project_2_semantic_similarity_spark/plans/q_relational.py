@@ -2301,3 +2301,51 @@ def scan_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_good"),
              F.sum("n_chars").alias("total_chars"))
     )
+
+
+@query(
+    "sql_api_tpch_q18",
+    oracle="""
+SELECT c.c_name, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(o.o_totalprice, 2) AS o_totalprice,
+       round(sum(l.l_quantity), 2) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+)
+GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 100
+""",
+)
+def sql_api_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): the AGGREGATE-SEMI-JOIN
+    shape — the qualifying key set is itself a grouped HAVING
+    aggregate, which Catalyst plans as hash-agg → (broadcast when
+    small / shuffled when not) LeftSemi into the fact join. The
+    pattern matters at scale because the filter is derived FROM the
+    fact table: one aggregation pass replaces any attempt to
+    correlate per-order subqueries, and the semi join prunes orders
+    and lineitem before the 3-way join + final agg. Top-100 rides
+    TakeOrderedAndProject, never a total sort."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT c.c_name, o.o_orderkey,
+               date_format(o.o_orderdate, 'yyyy-MM-dd') AS o_orderdate,
+               round(o.o_totalprice, 2) AS o_totalprice,
+               round(sum(l.l_quantity), 2) AS total_qty
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+        )
+        GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+        ORDER BY o.o_totalprice DESC, o.o_orderkey
+        LIMIT 100
+    """)
