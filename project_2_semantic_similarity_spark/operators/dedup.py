@@ -499,3 +499,43 @@ def simhash_near_pairs(hashes: DataFrame, max_hamming: int = 8,
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def jaccard_on_pairs(pairs: DataFrame, shingled: DataFrame) -> DataFrame:
+    """EXACT shingle Jaccard computed only for the given candidate
+    pairs ``(doc_a, doc_b)`` — the verification half of the
+    discover/verify contract (jaccard_pairs' docstring says "at
+    scale run this on LSH candidates"; this is that operator).
+
+    Volume is candidates × shingles-per-doc, LINEAR in the candidate
+    count: the pair relation joins each side's shingle set by doc id
+    (plus shingle equality on the second hop, so only intersection
+    rows survive the join). Pairs sharing zero shingles simply drop
+    out — their Jaccard is 0 and no dedup threshold keeps them."""
+    sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = shingled.select(F.col("doc_id").alias("doc_a"),
+                        F.col("shingle").alias("sh_a"))
+    b = shingled.select(F.col("doc_id").alias("doc_b"),
+                        F.col("shingle").alias("sh_b"))
+    inter = (
+        pairs.select("doc_a", "doc_b")
+        .join(a, "doc_a")
+        .join(b.withColumnRenamed("doc_b", "__b"),
+              (F.col("doc_b") == F.col("__b"))
+              & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_a", "sz": "sz_a"}),
+              "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "sz": "sz_b"}),
+              "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            (F.col("n_inter")
+             / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+             ).alias("jaccard"),
+        )
+    )

@@ -259,3 +259,16 @@ def test_join_fuzzy_recovers_every_corruption(spark, sf_dir):
     bad = out.filter(
         F.levenshtein("q_name", "matched_name") != F.col("dist")).count()
     assert bad == 0
+
+
+def test_prep_pipeline_lsh_equals_exact_pipeline(spark, sf_dir):
+    """The LSH-discovery prep pipeline must produce the exact
+    pipeline's survivor set on the fixture corpus (deterministic
+    md5-seeded discovery — equality is a stable property of the
+    corpus, pinned here so the shared oracle is a real check)."""
+    from project_2_semantic_similarity_spark.plans.q_textlab import (
+        corpus_prep_pipeline, corpus_prep_pipeline_lsh)
+    a = corpus_prep_pipeline(spark, sf_dir)
+    b = corpus_prep_pipeline_lsh(spark, sf_dir)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
