@@ -903,3 +903,84 @@ def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round((F.col("v") - F.col("mu")) / F.col("sigma"), 6)
                 .alias("z"))
     )
+
+
+@query(
+    "knn_ivf_append",
+    oracle=f"""
+WITH base AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+    WHERE vec_id % 2 = 0
+),
+flat AS (
+    SELECT label, generate_subscripts(emb, 1) AS idx, unnest(emb) AS val
+    FROM base
+),
+cent AS (
+    SELECT label AS list_id, list(avg_val ORDER BY idx) AS cvec
+    FROM (SELECT label, idx, avg(val) AS avg_val
+          FROM flat GROUP BY label, idx)
+    GROUP BY label
+),
+alle AS (
+    SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+),
+scored AS (
+    SELECT a.vec_id, a.emb, c.list_id,
+           row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_cosine_similarity(a.emb, c.cvec) DESC,
+                        c.list_id) AS rn
+    FROM alle a CROSS JOIN cent c
+),
+assigned AS (SELECT vec_id, emb, list_id FROM scored WHERE rn = 1),
+q AS (SELECT list_id AS qlist, emb AS qemb FROM assigned
+      WHERE vec_id = {_QUERY_VEC_ID})
+SELECT a.vec_id,
+       round(list_cosine_similarity(a.emb, q.qemb), 6) AS cosine
+FROM assigned a, q
+WHERE a.list_id = q.qlist AND a.vec_id <> {_QUERY_VEC_ID}
+ORDER BY list_cosine_similarity(a.emb, q.qemb) DESC, a.vec_id
+LIMIT {_K}
+""",
+)
+def knn_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index MAINTENANCE: the codebook is trained on the BASE
+    half of the corpus (even vec_ids) and FROZEN; the "new arrivals"
+    batch (odd vec_ids) is assigned with that same frozen codebook
+    and appended to the partitioned layout — no retrain, no
+    reshuffle of the existing lists. The probe then serves from the
+    combined index.
+
+    This is how a 100 TB vector index absorbs daily ingest: centroid
+    assignment of the new batch is one broadcast-codebook narrow map
+    (ivf_assign), the append lands only in the touched list_id
+    partitions (sink_ivf_partitioned's Hive layout), and the frozen
+    codebook keeps every existing vector's list stable — reassigning
+    history on every batch would rewrite the whole index. Codebook
+    refresh is a periodic OFFLINE job (cluster_kmeans), after which
+    the lists are rebuilt once; the oracle re-derives the whole
+    frozen-codebook dataflow including the base/batch split."""
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 2 == 0)
+    batch = e.filter(F.col("vec_id") % 2 == 1)
+    codebook = S.label_centroids(base)  # frozen: trained on base only
+    idx_base = S.ivf_assign(base, codebook)
+    idx_new = S.ivf_assign(batch, codebook)
+    index = idx_base.select("vec_id", "embedding", "list_id").unionAll(
+        idx_new.select("vec_id", "embedding", "list_id"))
+    q = (index.filter(F.col("vec_id") == _QUERY_VEC_ID)
+         .select(F.col("list_id").alias("__qlist"),
+                 F.col("embedding").alias("__qvec")))
+    from project_2_semantic_similarity_spark.functions import (
+        cosine_similarity)
+
+    return (
+        index.join(F.broadcast(q), F.col("list_id") == F.col("__qlist"))
+        .filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .select("vec_id",
+                F.round(cosine_similarity("embedding", "__qvec"), 6)
+                .alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(_K)
+    )
