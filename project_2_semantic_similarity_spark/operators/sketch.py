@@ -167,3 +167,63 @@ def histogram_quantiles(df: DataFrame, col: str,
                    / F.lit(n_buckets)), 6).alias("approx_value"))
     )
     return picked.orderBy("quantile")
+
+
+_KMV_K = 64
+_KMV_DOMAIN = float(1 << 60)
+
+
+def kmv_sketch(df: DataFrame, col: str, scope: str,
+               k: int = _KMV_K) -> DataFrame:
+    """K-minimum-values sketch rows for one relation: the k smallest
+    portable 60-bit hashes of ``col``'s distinct values, tagged with
+    ``scope``. KMV is the order-statistic counterpart of HLL
+    (hll_distinct above): both are mergeable one-pass sketches, but
+    KMV's merge is just "k smallest of the union of sketch rows" —
+    an EXACT identity (the k smallest of a union are among the k
+    smallest of each side), which makes set-operation estimates
+    (union here) computable from sketches alone.
+
+    The row_number window ranks distinct hashes per scope; k-min is
+    SALT-INVARIANT (k smallest of k-smallest-per-bucket = k smallest
+    overall), so at scale the same result comes from a two-stage
+    salted k-min with every aggregation buffer bounded at k — no
+    full-scope sort ever needed."""
+    h = portable_hash60(F.col(col).cast("string"))
+    hashes = df.select(h.alias("h")).distinct()
+    w = Window.partitionBy(F.lit(scope)).orderBy("h")
+    return (
+        hashes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(F.lit(scope).alias("scope"), "h")
+    )
+
+
+def kmv_estimate(sketch: DataFrame, k: int = _KMV_K) -> DataFrame:
+    """Distinct-count estimate per scope from KMV sketch rows:
+    exact size when the sketch holds fewer than k hashes (the whole
+    distinct set fits), else (k-1) / u_k with u_k the k-th smallest
+    hash normalized to (0,1)."""
+    return (
+        sketch.groupBy("scope")
+        .agg(F.count("*").alias("n_sk"), F.max("h").alias("kth"))
+        .select(
+            "scope",
+            F.round(
+                F.when(F.col("n_sk") < k, F.col("n_sk").cast("double"))
+                .otherwise((F.lit(float(k - 1)) * F.lit(_KMV_DOMAIN))
+                           / F.col("kth")), 2).alias("est_distinct"))
+    )
+
+
+def kmv_oracle_cte(source_sql: str, col: str, scope: str,
+                   k: int = _KMV_K) -> str:
+    """DuckDB CTE body reproducing kmv_sketch for one scope."""
+    return f"""
+    SELECT '{scope}' AS scope, h FROM (
+        SELECT h, row_number() OVER (ORDER BY h) AS rn FROM (
+            SELECT DISTINCT
+                   ('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15))::BIGINT AS h
+            FROM ({source_sql})
+        )
+    ) WHERE rn <= {k}"""

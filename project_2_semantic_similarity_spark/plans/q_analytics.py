@@ -445,3 +445,61 @@ def events_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("n") / F.col("t").cast("double"), 6)
                 .alias("p"))
     )
+
+
+@query(
+    "win_streak",
+    oracle="""
+WITH days AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+grp AS (
+    SELECT user_id, day,
+           day - CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY day) AS INTEGER) AS anchor
+    FROM days
+),
+streaks AS (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS len,
+           strftime(min(day), '%Y-%m-%d') AS streak_start
+    FROM grp GROUP BY user_id, anchor
+)
+SELECT user_id, len AS longest_streak, streak_start
+FROM (
+    SELECT user_id, len, streak_start,
+           row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY len DESC, streak_start ASC) AS rn
+    FROM streaks
+) WHERE rn = 1
+""",
+)
+def win_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the third
+    gaps-and-islands variant in the engine (win_sessionize islands on
+    TIME GAPS, scd2_history on VALUE CHANGES, this on CALENDAR
+    ADJACENCY), via the date-minus-row_number anchor trick:
+    consecutive days share an anchor, so streaks fall out of one
+    GROUP BY with no self-join.
+
+    Scale shape: the distinct collapses events to user-days FIRST
+    (bounded by users × horizon, ≪ events), then anchor window +
+    both aggs all share the user_id partitioning — one exchange
+    chain, no data-sized relation after the distinct. Ties on streak
+    length break to the earliest start for determinism."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = days.withColumn(
+        "anchor", F.date_sub(F.col("day"), F.row_number().over(w)))
+    streaks = grp.groupBy("user_id", "anchor").agg(
+        F.count("*").alias("len"),
+        F.date_format(F.min("day"), "yyyy-MM-dd").alias("streak_start"))
+    wbest = Window.partitionBy("user_id").orderBy(
+        F.col("len").desc(), F.col("streak_start").asc())
+    return (
+        streaks.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("len").cast("bigint")
+                .alias("longest_streak"), "streak_start")
+    )

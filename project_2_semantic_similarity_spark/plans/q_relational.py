@@ -2349,3 +2349,63 @@ def sql_api_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o.o_totalprice DESC, o.o_orderkey
         LIMIT 100
     """)
+
+
+def _kmv_oracle() -> str:
+    from project_2_semantic_similarity_spark.operators.sketch import (
+        _KMV_K, kmv_oracle_cte)
+
+    click = kmv_oracle_cte(
+        "SELECT user_id FROM events WHERE event_type = 'click'",
+        "user_id", "click")
+    view = kmv_oracle_cte(
+        "SELECT user_id FROM events WHERE event_type = 'view'",
+        "user_id", "view")
+    return f"""
+WITH sk AS ({click}
+    UNION ALL{view}
+),
+merged AS (
+    SELECT 'click+view' AS scope, h FROM (
+        SELECT h, row_number() OVER (ORDER BY h) AS rn
+        FROM (SELECT DISTINCT h FROM sk)
+    ) WHERE rn <= {_KMV_K}
+),
+allsk AS (SELECT * FROM sk UNION ALL SELECT * FROM merged)
+SELECT scope,
+       round(CASE WHEN count(*) < {_KMV_K}
+                  THEN CAST(count(*) AS DOUBLE)
+                  ELSE {_KMV_K - 1} * 1152921504606846976.0 / max(h)
+             END, 2) AS est_distinct
+FROM allsk GROUP BY scope
+"""
+
+
+@query("agg_kmv_portable", oracle=_kmv_oracle())
+def agg_kmv_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct sketches over per-type user
+    sets, PLUS a union estimate computed FROM THE SKETCHES ALONE
+    (operators/sketch.py kmv_sketch/kmv_estimate): the third sketch
+    family beside HLL (agg_hll_portable) and the quantile histogram
+    (agg_quantile_hist), covering the capability the other two lack —
+    SET-OPERATION estimates on merged sketches. The merge is the
+    exact identity "k smallest of the union of sketch rows", so
+    'click+view' is estimated without ever revisiting the raw events.
+    Portable md5 hash family throughout → the DuckDB oracle
+    recomputes sketches, merge, and estimator bit-for-bit."""
+    from project_2_semantic_similarity_spark.operators.sketch import (
+        _KMV_K, kmv_estimate, kmv_sketch)
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = kmv_sketch(
+        ev.filter(F.col("event_type") == "click"), "user_id", "click"
+    ).unionAll(kmv_sketch(
+        ev.filter(F.col("event_type") == "view"), "user_id", "view"))
+    w = Window.partitionBy(F.lit("click+view")).orderBy("h")
+    merged = (
+        sk.select("h").distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .select(F.lit("click+view").alias("scope"), "h")
+    )
+    return kmv_estimate(sk.unionAll(merged))

@@ -272,3 +272,38 @@ def test_prep_pipeline_lsh_equals_exact_pipeline(spark, sf_dir):
     b = corpus_prep_pipeline_lsh(spark, sf_dir)
     assert a.count() == b.count()
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_kmv_estimate_within_bound_and_union_sane(spark, sf_dir):
+    """KMV(64) relative error is ~1/sqrt(k-1) ≈ 12.6%; allow 3x.
+    The merged union estimate must be >= each side's true count lower
+    bound and <= sum of sides."""
+    from project_2_semantic_similarity_spark.plans.q_relational import (
+        agg_kmv_portable)
+    ev = load_table(spark, sf_dir, "events")
+    true = {t: ev.filter(F.col("event_type") == t)
+            .select("user_id").distinct().count()
+            for t in ("click", "view")}
+    true_union = (ev.filter(F.col("event_type").isin("click", "view"))
+                  .select("user_id").distinct().count())
+    est = {r.scope: r.est_distinct
+           for r in agg_kmv_portable(spark, sf_dir).collect()}
+    for t in ("click", "view"):
+        assert abs(est[t] - true[t]) <= max(3 * 0.126 * true[t], 2.0)
+    assert abs(est["click+view"] - true_union) <= max(
+        3 * 0.126 * true_union, 2.0)
+
+
+def test_win_streak_bounds(spark, sf_dir):
+    from project_2_semantic_similarity_spark.plans.q_analytics import (
+        win_streak)
+    ev = load_table(spark, sf_dir, "events")
+    n_users = ev.select("user_id").distinct().count()
+    out = win_streak(spark, sf_dir)
+    assert out.count() == n_users
+    days = (ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+            .groupBy("user_id").agg(F.count("*").alias("nd")))
+    joined = out.join(days, "user_id")
+    # a streak can't exceed the user's total active days
+    assert joined.filter(
+        F.col("longest_streak") > F.col("nd")).count() == 0
