@@ -2409,3 +2409,138 @@ def agg_kmv_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("click+view").alias("scope"), "h")
     )
     return kmv_estimate(sk.unionAll(merged))
+
+
+@query(
+    "dq_checks",
+    oracle="""
+SELECT 'lineitem_orphan_orderkeys' AS check_name,
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE l.l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+            AS BIGINT) AS violations
+UNION ALL
+SELECT 'orders_null_custkey',
+       CAST((SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+            AS BIGINT)
+UNION ALL
+SELECT 'lineitem_nonpositive_qty',
+       CAST((SELECT count(*) FROM lineitem WHERE l_quantity <= 0)
+            AS BIGINT)
+UNION ALL
+SELECT 'lineitem_discount_out_of_range',
+       CAST((SELECT count(*) FROM lineitem
+             WHERE l_discount < 0 OR l_discount > 1) AS BIGINT)
+UNION ALL
+SELECT 'orders_duplicate_pk',
+       CAST((SELECT count(*) FROM (
+                 SELECT o_orderkey FROM orders
+                 GROUP BY o_orderkey HAVING count(*) > 1))
+            AS BIGINT)
+""",
+)
+def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate: the assertion suite a pipeline runs before
+    publishing a snapshot — referential integrity (orphan foreign
+    keys via anti-join), null checks, range checks, primary-key
+    uniqueness — one row per check with its violation count (publish
+    iff all zeros).
+
+    Scale shape: each check is a single-pass aggregate or anti-join;
+    the orphan check is the only join and it is a LeftAnti on the PK
+    (null-aware, same physical shape as subquery_not_in); the PK
+    uniqueness check is a HAVING count over a hash agg. The five
+    single-row results union into one driver-sized relation — the
+    whole gate costs ~two scans of each fact table regardless of
+    corpus size, and every check is expressible as a streaming
+    foreachBatch assertion for continuous publication."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def one(name: str, cnt_df: DataFrame) -> DataFrame:
+        return cnt_df.select(
+            F.lit(name).alias("check_name"),
+            F.col("violations").cast("bigint").alias("violations"))
+
+    orphans = (li.join(o.select(F.col("o_orderkey").alias("l_orderkey")),
+                       "l_orderkey", "left_anti")
+               .agg(F.count("*").alias("violations")))
+    null_cust = o.filter(F.col("o_custkey").isNull()).agg(
+        F.count("*").alias("violations"))
+    bad_qty = li.filter(F.col("l_quantity") <= 0).agg(
+        F.count("*").alias("violations"))
+    bad_disc = li.filter((F.col("l_discount") < 0)
+                         | (F.col("l_discount") > 1)).agg(
+        F.count("*").alias("violations"))
+    dup_pk = (o.groupBy("o_orderkey").agg(F.count("*").alias("n"))
+              .filter(F.col("n") > 1)
+              .agg(F.count("*").alias("violations")))
+    return (
+        one("lineitem_orphan_orderkeys", orphans)
+        .unionAll(one("orders_null_custkey", null_cust))
+        .unionAll(one("lineitem_nonpositive_qty", bad_qty))
+        .unionAll(one("lineitem_discount_out_of_range", bad_disc))
+        .unionAll(one("orders_duplicate_pk", dup_pk))
+    )
+
+
+@query(
+    "scan_time_travel",
+    oracle="""
+WITH updates AS (
+    SELECT o_orderkey,
+           'U' AS o_orderstatus,
+           round(o_totalprice + 1000.0, 2) AS o_totalprice
+    FROM orders WHERE o_orderkey % 97 = 0
+),
+v2 AS (
+    SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+           coalesce(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+           round(coalesce(u.o_totalprice, b.o_totalprice), 2)
+               AS o_totalprice
+    FROM orders b FULL OUTER JOIN updates u
+      ON u.o_orderkey = b.o_orderkey
+)
+SELECT CAST(1 AS BIGINT) AS version, o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(round(o_totalprice, 2)), 2) AS total
+FROM orders GROUP BY o_orderstatus
+UNION ALL
+SELECT CAST(2 AS BIGINT), o_orderstatus, CAST(count(*) AS BIGINT),
+       round(sum(o_totalprice), 2)
+FROM v2 GROUP BY o_orderstatus
+""",
+)
+def scan_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot versioning ("time travel") on plain parquet: version
+    1 is the base orders snapshot, version 2 is the post-MERGE
+    snapshot (merge_upsert's output), both materialized as separate
+    immutable version directories and queryable side by side — the
+    copy-on-write version chain Delta/Iceberg formalize with a
+    metadata log, demonstrated with the layout alone.
+
+    Scale shape: each version is an independent immutable directory,
+    so historical reads cost exactly a current read and never block
+    writers; only CHANGED files would be rewritten per version with
+    clustering (see merge_upsert), the rest are shared by reference
+    in a real table format (hardlinks/manifests). The query reads
+    both versions and aggregates per (version, status) — auditing a
+    MERGE by diffing adjacent snapshots."""
+    v1_dir = _tmp(sf_dir, "orders_v1")
+    v2_dir = _tmp(sf_dir, "orders_v2")
+    base = load_table(spark, sf_dir, "orders")
+    base.select("o_orderkey", "o_orderstatus",
+                F.round("o_totalprice", 2).alias("o_totalprice")) \
+        .write.mode("overwrite").parquet(v1_dir)
+    merge_plan(spark, sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice") \
+        .write.mode("overwrite").parquet(v2_dir)
+
+    def agg_version(path: str, v: int) -> DataFrame:
+        return (spark.read.parquet(path)
+                .groupBy("o_orderstatus")
+                .agg(F.count("*").alias("n"),
+                     F.round(F.sum("o_totalprice"), 2).alias("total"))
+                .select(F.lit(v).cast("bigint").alias("version"),
+                        "o_orderstatus", "n", "total"))
+
+    return agg_version(v1_dir, 1).unionAll(agg_version(v2_dir, 2))
