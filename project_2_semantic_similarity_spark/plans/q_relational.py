@@ -2371,13 +2371,22 @@ merged AS (
         FROM (SELECT DISTINCT h FROM sk)
     ) WHERE rn <= {_KMV_K}
 ),
-allsk AS (SELECT * FROM sk UNION ALL SELECT * FROM merged)
-SELECT scope,
-       round(CASE WHEN count(*) < {_KMV_K}
-                  THEN CAST(count(*) AS DOUBLE)
-                  ELSE {_KMV_K - 1} * 1152921504606846976.0 / max(h)
-             END, 2) AS est_distinct
-FROM allsk GROUP BY scope
+allsk AS (SELECT * FROM sk UNION ALL SELECT * FROM merged),
+est AS (
+    SELECT scope,
+           round(CASE WHEN count(*) < {_KMV_K}
+                      THEN CAST(count(*) AS DOUBLE)
+                      ELSE {_KMV_K - 1} * 1152921504606846976.0 / max(h)
+                 END, 2) AS est_distinct
+    FROM allsk GROUP BY scope
+)
+SELECT scope, est_distinct FROM est
+UNION ALL
+SELECT 'click&view' AS scope,
+       round((SELECT est_distinct FROM est WHERE scope = 'click')
+             + (SELECT est_distinct FROM est WHERE scope = 'view')
+             - (SELECT est_distinct FROM est WHERE scope = 'click+view'),
+             2) AS est_distinct
 """
 
 
@@ -2408,7 +2417,18 @@ def agg_kmv_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _KMV_K)
         .select(F.lit("click+view").alias("scope"), "h")
     )
-    return kmv_estimate(sk.unionAll(merged))
+    est = kmv_estimate(sk.unionAll(merged))
+    # intersection by inclusion–exclusion over the three sketch
+    # estimates — computed from the estimate relation itself (4 rows
+    # total; the pivot is driver-sized by construction)
+    wide = est.groupBy().pivot(
+        "scope", ["click", "view", "click+view"]).agg(
+        F.first("est_distinct"))
+    inter = wide.select(
+        F.lit("click&view").alias("scope"),
+        F.round(F.col("click") + F.col("view")
+                - F.col("click+view"), 2).alias("est_distinct"))
+    return est.unionAll(inter)
 
 
 @query(
