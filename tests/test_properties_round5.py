@@ -5,8 +5,6 @@ on arbitrary symmetric graphs — not just the declared bipartite one."""
 
 from __future__ import annotations
 
-import hashlib
-
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
