@@ -372,3 +372,44 @@ def stream_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return S.run_to_memory(snap, "stream_latest_state", "complete")
+
+
+@query(
+    "stream_anomaly",
+    oracle="""
+WITH stats AS (
+    SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sigma
+    FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       round((e.value - s.mu) / s.sigma, 6) AS z
+FROM events e JOIN stats s ON s.event_type = e.event_type
+WHERE abs((e.value - s.mu) / s.sigma) > 2.5
+""",
+)
+def stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming outlier scoring against a TRAINED static model: the
+    per-type (μ, σ_pop) relation is computed in batch (the training
+    pass) and stream-static-joined onto live events, which are
+    scored and filtered by a codegen'd predicate — the
+    model-in-the-loop serving shape (replace the stats relation with
+    any feature/model lookup table). The static side broadcasts to
+    every micro-batch; no streaming state at all, so the operator
+    scales with per-batch row count only. Batch twin:
+    events_anomaly_zscore (same oracle — replayed availableNow the
+    stream must reproduce it exactly)."""
+    from project_2_semantic_similarity_spark.sources import load_table
+
+    static_stats = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.avg("value").alias("mu"),
+             F.stddev_pop("value").alias("sigma")))
+    ev = S.read_events_stream(spark, S.stage_events_dir(sf_dir))
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    scored = (
+        ev.join(F.broadcast(static_stats), "event_type")
+        .filter(F.abs(z) > 2.5)
+        .select("event_id", "event_type", F.round(z, 6).alias("z"))
+    )
+    return S.run_to_memory(scored, "stream_anomaly", "append")
