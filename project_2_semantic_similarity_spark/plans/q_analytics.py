@@ -503,3 +503,75 @@ def win_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("len").cast("bigint")
                 .alias("longest_streak"), "streak_start")
     )
+
+
+@query(
+    "events_ab_test",
+    oracle="""
+WITH assigned AS (
+    SELECT event_type, value,
+           ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               % 2 AS arm
+    FROM events
+),
+cells AS (
+    SELECT event_type, arm, count(*) AS n, avg(value) AS mu,
+           var_pop(value) AS v
+    FROM assigned GROUP BY event_type, arm
+),
+wide AS (
+    SELECT a.event_type,
+           a.n AS n_a, b.n AS n_b, a.mu AS mu_a, b.mu AS mu_b,
+           a.v AS v_a, b.v AS v_b
+    FROM cells a JOIN cells b
+      ON a.event_type = b.event_type AND a.arm = 0 AND b.arm = 1
+)
+SELECT event_type,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(mu_b - mu_a, 6) AS lift,
+       round((mu_b - mu_a) / sqrt(v_a / n_a + v_b / n_b), 6) AS z_stat
+FROM wide
+""",
+)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation readout: users deterministically hash-split
+    into arms (portable md5 parity — the same RNG-free assignment
+    discipline as sample_hash_split, so any engine re-derives who
+    was in which arm), then per-event-type Welch z-statistics on the
+    value metric: lift = mean(B) − mean(A),
+    z = lift / sqrt(v_a/n_a + v_b/n_b).
+
+    Scale shape: assignment is a narrow map (no shuffle, no
+    randomness, immune to partitioning/replay); the whole analysis
+    is ONE map-side-combined hash agg to |event_types|×2 moment
+    cells, then an arms self-join over that driver-sized relation.
+    Power at 100 TB costs exactly one scan regardless of arm count
+    or metric count (add moments to the same agg)."""
+    from project_2_semantic_similarity_spark.operators.dedup import (
+        portable_hash60)
+
+    ev = load_table(spark, sf_dir, "events")
+    assigned = ev.select(
+        "event_type", "value",
+        (portable_hash60(F.col("user_id").cast("string")) % 2)
+        .alias("arm"))
+    cells = assigned.groupBy("event_type", "arm").agg(
+        F.count("*").alias("n"), F.avg("value").alias("mu"),
+        F.var_pop("value").alias("v"))
+    a = cells.filter(F.col("arm") == 0).select(
+        "event_type", F.col("n").alias("n_a"),
+        F.col("mu").alias("mu_a"), F.col("v").alias("v_a"))
+    b = cells.filter(F.col("arm") == 1).select(
+        F.col("event_type").alias("et_b"), F.col("n").alias("n_b"),
+        F.col("mu").alias("mu_b"), F.col("v").alias("v_b"))
+    wide = a.join(b, F.col("event_type") == F.col("et_b"))
+    lift = F.col("mu_b") - F.col("mu_a")
+    return wide.select(
+        "event_type",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round(lift, 6).alias("lift"),
+        F.round(lift / F.sqrt(F.col("v_a") / F.col("n_a")
+                              + F.col("v_b") / F.col("n_b")), 6)
+        .alias("z_stat"),
+    )
