@@ -2564,3 +2564,74 @@ def scan_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "o_orderstatus", "n", "total"))
 
     return agg_version(v1_dir, 1).unionAll(agg_version(v2_dir, 2))
+
+
+@query(
+    "orders_market_basket",
+    oracle="""
+WITH items AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           count(*) AS support
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY part_a, part_b
+),
+freq AS (
+    SELECT l_partkey, count(*) AS n_orders FROM items GROUP BY l_partkey
+),
+n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem)
+SELECT p.part_a, p.part_b, CAST(p.support AS BIGINT) AS support,
+       round(p.support * n.n_orders
+             / CAST(fa.n_orders * fb.n_orders AS DOUBLE), 6) AS lift
+FROM pairs p
+JOIN freq fa ON fa.l_partkey = p.part_a
+JOIN freq fb ON fb.l_partkey = p.part_b
+CROSS JOIN n
+WHERE p.support >= 2
+""",
+)
+def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: co-ordered part pairs with support
+    ≥ 2 and lift = P(a,b) / (P(a)·P(b)) — the association-rule
+    primitive (the support-2 gate is the apriori prune: pairs below
+    it can never be frequent).
+
+    Scale shape: the pair generator self-joins on l_orderkey, so the
+    blow-up is Σ basket_size² — bounded by the largest single order
+    (≤ 7 lineitems in TPC-H shapes), NEVER by catalog or order
+    count; the per-part frequency relation joins back broadcast
+    (items-catalog-sized ≪ pairs), and the order count attaches as a
+    broadcast 1-row aggregate (no driver scalar). The support gate
+    prunes before lift arithmetic touches anything."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .groupBy(F.col("a.l_partkey").alias("part_a"),
+                 F.col("b.l_partkey").alias("part_b"))
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    freq = items.groupBy("l_partkey").agg(
+        F.count("*").alias("n_orders"))
+    n = li.agg(F.countDistinct("l_orderkey").alias("n_orders_total"))
+    return (
+        pairs
+        .join(F.broadcast(freq.withColumnsRenamed(
+            {"l_partkey": "part_a", "n_orders": "na"})), "part_a")
+        .join(F.broadcast(freq.withColumnsRenamed(
+            {"l_partkey": "part_b", "n_orders": "nb"})), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a", "part_b",
+            F.col("support").cast("bigint").alias("support"),
+            F.round(F.col("support") * F.col("n_orders_total")
+                    / (F.col("na") * F.col("nb")).cast("double"), 6)
+            .alias("lift"))
+    )

@@ -572,3 +572,80 @@ def text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", F.round("tfidf", 6).alias("tfidf"),
                 F.col("rank").cast("bigint").alias("rank"))
     )
+
+
+@query(
+    "text_cooccurrence_pmi",
+    oracle="""
+WITH tok AS (
+    SELECT DISTINCT CAST(doc_id AS VARCHAR) AS doc_id,
+           unnest(string_split_regex(text, '\\s+')) AS term
+    FROM documents
+),
+tf AS (SELECT term, count(*) AS df FROM tok WHERE term <> '' GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+co AS (
+    SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_co
+    FROM tok a JOIN tok b
+      ON a.doc_id = b.doc_id AND a.term < b.term
+    WHERE a.term <> '' AND b.term <> ''
+    GROUP BY term_a, term_b
+)
+SELECT co.term_a, co.term_b, CAST(co.n_co AS BIGINT) AS n_co,
+       round(ln(co.n_co * n.n_docs
+                / CAST(fa.df * fb.df AS DOUBLE)), 6) AS pmi
+FROM co
+JOIN tf fa ON fa.term = co.term_a
+JOIN tf fb ON fb.term = co.term_b
+CROSS JOIN n
+WHERE co.n_co >= 5
+""",
+)
+def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level term co-occurrence PMI — the distributional
+    statistic embedding trainers (word2vec/GloVe count pass) consume:
+    pmi(a,b) = ln( P(a,b) / (P(a)·P(b)) ) over document co-presence,
+    gated at n_co ≥ 5 (unstable PMI below).
+
+    Scale shape: the co-occurrence self-join keys on doc_id, so the
+    blow-up is Σ (distinct terms per doc)² — bounded by document
+    length, never vocab or corpus size; the df relation is
+    vocab-sized and broadcasts; the corpus count rides a broadcast
+    1-row aggregate (the flagship's N discipline, operators/text.py).
+    Output cardinality is min(Σ doc_vocab², vocab²) — at web scale
+    the n_co gate prunes the heavy tail map-side before the final
+    agg's shuffle."""
+    from project_2_semantic_similarity_spark.sources import (
+        corpus_from_documents)
+
+    corpus = corpus_from_documents(
+        load_table(spark, sf_dir, "documents"))
+    tok = (corpus.select(
+        "doc_id", F.explode(F.split("text", r"\s+")).alias("term"))
+        .filter(F.col("term") != "").distinct())
+    tf = tok.groupBy("term").agg(F.count("*").alias("df"))
+    n = corpus.agg(F.count("*").alias("n_docs"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    co = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
+               & (F.col("a.term") < F.col("b.term")))
+        .groupBy(F.col("a.term").alias("term_a"),
+                 F.col("b.term").alias("term_b"))
+        .agg(F.count("*").alias("n_co"))
+        .filter(F.col("n_co") >= 5)
+    )
+    return (
+        co
+        .join(F.broadcast(tf.withColumnsRenamed(
+            {"term": "term_a", "df": "dfa"})), "term_a")
+        .join(F.broadcast(tf.withColumnsRenamed(
+            {"term": "term_b", "df": "dfb"})), "term_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "term_a", "term_b",
+            F.col("n_co").cast("bigint").alias("n_co"),
+            F.round(F.log(F.col("n_co") * F.col("n_docs")
+                          / (F.col("dfa") * F.col("dfb"))
+                          .cast("double")), 6).alias("pmi"))
+    )
