@@ -307,3 +307,40 @@ def test_win_streak_bounds(spark, sf_dir):
     # a streak can't exceed the user's total active days
     assert joined.filter(
         F.col("longest_streak") > F.col("nd")).count() == 0
+
+
+def test_ab_test_arms_partition_users(spark, sf_dir):
+    """Hash-split assignment is a partition: n_a + n_b = all events
+    of that type, and the z-stat is finite everywhere."""
+    import math
+    from project_2_semantic_similarity_spark.plans.q_analytics import (
+        events_ab_test)
+    ev = load_table(spark, sf_dir, "events")
+    totals = {r.event_type: r.n for r in
+              ev.groupBy("event_type").agg(F.count("*").alias("n"))
+              .collect()}
+    for r in events_ab_test(spark, sf_dir).collect():
+        assert r.n_a + r.n_b == totals[r.event_type]
+        assert math.isfinite(r.z_stat)
+
+
+def test_market_basket_pairs_ordered_and_support_bounded(spark, sf_dir):
+    from project_2_semantic_similarity_spark.plans.q_relational import (
+        orders_market_basket)
+    rows = orders_market_basket(spark, sf_dir).collect()
+    assert rows
+    n_orders = (load_table(spark, sf_dir, "lineitem")
+                .select("l_orderkey").distinct().count())
+    for r in rows:
+        assert r.part_a < r.part_b
+        assert 2 <= r.support <= n_orders
+        assert r.lift > 0
+
+
+def test_pmi_symmetric_pairs_and_gate(spark, sf_dir):
+    from project_2_semantic_similarity_spark.plans.q_text import (
+        text_cooccurrence_pmi)
+    rows = text_cooccurrence_pmi(spark, sf_dir).collect()
+    assert rows
+    assert all(r.term_a < r.term_b for r in rows)
+    assert all(r.n_co >= 5 for r in rows)
