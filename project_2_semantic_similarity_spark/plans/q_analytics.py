@@ -575,3 +575,71 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                               + F.col("v_b") / F.col("n_b")), 6)
         .alias("z_stat"),
     )
+
+
+@query(
+    "orders_rfm",
+    oracle="""
+WITH anchor AS (SELECT max(o_orderdate) AS mx FROM orders),
+base AS (
+    SELECT o.o_custkey AS custkey,
+           date_diff('day', max(o.o_orderdate), a.mx) AS recency_days,
+           count(*) AS frequency,
+           round(sum(o.o_totalprice), 2) AS monetary
+    FROM orders o CROSS JOIN anchor a
+    GROUP BY o.o_custkey, a.mx
+)
+SELECT custkey,
+       CAST(recency_days AS BIGINT) AS recency_days,
+       CAST(frequency AS BIGINT) AS frequency,
+       monetary,
+       CAST(ntile(5) OVER (ORDER BY recency_days ASC, custkey)
+            AS BIGINT) AS r_score,
+       CAST(ntile(5) OVER (ORDER BY frequency DESC, custkey)
+            AS BIGINT) AS f_score,
+       CAST(ntile(5) OVER (ORDER BY monetary DESC, custkey)
+            AS BIGINT) AS m_score
+FROM base
+""",
+)
+def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (days since last order,
+    against the table's own max date so the query is reproducible),
+    frequency, monetary, each bucketed into quintiles with ntile —
+    tie-broken on custkey so bucket boundaries are deterministic
+    across engines and runs.
+
+    Scale shape: ONE hash agg to customer grain (orders reduced
+    |customers|-fold before any window); the anchor date rides a
+    broadcast 1-row aggregate. The three ntiles are global sorts —
+    but over the CUSTOMER relation, not orders, and ntile needs only
+    a total ordering, so at extreme scale each becomes a
+    quantile-cut join (agg_quantile_hist's histogram gives the 5
+    cut points in one pass) instead of a sort; the quintile
+    semantics are identical."""
+    o = load_table(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("mx"))
+    base = (
+        o.crossJoin(F.broadcast(anchor))
+        .groupBy("o_custkey", "mx")
+        .agg(
+            F.datediff(F.to_date(F.first("mx")),
+                       F.to_date(F.max("o_orderdate")))
+            .alias("recency_days"),
+            F.count("*").alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"))
+        .select(F.col("o_custkey").alias("custkey"),
+                "recency_days", "frequency", "monetary")
+    )
+    wr = Window.orderBy(F.col("recency_days").asc(), F.col("custkey"))
+    wf = Window.orderBy(F.col("frequency").desc(), F.col("custkey"))
+    wm = Window.orderBy(F.col("monetary").desc(), F.col("custkey"))
+    return base.select(
+        "custkey",
+        F.col("recency_days").cast("bigint").alias("recency_days"),
+        F.col("frequency").cast("bigint").alias("frequency"),
+        "monetary",
+        F.ntile(5).over(wr).cast("bigint").alias("r_score"),
+        F.ntile(5).over(wf).cast("bigint").alias("f_score"),
+        F.ntile(5).over(wm).cast("bigint").alias("m_score"),
+    )
