@@ -643,3 +643,73 @@ def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(5).over(wf).cast("bigint").alias("f_score"),
         F.ntile(5).over(wm).cast("bigint").alias("m_score"),
     )
+
+
+@query(
+    "events_forecast_backtest",
+    oracle="""
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS bucket,
+           CAST(extract(hour FROM ts) AS BIGINT) AS hod,
+           count(*) AS n
+    FROM events GROUP BY event_type, date_trunc('hour', ts),
+                         extract(hour FROM ts)
+),
+split AS (
+    SELECT *, CASE WHEN bucket < TIMESTAMP '2024-01-21' THEN 'train'
+                   ELSE 'test' END AS fold
+    FROM hourly
+),
+model AS (
+    SELECT event_type, hod, avg(n) AS predicted
+    FROM split WHERE fold = 'train' GROUP BY event_type, hod
+)
+SELECT s.event_type,
+       CAST(count(*) AS BIGINT) AS n_test_hours,
+       round(avg(abs(s.n - m.predicted)), 6) AS mae,
+       round(avg(s.n - m.predicted), 6) AS bias
+FROM split s JOIN model m
+  ON m.event_type = s.event_type AND m.hod = s.hod
+WHERE s.fold = 'test'
+GROUP BY s.event_type
+""",
+)
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast baseline + backtest in one plan: a seasonal-naive
+    model (mean hourly count per (type, hour-of-day) over the first
+    20 days) scored on the held-out tail with MAE and bias per type
+    — the evaluation loop every production forecaster runs, with the
+    time-based split that keeps it honest (no random splits on time
+    series; the cut is a timestamp literal, fully reproducible).
+
+    Scale shape: raw events reduce to the hourly grain FIRST (one
+    map-side-combined agg — the same reduction discipline as the
+    rollup cascade); the model is |types|×24 rows and broadcasts
+    onto the test partition; the error agg is driver-sized. Swapping
+    in a real model changes only the `model` relation — the
+    backtest scaffolding (split, join, error agg) is
+    model-agnostic."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("bucket"),
+        F.hour("ts").cast("bigint").alias("hod"),
+    ).agg(F.count("*").alias("n"))
+    split = hourly.withColumn(
+        "fold",
+        F.when(F.col("bucket") < F.lit("2024-01-21").cast("timestamp"),
+               "train").otherwise("test"))
+    model = (split.filter(F.col("fold") == "train")
+             .groupBy("event_type", "hod")
+             .agg(F.avg("n").alias("predicted")))
+    test = split.filter(F.col("fold") == "test")
+    return (
+        test.join(F.broadcast(model), ["event_type", "hod"])
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_test_hours"),
+            F.round(F.avg(F.abs(F.col("n") - F.col("predicted"))), 6)
+            .alias("mae"),
+            F.round(F.avg(F.col("n") - F.col("predicted")), 6)
+            .alias("bias"))
+    )
