@@ -923,3 +923,92 @@ def _kmeans_fit(embeddings: DataFrame, k: int, iters: int,
         return cent_rows
     finally:
         base.unpersist()
+
+
+def pq_knn(embeddings: DataFrame, query_vec_id: int, k: int,
+           m_sub: int = 8, sub_dim: int = 8, k_sub: int = 16,
+           cand_mult: int = 8, id_col: str = "vec_id",
+           vec_col: str = "embedding") -> DataFrame:
+    """Product-quantization ANN (Jégou et al., "Product Quantization
+    for Nearest Neighbor Search", TPAMI 2011): split each unit-
+    normalized vector into ``m_sub`` subspaces of ``sub_dim`` dims,
+    snap every subvector to its nearest entry of a per-subspace
+    codebook, rank by the asymmetric (ADC) dot product
+    Σₘ ⟨qₘ, cv[m, code_m]⟩, then exact-cosine re-rank the top
+    ``k·cand_mult`` candidates.
+
+    The sub-codebooks here are a deterministic SEEDED SAMPLE — the
+    ``k_sub`` corpus vectors with the lowest ``(md5(id), id)``, the
+    same portable pseudo-random draw kmeans_codebook's fit sample
+    uses — with zero Lloyd refinement. That choice is what makes the
+    WHOLE pipeline (codebook, encoding argmin, ADC scan, re-rank)
+    re-derivable by a plain SQL oracle; swap the seed rows for
+    ``kmeans_codebook`` output per subspace to get the classically
+    trained variant at identical plan shape.
+
+    Scale shape (the FAISS IVF-PQ recipe, minus the IVF stage this
+    engine already has in ``knn_ivf_probe`` — compose them by running
+    this scan per probed list):
+    - codebook: m_sub × k_sub rows collected/broadcast — bounded,
+      independent of n;
+    - encode: one broadcast join + ONE map-side-combinable hash agg
+      (``min(struct(d², code))`` is an argmin the partial-agg absorbs
+      — no window sort over the n×m_sub relation);
+    - the code table is n × m_sub small ints — the 16–32×-compressed
+      index an ADC scan reads INSTEAD of the float corpus; at 100 TB
+      of vectors only the k·cand_mult re-rank rows ever touch the
+      original embeddings again;
+    - ADC scoring: broadcast joins + one hash agg, linear in n, no
+      shuffle of the vector payload;
+    - top-k / top-candidates both plan as TakeOrderedAndProject.
+    """
+    unit = embeddings.select(
+        id_col,
+        F.transform(vec_col,
+                    lambda x: F.try_divide(x.cast("double"),
+                                           l2_norm(vec_col))).alias("uv"),
+    ).where(l2_norm(vec_col) > 0)
+    spark = embeddings.sparkSession
+
+    seeds = (unit.orderBy(F.md5(F.col(id_col).cast("string")),
+                          F.col(id_col))
+             .limit(k_sub).select("uv").collect())
+    subcents = spark.createDataFrame(
+        [(m, c, [float(x)
+                 for x in seeds[c]["uv"][m * sub_dim:(m + 1) * sub_dim]])
+         for m in range(m_sub) for c in range(len(seeds))],
+        "m int, code int, cv array<double>")
+
+    subs = unit.select(
+        id_col,
+        F.explode(F.array(*[
+            F.struct(F.lit(m).alias("m"),
+                     F.slice("uv", m * sub_dim + 1, sub_dim).alias("sv"))
+            for m in range(m_sub)])).alias("s"),
+    ).select(id_col, "s.m", "s.sv")
+
+    scored = subs.join(F.broadcast(subcents), "m").select(
+        id_col, "m", "code",
+        F.aggregate(F.zip_with("sv", "cv", lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0), lambda acc, x: acc + x).alias("d2"))
+    codes = (scored.groupBy(id_col, "m")
+             .agg(F.min(F.struct("d2", "code")).alias("w"))
+             .select(id_col, "m", F.col("w.code").alias("code")))
+
+    qsubs = subs.where(F.col(id_col) == query_vec_id).select(
+        F.col("m").alias("qm"), F.col("sv").alias("qsv"))
+    adc = (codes.where(F.col(id_col) != query_vec_id)
+           .join(F.broadcast(subcents), ["m", "code"])
+           .join(F.broadcast(qsubs), F.col("m") == F.col("qm"))
+           .select(id_col, dot("qsv", "cv").alias("ip"))
+           .groupBy(id_col).agg(F.sum("ip").alias("adc")))
+    cand = adc.orderBy(F.desc("adc"), F.asc(id_col)).limit(k * cand_mult)
+
+    q = embeddings.where(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("__qvec"))
+    return (embeddings.join(F.broadcast(cand), id_col)
+            .crossJoin(F.broadcast(q))
+            .select(id_col,
+                    cosine_similarity(vec_col, "__qvec").alias("cosine"),
+                    "adc")
+            .orderBy(F.desc("cosine"), F.asc(id_col)).limit(k))

@@ -570,6 +570,89 @@ def knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", F.round("raw", 6).alias("cosine_q")))
 
 
+_PQ_M, _PQ_SD, _PQ_KSUB, _PQ_CMULT = 8, 8, 16, 8
+
+
+@query(
+    "knn_pq",
+    oracle=f"""
+WITH unitv AS (
+    SELECT vec_id, embedding::DOUBLE[] AS emb,
+           sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                x -> x*x))) AS nrm
+    FROM embeddings
+),
+u AS (
+    SELECT vec_id, list_transform(emb, x -> x / nrm) AS uv
+    FROM unitv WHERE nrm > 0
+),
+seeds AS (
+    SELECT uv,
+           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                              vec_id) - 1 AS code
+    FROM u QUALIFY code <= {_PQ_KSUB - 1}
+),
+ms AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m),
+subcents AS (
+    SELECT ms.m, s.code,
+           s.uv[ms.m*{_PQ_SD}+1 : ms.m*{_PQ_SD}+{_PQ_SD}] AS cv
+    FROM seeds s CROSS JOIN ms
+),
+subs AS (
+    SELECT vec_id, ms.m,
+           uv[ms.m*{_PQ_SD}+1 : ms.m*{_PQ_SD}+{_PQ_SD}] AS sv
+    FROM u CROSS JOIN ms
+),
+enc AS (
+    SELECT s.vec_id, s.m, c.code,
+           row_number() OVER (PARTITION BY s.vec_id, s.m
+               ORDER BY list_sum(list_transform(
+                            generate_series(1, {_PQ_SD}),
+                            i -> (s.sv[i]-c.cv[i])*(s.sv[i]-c.cv[i]))),
+                        c.code) AS rn
+    FROM subs s JOIN subcents c ON c.m = s.m
+),
+codes AS (SELECT vec_id, m, code FROM enc WHERE rn = 1),
+qsub AS (SELECT m, sv AS qsv FROM subs WHERE vec_id = {_QUERY_VEC_ID}),
+adc AS (
+    SELECT co.vec_id, sum(list_inner_product(q.qsv, c.cv)) AS adc
+    FROM codes co
+    JOIN subcents c ON c.m = co.m AND c.code = co.code
+    JOIN qsub q ON q.m = co.m
+    WHERE co.vec_id <> {_QUERY_VEC_ID}
+    GROUP BY co.vec_id
+),
+cand AS (SELECT vec_id, adc FROM adc
+         ORDER BY adc DESC, vec_id LIMIT {_K * _PQ_CMULT}),
+qv AS (SELECT embedding::DOUBLE[] AS qemb FROM embeddings
+       WHERE vec_id = {_QUERY_VEC_ID})
+SELECT c.vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], q.qemb), 6)
+           AS cosine,
+       round(c.adc, 6) AS adc_score
+FROM cand c JOIN embeddings e USING (vec_id) CROSS JOIN qv q
+ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qemb) DESC,
+         c.vec_id
+LIMIT {_K}
+""",
+)
+def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-10 (operators/similarity.py
+    pq_knn — Jégou et al. PQ/ADC): unit-normalize, slice into 8
+    subspaces of 8 dims, snap each subvector to a 16-entry seeded-
+    sample sub-codebook, rank all vectors by the ADC dot product over
+    the 8 small codes, exact-cosine re-rank the top 80. The codebook
+    is the deterministic (md5(id), id)-ordered sample, so the whole
+    approximate pipeline — encode argmin, ADC scan, re-rank — is
+    re-derived end-to-end by the SQL oracle: a FULLY hash-verified
+    PQ index. Recall vs exact kNN is additionally pinned in tests."""
+    e = load_table(spark, sf_dir, "embeddings")
+    out = S.pq_knn(e, _QUERY_VEC_ID, _K, m_sub=_PQ_M, sub_dim=_PQ_SD,
+                   k_sub=_PQ_KSUB, cand_mult=_PQ_CMULT)
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"),
+                      F.round("adc", 6).alias("adc_score"))
+
+
 def _kmeans_unrolled_oracle(k: int = 8, iters: int = 5) -> str:
     """The full iterative Lloyd loop UNROLLED into a CTE chain from
     the md5-seeded init (_lloyd_iteration_ctes), then the final
