@@ -367,3 +367,15 @@ def test_sink_zorder_pushes_both_read_filters(spark, sf_dir):
     assert any("PushedFilters: [IsNotNull" in ln
                and "o_custkey" in ln and "o_orderdate" in ln
                for ln in scan_lines)
+
+
+def test_knn_pq_plan_shape(spark, sf_dir):
+    plan = plan_of(spark, "knn_pq", sf_dir)
+    # encode argmin is a partial-aggregable hash agg, never a window
+    # sort over the n x m_sub subvector relation
+    assert "Window" not in plan
+    # codebook / query-subvector / candidate attaches all broadcast;
+    # the only non-broadcast join would shuffle the vector payload
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # candidate cut and final top-k both plan as per-partition heaps
+    assert plan.count("TakeOrderedAndProject") >= 2
