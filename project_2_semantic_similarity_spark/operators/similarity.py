@@ -928,7 +928,8 @@ def _kmeans_fit(embeddings: DataFrame, k: int, iters: int,
 def pq_knn(embeddings: DataFrame, query_vec_id: int, k: int,
            m_sub: int = 8, sub_dim: int = 8, k_sub: int = 16,
            cand_mult: int = 8, id_col: str = "vec_id",
-           vec_col: str = "embedding") -> DataFrame:
+           vec_col: str = "embedding",
+           candidates: DataFrame | None = None) -> DataFrame:
     """Product-quantization ANN (Jégou et al., "Product Quantization
     for Nearest Neighbor Search", TPAMI 2011): split each unit-
     normalized vector into ``m_sub`` subspaces of ``sub_dim`` dims,
@@ -961,6 +962,14 @@ def pq_knn(embeddings: DataFrame, query_vec_id: int, k: int,
     - ADC scoring: broadcast joins + one hash agg, linear in n, no
       shuffle of the vector payload;
     - top-k / top-candidates both plan as TakeOrderedAndProject.
+
+    ``candidates``: optional one-column (id) relation restricting the
+    encode/ADC scan — the IVF-PQ composition (``knn_ivf_pq``) passes
+    the probed inverted lists' members here; the codebook is still
+    seeded from the FULL corpus (an index property, not a query
+    property). At scale the restriction is a partition-pruned read
+    of the code table laid out by list_id (sink_ivf_partitioned),
+    not a join.
     """
     unit = embeddings.select(
         id_col,
@@ -979,13 +988,19 @@ def pq_knn(embeddings: DataFrame, query_vec_id: int, k: int,
          for m in range(m_sub) for c in range(len(seeds))],
         "m int, code int, cv array<double>")
 
-    subs = unit.select(
-        id_col,
-        F.explode(F.array(*[
-            F.struct(F.lit(m).alias("m"),
-                     F.slice("uv", m * sub_dim + 1, sub_dim).alias("sv"))
-            for m in range(m_sub)])).alias("s"),
-    ).select(id_col, "s.m", "s.sv")
+    def _slices(src: DataFrame) -> DataFrame:
+        return src.select(
+            id_col,
+            F.explode(F.array(*[
+                F.struct(F.lit(m).alias("m"),
+                         F.slice("uv", m * sub_dim + 1, sub_dim)
+                         .alias("sv"))
+                for m in range(m_sub)])).alias("s"),
+        ).select(id_col, "s.m", "s.sv")
+
+    enc_src = (unit if candidates is None
+               else unit.join(candidates, id_col, "semi"))
+    subs = _slices(enc_src)
 
     scored = subs.join(F.broadcast(subcents), "m").select(
         id_col, "m", "code",
@@ -995,7 +1010,7 @@ def pq_knn(embeddings: DataFrame, query_vec_id: int, k: int,
              .agg(F.min(F.struct("d2", "code")).alias("w"))
              .select(id_col, "m", F.col("w.code").alias("code")))
 
-    qsubs = subs.where(F.col(id_col) == query_vec_id).select(
+    qsubs = _slices(unit.where(F.col(id_col) == query_vec_id)).select(
         F.col("m").alias("qm"), F.col("sv").alias("qsv"))
     adc = (codes.where(F.col(id_col) != query_vec_id)
            .join(F.broadcast(subcents), ["m", "code"])

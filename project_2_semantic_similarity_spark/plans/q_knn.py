@@ -653,6 +653,141 @@ def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("adc", 6).alias("adc_score"))
 
 
+_IVFPQ_NPROBE = 3
+
+
+@query(
+    "knn_ivf_pq",
+    oracle=f"""
+WITH e AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+),
+flat AS (
+    SELECT label, generate_subscripts(emb, 1) AS idx, unnest(emb) AS val
+    FROM e
+),
+cent AS (
+    SELECT label AS list_id, list(avg_val ORDER BY idx) AS cvec
+    FROM (SELECT label, idx, avg(val) AS avg_val
+          FROM flat GROUP BY label, idx)
+    GROUP BY label
+),
+iscored AS (
+    SELECT e.vec_id, c.list_id,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.emb, c.cvec) DESC,
+                        c.list_id) AS rn
+    FROM e CROSS JOIN cent c
+),
+assigned AS (SELECT vec_id, list_id FROM iscored WHERE rn = 1),
+qe AS (SELECT emb AS qemb FROM e WHERE vec_id = {_QUERY_VEC_ID}),
+probe AS (
+    SELECT c.list_id FROM cent c CROSS JOIN qe
+    ORDER BY list_cosine_similarity(c.cvec, qe.qemb) DESC, c.list_id
+    LIMIT {_IVFPQ_NPROBE}
+),
+cands AS (
+    SELECT a.vec_id FROM assigned a JOIN probe p USING (list_id)
+    WHERE a.vec_id <> {_QUERY_VEC_ID}
+),
+unitv AS (
+    SELECT vec_id, emb,
+           sqrt(list_sum(list_transform(emb, x -> x*x))) AS nrm
+    FROM e
+),
+u AS (
+    SELECT vec_id, list_transform(emb, x -> x / nrm) AS uv
+    FROM unitv WHERE nrm > 0
+),
+seeds AS (
+    SELECT uv,
+           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                              vec_id) - 1 AS code
+    FROM u QUALIFY code <= {_PQ_KSUB - 1}
+),
+ms AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m),
+subcents AS (
+    SELECT ms.m, s.code,
+           s.uv[ms.m*{_PQ_SD}+1 : ms.m*{_PQ_SD}+{_PQ_SD}] AS cv
+    FROM seeds s CROSS JOIN ms
+),
+subs AS (
+    SELECT u.vec_id, ms.m,
+           uv[ms.m*{_PQ_SD}+1 : ms.m*{_PQ_SD}+{_PQ_SD}] AS sv
+    FROM u JOIN cands ca ON ca.vec_id = u.vec_id CROSS JOIN ms
+),
+enc AS (
+    SELECT s.vec_id, s.m, c.code,
+           row_number() OVER (PARTITION BY s.vec_id, s.m
+               ORDER BY list_sum(list_transform(
+                            generate_series(1, {_PQ_SD}),
+                            i -> (s.sv[i]-c.cv[i])*(s.sv[i]-c.cv[i]))),
+                        c.code) AS rn
+    FROM subs s JOIN subcents c ON c.m = s.m
+),
+codes AS (SELECT vec_id, m, code FROM enc WHERE rn = 1),
+qsub AS (
+    SELECT ms.m, uv[ms.m*{_PQ_SD}+1 : ms.m*{_PQ_SD}+{_PQ_SD}] AS qsv
+    FROM u CROSS JOIN ms WHERE vec_id = {_QUERY_VEC_ID}
+),
+adc AS (
+    SELECT co.vec_id, sum(list_inner_product(q.qsv, c.cv)) AS adc
+    FROM codes co
+    JOIN subcents c ON c.m = co.m AND c.code = co.code
+    JOIN qsub q ON q.m = co.m
+    GROUP BY co.vec_id
+),
+cand AS (SELECT vec_id, adc FROM adc
+         ORDER BY adc DESC, vec_id LIMIT {_K * _PQ_CMULT}),
+qv AS (SELECT embedding::DOUBLE[] AS qemb FROM embeddings
+       WHERE vec_id = {_QUERY_VEC_ID})
+SELECT c.vec_id,
+       round(list_cosine_similarity(eb.embedding::DOUBLE[], q.qemb), 6)
+           AS cosine,
+       round(c.adc, 6) AS adc_score
+FROM cand c JOIN embeddings eb USING (vec_id) CROSS JOIN qv q
+ORDER BY list_cosine_similarity(eb.embedding::DOUBLE[], q.qemb) DESC,
+         c.vec_id
+LIMIT {_K}
+""",
+)
+def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full IVF-PQ composition (the FAISS billion-scale recipe):
+    the query scores the label-centroid codebook, its 3 nearest
+    inverted lists are probed, and ONLY their members go through the
+    PQ ADC scan + exact re-rank (operators/similarity.py pq_knn with
+    ``candidates``). Cost per query at scale: n_lists codebook rows
+    + nprobe/n_lists of the CODE table (16x-compressed, partition-
+    pruned when laid out by list_id as sink_ivf_partitioned does) +
+    k*cand_mult float rows for the re-rank. Both approximation
+    stages — list pruning and quantized ranking — stay fully
+    hash-verified because codebook and seeds are deterministic."""
+    from project_2_semantic_similarity_spark.functions import (
+        cosine_similarity)
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = S.label_centroids(e)
+    assigned = S.ivf_assign(e, cents)
+    q = e.where(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("embedding").alias("__qvec"))
+    probe = (cents.crossJoin(F.broadcast(q))
+             .select(F.col("label").alias("__plist"),
+                     cosine_similarity("centroid", "__qvec").alias("__pc"))
+             .orderBy(F.desc("__pc"), F.asc("__plist"))
+             .limit(_IVFPQ_NPROBE)
+             .select("__plist"))
+    cand_ids = (assigned
+                .join(F.broadcast(probe),
+                      F.col("list_id") == F.col("__plist"))
+                .where(F.col("vec_id") != _QUERY_VEC_ID)
+                .select("vec_id"))
+    out = S.pq_knn(e, _QUERY_VEC_ID, _K, m_sub=_PQ_M, sub_dim=_PQ_SD,
+                   k_sub=_PQ_KSUB, cand_mult=_PQ_CMULT,
+                   candidates=cand_ids)
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"),
+                      F.round("adc", 6).alias("adc_score"))
+
+
 def _kmeans_unrolled_oracle(k: int = 8, iters: int = 5) -> str:
     """The full iterative Lloyd loop UNROLLED into a CTE chain from
     the md5-seeded init (_lloyd_iteration_ctes), then the final

@@ -369,3 +369,23 @@ def test_knn_pq_recall_and_determinism(spark, sf_dir):
     for r in a:
         if r["vec_id"] in brute:
             assert abs(r["cosine"] - brute[r["vec_id"]]) < 1e-9
+
+
+def test_knn_ivf_pq_recall_and_exact_rerank(spark, sf_dir):
+    """IVF list pruning stacked on PQ must still recover a usable
+    share of the exact top-10 (both approximations compound), stay
+    bit-stable across runs, and return EXACT cosines for whatever it
+    does return (the re-rank stage is exact arithmetic)."""
+    from project_2_semantic_similarity_spark.plans.q_knn import (
+        knn_embeddings, knn_ivf_pq)
+
+    a = knn_ivf_pq(spark, sf_dir).collect()
+    assert a == knn_ivf_pq(spark, sf_dir).collect()
+    assert len(a) == 10
+    brute = {r["vec_id"]: r["cosine"]
+             for r in knn_embeddings(spark, sf_dir).collect()}
+    got = {r["vec_id"] for r in a}
+    assert len(got & set(brute)) / len(brute) >= 0.4
+    for r in a:
+        if r["vec_id"] in brute:
+            assert abs(r["cosine"] - brute[r["vec_id"]]) < 1e-9
