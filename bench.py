@@ -58,6 +58,7 @@ HEADLINE = [
     # by ~2x, and the engines' equality is already pinned in tests)
     "knn_embeddings",            # brute-force cosine top-k
     "knn_ivf",                   # inverted-list ANN (broadcast codebook)
+    "knn_ivf_pq",                # composed IVF + PQ ADC + exact re-rank
     "join_bucketed",             # exchange-free co-located join
     "text_quality_score",        # text-analysis built-in pipeline
     "stream_tumbling_count",     # availableNow replay, stateful agg
@@ -98,6 +99,16 @@ def stage(spark, sf_dir: str) -> float:
         ensure_minhash_variant)
 
     ensure_minhash_variant(spark, sf_dir)
+    # IVF/PQ index artifacts (label centroids, inverted-list
+    # assignment, PQ code table — the keyed_persist slots knn_ivf_pq
+    # queries against): index BUILD is one-time per corpus snapshot,
+    # not part of any query's timing; one staged execution
+    # materializes all three slots.
+    from project_2_semantic_similarity_spark.plans.q_knn import (
+        knn_ivf_pq)
+
+    knn_ivf_pq(spark, sf_dir).write.format("noop") \
+        .mode("overwrite").save()
     # warm the Arrow python-worker pool: the first mapInPandas query
     # otherwise pays ~32 × (fork + numpy/pandas import) inside its
     # cold timing — session setup, not query work.

@@ -925,11 +925,17 @@ def _kmeans_fit(embeddings: DataFrame, k: int, iters: int,
         base.unpersist()
 
 
+# collected PQ seed codebooks, keyed (cache_key, k_sub, applicationId)
+# — k_sub × dim floats per entry, bounded
+_PQ_SEED_CACHE: dict = {}
+
+
 def pq_knn(embeddings: DataFrame, query_vec_id: int, k: int,
            m_sub: int = 8, sub_dim: int = 8, k_sub: int = 16,
            cand_mult: int = 8, id_col: str = "vec_id",
            vec_col: str = "embedding",
-           candidates: DataFrame | None = None) -> DataFrame:
+           candidates: DataFrame | None = None,
+           cache_key: Hashable = None) -> DataFrame:
     """Product-quantization ANN (Jégou et al., "Product Quantization
     for Nearest Neighbor Search", TPAMI 2011): split each unit-
     normalized vector into ``m_sub`` subspaces of ``sub_dim`` dims,
@@ -964,12 +970,22 @@ def pq_knn(embeddings: DataFrame, query_vec_id: int, k: int,
     - top-k / top-candidates both plan as TakeOrderedAndProject.
 
     ``candidates``: optional one-column (id) relation restricting the
-    encode/ADC scan — the IVF-PQ composition (``knn_ivf_pq``) passes
-    the probed inverted lists' members here; the codebook is still
-    seeded from the FULL corpus (an index property, not a query
-    property). At scale the restriction is a partition-pruned read
-    of the code table laid out by list_id (sink_ivf_partitioned),
-    not a join.
+    ADC scan — the IVF-PQ composition (``knn_ivf_pq``) passes the
+    probed inverted lists' members here. The CODE TABLE is always
+    built (and, with ``cache_key``, cached) over the full corpus —
+    encoding is an index-build property, the restriction a query
+    property; per-vector codes don't depend on other vectors, so
+    filtering after encode is exactly equivalent to filtering
+    before. At scale the restriction is a partition-pruned read of
+    the code table laid out by list_id (sink_ivf_partitioned), not
+    a join.
+
+    ``cache_key``: slots the code table (``keyed_persist``, one
+    entry per corpus snapshot + PQ knobs) and the collected seed
+    codebook (driver dict, applicationId-scoped per ADVICE r4) —
+    repeated queries skip the index build entirely, the
+    materialize-once-query-many shape a vector index has in
+    production.
     """
     unit = embeddings.select(
         id_col,
@@ -979,12 +995,21 @@ def pq_knn(embeddings: DataFrame, query_vec_id: int, k: int,
     ).where(l2_norm(vec_col) > 0)
     spark = embeddings.sparkSession
 
-    seeds = (unit.orderBy(F.md5(F.col(id_col).cast("string")),
-                          F.col(id_col))
-             .limit(k_sub).select("uv").collect())
+    from project_2_semantic_similarity_spark.operators.cache import (
+        _app_id)
+
+    seed_key = (None if cache_key is None
+                else (cache_key, k_sub, _app_id()))
+    seeds = _PQ_SEED_CACHE.get(seed_key) if seed_key is not None else None
+    if seeds is None:
+        seeds = [[float(x) for x in r["uv"]] for r in
+                 unit.orderBy(F.md5(F.col(id_col).cast("string")),
+                              F.col(id_col))
+                 .limit(k_sub).select("uv").collect()]
+        if seed_key is not None:
+            _PQ_SEED_CACHE[seed_key] = seeds
     subcents = spark.createDataFrame(
-        [(m, c, [float(x)
-                 for x in seeds[c]["uv"][m * sub_dim:(m + 1) * sub_dim]])
+        [(m, c, seeds[c][m * sub_dim:(m + 1) * sub_dim])
          for m in range(m_sub) for c in range(len(seeds))],
         "m int, code int, cv array<double>")
 
@@ -998,17 +1023,23 @@ def pq_knn(embeddings: DataFrame, query_vec_id: int, k: int,
                 for m in range(m_sub)])).alias("s"),
         ).select(id_col, "s.m", "s.sv")
 
-    enc_src = (unit if candidates is None
-               else unit.join(candidates, id_col, "semi"))
-    subs = _slices(enc_src)
+    def _build_codes() -> DataFrame:
+        scored = _slices(unit).join(F.broadcast(subcents), "m").select(
+            id_col, "m", "code",
+            F.aggregate(
+                F.zip_with("sv", "cv", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, x: acc + x).alias("d2"))
+        return (scored.groupBy(id_col, "m")
+                .agg(F.min(F.struct("d2", "code")).alias("w"))
+                .select(id_col, "m", F.col("w.code").alias("code")))
 
-    scored = subs.join(F.broadcast(subcents), "m").select(
-        id_col, "m", "code",
-        F.aggregate(F.zip_with("sv", "cv", lambda a, b: (a - b) * (a - b)),
-                    F.lit(0.0), lambda acc, x: acc + x).alias("d2"))
-    codes = (scored.groupBy(id_col, "m")
-             .agg(F.min(F.struct("d2", "code")).alias("w"))
-             .select(id_col, "m", F.col("w.code").alias("code")))
+    codes = keyed_persist(
+        "pq_codes",
+        None if cache_key is None
+        else (cache_key, m_sub, sub_dim, k_sub),
+        _build_codes)
+    if candidates is not None:
+        codes = codes.join(candidates, id_col, "semi")
 
     qsubs = _slices(unit.where(F.col(id_col) == query_vec_id)).select(
         F.col("m").alias("qm"), F.col("sv").alias("qsv"))

@@ -646,9 +646,14 @@ def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximate pipeline — encode argmin, ADC scan, re-rank — is
     re-derived end-to-end by the SQL oracle: a FULLY hash-verified
     PQ index. Recall vs exact kNN is additionally pinned in tests."""
+    from project_2_semantic_similarity_spark.sources.tables import (
+        source_fingerprint)
+
     e = load_table(spark, sf_dir, "embeddings")
     out = S.pq_knn(e, _QUERY_VEC_ID, _K, m_sub=_PQ_M, sub_dim=_PQ_SD,
-                   k_sub=_PQ_KSUB, cand_mult=_PQ_CMULT)
+                   k_sub=_PQ_KSUB, cand_mult=_PQ_CMULT,
+                   cache_key=(sf_dir,
+                              source_fingerprint(sf_dir, "embeddings")))
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"),
                       F.round("adc", 6).alias("adc_score"))
 
@@ -764,10 +769,21 @@ def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-verified because codebook and seeds are deterministic."""
     from project_2_semantic_similarity_spark.functions import (
         cosine_similarity)
+    from project_2_semantic_similarity_spark.operators.cache import (
+        keyed_persist)
+    from project_2_semantic_similarity_spark.sources.tables import (
+        source_fingerprint)
 
     e = load_table(spark, sf_dir, "embeddings")
-    cents = S.label_centroids(e)
-    assigned = S.ivf_assign(e, cents)
+    key = (sf_dir, source_fingerprint(sf_dir, "embeddings"))
+    # the three index artifacts (centroids, inverted-list assignment,
+    # PQ code table via pq_knn's cache_key) are built once per corpus
+    # snapshot and slotted — a query pays only probe selection, the
+    # candidate-restricted ADC scan and the k*cand_mult re-rank
+    cents = keyed_persist("ivf_centroids", key,
+                          lambda: S.label_centroids(e))
+    assigned = keyed_persist("ivf_assigned", key,
+                             lambda: S.ivf_assign(e, cents))
     q = e.where(F.col("vec_id") == _QUERY_VEC_ID).select(
         F.col("embedding").alias("__qvec"))
     probe = (cents.crossJoin(F.broadcast(q))
@@ -783,7 +799,7 @@ def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("vec_id"))
     out = S.pq_knn(e, _QUERY_VEC_ID, _K, m_sub=_PQ_M, sub_dim=_PQ_SD,
                    k_sub=_PQ_KSUB, cand_mult=_PQ_CMULT,
-                   candidates=cand_ids)
+                   candidates=cand_ids, cache_key=key)
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"),
                       F.round("adc", 6).alias("adc_score"))
 
