@@ -379,3 +379,14 @@ def test_knn_pq_plan_shape(spark, sf_dir):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     # candidate cut and final top-k both plan as per-partition heaps
     assert plan.count("TakeOrderedAndProject") >= 2
+
+
+def test_knn_ivf_pq_queries_cached_index(spark, sf_dir):
+    plan = plan_of(spark, "knn_ivf_pq", sf_dir)
+    # centroid, assignment and code-table slots serve the query from
+    # cache — the corpus-sized index build is not in the query plan
+    assert plan.count("InMemoryTableScan") >= 3
+    # probe lists / candidates / codebook / query all attach by
+    # broadcast; nothing shuffles the vector payload
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
