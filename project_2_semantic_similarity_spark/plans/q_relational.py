@@ -21,6 +21,9 @@ from project_2_semantic_similarity_spark.operators.joins import (
     asof_join,
     theta_range_join,
 )
+from project_2_semantic_similarity_spark.operators.rank import (
+    with_global_rank,
+)
 from project_2_semantic_similarity_spark.plans.registry import query
 from project_2_semantic_similarity_spark.sources import (
     load_table,
@@ -1556,14 +1559,22 @@ FROM customer
 )
 def sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-key global sort; the emitted rank column makes the total
-    order observable under the driver's order-insensitive hash."""
+    order observable under the driver's order-insensitive hash.
+
+    Scale shape: the rank comes from operators/rank.with_global_rank —
+    repartitionByRange on the (unique, tie-broken) sort key, N
+    parallel per-partition sorts, and a broadcast n_partitions-row
+    offset table — NOT a partition-less window, which would exchange
+    the whole relation to one task (the r5 VERDICT's last remaining
+    single-partition sort)."""
     c = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy(F.asc("c_nationkey"), F.desc("c_acctbal"),
-                       F.asc("c_custkey"))
-    return c.select(
-        "c_custkey", "c_nationkey",
-        F.round("c_acctbal", 2).alias("c_acctbal"),
-        F.row_number().over(w).cast("bigint").alias("rn"))
+    keys = [F.asc("c_nationkey"), F.desc("c_acctbal"),
+            F.asc("c_custkey")]
+    return with_global_rank(
+        c.select("c_custkey", "c_nationkey",
+                 F.round("c_acctbal", 2).alias("c_acctbal")),
+        keys, rank_col="rn",
+    ).select("c_custkey", "c_nationkey", "c_acctbal", "rn")
 
 
 @query(

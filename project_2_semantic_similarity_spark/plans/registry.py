@@ -52,20 +52,22 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # change is in fact result-preserving).
 _CHANGED_THIS_ROUND = frozenset(
     {
-        # round 5: primary engine swapped fold -> BLAS gemm (r4
-        # VERDICT #1); the fold engine keeps the same oracle under
-        # its new explicit name
-        "dedup_embedding_cosine",
-        "dedup_embedding_cosine_fold",
-        # round 5: block attach is now size-aware (broadcast under a
-        # budget, SHUFFLE_HASH past it) + codebook identity folded
-        # into the assignment slot keys (result-preserving — driver
-        # hash is the independent check)
-        "knn_batch_topk",
-        # round 5: dense-strategy guard now also bounds doc count
-        "text_doc_similarity",
-        # round 5: minhash variant probe verdict /tmp-cached
-        "dedup_minhash",
+        # round 6: oracles for these six were upgraded rows-only ->
+        # full DuckDB hash late in round 5, AFTER their last driver
+        # window — force their first driver check against the full
+        # oracles now (r5 VERDICT #4; three of them sit too deep in
+        # the staleness order to make a 50-name window otherwise)
+        "dedup_simhash",
+        "knn_lsh",
+        "dedup_embedding_cosine_lsh",
+        "cluster_kmeans",
+        "text_doc_similarity_ann",
+        "knn_ivf_trained",
+        # round 6: global-window plans replaced by range-partitioned
+        # rank machinery (result-preserving — driver hash is the
+        # independent check; r5 VERDICT #2/#3)
+        "orders_rfm",
+        "sort_multi",
     }
 )
 

@@ -390,3 +390,39 @@ def test_knn_ivf_pq_queries_cached_index(spark, sf_dir):
     # broadcast; nothing shuffles the vector payload
     assert "SortMergeJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def _single_partition_exchanges_are_metadata_sized(plan: str):
+    """Every Exchange SinglePartition must sit directly above a
+    HashAggregate (the n_partitions-row count table in
+    operators/rank.py) — never above the data relation itself."""
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" in ln:
+            assert i + 1 < len(lines) and "HashAggregate" in lines[i + 1], (
+                "single-partition exchange over non-aggregate input:\n"
+                + "\n".join(lines[max(0, i - 2):i + 3]))
+
+
+def test_sort_multi_has_no_global_window(spark, sf_dir):
+    """r5 VERDICT #3: the total-order rank must come from
+    range-partitioned parallel sorts + broadcast offsets, not a
+    partition-less window over the full relation."""
+    plan = plan_of(spark, "sort_multi", sf_dir)
+    # the data-relation window partitions by the range-partition id
+    assert "windowspecdefinition(__grk_pid" in plan
+    assert "rangepartitioning(c_nationkey" in plan
+    # offsets attach by broadcast
+    assert "BroadcastHashJoin" in plan
+    _single_partition_exchanges_are_metadata_sized(plan)
+
+
+def test_orders_rfm_has_no_global_ntile_window(spark, sf_dir):
+    """r5 VERDICT #2: all three quintile scores ride the scale-safe
+    rank machinery; no ntile() and no partition-less window exchange
+    over the customer relation."""
+    plan = plan_of(spark, "orders_rfm", sf_dir)
+    assert "ntile" not in plan
+    # three rank passes, each a range exchange + pid-partitioned window
+    assert plan.count("windowspecdefinition(__grk_pid") >= 3
+    _single_partition_exchanges_are_metadata_sized(plan)
