@@ -75,6 +75,86 @@ HEADLINE = [
 WARM_PASSES = 5
 
 
+def _current_round() -> int:
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env:
+        return int(env)
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [int(m.group(1))
+              for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+              if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))]
+    return (max(rounds) + 1) if rounds else 1
+
+
+def registry_sweep(run, qs: dict, repo_root: str) -> dict:
+    """One timed end-to-end pass for EVERY registry query (not just
+    the 21 headliners) — the r5 VERDICT's #1 gap: a regression in the
+    other 151 queries was invisible to BENCH_r*.json. Writes
+    BENCH_SWEEP_r{N}.json (full per-query walls + deltas vs the
+    newest earlier sweep) and returns a compact summary for the
+    stdout line. Single-pass timings: a coarse regression tripwire,
+    not a steady-state figure — the headline set keeps the
+    median-of-5 protocol."""
+    times: dict[str, float] = {}
+    errs: list[str] = []
+    for name in qs:
+        try:
+            times[name] = round(run(name), 3)
+        except Exception as exc:  # record, keep sweeping
+            errs.append(name)
+            print(f"sweep error {name}: {exc!r}", file=sys.stderr)
+    total = round(sum(times.values()), 3)
+
+    vs_prev = None
+    prev_rounds = []
+    for path in glob.glob(os.path.join(repo_root, "BENCH_SWEEP_r*.json")):
+        m = re.search(r"BENCH_SWEEP_r(\d+)\.json$", path)
+        if m:
+            prev_rounds.append((int(m.group(1)), path))
+    this_round = _current_round()
+    for rnd, path in sorted(prev_rounds, reverse=True):
+        if rnd >= this_round:
+            continue
+        try:
+            with open(path) as fh:
+                prev = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        pq = prev.get("queries") or {}
+        deltas = {n: {"prev": pq[n], "now": t,
+                      "delta_pct": round(100 * (t - pq[n]) / pq[n], 1)}
+                  for n, t in times.items() if pq.get(n, 0) > 0}
+        worst = sorted(deltas.items(),
+                       key=lambda kv: -kv[1]["delta_pct"])[:10]
+        vs_prev = {
+            "baseline": os.path.basename(path),
+            "common_prev_sec": round(sum(v["prev"] for v in deltas.values()), 3),
+            "common_now_sec": round(sum(v["now"] for v in deltas.values()), 3),
+            "regressed_over_25pct": [
+                {"query": n, **v} for n, v in worst
+                if v["delta_pct"] > 25 and v["now"] - v["prev"] > 0.25],
+            "queries": deltas,
+        }
+        break
+
+    out = {
+        "round": this_round,
+        "sf_dir": os.environ.get("SPARK_GRAFT_SF_DIR",
+                                 "/root/testdata/sf0.1"),
+        "n_queries": len(times),
+        "errors": errs,
+        "total_sec": total,
+        "queries": times,
+        "vs_prev": vs_prev,
+    }
+    path = os.path.join(repo_root, f"BENCH_SWEEP_r{this_round:02d}.json")
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    return {"n": len(times), "errors": len(errs), "total_sec": total,
+            "regressed_over_25pct":
+                len(vs_prev["regressed_over_25pct"]) if vs_prev else None}
+
+
 def stage(spark, sf_dir: str) -> float:
     """Perform every one-time /tmp staging the headline queries rely
     on, outside the timed passes. Idempotent (content-fingerprint
@@ -258,6 +338,8 @@ def main() -> int:
             "speedup": round(ref_wall / wall, 1),
         }
 
+    sweep_summary = registry_sweep(run, qs, repo_root)
+
     vs_prev = None
     prev = load_prev_bench(repo_root)
     if prev is not None:
@@ -316,6 +398,7 @@ def main() -> int:
         "cold_flagship_sec": round(cold_flagship, 3),
         "gene_speedup_vs_reference": {
             n: v["speedup"] for n, v in ref.items()},
+        "registry_sweep": sweep_summary,
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
     }))
     return 0

@@ -674,3 +674,46 @@ def test_blocked_gemm_drops_zero_norm_vectors(spark):
     got = {(r.vec_a, r.vec_b) for r in
            S.cosine_pairs_blocked_gemm(e, 0.5, cents).collect()}
     assert got == {(1, 2)}  # no pair involving the zero vector 3
+
+
+# ------------------------------------------------------------- ppm codec
+
+def test_ppm_roundtrip_and_header_variants():
+    """decode_ppm is a real P6 parser: round-trips encode_ppm output
+    and handles spec-legal header variants (comments, arbitrary
+    whitespace) — not just our fixture layout."""
+    import numpy as np
+    import pytest
+
+    from project_2_semantic_similarity_spark.operators.multimodal import (
+        decode_ppm, encode_ppm)
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint8)
+    w, h, maxval, out = decode_ppm(encode_ppm(px))
+    assert (w, h, maxval) == (3, 5, 255)
+    assert np.array_equal(out, px)
+
+    # comment + multi-space header, same raster
+    hand = b"P6 # a comment\n  3\t5 # dims\n255\n" + px.tobytes()
+    w2, h2, _, out2 = decode_ppm(hand)
+    assert (w2, h2) == (3, 5) and np.array_equal(out2, px)
+
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n1 1\n255\n\x00")          # wrong magic
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n2 2\n255\n\x00\x00")       # truncated raster
+
+
+def test_decode_image_rejects_non_ppm(spark):
+    import pandas as pd
+    import pytest
+
+    from project_2_semantic_similarity_spark.operators.multimodal import (
+        decode_image)
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "payload": [b"\xff\xd8jpeg"],
+                      "media_type": ["image/jpeg"]}))
+    with pytest.raises(Exception, match="no codec"):
+        decode_image(df).collect()

@@ -4,12 +4,23 @@ Runs every ``__spark_entry__.queries()`` entry at a given sf dir,
 executes the matching ``oracle_sql()`` in DuckDB over the same parquet
 files, and compares row count + schema + order-insensitive value hash.
 
+With no name filter (a full sweep), also writes
+``VERIFY_LOCAL_r{N}.json`` to the repo root — per-query status, rows
+and wall seconds for the WHOLE registry, so the judge sees every
+round's full-inventory state, not just the driver's ~50-name window
+(r5 VERDICT #7). N = current round, inferred as newest
+CORRECTNESS_r*.json round + 1 (override: $SPARK_GRAFT_ROUND).
+
 Usage: python tools/verify_local.py [sf_dir] [name_filter ...]
 """
 
 from __future__ import annotations
 
+import glob
 import hashlib
+import json
+import os
+import re
 import sys
 import time
 import traceback
@@ -61,6 +72,7 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     failed = []
+    records: dict[str, dict] = {}
     for name, fn in qs.items():
         if filters and not any(f in name for f in filters):
             continue
@@ -71,11 +83,15 @@ def main() -> int:
             print(f"FAIL  {name}: spark error")
             traceback.print_exc()
             failed.append(name)
+            records[name] = {"status": "err", "err": "spark error",
+                             "sec": round(time.time() - t0, 3)}
             continue
         s_n, s_cols, s_h = frame_fingerprint(sdf)
         if name not in oracles:
             status = "ROWS-ONLY" if s_n >= 0 else "??"
             print(f"{status:9s} {name}: rows={s_n} ({time.time()-t0:.1f}s)")
+            records[name] = {"status": "rows_only", "rows": s_n,
+                             "sec": round(time.time() - t0, 3)}
             continue
         try:
             odf = con.execute(oracles[name]).fetchdf()
@@ -83,12 +99,17 @@ def main() -> int:
             print(f"FAIL  {name}: duckdb error")
             traceback.print_exc()
             failed.append(name)
+            records[name] = {"status": "err", "err": "duckdb error",
+                             "sec": round(time.time() - t0, 3)}
             continue
         o_n, o_cols, o_h = frame_fingerprint(odf)
         ok = (s_n, s_cols, s_h) == (o_n, o_cols, o_h)
         tag = "OK   " if ok else "FAIL "
         print(f"{tag} {name}: spark(n={s_n},h={s_h}) duck(n={o_n},h={o_h}) "
               f"({time.time()-t0:.1f}s)")
+        records[name] = {"status": "pass" if ok else "fail",
+                         "rows": s_n, "hash": s_h,
+                         "sec": round(time.time() - t0, 3)}
         if not ok:
             failed.append(name)
             if s_cols != o_cols:
@@ -99,7 +120,39 @@ def main() -> int:
                 print("      spark head:\n", m.head(5).to_string())
                 print("      duck  head:\n", d.head(5).to_string())
     print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
+    if not filters:
+        write_artifact(sf_dir, records, failed)
     return 1 if failed else 0
+
+
+def current_round() -> int:
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env:
+        return int(env)
+    rounds = [int(m.group(1))
+              for p in glob.glob("/root/repo/CORRECTNESS_r*.json")
+              if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))]
+    return (max(rounds) + 1) if rounds else 1
+
+
+def write_artifact(sf_dir: str, records: dict, failed: list) -> None:
+    n = current_round()
+    path = f"/root/repo/VERIFY_LOCAL_r{n:02d}.json"
+    statuses = [r["status"] for r in records.values()]
+    out = {
+        "sf_dir": sf_dir,
+        "total": len(records),
+        "pass": statuses.count("pass"),
+        "rows_only": statuses.count("rows_only"),
+        "fail": statuses.count("fail") + statuses.count("err"),
+        "failed_names": failed,
+        "total_sec": round(sum(r["sec"] for r in records.values()), 1),
+        "queries": records,
+    }
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(f"wrote {path}: {out['pass']} pass / "
+          f"{out['rows_only']} rows-only / {out['fail']} fail")
 
 
 if __name__ == "__main__":
