@@ -232,3 +232,45 @@ def test_rollup_cascade_matches_batch_hypertable_daily(spark, sf_dir):
     assert streamed.count() == batch_daily.count()
     assert streamed.exceptAll(batch_daily).count() == 0
     assert batch_daily.exceptAll(streamed).count() == 0
+
+
+def test_rocksdb_state_store_provider_takes_effect(spark, sf_dir):
+    """SCALE.md's knob table claims stateful streams run on the
+    RocksDB state store at scale (state larger than heap). Execute a
+    stateful query under the provider and assert (a) the provider is
+    ACTUALLY in the loop — the state operator's progress metrics are
+    RocksDB ones — and (b) results equal the default-provider run."""
+    from project_2_semantic_similarity_spark.streaming import ops as S
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = ("org.apache.spark.sql.execution.streaming."
+             "state.RocksDBStateStoreProvider")
+    path = S.stage_events_dir(sf_dir)
+    baseline = S.run_to_memory(
+        S.session_counts(S.read_events_stream(spark, path)),
+        "rocksdb_baseline", "complete").collect()
+
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, rocks)
+    try:
+        stream = S.session_counts(S.read_events_stream(spark, path))
+        for q in spark.streams.active:
+            if q.name == "rocksdb_probe":
+                q.stop()
+        q = (stream.writeStream.format("memory")
+             .queryName("rocksdb_probe").outputMode("complete")
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(300)
+        ops = (q.lastProgress or {}).get("stateOperators") or []
+        metrics = {m for op in ops
+                   for m in (op.get("customMetrics") or {})}
+        assert any("rocksdb" in m.lower() for m in metrics), (
+            "no RocksDB state-store metrics in progress; provider "
+            f"did not take effect (metrics: {sorted(metrics)[:5]})")
+        got = spark.table("rocksdb_probe").collect()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    assert sorted(map(tuple, got)) == sorted(map(tuple, baseline))
