@@ -15,14 +15,18 @@ from pyspark.sql import SparkSession
 
 
 def get_spark(app_name: str = "project2_semantic_similarity",
-              cpus: int | None = None) -> SparkSession:
+              cpus: int | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
     """Build (or reuse) the SparkSession.
 
     ``spark.sql.shuffle.partitions`` is set to the core count — at
     cluster scale this would instead be sized so post-shuffle
     partitions land near 128-256 MB; AQE's coalescePartitions then
     right-sizes small stages automatically.
-    """
+
+    ``extra_conf`` overrides/extends the defaults (first builder call
+    in the process wins — used by tools/probe_scale.py to enable the
+    UI REST API for shuffle-volume accounting)."""
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     builder = (
@@ -39,6 +43,8 @@ def get_spark(app_name: str = "project2_semantic_similarity",
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

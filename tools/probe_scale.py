@@ -6,14 +6,30 @@ letter-only vocabulary, 20% stopwords, engineered duplication: per
 writes it as a testdata-layout directory, and times the declared
 pipeline stages against it.
 
-Usage: python tools/probe_scale.py [n_docs] [out_dir]
-Defaults: 1_000_000 /tmp/p2ss_probe_1m
-"""
+Usage: python tools/probe_scale.py [n_docs] [out_dir] [stage,stage,...]
+Defaults: 1_000_000 /tmp/p2ss_probe_1m <default battery below>
+
+Special stage names beyond registry queries:
+  gen_embeddings  — also write an embeddings.parquet (64-dim float
+                    vectors in 50 hash-derived gaussian-ish clusters,
+                    label = vec_id % 50) so the ANN stack can probe
+                    at the same row count;
+  flagship_probe  — the full TF-IDF term-similarity pipeline on a
+                    term that EXISTS in the hashed probe vocabulary
+                    ('bcde' ≈ df n/208), via the generic
+                    similar_terms surface with the bounded df probe.
+
+The probe session runs with the Spark UI enabled and reports, per
+stage: wall, rows, total shuffle-write delta, and the single largest
+shuffle stage inside the window (REST /api/v1 — the 'peak shuffle'
+figure SCALE.md quotes)."""
 
 from __future__ import annotations
 
+import json
 import sys
 import time
+import urllib.request
 
 sys.path.insert(0, "/root/repo")
 
@@ -23,6 +39,77 @@ STOPS = ["the", "of", "and", "to", "in"]
 STAGES = ["dedup_exact", "dedup_minhash", "corpus_prep_pipeline",
           "corpus_prep_pipeline_lsh", "dedup_passage",
           "text_quality_score"]
+
+
+class ShuffleMeter:
+    """Cumulative shuffle-write accounting via the UI REST API."""
+
+    def __init__(self, spark):
+        self.base = None
+        try:
+            ui = spark.sparkContext.uiWebUrl
+            app_id = spark.sparkContext.applicationId
+            self.base = f"{ui}/api/v1/applications/{app_id}"
+            self._stages()  # probe connectivity
+        except Exception as exc:
+            print(f"shuffle meter unavailable: {exc!r}")
+            self.base = None
+
+    def _stages(self) -> list[dict]:
+        with urllib.request.urlopen(
+                f"{self.base}/stages?status=complete", timeout=10) as r:
+            return json.load(r)
+
+    def snapshot(self) -> tuple[int, dict[int, int]]:
+        if self.base is None:
+            return 0, {}
+        per_stage = {}
+        for s in self._stages():
+            per_stage[(s["stageId"], s["attemptId"])] = \
+                s.get("shuffleWriteBytes", 0)
+        return sum(per_stage.values()), per_stage
+
+    def window(self, before, after) -> tuple[float, float]:
+        """(total shuffle GiB written in window, peak single-stage GiB)."""
+        tot_b, stages_b = before
+        tot_a, stages_a = after
+        new = {k: v for k, v in stages_a.items() if k not in stages_b}
+        peak = max(new.values(), default=0)
+        return (tot_a - tot_b) / 2**30, peak / 2**30
+
+
+def generate_embeddings(spark, n: int, out_dir: str,
+                        dim: int = 64, k: int = 50) -> None:
+    """Deterministic clustered vectors: 50 hash-derived centers in
+    [-1,1]^64, per-vector hash noise in [-0.1,0.1) — same shape
+    contract as testdata embeddings (vec_id, float[dim], label)."""
+    v = spark.range(n).select(F.col("id").alias("vec_id"))
+    c = F.col("vec_id") % k
+    cols = []
+    for d in range(dim):
+        center = (F.pmod(F.xxhash64(c * dim + F.lit(d)), F.lit(2000))
+                  / 1000.0) - 1.0
+        noise = (F.pmod(F.xxhash64(F.col("vec_id") * dim
+                                   + F.lit(d + 7919)), F.lit(200))
+                 / 1000.0) - 0.1
+        cols.append((center + noise).cast("float"))
+    (v.select("vec_id", F.array(*cols).alias("embedding"),
+              c.cast("int").alias("label"))
+     .write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet"))
+
+
+def flagship_probe(spark, out_dir: str):
+    """The reference's whole pipeline at probe scale, on a term that
+    exists in the hashed vocabulary (h=1234 -> 'bcde'), through the
+    generic guarded surface (bounded df probe + dense/sparse vocab
+    strategy selection)."""
+    from project_2_semantic_similarity_spark.operators import text as T
+
+    corpus = (spark.read.parquet(f"{out_dir}/documents.parquet")
+              .select("doc_id", "text"))
+    return T.term_similarity_pipeline(
+        corpus, "bcde", 5, round_to=6,
+        cache_key=("probe_flagship", out_dir))
 
 
 def synth_text(idcol):
@@ -53,20 +140,36 @@ def generate(spark, n: int, out_dir: str) -> None:
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/p2ss_probe_1m"
+    stages = sys.argv[3].split(",") if len(sys.argv) > 3 else STAGES
 
     from project_2_semantic_similarity_spark.plans.registry import (
         QUERIES, load_all)
     from project_2_semantic_similarity_spark.session import get_spark
 
     load_all()
-    spark = get_spark("probe_scale", cpus=32)
+    spark = get_spark("probe_scale", cpus=32,
+                      extra_conf={"spark.ui.enabled": "true",
+                                  "spark.ui.showConsoleProgress": "false"})
+    meter = ShuffleMeter(spark)
     t = time.time()
     generate(spark, n, out)
-    print(f"corpus gen+write ({n} docs): {time.time() - t:.1f}s")
-    for name in STAGES:
+    print(f"corpus gen+write ({n} docs): {time.time() - t:.1f}s",
+          flush=True)
+    for name in stages:
+        before = meter.snapshot()
         t = time.time()
-        cnt = QUERIES[name](spark, out).count()
-        print(f"{name}: {time.time() - t:.1f}s rows={cnt}")
+        if name == "gen_embeddings":
+            generate_embeddings(spark, n, out)
+            cnt = n
+        elif name == "flagship_probe":
+            cnt = flagship_probe(spark, out).count()
+        else:
+            cnt = QUERIES[name](spark, out).count()
+        wall = time.time() - t
+        tot_gib, peak_gib = meter.window(before, meter.snapshot())
+        print(f"{name}: {wall:.1f}s rows={cnt} "
+              f"shuffle_write={tot_gib:.2f}GiB "
+              f"peak_stage={peak_gib:.2f}GiB", flush=True)
 
 
 if __name__ == "__main__":
