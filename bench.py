@@ -80,6 +80,19 @@ def _current_round() -> int:
     if env:
         return int(env)
     here = os.path.dirname(os.path.abspath(__file__))
+    # PROGRESS.jsonl is driver-written with the authoritative round;
+    # inferring from CORRECTNESS_r*.json max+1 would mislabel the
+    # sweep if the driver writes this round's correctness artifact
+    # before running bench.
+    try:
+        with open(os.path.join(here, "PROGRESS.jsonl")) as fh:
+            lines = fh.read().splitlines()
+        for ln in reversed(lines):
+            rec = json.loads(ln)
+            if "round" in rec:
+                return int(rec["round"])
+    except (OSError, ValueError):
+        pass
     rounds = [int(m.group(1))
               for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
               if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))]

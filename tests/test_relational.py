@@ -174,3 +174,43 @@ def test_approx_percentile_bound(spark, sf_dir):
     for flag in exact:
         for a, x in zip(approx[flag], exact[flag]):
             assert abs(a - x) / x < 0.01, (flag, a, x)
+
+
+def test_with_global_rank_matches_global_window(spark):
+    """Property: with_global_rank == row_number over a global sort,
+    for data with heavy ties and uneven range distribution; and
+    ntile_from_rank == SQL ntile for several bucket counts including
+    n > rows."""
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from project_2_semantic_similarity_spark.operators.rank import (
+        ntile_from_rank, with_global_rank)
+
+    pdf = pd.DataFrame({
+        "k": [i % 7 for i in range(500)],          # heavy ties
+        "v": [(i * 37) % 13 - 6 for i in range(500)],
+        "id": list(range(500)),
+    })
+    df = spark.createDataFrame(pdf)
+    keys = [F.col("k").asc(), F.col("v").desc(), F.col("id").asc()]
+
+    got = with_global_rank(df, keys, rank_col="rn", with_total="n")
+    w = Window.orderBy(*keys)
+    want = df.withColumn("rn", F.row_number().over(w).cast("bigint"))
+    g = {r["id"]: r["rn"] for r in got.collect()}
+    e = {r["id"]: r["rn"] for r in want.collect()}
+    assert g == e
+
+    rows = got.select("rn", "n",
+                      *[ntile_from_rank(F.col("rn"), F.col("n"), nb)
+                        .alias(f"t{nb}") for nb in (2, 5, 7, 600)])
+    ref = want.select(
+        "rn", *[F.ntile(nb).over(w).cast("bigint").alias(f"t{nb}")
+                for nb in (2, 5, 7, 600)])
+    got_t = {r["rn"]: (r["t2"], r["t5"], r["t7"], r["t600"])
+             for r in rows.collect()}
+    ref_t = {r["rn"]: (r["t2"], r["t5"], r["t7"], r["t600"])
+             for r in ref.collect()}
+    assert got_t == ref_t

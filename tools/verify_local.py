@@ -129,6 +129,17 @@ def current_round() -> int:
     env = os.environ.get("SPARK_GRAFT_ROUND")
     if env:
         return int(env)
+    # PROGRESS.jsonl carries the driver's authoritative round number;
+    # fall back to newest correctness artifact + 1.
+    try:
+        with open("/root/repo/PROGRESS.jsonl") as fh:
+            lines = fh.read().splitlines()
+        for ln in reversed(lines):
+            rec = json.loads(ln)
+            if "round" in rec:
+                return int(rec["round"])
+    except (OSError, ValueError):
+        pass
     rounds = [int(m.group(1))
               for p in glob.glob("/root/repo/CORRECTNESS_r*.json")
               if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))]
