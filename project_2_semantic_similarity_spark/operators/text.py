@@ -336,7 +336,25 @@ def doc_similarity_topk(corpus: DataFrame, k: int = 10,
 # Prime for hash->uniform conversion in the sparse sign-LSH planes:
 # large enough that pmod(xxhash64)/P is dense in [0,1), small enough
 # that the division is exact-ish in double.
-_LSH_PRIME = 1_000_003
+_LSH_PRIME = 1_000_003  # retained for any external derivations
+_MERSENNE31 = 2_147_483_647
+
+
+def lsh_affine_constants(seed: int, n: int) -> list[tuple[int, int]]:
+    """The (a_i, b_i) affine plane family shared by the Spark plan
+    and the SQL oracle: ONE base hash per (row), then
+    u_i = ((a_i * base + b_i) mod M31) / M31 * 2 - 1 per plane.
+    Replaces the original per-(term, plane) md5 — 128 md5 calls per
+    weight ROW dominated the sf0.1 wall (35.7 s in the r6 sweep);
+    the affine form is 1 md5 + 128 integer mults per row, the same
+    one-hash trick as operators/dedup._minhash_cols. base is reduced
+    mod M31 first so a*base+b stays < 2^62 (no int64 overflow,
+    identical in ANSI Spark and DuckDB BIGINT)."""
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _MERSENNE31), rng.randrange(0, _MERSENNE31))
+            for _ in range(n)]
 
 
 def doc_vector_lsh_buckets(weights: DataFrame, n_planes: int = 8,
@@ -347,13 +365,16 @@ def doc_vector_lsh_buckets(weights: DataFrame, n_planes: int = 8,
     sign patterns of random projections; cosine-similar vectors agree
     on a plane with p = 1 − θ/π).
 
-    Plane components are derived per (term, plane) from a hash of the
-    term mapped to uniform [-1, 1) — no materialized plane vectors,
-    so the vocabulary (the vector dimensionality) can be unbounded.
-    ``hash_family='fast'`` hashes with xxhash64(term, seed, idx);
-    ``'portable'`` with md5-low-60-bits of ``term:seed:idx``
-    (operators/dedup.py portable_hash60) so an external md5-capable
-    engine re-derives the identical plane matrix and buckets. Each
+    Plane components are derived per (term, plane) from ONE base
+    hash of the term plus a per-plane affine map
+    (``lsh_affine_constants``) to uniform [-1, 1) — no materialized
+    plane vectors, so the vocabulary (the vector dimensionality) can
+    be unbounded, and only one hash runs per weight row regardless
+    of n_tables × n_planes. ``hash_family='fast'`` bases on
+    xxhash64(term, seed); ``'portable'`` on md5-low-60-bits of
+    ``term:seed`` (operators/dedup.py portable_hash60) so an external
+    md5-capable engine re-derives the identical plane matrix and
+    buckets. Each
     projection is one SUM aggregate over the doc's weight rows: the
     whole operator is a single wide groupBy(doc_id) with
     n_tables × n_planes sum columns (constant memory per group,
@@ -362,18 +383,23 @@ def doc_vector_lsh_buckets(weights: DataFrame, n_planes: int = 8,
     from project_2_semantic_similarity_spark.operators.dedup import (
         portable_hash60)
 
+    base = (portable_hash60(F.concat(F.col("term"), F.lit(f":{seed}")))
+            if hash_family == "portable"
+            else F.xxhash64("term", F.lit(seed)))
+    consts = lsh_affine_constants(seed, n_tables * n_planes)
     sums = []
     for t in range(n_tables):
         for p in range(n_planes):
-            idx = t * n_planes + p
-            h = (portable_hash60(
-                    F.concat(F.col("term"), F.lit(f":{seed}:{idx}")))
-                 if hash_family == "portable"
-                 else F.xxhash64("term", F.lit(seed), F.lit(idx)))
-            u = (F.pmod(h, F.lit(_LSH_PRIME))
-                 / F.lit(float(_LSH_PRIME))) * 2 - 1
+            a, b = consts[t * n_planes + p]
+            u = (F.pmod(F.lit(a) * F.col("_lsh_base") + F.lit(b),
+                        F.lit(_MERSENNE31))
+                 / F.lit(float(_MERSENNE31))) * 2 - 1
             sums.append(F.sum(F.col("tfidf") * u).alias(f"s_{t}_{p}"))
-    projected = weights.groupBy("doc_id").agg(*sums)
+    projected = (
+        weights.withColumn("_lsh_base",
+                           F.pmod(base, F.lit(_MERSENNE31)))
+        .groupBy("doc_id").agg(*sums)
+    )
     tables = F.array(*[
         F.struct(
             F.lit(t).alias("table_id"),

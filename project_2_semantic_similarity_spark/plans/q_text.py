@@ -282,22 +282,33 @@ def text_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  cache_key=_corpus_key(sf_dir))
 
 
-# Plane component for (term, plane idx): md5-low-60-bits of
-# "term:seed:idx" mapped to uniform [-1, 1) — the exact arithmetic of
-# operators/text.py doc_vector_lsh_buckets' portable family,
-# spelled out for DuckDB. 128 = n_tables(16) × n_planes(8).
+# Plane component for (term, plane idx): ONE md5-low-60-bit base hash
+# of "term:42" reduced mod M31, then the per-plane affine map
+# u = ((a*base + b) % M31) / M31 * 2 - 1 — the exact arithmetic of
+# operators/text.py doc_vector_lsh_buckets' portable family
+# (lsh_affine_constants(42, 128) embedded as a VALUES table).
+# 128 = n_tables(16) × n_planes(8).
+_LSH_PLANE_VALUES = ",\n           ".join(
+    f"({i}, {a}, {b})"
+    for i, (a, b) in enumerate(T.lsh_affine_constants(42, 128)))
 _DOCSIM_ANN_ORACLE = f"""
 WITH {{ctes}},
-wnz AS (SELECT doc_id, term, tfidf FROM tfidf WHERE tfidf <> 0),
+planes(idx, pa, pb) AS (
+    VALUES {_LSH_PLANE_VALUES}
+),
+wnz AS (
+    SELECT doc_id, term, tfidf,
+           ('0x' || substr(md5(term || ':42'), 1, 15))::BIGINT
+               % 2147483647 AS base
+    FROM tfidf WHERE tfidf <> 0
+),
 proj AS (
-    SELECT doc_id, idx,
-           sum(tfidf * (((
-               (('0x' || substr(md5(term || ':42:' ||
-                                CAST(idx AS VARCHAR)), 1, 15))::BIGINT
-                % 1000003) / 1000003.0) * 2) - 1)) AS s
+    SELECT doc_id, p.idx,
+           sum(tfidf * ((((p.pa * base + p.pb) % 2147483647)
+                         / 2147483647.0) * 2 - 1)) AS s
     FROM wnz
-    CROSS JOIN (SELECT unnest(generate_series(0, 127)) AS idx) i
-    GROUP BY doc_id, idx
+    CROSS JOIN planes p
+    GROUP BY doc_id, p.idx
 ),
 buckets AS (
     SELECT doc_id, idx // 8 AS table_id,
