@@ -754,7 +754,8 @@ def cosine_pairs_lsh(embeddings: DataFrame, min_cosine: float,
                      dim: int, n_planes: int = 4, n_tables: int = 16,
                      seed: int = 42, id_col: str = "vec_id",
                      vec_col: str = "embedding",
-                     plane_family: str = "gauss") -> DataFrame:
+                     plane_family: str = "gauss",
+                     engine: str = "gemm") -> DataFrame:
     """APPROXIMATE all-pairs cosine self-join: multi-table sign-LSH
     candidates (equi-join on (table, bucket)) → distinct pairs →
     exact cosine re-check. No false positives (exact filter), false
@@ -764,27 +765,89 @@ def cosine_pairs_lsh(embeddings: DataFrame, min_cosine: float,
 
     Scale shape: O(L·n) exploded rows hash-partitioned by bucket —
     linear preprocessing, bucket-local pair generation, never an
-    all-pairs join."""
+    all-pairs join.
+
+    ``engine='gemm'`` (default): the re-check runs as ONE BLAS gram
+    matrix per (table, bucket) group — vectors ship ONCE per table
+    occupancy (L·n·dim bytes through the groupBy), never attached to
+    pair rows (pairs·dim — the fold variant moved ~1.5M candidate
+    pairs × 2×64 doubles through two joins at sf0.1, ~10s of its
+    15.7s wall), and the cross-table DISTINCT runs on the few pairs
+    that SURVIVE the threshold, not on every candidate. Duplicate
+    survivors are bit-identical across tables (same float64 matmul
+    on the same vectors), so the output distinct is exact. Same
+    dense-vector-math exception to "UDFs are the slow path" as
+    ``cosine_pairs_blocked_gemm``; float64 accumulation-order noise
+    vs the fold is ~1e-15 relative, absorbed by 6-dp rounding (same
+    argument + hash-verification as the blocked gemm). Memory per
+    task is one bucket's block; a degenerate hot bucket costs that
+    bucket², exactly as the equi-join variant's hot bucket would.
+    ``'fold'`` keeps the pure Column-expression plan."""
     tabs = lsh_bucket_tables(embeddings, dim, n_planes, n_tables,
                              seed, vec_col, plane_family)
-    a = tabs.select(F.col(id_col).alias("vec_a"), "table_id", "bucket")
-    b = tabs.select(F.col(id_col).alias("vec_b"), "table_id", "bucket")
-    cand = (
-        a.join(b, ["table_id", "bucket"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()  # a pair may collide in several tables
+    if engine == "fold":
+        a = tabs.select(F.col(id_col).alias("vec_a"),
+                        "table_id", "bucket")
+        b = tabs.select(F.col(id_col).alias("vec_b"),
+                        "table_id", "bucket")
+        cand = (
+            a.join(b, ["table_id", "bucket"])
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b")
+            .distinct()  # a pair may collide in several tables
+        )
+        ea = embeddings.select(F.col(id_col).alias("vec_a"),
+                               F.col(vec_col).alias("ea"))
+        eb = embeddings.select(F.col(id_col).alias("vec_b"),
+                               F.col(vec_col).alias("eb"))
+        return (
+            cand.join(ea, "vec_a").join(eb, "vec_b")
+            .withColumn("cosine", cosine_similarity("ea", "eb"))
+            .filter(F.col("cosine") > min_cosine)
+            .select("vec_a", "vec_b", "cosine")
+        )
+
+    import pandas as pd
+
+    thr = float(min_cosine)
+    id_type = dict(embeddings.dtypes)[id_col]
+    blocks = (
+        tabs.groupBy("table_id", "bucket")
+        .agg(F.collect_list(F.struct(F.col(id_col).alias("id"),
+                                     F.col(vec_col).alias("v")))
+             .alias("blk"))
+        .filter(F.size("blk") >= 2)
     )
-    ea = embeddings.select(F.col(id_col).alias("vec_a"),
-                           F.col(vec_col).alias("ea"))
-    eb = embeddings.select(F.col(id_col).alias("vec_b"),
-                           F.col(vec_col).alias("eb"))
-    return (
-        cand.join(ea, "vec_a").join(eb, "vec_b")
-        .withColumn("cosine", cosine_similarity("ea", "eb"))
-        .filter(F.col("cosine") > min_cosine)
-        .select("vec_a", "vec_b", "cosine")
-    )
+
+    def bucket_gemm(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for blk in pdf["blk"]:
+                ids = np.array([r["id"] for r in blk])
+                m = np.array([r["v"] for r in blk], dtype=np.float64)
+                nrm = np.linalg.norm(m, axis=1)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = (m @ m.T) / np.outer(nrm, nrm)
+                # zero-norm vectors: fold's try_divide -> NULL ->
+                # dropped; mask non-finite identically
+                ia, ib = np.nonzero(
+                    np.where(np.isfinite(cos), cos, -2.0) > thr)
+                keep = ids[ia] < ids[ib]  # each unordered pair once
+                out_a.append(ids[ia][keep])
+                out_b.append(ids[ib][keep])
+                out_c.append(cos[ia, ib][keep])
+            if out_a:
+                yield pd.DataFrame({
+                    "vec_a": np.concatenate(out_a),
+                    "vec_b": np.concatenate(out_b),
+                    "cosine": np.concatenate(out_c),
+                })
+
+    return blocks.mapInPandas(
+        bucket_gemm, schema=f"vec_a {id_type}, vec_b {id_type}, "
+                            "cosine double").distinct()
 
 
 def nearest_centroid_per_label(embeddings: DataFrame,
