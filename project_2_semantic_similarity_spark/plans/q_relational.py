@@ -22,6 +22,7 @@ from project_2_semantic_similarity_spark.operators.joins import (
     theta_range_join,
 )
 from project_2_semantic_similarity_spark.operators.rank import (
+    grouped_quantiles_exact,
     with_global_rank,
 )
 from project_2_semantic_similarity_spark.plans.registry import query
@@ -1060,16 +1061,23 @@ FROM lineitem GROUP BY l_returnflag
 """,
 )
 def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact median / p95 via SQL `percentile` (continuous
-    interpolation — matches DuckDB quantile_cont). At extreme scale
-    the approximate sketch (percentile_approx / t-digest) replaces
-    this; exact percentile requires a per-group sort."""
+    """Exact median / p95 with continuous interpolation (the DuckDB
+    quantile_cont definition), computed by the range-partitioned rank
+    machinery (operators/rank.grouped_quantiles_exact) instead of
+    Spark's buffer-collecting `percentile` aggregate — the builtin
+    materializes every distinct (value, count) per group in executor
+    memory and was 24× the sf0.01 wall at sf0.1 (r6 sweep); the rank
+    plan is one parallel range sort + metadata-sized bracket joins at
+    any scale. The approximate sketch (`agg_approx_percentile`)
+    remains the fixed-memory single-pass alternative."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6)
-         .alias("median_price"),
-        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6)
-         .alias("p95_price"))
+    q = grouped_quantiles_exact(
+        li, "l_returnflag", "l_extendedprice",
+        {"median_price": 0.5, "p95_price": 0.95})
+    return q.select(
+        "l_returnflag",
+        F.round("median_price", 6).alias("median_price"),
+        F.round("p95_price", 6).alias("p95_price"))
 
 
 @query("agg_approx_percentile")  # rows-only: sketch internals engine-specific

@@ -68,6 +68,11 @@ _CHANGED_THIS_ROUND = frozenset(
         # independent check; r5 VERDICT #2/#3)
         "orders_rfm",
         "sort_multi",
+        # round 6: buffer-collecting percentile builtin replaced by
+        # the rank machinery's exact bracketing plan; LSH re-check
+        # engines swapped to bucket-local BLAS (result-preserving)
+        "agg_percentile",
+        "dedup_embedding_cosine_lsh",
     }
 )
 
