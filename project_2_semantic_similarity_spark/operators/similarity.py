@@ -724,6 +724,29 @@ def cosine_pairs_blocked_gemm(embeddings: DataFrame, min_cosine: float,
                      "cosine double")
 
 
+def jl_project(embeddings: DataFrame, dim: int, out_dim: int,
+               seed: int = 42, vec_col: str = "embedding",
+               scale: float | None = None) -> DataFrame:
+    """Johnson–Lindenstrauss random projection: dim → out_dim with a
+    seeded ±1 (Rademacher) matrix scaled by 1/√out_dim — the standard
+    dimensionality-reduction step before ANN indexing (Achlioptas
+    2003: ±1 projections carry the JL distance-preservation
+    guarantee; distortion bound pinned in tests). The matrix is the
+    same md5-derived family as the sign-LSH planes, so a SQL oracle
+    re-derives the projection exactly; computation is out_dim
+    JVM-side dot products against literal rows — a narrow map, zero
+    shuffle at any scale (the 100-TB shape: projecting n×dim to
+    n×out_dim cuts every downstream ANN scan by dim/out_dim)."""
+    planes = hyperplanes_rademacher(dim, out_dim, seed)
+    s = scale if scale is not None else out_dim ** 0.5
+    proj = F.array(*[
+        (dot(F.col(vec_col), F.array(*[F.lit(x) for x in p]))
+         / F.lit(float(s)))
+        for p in planes
+    ])
+    return embeddings.withColumn("projected", proj)
+
+
 def lsh_bucket_tables(embeddings: DataFrame, dim: int,
                       n_planes: int = 4, n_tables: int = 16,
                       seed: int = 42,

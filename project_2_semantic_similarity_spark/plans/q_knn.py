@@ -1276,3 +1276,40 @@ def knn_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(_K)
     )
+
+
+_JL_OUT_DIM = 16
+_JL_PLANES = S.hyperplanes_rademacher(_DIM, _JL_OUT_DIM, seed=42)
+_JL_PROJ_SQL = "[" + ",\n        ".join(
+    f"round(list_dot_product(emb, {plane_sql_literal(p)}) / 4.0, 6)"
+    for p in _JL_PLANES) + "]"
+
+
+@query(
+    "embedding_jl_project",
+    oracle=f"""
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+)
+SELECT vec_id,
+       {_JL_PROJ_SQL} AS projected
+FROM e
+""",
+)
+def embedding_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 -> 16 dims with the
+    seeded md5-derived Rademacher matrix scaled 1/sqrt(16) — the
+    dimensionality-reduction preconditioner for every downstream ANN
+    scan (4x fewer bytes per vector; Achlioptas 2003 for the +/-1 JL
+    guarantee). Fully oracle-verified: the oracle embeds the exact
+    plane literals and recomputes each output component; the pairwise
+    distance-distortion bound is pinned in tests/test_dedup_knn.py.
+    Plan shape: out_dim literal-array dot products in one narrow
+    projection — zero shuffle at any scale."""
+    e = load_table(spark, sf_dir, "embeddings")
+    proj = S.jl_project(e.select("vec_id", "embedding"),
+                        dim=_DIM, out_dim=_JL_OUT_DIM, seed=42)
+    return proj.select(
+        "vec_id",
+        F.transform("projected", lambda x: F.round(x, 6))
+        .alias("projected"))

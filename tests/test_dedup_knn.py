@@ -717,3 +717,31 @@ def test_decode_image_rejects_non_ppm(spark):
                       "media_type": ["image/jpeg"]}))
     with pytest.raises(Exception, match="no codec"):
         decode_image(df).collect()
+
+
+def test_jl_projection_preserves_pairwise_distance(spark, sf_dir):
+    """JL guarantee, empirically: 64->16 Rademacher projection keeps
+    pairwise squared distances within a loose distortion band on the
+    test corpus (eps ~ sqrt(8 ln n / d) is theory; assert a permissive
+    envelope so the pin is robust, plus unbiasedness of the median)."""
+    import numpy as np
+
+    from project_2_semantic_similarity_spark.operators.similarity import (
+        jl_project)
+    from project_2_semantic_similarity_spark.sources import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    rows = (jl_project(e.select("vec_id", "embedding"), 64, 16)
+            .select("vec_id", "embedding", "projected").collect())
+    ids = [r.vec_id for r in rows]
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    Y = np.array([r.projected for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(0)
+    i = rng.integers(0, len(ids), 300)
+    j = rng.integers(0, len(ids), 300)
+    keep = i != j
+    dx = np.sum((X[i[keep]] - X[j[keep]]) ** 2, axis=1)
+    dy = np.sum((Y[i[keep]] - Y[j[keep]]) ** 2, axis=1)
+    ratio = dy / dx
+    assert 0.75 < np.median(ratio) < 1.25   # unbiased estimator
+    assert (ratio > 0.25).all() and (ratio < 4.0).all()
