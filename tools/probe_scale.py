@@ -142,20 +142,35 @@ def main() -> None:
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/p2ss_probe_1m"
     stages = sys.argv[3].split(",") if len(sys.argv) > 3 else STAGES
 
+    from project_2_semantic_similarity_spark.operators.cache import (
+        clear_slots)
     from project_2_semantic_similarity_spark.plans.registry import (
         QUERIES, load_all)
     from project_2_semantic_similarity_spark.session import get_spark
 
     load_all()
-    spark = get_spark("probe_scale", cpus=32,
-                      extra_conf={"spark.ui.enabled": "true",
-                                  "spark.ui.showConsoleProgress": "false"})
-    meter = ShuffleMeter(spark)
+
+    def fresh_session():
+        return get_spark(
+            "probe_scale", cpus=32,
+            extra_conf={"spark.ui.enabled": "true",
+                        "spark.ui.showConsoleProgress": "false"})
+
+    spark = fresh_session()
     t = time.time()
     generate(spark, n, out)
     print(f"corpus gen+write ({n} docs): {time.time() - t:.1f}s",
           flush=True)
     for name in stages:
+        # one SparkContext per stage: shuffle files live until the
+        # context stops, so a multi-stage probe on one session
+        # accumulates every stage's spill on local disk (the first
+        # 10M-doc run died on ENOSPC with the flagship's 22 GiB of
+        # shuffle still pinned under the prep pipeline's own ~50 GiB)
+        clear_slots()
+        spark.stop()
+        spark = fresh_session()
+        meter = ShuffleMeter(spark)
         before = meter.snapshot()
         t = time.time()
         if name == "gen_embeddings":
