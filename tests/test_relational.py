@@ -214,3 +214,52 @@ def test_with_global_rank_matches_global_window(spark):
     ref_t = {r["rn"]: (r["t2"], r["t5"], r["t7"], r["t600"])
              for r in ref.collect()}
     assert got_t == ref_t
+
+
+def test_grouped_quantiles_exact_matches_builtin_percentile(spark):
+    """Property: the rank-machinery quantile plan equals Spark's
+    exact percentile aggregate on random grouped data with ties,
+    across quantiles including 0 and 1."""
+    import pandas as pd
+    import random as rnd
+
+    from pyspark.sql import functions as F
+
+    from project_2_semantic_similarity_spark.operators.rank import (
+        grouped_quantiles_exact)
+
+    r = rnd.Random(11)
+    pdf = pd.DataFrame({
+        "g": [r.choice("abcd") for _ in range(2000)],
+        "v": [round(r.uniform(-100, 100), 2) for _ in range(2000)],
+    })
+    df = spark.createDataFrame(pdf)
+    qs = {"q0": 0.0, "q25": 0.25, "q5": 0.5, "q9": 0.9, "q100": 1.0}
+    got = {
+        row["g"]: [row[k] for k in qs]
+        for row in grouped_quantiles_exact(df, "g", "v", qs).collect()
+    }
+    want = {
+        row["g"]: [row[k] for k in qs]
+        for row in df.groupBy("g").agg(*[
+            F.expr(f"percentile(v, {q})").alias(k)
+            for k, q in qs.items()
+        ]).collect()
+    }
+    assert set(got) == set(want)
+    for g in want:
+        for a, b in zip(got[g], want[g]):
+            assert abs(a - b) < 1e-9, (g, got[g], want[g])
+
+
+def test_agg_percentile_plan_has_no_buffer_aggregate(spark, sf_dir):
+    """agg_percentile must ride the range-partitioned rank plan: no
+    ObjectHashAggregate (the buffer-collecting percentile builtin),
+    range partitioning present, offsets attached by broadcast."""
+    import tests.test_plan_shape as ps
+
+    plan = ps.plan_of(spark, "agg_percentile", sf_dir)
+    assert "percentile(" not in plan
+    assert "rangepartitioning" in plan
+    assert "BroadcastHashJoin" in plan
+    ps._single_partition_exchanges_are_metadata_sized(plan)
