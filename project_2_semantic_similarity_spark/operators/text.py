@@ -416,6 +416,80 @@ def doc_vector_lsh_buckets(weights: DataFrame, n_planes: int = 8,
     )
 
 
+def _docsim_ann_bucket_gemm(buckets: DataFrame, vecs: DataFrame,
+                            k: int, round_to: int | None) -> DataFrame:
+    """Dense-path re-rank as ONE gram matrix per (table, bucket)
+    block with in-block top-k pruning, instead of attaching vectors
+    to millions of candidate-pair rows.
+
+    Pruning is sound without reproducing Spark's rounding in Python:
+    a block keeps every pair whose RAW similarity is within
+    2·10^-round_to of its k-th best — if ≥ k distinct pairs in the
+    same block exceed a pair by more than that margin, each of them
+    strictly beats it after 6-dp rounding too, so the pair cannot be
+    in the global rounded top-k (all in-block pairs are candidates by
+    construction). The same pair scored in two blocks can differ by
+    BLAS-order ulps; max-per-pair collapses that before the final
+    round, which absorbs the ulp (same argument as every other gemm
+    engine here, and hash-verified the same way). num > 0 and
+    zero-norm (try_divide -> NULL) drops applied inside the kernel,
+    matching the fold plan row for row."""
+    import pandas as pd
+
+    eps = 0.0 if round_to is None else 2.0 * 10.0 ** (-round_to)
+
+    tb = buckets.join(vecs, "doc_id")
+    blocks = (
+        tb.groupBy("table_id", "bucket")
+        .agg(F.collect_list(
+            F.struct("doc_id", "vec", "norm")).alias("blk"))
+        .filter(F.size("blk") >= 2)
+    )
+
+    def block_topk(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out_a, out_b, out_s = [], [], []
+            for blk in pdf["blk"]:
+                ids = np.array([r["doc_id"] for r in blk], dtype=object)
+                m = np.array([r["vec"] for r in blk], dtype=np.float64)
+                nrm = np.array([r["norm"] for r in blk],
+                               dtype=np.float64)
+                g = m @ m.T
+                iu, ju = np.triu_indices(len(ids), 1)
+                num = g[iu, ju]
+                den = nrm[iu] * nrm[ju]
+                keep = (num > 0) & (den > 0)
+                iu, ju, num, den = iu[keep], ju[keep], num[keep], den[keep]
+                sim = num / den
+                fin = np.isfinite(sim)
+                iu, ju, sim = iu[fin], ju[fin], sim[fin]
+                if len(sim) > k:
+                    thr = np.partition(sim, -k)[-k] - eps
+                    sel = sim >= thr
+                    iu, ju, sim = iu[sel], ju[sel], sim[sel]
+                swap = ids[iu] > ids[ju]
+                lo = np.where(swap, ids[ju], ids[iu])
+                hi = np.where(swap, ids[iu], ids[ju])
+                out_a.extend(lo)
+                out_b.extend(hi)
+                out_s.extend(sim)
+            yield pd.DataFrame({"doc_a": out_a, "doc_b": out_b,
+                                "similarity": out_s})
+
+    survivors = blocks.mapInPandas(
+        block_topk, schema="doc_a string, doc_b string, similarity double")
+    sims = survivors.groupBy("doc_a", "doc_b").agg(
+        F.max("similarity").alias("similarity"))
+    if round_to is not None:
+        sims = sims.select("doc_a", "doc_b",
+                           F.round("similarity", round_to)
+                           .alias("similarity"))
+    return sims.orderBy(F.desc("similarity"), F.asc("doc_a"),
+                        F.asc("doc_b")).limit(k)
+
+
 def doc_similarity_topk_ann(corpus: DataFrame, k: int = 10,
                             round_to: int | None = None,
                             n_planes: int = 8,
@@ -423,7 +497,8 @@ def doc_similarity_topk_ann(corpus: DataFrame, k: int = 10,
                             seed: int = 42,
                             dense_vocab_max: int = 4096,
                             cache_key: Hashable = None,
-                            hash_family: str = "fast") -> DataFrame:
+                            hash_family: str = "fast",
+                            engine: str = "gemm") -> DataFrame:
     """Top-k similar document pairs via ANN prefilter + exact
     re-rank — the 100×-scale path for ``doc_similarity_topk``, whose
     two exact strategies are both quadratic in pairs (the sparse term
@@ -496,6 +571,8 @@ def doc_similarity_topk_ann(corpus: DataFrame, k: int = 10,
                      .alias("norm"))
             ),
         )
+        if engine == "gemm":
+            return _docsim_ann_bucket_gemm(buckets, vecs, k, round_to)
         a = vecs.select(F.col("doc_id").alias("doc_a"),
                         F.col("vec").alias("va"), F.col("norm").alias("na"))
         b = vecs.select(F.col("doc_id").alias("doc_b"),
