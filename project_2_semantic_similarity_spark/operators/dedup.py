@@ -436,14 +436,20 @@ def simhash(docs: DataFrame, text_col: str = "text",
                     F.col(text_col).alias("text"))))
     h = (portable_hash60(F.col("term")) if hash_family == "portable"
          else F.xxhash64("term"))
+    # hoist the term hash into ONE materialized column: embedding `h`
+    # in all `bits` vote expressions would re-run the md5 per row per
+    # bit unless codegen CSE happens to save it (the same per-row ×
+    # per-plane multiplication the LSH planes had before r6)
+    hashed = counts.withColumn("_th", h)
     votes = [
         F.sum(
-            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1,
+            F.when(F.shiftright(F.col("_th"), j)
+                    .bitwiseAND(F.lit(1)) == 1,
                    F.col("tf_count")).otherwise(-F.col("tf_count"))
         ).alias(f"v{j}")
         for j in range(bits)
     ]
-    voted = counts.groupBy("doc_id").agg(*votes)
+    voted = hashed.groupBy("doc_id").agg(*votes)
     packed = sum(
         F.when(F.col(f"v{j}") > 0, F.lit(2 ** j).cast("bigint"))
         .otherwise(F.lit(0).cast("bigint"))
