@@ -1299,13 +1299,21 @@ FROM e
 def embedding_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss random projection 64 -> 16 dims with the
     seeded md5-derived Rademacher matrix scaled 1/sqrt(16) — the
-    dimensionality-reduction preconditioner for every downstream ANN
-    scan (4x fewer bytes per vector; Achlioptas 2003 for the +/-1 JL
-    guarantee). Fully oracle-verified: the oracle embeds the exact
-    plane literals and recomputes each output component; the pairwise
+    distance-sketch for clustering / dedup blocking at a 4x byte
+    discount (Achlioptas 2003 for the +/-1 JL guarantee). Fully
+    oracle-verified: the oracle embeds the exact plane literals and
+    recomputes each output component; the pairwise
     distance-distortion bound is pinned in tests/test_dedup_knn.py.
     Plan shape: out_dim literal-array dot products in one narrow
-    projection — zero shuffle at any scale."""
+    projection — zero shuffle at any scale.
+
+    Deliberately NOT composed into a kNN candidate stage here: JL
+    preserves pairwise DISTANCES within (1 +/- eps), eps ~
+    sqrt(ln n / out_dim) ~ 0.6 at out_dim=16 — far wider than this
+    corpus's ~0.16 neighbor-vs-ambient cosine gap, so a measured
+    probe put JL-candidate recall at 4/10 even with cand = n/4. The
+    ANN paths stay IVF/PQ/sign-LSH (knn_ivf_pq, knn_lsh), whose
+    approximation error is structured rather than isotropic."""
     e = load_table(spark, sf_dir, "embeddings")
     proj = S.jl_project(e.select("vec_id", "embedding"),
                         dim=_DIM, out_dim=_JL_OUT_DIM, seed=42)
@@ -1313,3 +1321,4 @@ def embedding_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("projected", lambda x: F.round(x, 6))
         .alias("projected"))
+
