@@ -73,6 +73,7 @@ _CHANGED_THIS_ROUND = frozenset(
         # engines swapped to bucket-local BLAS (result-preserving)
         "agg_percentile",
         "dedup_embedding_cosine_lsh",
+        "text_doc_similarity",
     }
 )
 

@@ -76,14 +76,18 @@ def test_partitioned_sink_prunes_partitions(spark, sf_dir):
 
 def test_doc_similarity_dense_plan_shape(spark, sf_dir):
     plan = plan_of(spark, "text_doc_similarity", sf_dir)
-    # pair generation is a broadcast nested-loop on doc_a < doc_b —
-    # never a shuffled join on the (skewed) term axis
-    assert "BroadcastNestedLoopJoin" in plan
+    # dense pair scoring is block-pair BLAS (r6): blocks attach to the
+    # driver-sized pair index by broadcast, scoring runs in Arrow
+    # batches — never a shuffled join on the (skewed) term axis and
+    # never a row-per-pair join of any kind
+    assert "MapInPandas" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
     # top-k via per-partition heaps, not a total sort of all pairs
     assert "TakeOrderedAndProject" in plan
-    # the persisted doc-vector table feeds both join sides from cache
-    assert plan.count("InMemoryTableScan") >= 2
+    # the persisted doc-vector table feeds the block build from cache
+    assert plan.count("InMemoryTableScan") >= 1
 
 
 def test_correlated_scalar_subquery_decorrelates(spark, sf_dir):
