@@ -263,3 +263,33 @@ def test_agg_percentile_plan_has_no_buffer_aggregate(spark, sf_dir):
     assert "rangepartitioning" in plan
     assert "BroadcastHashJoin" in plan
     ps._single_partition_exchanges_are_metadata_sized(plan)
+
+
+def test_rank_machinery_edge_cases(spark):
+    """Empty input and single-row input through with_global_rank and
+    grouped_quantiles_exact — the degenerate shapes a refactor most
+    easily breaks."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from project_2_semantic_similarity_spark.operators.rank import (
+        grouped_quantiles_exact, with_global_rank)
+
+    schema = "g string, v double"
+    empty = spark.createDataFrame([], schema)
+    assert with_global_rank(
+        empty, [F.col("v").asc()], rank_col="rn").count() == 0
+    assert grouped_quantiles_exact(
+        empty, "g", "v", {"q5": 0.5}).count() == 0
+
+    one = spark.createDataFrame(pd.DataFrame(
+        {"g": ["a"], "v": [3.5]}))
+    rows = with_global_rank(
+        one, [F.col("v").asc()], rank_col="rn",
+        with_total="n").collect()
+    assert [(r["rn"], r["n"]) for r in rows] == [(1, 1)]
+    q = grouped_quantiles_exact(one, "g", "v",
+                                {"q0": 0.0, "q5": 0.5, "q1": 1.0})
+    assert [(r["q0"], r["q5"], r["q1"]) for r in q.collect()] \
+        == [(3.5, 3.5, 3.5)]
