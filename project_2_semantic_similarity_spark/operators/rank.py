@@ -111,8 +111,13 @@ def grouped_quantiles_exact(
     One range shuffle over the data + metadata-sized joins — the
     shape survives any scale; memory per task is a partition of
     scalar rows. ``qs``: output column name -> quantile fraction."""
-    sel = df.select(F.col(group_col).alias("_g"),
-                    F.col(val_col).cast("double").alias("_v"))
+    # NULL values are ignored, matching SQL percentile/quantile_cont;
+    # a group whose values are ALL null emits no row (the aggregate
+    # builtins would emit a NULL-valued row — callers needing that
+    # degenerate shape should left-join groups back)
+    sel = (df.select(F.col(group_col).alias("_g"),
+                     F.col(val_col).cast("double").alias("_v"))
+           .filter(F.col("_v").isNotNull()))
     ranked = with_global_rank(
         sel, [F.col("_g").asc(), F.col("_v").asc()],
         rank_col="_r", num_partitions=num_partitions)

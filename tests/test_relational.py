@@ -293,3 +293,27 @@ def test_rank_machinery_edge_cases(spark):
                                 {"q0": 0.0, "q5": 0.5, "q1": 1.0})
     assert [(r["q0"], r["q5"], r["q1"]) for r in q.collect()] \
         == [(3.5, 3.5, 3.5)]
+
+
+def test_grouped_quantiles_ignore_nulls(spark):
+    """NULL values must be ignored (SQL percentile semantics), not
+    ranked — a NULL sorting first/last would shift every bracket."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from project_2_semantic_similarity_spark.operators.rank import (
+        grouped_quantiles_exact)
+
+    pdf = pd.DataFrame({
+        "g": ["a"] * 5 + ["b"] * 3,
+        "v": [1.0, None, 3.0, None, 5.0, 2.0, None, 4.0],
+    })
+    df = spark.createDataFrame(pdf)
+    got = {r["g"]: r["q5"]
+           for r in grouped_quantiles_exact(
+               df, "g", "v", {"q5": 0.5}).collect()}
+    want = {r["g"]: r["q5"]
+            for r in df.groupBy("g").agg(
+                F.expr("percentile(v, 0.5)").alias("q5")).collect()}
+    assert got == want == {"a": 3.0, "b": 3.0}
