@@ -284,8 +284,9 @@ def _docsim_dense_block_gemm(vecs: DataFrame, k: int,
                 out_a.extend(lo)
                 out_b.extend(hi)
                 out_s.extend(sim)
-            yield pd.DataFrame({"doc_a": out_a, "doc_b": out_b,
-                                "similarity": out_s})
+            if out_a:
+                yield pd.DataFrame({"doc_a": out_a, "doc_b": out_b,
+                                    "similarity": out_s})
 
     sims = paired.mapInPandas(
         block_pair_topk,
@@ -549,8 +550,9 @@ def _docsim_ann_bucket_gemm(buckets: DataFrame, vecs: DataFrame,
                 out_a.extend(lo)
                 out_b.extend(hi)
                 out_s.extend(sim)
-            yield pd.DataFrame({"doc_a": out_a, "doc_b": out_b,
-                                "similarity": out_s})
+            if out_a:
+                yield pd.DataFrame({"doc_a": out_a, "doc_b": out_b,
+                                    "similarity": out_s})
 
     survivors = blocks.mapInPandas(
         block_topk, schema="doc_a string, doc_b string, similarity double")
