@@ -1197,6 +1197,12 @@ SELECT * FROM (
 """,
 )
 def win_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window functions per order status — this query's POINT
+    is the builtin window surface (row_number/rank/dense_rank/ntile
+    in one frame). Scale note: partitioning by a 3-value key means
+    three giant window partitions at 100×; the skew-safe alternatives
+    are declared beside it (`topk_per_group` for the rn≤5 cut,
+    operators/rank.py for exact ntile without a per-key sort)."""
     o = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderstatus").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey"))
@@ -1542,7 +1548,14 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions — ntile/percent_rank/cume_dist
     per order status. The unique o_orderkey tie-break makes every
     rank deterministic (percent_rank over a float key alone could
-    reorder ties across engines)."""
+    reorder ties across engines).
+
+    Scale note: the 3-value partition key means three giant window
+    partitions at 100× — the declared demo of the distribution-fn
+    surface. The scale-safe route to the same quantile scores is the
+    rank machinery (operators/rank.py: per-group rank + closed-form
+    ntile / rank-over-count for percent_rank), as `orders_rfm` and
+    `agg_percentile` do."""
     o = load_table(spark, sf_dir, "orders")
     w = (Window.partitionBy("o_orderstatus")
          .orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc()))
