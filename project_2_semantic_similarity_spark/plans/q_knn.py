@@ -1280,9 +1280,16 @@ def knn_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JL_OUT_DIM = 16
 _JL_PLANES = S.hyperplanes_rademacher(_DIM, _JL_OUT_DIM, seed=42)
-_JL_PROJ_SQL = "[" + ",\n        ".join(
-    f"round(list_dot_product(emb, {plane_sql_literal(p)}) / 4.0, 6)"
-    for p in _JL_PLANES) + "]"
+# One SELECT per output dimension, UNION ALL'd: the oracle re-derives
+# every projected component from the exact plane literals, emitted as
+# (vec_id, dim_idx, component) SCALAR rows — the driver's
+# canonicalizer hashes scalars only (CORRECTNESS_r06: the ArrayType
+# form was un-hashable), so the array stays an internal shape.
+_JL_COMPONENT_SELECTS = "\nUNION ALL\n".join(
+    f"SELECT vec_id, {i} AS dim_idx,\n"
+    f"       round(list_dot_product(emb, {plane_sql_literal(p)})"
+    f" / 4.0, 6) AS component\nFROM e"
+    for i, p in enumerate(_JL_PLANES))
 
 
 @query(
@@ -1291,9 +1298,7 @@ _JL_PROJ_SQL = "[" + ",\n        ".join(
 WITH e AS (
     SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
 )
-SELECT vec_id,
-       {_JL_PROJ_SQL} AS projected
-FROM e
+{_JL_COMPONENT_SELECTS}
 """,
 )
 def embedding_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1305,7 +1310,10 @@ def embedding_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes each output component; the pairwise
     distance-distortion bound is pinned in tests/test_dedup_knn.py.
     Plan shape: out_dim literal-array dot products in one narrow
-    projection — zero shuffle at any scale.
+    projection, posexploded to (vec_id, dim_idx, component) scalar
+    rows — still zero shuffle at any scale, and the flat form is
+    what the driver's canonicalizer can hash (top-level ArrayType
+    columns are not driver-hashable; see tests/test_registry.py).
 
     Deliberately NOT composed into a kNN candidate stage here: JL
     preserves pairwise DISTANCES within (1 +/- eps), eps ~
@@ -1319,6 +1327,6 @@ def embedding_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
                         dim=_DIM, out_dim=_JL_OUT_DIM, seed=42)
     return proj.select(
         "vec_id",
-        F.transform("projected", lambda x: F.round(x, 6))
-        .alias("projected"))
+        F.posexplode(F.transform("projected", lambda x: F.round(x, 6)))
+        .alias("dim_idx", "component"))
 

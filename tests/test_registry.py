@@ -61,6 +61,32 @@ def test_every_changed_name_is_declared():
     assert not missing, f"_CHANGED_THIS_ROUND names not declared: {missing}"
 
 
+def test_all_query_outputs_are_driver_hashable(spark, sf_dir):
+    """The driver's correctness canonicalizer factorizes result cells
+    via pandas and cannot hash container values — a top-level
+    Array/Map/Struct column makes the query's CORRECTNESS row an
+    `err`, never a pass (discovered by `embedding_jl_project` in
+    round 6: `TypeError: unhashable type: 'list'`). Enforce the
+    output contract for EVERY registered query: containers are fine
+    inside a plan, but the returned schema must be scalar-only —
+    explode to rows or array_join before returning."""
+    from pyspark.sql import types as T
+
+    registry.load_all()
+    offenders = {}
+    for name, fn in registry.QUERIES.items():
+        schema = fn(spark, sf_dir).schema
+        bad = [f"{f.name}:{f.dataType.simpleString()}"
+               for f in schema.fields
+               if isinstance(f.dataType,
+                             (T.ArrayType, T.MapType, T.StructType))]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        "queries returning driver-unhashable container columns: "
+        f"{offenders}")
+
+
 def test_source_fingerprint_sees_nested_part_files(tmp_path):
     """Rewriting a part-file INSIDE a partition subdirectory must
     change the fingerprint (the subdir's own size/mtime may not)."""
