@@ -118,6 +118,13 @@ def grouped_quantiles_exact(
     sel = (df.select(F.col(group_col).alias("_g"),
                      F.col(val_col).cast("double").alias("_v"))
            .filter(F.col("_v").isNotNull()))
+    # (_g, _v) is NOT a unique ordering — with_global_rank's contract
+    # — so tied rows get nondeterministic rank ASSIGNMENT among
+    # themselves. Tolerable HERE ONLY because tied values are
+    # interchangeable for quantiles: whichever tied row lands on a
+    # bracketing rank contributes the same _v. Do not copy this call
+    # shape for rank-identity uses; add a unique tie-break key (as
+    # sort_multi/orders_rfm do) when the rank itself is output.
     ranked = with_global_rank(
         sel, [F.col("_g").asc(), F.col("_v").asc()],
         rank_col="_r", num_partitions=num_partitions)

@@ -795,10 +795,11 @@ def cosine_pairs_lsh(embeddings: DataFrame, min_cosine: float,
     occupancy (L·n·dim bytes through the groupBy), never attached to
     pair rows (pairs·dim — the fold variant moved ~1.5M candidate
     pairs × 2×64 doubles through two joins at sf0.1, ~10s of its
-    15.7s wall), and the cross-table DISTINCT runs on the few pairs
-    that SURVIVE the threshold, not on every candidate. Duplicate
-    survivors are bit-identical across tables (same float64 matmul
-    on the same vectors), so the output distinct is exact. Same
+    15.7s wall), and the cross-table duplicate collapse (max cosine
+    per pair — the same pair's gram matrices differ in SHAPE across
+    tables, so dgemm summation order, and thus the last ulp, may
+    differ; .distinct() would need bit-identical floats) runs on
+    the few pairs that SURVIVE the threshold, not per candidate. Same
     dense-vector-math exception to "UDFs are the slow path" as
     ``cosine_pairs_blocked_gemm``; float64 accumulation-order noise
     vs the fold is ~1e-15 relative, absorbed by 6-dp rounding (same
@@ -868,9 +869,18 @@ def cosine_pairs_lsh(embeddings: DataFrame, min_cosine: float,
                     "cosine": np.concatenate(out_c),
                 })
 
-    return blocks.mapInPandas(
+    # A pair can surface from several tables whose buckets hold
+    # different vector subsets, so the BLAS gram matrices differ in
+    # shape — dgemm summation order (and thus the cosine's last ulp)
+    # can differ per occurrence. Collapse duplicates with max-per-pair
+    # rather than .distinct(), which would rely on bit-identical
+    # floats across differently-shaped products (same ulp-collapse as
+    # _docsim_ann_bucket_gemm).
+    return (blocks.mapInPandas(
         bucket_gemm, schema=f"vec_a {id_type}, vec_b {id_type}, "
-                            "cosine double").distinct()
+                            "cosine double")
+        .groupBy("vec_a", "vec_b")
+        .agg(F.max("cosine").alias("cosine")))
 
 
 def nearest_centroid_per_label(embeddings: DataFrame,

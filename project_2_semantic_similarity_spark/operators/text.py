@@ -288,9 +288,12 @@ def _docsim_dense_block_gemm(vecs: DataFrame, k: int,
                 yield pd.DataFrame({"doc_a": out_a, "doc_b": out_b,
                                     "similarity": out_s})
 
+    # id column type follows the input (as cosine_pairs_lsh does) —
+    # a bigint doc_id corpus must not be silently coerced to string
+    id_type = dict(vecs.dtypes)["doc_id"]
     sims = paired.mapInPandas(
         block_pair_topk,
-        schema="doc_a string, doc_b string, similarity double")
+        schema=f"doc_a {id_type}, doc_b {id_type}, similarity double")
     if round_to is not None:
         sims = sims.select("doc_a", "doc_b",
                            F.round("similarity", round_to)
@@ -554,8 +557,10 @@ def _docsim_ann_bucket_gemm(buckets: DataFrame, vecs: DataFrame,
                 yield pd.DataFrame({"doc_a": out_a, "doc_b": out_b,
                                     "similarity": out_s})
 
+    id_type = dict(vecs.dtypes)["doc_id"]
     survivors = blocks.mapInPandas(
-        block_topk, schema="doc_a string, doc_b string, similarity double")
+        block_topk,
+        schema=f"doc_a {id_type}, doc_b {id_type}, similarity double")
     sims = survivors.groupBy("doc_a", "doc_b").agg(
         F.max("similarity").alias("similarity"))
     if round_to is not None:

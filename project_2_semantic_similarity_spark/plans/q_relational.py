@@ -1587,15 +1587,20 @@ def sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallel per-partition sorts, and a broadcast n_partitions-row
     offset table — NOT a partition-less window, which would exchange
     the whole relation to one task (the r5 VERDICT's last remaining
-    single-partition sort)."""
+    single-partition sort).
+
+    Ranks on the RAW c_acctbal (the oracle's window orders by the
+    raw column too); round(.., 2) is display-only, applied in the
+    output projection — ranking on the rounded value would reorder
+    ties on any source with more than 2dp of precision."""
     c = load_table(spark, sf_dir, "customer")
     keys = [F.asc("c_nationkey"), F.desc("c_acctbal"),
             F.asc("c_custkey")]
     return with_global_rank(
-        c.select("c_custkey", "c_nationkey",
-                 F.round("c_acctbal", 2).alias("c_acctbal")),
+        c.select("c_custkey", "c_nationkey", "c_acctbal"),
         keys, rank_col="rn",
-    ).select("c_custkey", "c_nationkey", "c_acctbal", "rn")
+    ).select("c_custkey", "c_nationkey",
+             F.round("c_acctbal", 2).alias("c_acctbal"), "rn")
 
 
 @query(

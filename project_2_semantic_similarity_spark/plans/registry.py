@@ -52,28 +52,19 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # change is in fact result-preserving).
 _CHANGED_THIS_ROUND = frozenset(
     {
-        # round 6: oracles for these six were upgraded rows-only ->
-        # full DuckDB hash late in round 5, AFTER their last driver
-        # window — force their first driver check against the full
-        # oracles now (r5 VERDICT #4; three of them sit too deep in
-        # the staleness order to make a 50-name window otherwise)
-        "dedup_simhash",
-        "knn_lsh",
+        # round 7: output flattened Array -> (vec_id, dim_idx,
+        # component) scalar rows + per-dimension UNION ALL oracle
+        # (the r6 driver `err` fix) — needs its FIRST green driver
+        # row ever
+        "embedding_jl_project",
+        # round 7: cross-table duplicate collapse in cosine_pairs_lsh
+        # changed .distinct() -> max-per-pair (result-preserving on
+        # this BLAS build; the driver hash is the independent check)
         "dedup_embedding_cosine_lsh",
-        "cluster_kmeans",
-        "text_doc_similarity_ann",
-        "knn_ivf_trained",
-        # round 6: global-window plans replaced by range-partitioned
-        # rank machinery (result-preserving — driver hash is the
-        # independent check; r5 VERDICT #2/#3)
-        "orders_rfm",
+        # round 7: ranks on raw c_acctbal with round(,2) moved to the
+        # output projection (result-preserving on 2dp TPC-H data —
+        # driver hash is the independent check)
         "sort_multi",
-        # round 6: buffer-collecting percentile builtin replaced by
-        # the rank machinery's exact bracketing plan; LSH re-check
-        # engines swapped to bucket-local BLAS (result-preserving)
-        "agg_percentile",
-        "dedup_embedding_cosine_lsh",
-        "text_doc_similarity",
     }
 )
 
