@@ -108,6 +108,7 @@ def registry_sweep(run, qs: dict, repo_root: str) -> dict:
     stdout line. Single-pass timings: a coarse regression tripwire,
     not a steady-state figure — the headline set keeps the
     median-of-5 protocol."""
+    loadavg_start = [round(x, 2) for x in os.getloadavg()]
     times: dict[str, float] = {}
     errs: list[str] = []
     for name in qs:
@@ -159,6 +160,8 @@ def registry_sweep(run, qs: dict, repo_root: str) -> dict:
         "total_sec": total,
         "queries": times,
         "vs_prev": vs_prev,
+        "loadavg_start": loadavg_start,
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
     }
     path = os.path.join(repo_root, f"BENCH_SWEEP_r{this_round:02d}.json")
     with open(path, "w") as fh:
@@ -295,6 +298,11 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     repo_root = os.path.dirname(os.path.abspath(__file__))
     sys.path.insert(0, repo_root)
+    # machine-load context: the r6 warm medians drifted +10% across
+    # ALL queries with untouched code — concurrent probes on the same
+    # box, not plan regressions. Record the 1/5/15-min load averages
+    # so a uniform drift can be attributed (or ruled out) next time.
+    loadavg_start = [round(x, 2) for x in os.getloadavg()]
 
     import __spark_entry__ as e
     from project_2_semantic_similarity_spark.session import get_spark
@@ -390,6 +398,8 @@ def main() -> int:
         "vs_prev": vs_prev,
         "staging_sec": round(staging_sec, 3),
         "session_startup_sec": round(session_startup, 3),
+        "loadavg_start": loadavg_start,
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
     }
     with open(os.path.join(repo_root, "BENCH_DETAIL.json"), "w") as fh:
         json.dump(detail, fh, indent=1)

@@ -639,11 +639,34 @@ def corpus_prep_pipeline_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_round5_ops.py pins their equality on the fixture
     corpus at the driver's SFs, making the shared oracle a stable
     check rather than a probabilistic one."""
+    return _prep_lsh_survivors(spark, sf_dir)
+
+
+def _prep_lsh_survivors(spark: SparkSession, sf_dir: str,
+                        stage_to: str | None = None) -> DataFrame:
+    """The LSH prep pipeline's shared plan. ``stage_to=None`` (the
+    query path) keeps the whole pipeline one lazy plan with
+    keyed_persist slots for the reused relations. ``stage_to=<dir>``
+    is the SCALE path: every wide stage boundary (kept docs,
+    shingles, signatures, candidates, near-dup losers) is
+    materialized to parquet via checkpoint_parquet, so peak local
+    scratch is one stage's shuffle — not the >77 GB concurrent sum
+    the r6 10M-doc probe hit (SCALE.md; r6 VERDICT #6) — and each
+    boundary doubles as a restart point for a failed downstream
+    stage on a real cluster."""
+    import os
+
     from project_2_semantic_similarity_spark.operators import dedup as D
     from project_2_semantic_similarity_spark.operators.cache import (
-        keyed_persist)
+        checkpoint_parquet, keyed_persist)
     from project_2_semantic_similarity_spark.sources.tables import (
         source_fingerprint)
+
+    def stage(name: str, build):
+        if stage_to is not None:
+            return checkpoint_parquet(build(),
+                                      os.path.join(stage_to, name))
+        return build()
 
     docs = load_table(spark, sf_dir, "documents")
     scored = docs.select(
@@ -651,26 +674,35 @@ def corpus_prep_pipeline_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         TA.n_tokens(F.col("text")).alias("n_tokens"),
         F.round(TA.quality_score(F.col("text")), 6).alias("quality"),
     )
-    key = (sf_dir, source_fingerprint(sf_dir, "documents"))
-    kept = keyed_persist(
-        "prep_kept", key,
-        lambda: scored.filter(
+
+    def build_kept():
+        return scored.filter(
             (F.col("quality") >= _PREP_MIN_QUALITY)
-            & (F.col("n_tokens") >= _PREP_MIN_TOKENS)))
+            & (F.col("n_tokens") >= _PREP_MIN_TOKENS))
+
+    if stage_to is not None:
+        kept = stage("kept", build_kept)
+        sh = stage("shingles",
+                   lambda: D.shingles(kept.select("doc_id", "text")))
+    else:
+        key = (sf_dir, source_fingerprint(sf_dir, "documents"))
+        kept = keyed_persist("prep_kept", key, build_kept)
+        sh = keyed_persist(
+            "prep_kept_shingles", key,
+            lambda: D.shingles(kept.select("doc_id", "text")))
     exact_winners = D.exact_dedup(kept.select("doc_id", "text")) \
         .select("doc_id")
-    sh = keyed_persist(
-        "prep_kept_shingles", key,
-        lambda: D.shingles(kept.select("doc_id", "text")))
     variant = D.select_minhash_variant_from_docs(kept)
-    sigs = D.minhash_signatures(sh, num_hashes=64, seed=42,
-                                variant=variant, hash_family="portable")
-    cands = D.minhash_lsh_candidates(sigs, num_hashes=64, bands=16)
-    near_losers = (
+    sigs = stage("sigs", lambda: D.minhash_signatures(
+        sh, num_hashes=64, seed=42, variant=variant,
+        hash_family="portable"))
+    cands = stage("cands", lambda: D.minhash_lsh_candidates(
+        sigs, num_hashes=64, bands=16))
+    near_losers = stage("near_losers", lambda: (
         D.jaccard_on_pairs(cands, sh)
         .filter(F.col("jaccard") >= _PREP_MIN_JACCARD)
         .select(F.col("doc_b").alias("doc_id")).distinct()
-    )
+    ))
     return (
         kept.select("doc_id", "quality")
         .join(exact_winners, "doc_id", "left_semi")

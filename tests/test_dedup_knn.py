@@ -705,6 +705,63 @@ def test_ppm_roundtrip_and_header_variants():
         decode_ppm(b"P6\n2 2\n255\n\x00\x00")       # truncated raster
 
 
+def test_wav_roundtrip_and_chunk_variants():
+    """decode_wav is a real RIFF parser: round-trips encode_wav
+    output (mono and stereo), skips unknown subchunks with odd-size
+    padding per spec, and rejects malformed / non-PCM16 input."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from project_2_semantic_similarity_spark.operators.multimodal import (
+        decode_wav, encode_wav)
+
+    rng = np.random.default_rng(7)
+    mono = rng.integers(-2048, 2048, size=21, dtype=np.int16)
+    rate, ch, out = decode_wav(encode_wav(mono, sample_rate=16000))
+    assert (rate, ch) == (16000, 1)
+    assert np.array_equal(out[:, 0], mono)
+
+    stereo = rng.integers(-2048, 2048, size=(9, 2), dtype=np.int16)
+    rate2, ch2, out2 = decode_wav(encode_wav(stereo))
+    assert (rate2, ch2) == (8000, 2)
+    assert np.array_equal(out2, stereo)
+
+    # spec-legal: an unknown odd-sized LIST chunk between fmt and
+    # data, padded to even length — the parser must skip it
+    payload = encode_wav(mono)
+    fmt_end = payload.index(b"data")
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+    hand = payload[:fmt_end] + extra + payload[fmt_end:]
+    hand = hand[:4] + struct.pack("<I", len(hand) - 8) + hand[8:]
+    rate3, _, out3 = decode_wav(hand)
+    assert rate3 == 8000 and np.array_equal(out3[:, 0], mono)
+
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFX\x00\x00\x00\x00WAVE")     # wrong magic
+    with pytest.raises(ValueError):
+        decode_wav(encode_wav(mono)[:-2])           # truncated data
+    eight_bit = bytearray(encode_wav(mono))
+    eight_bit[34] = 8                               # bits=8 in fmt
+    with pytest.raises(ValueError, match="PCM16"):
+        decode_wav(bytes(eight_bit))
+
+
+def test_decode_audio_rejects_non_wav(spark):
+    import pandas as pd
+    import pytest
+
+    from project_2_semantic_similarity_spark.operators.multimodal import (
+        decode_audio)
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "payload": [b"\xffmp3"],
+                      "media_type": ["audio/mpeg"]}))
+    with pytest.raises(Exception, match="no codec"):
+        decode_audio(df).collect()
+
+
 def test_decode_image_rejects_non_ppm(spark):
     import pandas as pd
     import pytest

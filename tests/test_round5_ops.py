@@ -274,6 +274,25 @@ def test_prep_pipeline_lsh_equals_exact_pipeline(spark, sf_dir):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+def test_prep_pipeline_staged_equals_lazy(spark, sf_dir, tmp_path):
+    """The scratch-bounded scale path (parquet checkpoints at every
+    wide stage boundary — r6 VERDICT #6) must be a pure physical
+    rewrite: identical survivor rows to the single-lazy-plan query
+    path."""
+    from project_2_semantic_similarity_spark.plans.q_textlab import (
+        _prep_lsh_survivors, corpus_prep_pipeline_lsh)
+    lazy = corpus_prep_pipeline_lsh(spark, sf_dir)
+    staged = _prep_lsh_survivors(spark, sf_dir,
+                                 stage_to=str(tmp_path / "stages"))
+    assert lazy.exceptAll(staged).count() == 0
+    assert staged.exceptAll(lazy).count() == 0
+    # the boundary artifacts actually landed (the mechanism, not
+    # just the answer)
+    import os
+    assert {"kept", "shingles", "sigs", "cands", "near_losers"} <= \
+        set(os.listdir(tmp_path / "stages"))
+
+
 def test_kmv_estimate_within_bound_and_union_sane(spark, sf_dir):
     """KMV(64) relative error is ~1/sqrt(k-1) ≈ 12.6%; allow 3x.
     The merged union estimate must be >= each side's true count lower

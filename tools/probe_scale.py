@@ -27,6 +27,7 @@ figure SCALE.md quotes)."""
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 import urllib.request
@@ -178,6 +179,18 @@ def main() -> None:
             cnt = n
         elif name == "flagship_probe":
             cnt = flagship_probe(spark, out).count()
+        elif name == "corpus_prep_pipeline_lsh_staged":
+            # scale path: parquet stage boundaries bound peak local
+            # scratch to one stage's shuffle (r6 VERDICT #6)
+            import shutil
+
+            from project_2_semantic_similarity_spark.plans.q_textlab \
+                import _prep_lsh_survivors
+
+            scratch = os.path.join(out, "_prep_stages")
+            cnt = _prep_lsh_survivors(spark, out,
+                                      stage_to=scratch).count()
+            shutil.rmtree(scratch, ignore_errors=True)
         else:
             cnt = QUERIES[name](spark, out).count()
         wall = time.time() - t
