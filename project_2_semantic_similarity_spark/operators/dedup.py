@@ -55,6 +55,34 @@ def normalize_text(col):
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
 
 
+def canonical_url(col):
+    """URL canonicalization for source-level dedup of a web crawl —
+    the same page is typically fetched under many spellings. Applied
+    transforms (each a standard crawl-dedup rule):
+
+      1. drop the fragment (``#...`` never reaches the server);
+      2. drop ``utm_*`` tracking params, preserving all others
+         (two regexp passes: a leading run of ``?utm_x&...``
+         keeps the ``?`` for the next real param, then any remaining
+         ``[?&]utm_x``);
+      3. lowercase the scheme+authority (case-insensitive per RFC
+         3986) and strip default ports ``:443``/``:80`` — path/query
+         case is PRESERVED (significant on most servers);
+      4. strip one trailing slash.
+
+    Pure JVM regexp/string Columns — narrow, codegen'd, no Python in
+    the row path; an oracle reproduces it with the same regexes."""
+    u = F.regexp_replace(col, "#.*$", "")
+    u = F.regexp_replace(u, r"\?(utm_[^&#]*&)+", "?")
+    u = F.regexp_replace(u, r"[?&]utm_[^&#]*", "")
+    auth = F.regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    rest = u.substr(F.length(auth) + F.lit(1),
+                    F.length(u) - F.length(auth))
+    return F.concat(
+        F.regexp_replace(F.lower(auth), ":(443|80)$", ""),
+        F.regexp_replace(rest, "/$", ""))
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Keep one row per distinct normalized text (lowest id wins —

@@ -99,6 +99,93 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "content_hash")
 
 
+@query(
+    "dedup_url",
+    oracle="""
+WITH raw AS (
+    SELECT doc_id,
+           'HTTPS://WWW.EXAMPLE' || (doc_id % 5) || '.COM'
+           || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END
+           || '/docs/' || (doc_id % 250)
+           || CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END
+           || CASE WHEN doc_id % 4 = 0
+                   THEN '?utm_source=rss&utm_medium=feed' ELSE '' END
+           || CASE WHEN doc_id % 5 = 2
+                   THEN '#section-' || (doc_id % 7) ELSE '' END
+               AS url
+    FROM documents
+),
+noutm AS (
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(url, '#.*$', '', 'g'),
+                   '\\?(utm_[^&#]*&)+', '?', 'g'),
+               '[?&]utm_[^&#]*', '', 'g') AS u
+    FROM raw
+),
+parts AS (
+    SELECT doc_id, u,
+           regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)
+               AS auth
+    FROM noutm
+),
+canon AS (
+    SELECT doc_id,
+           regexp_replace(lower(auth), ':(443|80)$', '', 'g')
+           || regexp_replace(substr(u, length(auth) + 1), '/$', '', 'g')
+               AS canonical_url
+    FROM parts
+)
+SELECT canonical_url,
+       CAST(count(*) AS BIGINT) AS n_dups,
+       min(doc_id) AS keep_doc_id
+FROM canon
+GROUP BY canonical_url
+""",
+)
+def dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level (URL) dedup — the web-crawl counterpart of
+    content dedup: the same page arrives under many URL spellings
+    (case-shifted host, explicit default port, tracking params,
+    fragments, trailing slash), and collapsing on the CANONICAL form
+    (operators/dedup.py canonical_url) dedups fetches before any
+    text is even compared. The corpus has no URL column, so each doc
+    is deterministically decorated with a synthetic raw URL derived
+    from doc_id exercising every rule; the oracle applies the same
+    decoration + regex pipeline. Keeps min(doc_id) per canonical
+    URL.
+
+    Scale shape: canonicalization is a narrow codegen'd regex map;
+    the collapse is one hash agg on the canonical key with map-side
+    partials — no window, no join; at crawl scale the canonical key
+    is also the natural bucketing column for the fetch-log table."""
+    d = F.col("doc_id")
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://WWW.EXAMPLE"), (d % 5).cast("string"),
+            F.lit(".COM"),
+            F.when(d % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+            F.lit("/docs/"), (d % 250).cast("string"),
+            F.when(d % 2 == 1, F.lit("/")).otherwise(F.lit("")),
+            F.when(d % 4 == 0,
+                   F.lit("?utm_source=rss&utm_medium=feed"))
+            .otherwise(F.lit("")),
+            F.when(d % 5 == 2,
+                   F.concat(F.lit("#section-"), (d % 7).cast("string")))
+            .otherwise(F.lit("")),
+        ).alias("url"))
+    return (
+        raw.select("doc_id", D.canonical_url(F.col("url"))
+                   .alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.count("*").alias("n_dups"),
+             F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
 _CONTAIN_MIN = 0.8
 
 

@@ -705,6 +705,30 @@ def test_ppm_roundtrip_and_header_variants():
         decode_ppm(b"P6\n2 2\n255\n\x00\x00")       # truncated raster
 
 
+def test_canonical_url_rules(spark):
+    """canonical_url is a generic crawl canonicalizer, not a fixture
+    trick: non-tracking params survive (in order), multiple utm
+    params all drop, default ports strip but explicit ones stay,
+    path/query case is preserved while host case is not."""
+    from project_2_semantic_similarity_spark.operators.dedup import (
+        canonical_url)
+
+    cases = [
+        ("HTTP://Example.COM:80/A/B?id=7&utm_s=x#f",
+         "http://example.com/A/B?id=7"),
+        ("https://e.com/p?utm_a=1&utm_b=2&q=Z",
+         "https://e.com/p?q=Z"),
+        ("https://e.com:8443/p/",
+         "https://e.com:8443/p"),
+        ("https://E.com/CaseKept?X=Y",
+         "https://e.com/CaseKept?X=Y"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    got = [r.c for r in
+           df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == [want for _, want in cases]
+
+
 def test_wav_roundtrip_and_chunk_variants():
     """decode_wav is a real RIFF parser: round-trips encode_wav
     output (mono and stereo), skips unknown subchunks with odd-size
