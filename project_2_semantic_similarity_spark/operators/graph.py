@@ -60,7 +60,7 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     cached = (
         edges.select(F.col("u").alias("node")).distinct()
         .withColumn("label", F.col("node"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     labels = cached
     try:
@@ -73,6 +73,13 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
                 .groupBy(F.col("u").alias("node"))
                 .agg(F.min("label").alias("nbr_label"))
             )
+            # localCheckpoint, not persist: one round references the
+            # label relation twice, so a merely-persisted chain grows
+            # the LOGICAL plan 2^rounds — past ~10 rounds the
+            # analyzer/AQE explain machinery (not the data) OOMs.
+            # Checkpointing resets the plan to a LogicalRDD leaf
+            # each round; the previous round's block is released
+            # eagerly below.
             stepped = (
                 labels.withColumnRenamed("label", "old_label")
                 .join(neighbor_min, "node", "left")
@@ -84,23 +91,23 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
                                    F.col("old_label")),
                     ).alias("label"),
                 )
-                .persist()
+                .localCheckpoint(eager=True)
             )
             n_changed = stepped.filter(
                 F.col("label") != F.col("old_label")).count()
-            cached.unpersist()
+            _release_local_checkpoint(cached)
             cached = stepped
             labels = stepped.select("node", "label")
             if n_changed == 0:
-                # Materialize off the per-round cache chain so the
-                # last persisted relation can be released too.
+                # Materialize off the per-round checkpoint chain so
+                # the last per-round block can be released too.
                 return labels.select(
                     "node", F.col("label").alias("component_id"),
                 ).localCheckpoint(eager=True)
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} rounds")
     finally:
-        cached.unpersist()
+        _release_local_checkpoint(cached)
         edges.unpersist()
 
 
@@ -176,3 +183,108 @@ def pagerank_weighted(wedges: DataFrame, nodes: DataFrame | None = None,
     wedges.unpersist()
     nodes.unpersist()
     return result
+
+
+def connected_components_star(pairs: DataFrame, src: str = "doc_a",
+                              dst: str = "doc_b",
+                              max_rounds: int = 15) -> DataFrame:
+    """Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the scale path for HIGH-DIAMETER graphs, where the
+    min-label propagation above (connected_components) needs
+    O(diameter) shuffle rounds but star alternation provably
+    converges in O(log^2 n) (O(log n) in practice): each round
+    rewires every node toward its neighborhood minimum, halving
+    chain depth instead of walking it.
+
+    Edge relation is kept canonical as (a, b) with a > b under the
+    id column's natural ordering; both operations are one hash
+    aggregation (per-node min) plus one equi-join back — shuffle
+    partitioned by node id, volume bounded by the live edge count,
+    which is non-increasing across rounds. Convergence is a
+    subtract-emptiness probe per round (metadata-sized driver
+    actions only). Each round's edge relation is
+    localCheckpoint-materialized, NOT merely persisted: one star
+    round references its input ~8 times (symmetric adjacency, two
+    joins, the convergence subtract), so without lineage truncation
+    the logical plan grows 8^rounds and the analyzer — not the data
+    — becomes the bottleneck (a 30-node chain overflowed the 2 GiB
+    plan-string cap). The previous round's checkpoint RDD is
+    released eagerly via its LogicalRDD handle (ContextCleaner
+    would get it eventually; eager release keeps the leak test's
+    accounting exact).
+
+    Returns (node, component_id), component_id = component min, for
+    every node incident to at least one edge. Raises RuntimeError if
+    not converged within max_rounds."""
+    canon = (
+        pairs.select(
+            F.greatest(F.col(src), F.col(dst)).alias("a"),
+            F.least(F.col(src), F.col(dst)).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edges = canon
+    try:
+        for _ in range(max_rounds):
+            # Large-star: every node u links its LARGER neighbors to
+            # min(N(u) ∪ {u}). Operates on the symmetric adjacency.
+            adj = edges.union(
+                edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+            lmins = adj.groupBy(F.col("a").alias("u")).agg(
+                F.min("b").alias("mn"))
+            large = (
+                adj.join(lmins, adj["a"] == lmins["u"])
+                .filter(F.col("b") > F.col("a"))
+                .select(F.col("b").alias("a"),
+                        F.least(F.col("mn"), F.col("u")).alias("b"))
+                .filter(F.col("a") != F.col("b"))
+                .distinct()
+            )
+            # Small-star: every node links its SMALLER-or-equal
+            # neighbors (canonical b-side) plus itself to their min.
+            smins = large.groupBy("a").agg(F.min("b").alias("m"))
+            stepped = (
+                large.join(smins, "a")
+                .filter(F.col("b") != F.col("m"))
+                .select(F.col("b").alias("a"), F.col("m").alias("b"))
+                .union(smins.select("a", F.col("m").alias("b")))
+                .filter(F.col("a") != F.col("b"))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                stepped.subtract(edges).limit(1).count() > 0
+                or edges.subtract(stepped).limit(1).count() > 0
+            )
+            _release_local_checkpoint(edges)
+            edges = stepped
+            if not changed:
+                # Fixed point: the edge relation is a disjoint union
+                # of stars centered at each component's minimum.
+                labels = edges.select(
+                    F.col("a").alias("node"),
+                    F.col("b").alias("component_id"),
+                ).union(edges.select(
+                    F.col("b").alias("node"),
+                    F.col("b").alias("component_id"),
+                )).distinct()
+                return labels.localCheckpoint(eager=True)
+        raise RuntimeError(
+            f"connected_components_star did not converge in "
+            f"{max_rounds} rounds")
+    finally:
+        _release_local_checkpoint(edges)
+
+
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Eagerly unpersist the RDD behind a localCheckpoint'd
+    DataFrame via its LogicalRDD handle. Best-effort: if the
+    internal shape ever changes, Spark's ContextCleaner reclaims
+    the block when the last reference drops — this just makes the
+    release deterministic instead of GC-timed."""
+    try:
+        df._jdf.queryExecution().optimizedPlan().rdd().unpersist(False)
+    except Exception:
+        pass

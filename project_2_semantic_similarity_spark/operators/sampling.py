@@ -195,3 +195,37 @@ def temperature_sample(
         df.join(F.broadcast(rates), stratum)
         .filter(u < F.col("rate"))
     )
+
+
+def weighted_sample_es(df: DataFrame, key: str, weight: Column,
+                       k: int, salt: str = "wsample") -> DataFrame:
+    """Deterministic weighted k-sample without replacement
+    (Efraimidis & Spirakis 2006, algorithm A-ES): each row draws a
+    uniform u from the portable md5 of its key and is ranked by
+    u^(1/w); the k largest keys form a weighted sample in which a
+    row's inclusion probability tracks its weight share. We rank by
+    the monotone transform ln(u)/w (one transcendental instead of
+    two; ordering identical), so the whole decision is reproducible
+    from the key alone — rerunning on any partitioning, any engine,
+    yields the same sample, the property a training-mixture draw
+    must have for auditability.
+
+    Scale shape: the u-draw is a narrow map; the selection is a
+    global top-k by es_key, which Spark executes as
+    TakeOrderedAndProject — per-partition k-heaps merged on the
+    driver, NOT a global sort shuffle; cost O(n + k log k), driver
+    memory O(k). Weights must be >= 1 (caller clamps); u in (0, 1]
+    by construction so ln(u) is finite and <= 0.
+
+    Returns (key, weight, es_key) for the k selected rows."""
+    from project_2_semantic_similarity_spark.operators.dedup import (
+        portable_hash60)
+    domain = float(1 << 60)
+    u = (portable_hash60(
+        F.concat(F.lit(salt + ":"), F.col(key).cast("string")))
+        .cast("double") + F.lit(1.0)) / F.lit(domain)
+    scored = df.select(
+        F.col(key),
+        weight.cast("double").alias("weight"),
+        (F.log(u) / weight.cast("double")).alias("es_key"))
+    return scored.orderBy(F.col("es_key").desc(), F.col(key)).limit(k)

@@ -227,3 +227,153 @@ def kmv_oracle_cte(source_sql: str, col: str, scope: str,
             FROM ({source_sql})
         )
     ) WHERE rn <= {k}"""
+
+
+_CMS_D = 4
+_CMS_W = 512
+
+
+def _cms_bucket(value_col, j_col, w: int):
+    """Bucket of one CMS hash row: portable 60-bit md5 of
+    'cms{j}:{value}' mod w — the row salt rides inside the hashed
+    string, so the d hash functions are independent md5 draws and any
+    md5-capable engine reproduces every bucket exactly."""
+    return F.pmod(
+        portable_hash60(F.concat(F.lit("cms"), j_col.cast("string"),
+                                 F.lit(":"), value_col)),
+        F.lit(w)).cast("int")
+
+
+def cms_sketch(df: DataFrame, col: str, d: int = _CMS_D,
+               w: int = _CMS_W) -> DataFrame:
+    """Count-min sketch counters ``(j, bucket, c)`` for ``col``
+    (Cormode & Muthukrishnan 2005): d independent hash rows of w
+    counters each; every input row increments one counter per hash
+    row.
+
+    Scale shape: the explode multiplies rows by d (a constant), then
+    ONE hash aggregation whose result relation is ≤ d·w rows no
+    matter the input size — the map side partially aggregates each
+    partition down to ≤ d·w (j, bucket) partials, so the shuffle is
+    O(d·w) per partition, the same mergeable-partial contract as
+    hll_distinct above. Merging sketches of two relations is
+    element-wise counter addition (union + re-aggregate of the
+    counter rows), never a revisit of the raw data."""
+    rows = df.select(F.col(col).cast("string").alias("v"))
+    salted = rows.select(
+        "v", F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("j"))
+    return (
+        salted.select("j", _cms_bucket(F.col("v"), F.col("j"), w)
+                      .alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+
+
+def cms_estimate(sketch: DataFrame, probes: DataFrame, key_col: str,
+                 d: int = _CMS_D, w: int = _CMS_W) -> DataFrame:
+    """Point frequency estimates for ``probes[key_col]`` from CMS
+    counter rows: min over the d counters a key hashes into — the
+    classic one-sided estimator (never under-counts; over-counts only
+    by collision mass). The join is (j, bucket)-equi against a ≤ d·w
+    row relation, so Spark broadcasts the sketch side and the probe
+    relation never shuffles."""
+    keyed = probes.select(F.col(key_col).alias("key")).withColumn(
+        "j", F.explode(F.sequence(F.lit(0), F.lit(d - 1))))
+    keyed = keyed.withColumn(
+        "bucket", _cms_bucket(F.col("key").cast("string"), F.col("j"), w))
+    return (
+        keyed.join(F.broadcast(sketch), ["j", "bucket"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0)))
+             .cast("bigint").alias("cms_count"))
+    )
+
+
+def cms_oracle_ctes(source_sql: str, col: str, d: int = _CMS_D,
+                    w: int = _CMS_W) -> str:
+    """DuckDB CTE bodies (``cms_vals``, ``cms_counters``) reproducing
+    cms_sketch bit-for-bit."""
+    return f"""
+cms_vals AS (
+    SELECT CAST({col} AS VARCHAR) AS v FROM ({source_sql})
+),
+cms_counters AS (
+    SELECT j,
+           CAST(('0x' || substr(md5('cms' || CAST(j AS VARCHAR) || ':' || v),
+                                1, 15))::BIGINT % {w} AS INTEGER) AS bucket,
+           count(*) AS c
+    FROM cms_vals
+    CROSS JOIN (SELECT unnest(generate_series(0, {d - 1})) AS j)
+    GROUP BY 1, 2
+)"""
+
+
+_BLOOM_K = 5
+_BLOOM_M_LOG2 = 13  # 8192 bits = 128 64-bit words
+
+
+def _bloom_bitpos(value_col, i: int, m: int):
+    """Bit position of hash row ``i``: portable md5 of
+    'bloom{i}:{value}' mod m."""
+    return F.pmod(
+        portable_hash60(F.concat(F.lit(f"bloom{i}:"), value_col)),
+        F.lit(m))
+
+
+def bloom_build(df: DataFrame, col: str, k: int = _BLOOM_K,
+                m_log2: int = _BLOOM_M_LOG2) -> list[int]:
+    """Bloom filter of ``col``'s values as a dense list of
+    2^m_log2 / 64 signed-long words, built distributed and collected
+    to the driver.
+
+    The collect is BIT-ARRAY-sized (m bits — here 1 KiB), never
+    data-sized: the groupBy("word") pre-aggregates every partition
+    down to ≤ m/64 (word, mask) partials, so this is exactly the
+    cost profile of building a broadcast-join hash table, which is
+    the role the filter plays (a broadcastable stand-in for the
+    small side's key set when even the key set is too wide to ship
+    row-by-row)."""
+    m = 1 << m_log2
+    pos = df.select(F.col(col).cast("string").alias("v")).select(
+        F.explode(F.array(*[
+            _bloom_bitpos(F.col("v"), i, m) for i in range(k)
+        ])).alias("p"))
+    words = (
+        pos.select((F.col("p") / 64).cast("int").alias("word"),
+                   (F.col("p") % 64).cast("int").alias("bit"))
+        .distinct()
+        .select("word", F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
+                .alias("mask"))
+        .groupBy("word").agg(F.bit_or("mask").alias("mask"))
+        .collect()
+    )
+    dense = [0] * (m // 64)
+    for r in words:
+        dense[r["word"]] = r["mask"]
+    return dense
+
+
+def bloom_might_contain(col, words: list[int], k: int = _BLOOM_K,
+                        m_log2: int = _BLOOM_M_LOG2):
+    """JVM-side membership test Column against a driver-held word
+    list: k portable-md5 bit probes ANDed together, the bit array
+    riding along as a constant-folded array literal (1 KiB — the
+    moral equivalent of a broadcast variable, but visible to
+    Catalyst). No Python runs per row; the whole predicate stays
+    inside whole-stage codegen."""
+    m = 1 << m_log2
+    arr = F.array(*[F.lit(int(x)).cast("long") for x in words])
+    test = F.lit(True)
+    for i in range(k):
+        p = _bloom_bitpos(col.cast("string"), i, m)
+        word = F.element_at(arr, (p / 64).cast("int") + 1)
+        test = test & _bit_test(word, (p % 64).cast("int"))
+    return test
+
+
+def _bit_test(word_col, bit_col):
+    """(word >> bit) & 1 = 1 with a COLUMN shift amount (the
+    functions.shiftright wrapper only accepts an int literal)."""
+    return (F.call_function("shiftright", word_col, bit_col)
+            .bitwiseAND(F.lit(1)) == F.lit(1))

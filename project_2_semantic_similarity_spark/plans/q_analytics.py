@@ -722,3 +722,50 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.col("n") - F.col("predicted")), 6)
             .alias("bias"))
     )
+
+
+@query(
+    "graph_cc_star",
+    oracle="""
+SELECT o_orderkey AS node, min_ok AS component_id
+FROM (
+    SELECT o_orderkey,
+           min(o_orderkey) OVER (PARTITION BY o_custkey) AS min_ok,
+           count(*) OVER (PARTITION BY o_custkey) AS n
+    FROM orders
+) t
+WHERE n >= 2
+""",
+)
+def graph_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    (operators/graph.py connected_components_star, Kiveris et al.
+    SoCC'14) — the O(log n)-round CC for HIGH-DIAMETER graphs, where
+    the min-label propagation behind dedup_clusters would need
+    O(diameter) shuffle rounds. Exercised on a graph that is
+    genuinely deep: each customer's orders linked in a chain
+    (order → next order by key), so a 25-order customer is a
+    25-node path, diameter 24 — label propagation needs 24 rounds,
+    star alternation ~5.
+
+    The oracle never runs the algorithm: on THIS graph the
+    component of every node is provably the per-customer minimum
+    order key (a chain connects exactly one customer's orders), so
+    one window aggregate states the expected fixed point and the
+    driver hash checks the generic iterative plan lands exactly
+    there — same oracle strategy as cluster_kmeans (independent
+    closed-form, not re-simulation)."""
+    from project_2_semantic_similarity_spark.operators.graph import (
+        connected_components_star)
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    chain = (
+        o.select("o_custkey", "o_orderkey",
+                 F.lead("o_orderkey").over(w).alias("nxt"))
+        .filter(F.col("nxt").isNotNull())
+    )
+    edges = chain.select(F.col("o_orderkey").alias("u"),
+                         F.col("nxt").alias("v"))
+    return connected_components_star(edges, "u", "v").select(
+        "node", "component_id")

@@ -2672,3 +2672,122 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / (F.col("na") * F.col("nb")).cast("double"), 6)
             .alias("lift"))
     )
+
+
+@query(
+    "agg_cms_portable",
+    oracle="""
+WITH
+cms_vals AS (
+    SELECT CAST(l_partkey AS VARCHAR) AS v FROM lineitem
+),
+cms_counters AS (
+    SELECT j,
+           CAST(('0x' || substr(md5('cms' || CAST(j AS VARCHAR) || ':' || v),
+                                1, 15))::BIGINT % 512 AS INTEGER) AS bucket,
+           count(*) AS c
+    FROM cms_vals
+    CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j)
+    GROUP BY 1, 2
+),
+exact AS (
+    SELECT l_partkey, count(*) AS exact_cnt FROM lineitem GROUP BY 1
+),
+probe AS (
+    SELECT l_partkey, exact_cnt FROM exact
+    ORDER BY exact_cnt DESC, l_partkey LIMIT 20
+),
+probed AS (
+    SELECT p.l_partkey, p.exact_cnt, j,
+           CAST(('0x' || substr(md5('cms' || CAST(j AS VARCHAR) || ':'
+                                || CAST(p.l_partkey AS VARCHAR)), 1, 15)
+                )::BIGINT % 512 AS INTEGER) AS bucket
+    FROM probe p
+    CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j)
+)
+SELECT pr.l_partkey, pr.exact_cnt, min(c.c) AS cms_count
+FROM probed pr
+JOIN cms_counters c ON c.j = pr.j AND c.bucket = pr.bucket
+GROUP BY 1, 2
+""",
+)
+def agg_cms_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency sketch (operators/sketch.py cms_sketch) —
+    the FOURTH portable sketch family beside HLL (distinct count),
+    KMV (distinct + set ops) and the quantile histogram: point
+    FREQUENCY estimates from d·w counters, never under-counting.
+    Probes the 20 heaviest l_partkeys (deterministic tie-break) and
+    returns exact vs sketch count side by side; the md5 hash family
+    makes every counter and every estimate engine-reproducible, so
+    the DuckDB oracle rebuilds the sketch bit-for-bit.
+
+    Scale: input reduces to a ≤ d·w-row counter relation via
+    map-side partial aggregation (shuffle O(d·w) per partition
+    regardless of input rows); estimation broadcasts that relation
+    against the probe keys — at 100 TB the sketch build is one scan,
+    and merging per-partition/per-day sketches is counter addition,
+    no raw-data revisit."""
+    from project_2_semantic_similarity_spark.operators.sketch import (
+        cms_estimate, cms_sketch)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sk = cms_sketch(li, "l_partkey")
+    exact = li.groupBy("l_partkey").agg(
+        F.count("*").cast("bigint").alias("exact_cnt"))
+    probe = exact.orderBy(F.col("exact_cnt").desc(), "l_partkey").limit(20)
+    est = cms_estimate(sk, probe, "l_partkey")
+    return (
+        probe.join(F.broadcast(est),
+                   probe["l_partkey"] == est["key"])
+        .select("l_partkey", "exact_cnt", "cms_count")
+    )
+
+
+@query(
+    "join_bloom_prefilter",
+    oracle="""
+SELECT l.l_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-03-01'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+GROUP BY 1, 2
+""",
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered fact-dimension join: build a portable bloom
+    filter (operators/sketch.py bloom_build, k=5 md5 probes into
+    8192 bits) over the FILTERED small side's join keys, prune the
+    fact table with a pure-JVM membership Column BEFORE its shuffle,
+    then run the exact join. False positives are eliminated by the
+    join itself, so the result is EXACTLY the plain join's — which
+    is what the oracle checks — while the shuffle carries only
+    ~|matching| + fp·|fact| rows instead of every fact row.
+
+    This is the hand-rolled, engine-portable counterpart of Spark's
+    runtime bloom filter pushdown
+    (spark.sql.optimizer.runtime.bloomFilter.enabled): making it an
+    explicit operator means it survives on engines/versions without
+    the rule, its bit array is auditable, and the same filter can be
+    persisted and reused across queries of one ingest batch. At
+    100 TB the 1 KiB bit array rides to every executor as a
+    constant-folded literal — the cost profile of a broadcast join
+    without shipping the key set."""
+    from project_2_semantic_similarity_spark.operators.sketch import (
+        bloom_build, bloom_might_contain)
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp")))
+    li = load_table(spark, sf_dir, "lineitem")
+    words = bloom_build(o, "o_orderkey")
+    pre = li.filter(bloom_might_contain(F.col("l_orderkey"), words))
+    return (
+        pre.join(o, pre["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey",
+                 F.date_format("o_orderdate", "yyyy-MM-dd")
+                 .alias("o_orderdate"))
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (F.lit(1) - F.col("l_discount"))), 2)
+             .alias("revenue"))
+    )

@@ -7,7 +7,7 @@ replicate the arithmetic verbatim — no RNG, no engine hash.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from project_2_semantic_similarity_spark.operators.sampling import (
@@ -215,3 +215,53 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return stratified_sample(
         d, "lang", _STRATA, key="doc_id").select("doc_id", "lang")
+
+
+@query(
+    "sample_reservoir_weighted",
+    oracle="""
+WITH scored AS (
+    SELECT doc_id,
+           CAST(greatest(length(text), 1) AS DOUBLE) AS weight,
+           ln( (('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)),
+                                1, 15))::BIGINT + 1.0)
+               / 1152921504606846976.0 )
+             / CAST(greatest(length(text), 1) AS DOUBLE) AS es_key
+    FROM documents
+),
+topk AS (
+    SELECT doc_id, weight, es_key FROM scored
+    ORDER BY es_key DESC, doc_id LIMIT 200
+)
+SELECT doc_id, weight,
+       CAST(row_number() OVER (ORDER BY es_key DESC, doc_id) AS BIGINT)
+           AS rank
+FROM topk
+""",
+)
+def sample_reservoir_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted 200-doc sample without replacement by the
+    Efraimidis–Spirakis exponential-key method
+    (operators/sampling.py weighted_sample_es), weight = document
+    length in chars: the draw a mixture builder uses to over-sample
+    long/high-value sources while staying fully deterministic — the
+    key is ln(u)/w with u from the portable md5 of doc_id, so any
+    engine reproduces the exact member set and order. Output is
+    (doc_id, weight, rank); rank, not the raw key, so the driver
+    hash never touches a transcendental's last ulp.
+
+    Scale: narrow map to score, then TakeOrderedAndProject top-k —
+    per-partition k-heaps merged on the driver, no global sort
+    shuffle, O(k) driver memory. The final rank window runs on k
+    rows (driver-sized by construction)."""
+    from project_2_semantic_similarity_spark.operators.sampling import (
+        weighted_sample_es)
+
+    d = load_table(spark, sf_dir, "documents")
+    sel = weighted_sample_es(
+        d, "doc_id", F.greatest(F.length("text"), F.lit(1)), 200)
+    w = Window.orderBy(F.col("es_key").desc(), "doc_id")
+    return (
+        sel.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .select("doc_id", "weight", "rank")
+    )

@@ -65,6 +65,12 @@ _CHANGED_THIS_ROUND = frozenset(
         # output projection (result-preserving on 2dp TPC-H data —
         # driver hash is the independent check)
         "sort_multi",
+        # round 7: connected_components now localCheckpoints each
+        # propagation round (plan-growth fix; result-preserving —
+        # driver hash is the independent check) — both riders of the
+        # operator re-verify
+        "dedup_clusters",
+        "dedup_transitive_keep",
     }
 )
 

@@ -1,0 +1,181 @@
+"""Round-7 operator tests: count-min sketch, portable bloom
+prefilter, Efraimidis–Spirakis weighted sampling, alternating-star
+connected components.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from project_2_semantic_similarity_spark.operators.graph import (
+    connected_components,
+    connected_components_star,
+)
+from project_2_semantic_similarity_spark.operators.sampling import (
+    weighted_sample_es,
+)
+from project_2_semantic_similarity_spark.operators.sketch import (
+    bloom_build,
+    bloom_might_contain,
+    cms_estimate,
+    cms_sketch,
+)
+
+
+# ---------------------------------------------------------------- CMS
+
+def test_cms_never_undercounts(spark):
+    df = spark.createDataFrame(
+        [(f"k{i % 7}",) for i in range(70)], "v string")
+    sk = cms_sketch(df, "v")
+    exact = df.groupBy(F.col("v").alias("key")).agg(
+        F.count("*").alias("exact"))
+    est = cms_estimate(sk, exact.select("key"), "key")
+    rows = est.join(exact, "key").collect()
+    assert len(rows) == 7
+    for r in rows:
+        assert r["cms_count"] >= r["exact"]  # one-sided estimator
+
+
+def test_cms_exact_when_no_collisions(spark):
+    # 5 distinct keys into 4x512 counters: collisions are possible
+    # but astronomically unlikely; if the portable hash family is
+    # wired right every estimate is exactly the true count.
+    df = spark.createDataFrame(
+        [(f"key-{i}",) for i in range(5) for _ in range(i + 1)],
+        "v string")
+    sk = cms_sketch(df, "v")
+    probes = df.select(F.col("v").alias("key")).distinct()
+    est = {r["key"]: r["cms_count"]
+           for r in cms_estimate(sk, probes, "key").collect()}
+    assert est == {f"key-{i}": i + 1 for i in range(5)}
+
+
+def test_cms_counter_relation_is_bounded(spark):
+    df = spark.createDataFrame(
+        [(str(i),) for i in range(5000)], "v string")
+    sk = cms_sketch(df, "v", d=2, w=64)
+    assert sk.count() <= 2 * 64
+
+
+# -------------------------------------------------------------- bloom
+
+def test_bloom_no_false_negatives(spark):
+    small = spark.createDataFrame(
+        [(i * 37,) for i in range(50)], "k long")
+    words = bloom_build(small, "k")
+    big = spark.createDataFrame([(i,) for i in range(2000)], "k long")
+    kept = set(
+        r["k"] for r in
+        big.filter(bloom_might_contain(F.col("k"), words)).collect())
+    members = set(i * 37 for i in range(50))
+    assert members <= kept  # every true member survives
+    # and the filter actually prunes (fp rate far below 1)
+    assert len(kept) < 2000 / 2
+
+
+def test_bloom_prefilter_join_transparent(spark):
+    """Bloom prefilter + exact join == plain join (false positives
+    die in the join) — the invariant join_bloom_prefilter's oracle
+    checks at query level."""
+    small = spark.createDataFrame(
+        [(i,) for i in range(0, 100, 7)], "k long")
+    big = spark.createDataFrame(
+        [(i % 100, i) for i in range(1000)], "k long, payload long")
+    words = bloom_build(small, "k")
+    pre = big.filter(bloom_might_contain(F.col("k"), words))
+    got = sorted((r["k"], r["payload"])
+                 for r in pre.join(small, "k").collect())
+    want = sorted((r["k"], r["payload"])
+                  for r in big.join(small, "k").collect())
+    assert got == want
+
+
+# ------------------------------------------- weighted sampling (A-ES)
+
+def test_weighted_sample_deterministic_and_sized(spark):
+    df = spark.createDataFrame(
+        [(i, (i % 10) + 1) for i in range(500)], "id long, w long")
+    a = weighted_sample_es(df, "id", F.col("w"), 50).collect()
+    b = weighted_sample_es(df, "id", F.col("w"), 50).collect()
+    assert len(a) == 50
+    assert [r["id"] for r in a] == [r["id"] for r in b]
+
+
+def test_weighted_sample_scale_invariant(spark):
+    """Scaling every weight by a constant rescales every ln(u)/w key
+    by the same factor — the selected set must be identical (the E-S
+    key only encodes RELATIVE weight)."""
+    df = spark.createDataFrame(
+        [(i, float((i % 10) + 1)) for i in range(500)],
+        "id long, w double")
+    a = {r["id"] for r in
+         weighted_sample_es(df, "id", F.col("w"), 40).collect()}
+    b = {r["id"] for r in
+         weighted_sample_es(df, "id", F.col("w") * 8.0, 40).collect()}
+    assert a == b
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    # 100 rows of weight 1000 vs 900 rows of weight 1: the heavy
+    # rows must dominate a 50-row sample overwhelmingly.
+    rows = [(i, 1000.0) for i in range(100)]
+    rows += [(i, 1.0) for i in range(100, 1000)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    sel = weighted_sample_es(df, "id", F.col("w"), 50).collect()
+    heavy = sum(1 for r in sel if r["id"] < 100)
+    assert heavy >= 45
+
+
+# ------------------------------------------------------ star CC
+
+def _labels(df):
+    return {r["node"]: r["component_id"] for r in df.collect()}
+
+
+def test_star_cc_chain(spark):
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 30)], "doc_a long, doc_b long")
+    got = _labels(connected_components_star(pairs))
+    assert got == {i: 1 for i in range(1, 31)}
+
+
+def test_star_cc_matches_label_propagation(spark):
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(45)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    star = _labels(connected_components_star(pairs))
+    prop = _labels(connected_components(pairs))
+    assert star == prop
+
+
+def test_star_cc_two_components_and_strings(spark):
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")],
+        "doc_a string, doc_b string")
+    got = _labels(connected_components_star(pairs))
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_star_cc_converges_logarithmically(spark):
+    """A 64-node path must converge well inside the 15-round bound
+    (label propagation would need ~63 rounds) — the property that
+    makes the star variant the high-diameter scale path."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "doc_a long, doc_b long")
+    got = _labels(connected_components_star(pairs, max_rounds=10))
+    assert got == {i: 0 for i in range(65)}
+
+
+def test_star_cc_releases_cache(spark):
+    sc = spark.sparkContext
+    before = len(sc._jsc.getPersistentRDDs())
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long")
+    connected_components_star(pairs).collect()
+    after = len(sc._jsc.getPersistentRDDs())
+    assert after <= before + 1
