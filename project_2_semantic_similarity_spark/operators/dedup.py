@@ -573,3 +573,62 @@ def jaccard_on_pairs(pairs: DataFrame, shingled: DataFrame) -> DataFrame:
              ).alias("jaccard"),
         )
     )
+
+
+def cdc_chunks(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", gram: int = 8,
+               mod: int = 64) -> DataFrame:
+    """Content-defined chunking (the rolling-hash boundary idea
+    behind Rabin/Gear chunkers, stateless variant): a chunk boundary
+    falls after position i whenever the portable md5 of the trailing
+    ``gram``-char window ≡ 0 (mod ``mod``), giving chunks of
+    expected length ``mod`` whose boundaries MOVE WITH THE CONTENT —
+    an insertion early in a document shifts byte offsets but not the
+    downstream boundaries, so unchanged tails keep identical chunk
+    fingerprints. That is the property fixed-size chunking lacks and
+    the reason storage/training dedup pipelines chunk this way.
+
+    Stateless by design: every boundary is decided from its own
+    window alone (no min/max-length clamp, which would need a
+    sequential scan state); this keeps the operator embarrassingly
+    parallel AND lets any md5-capable engine reproduce the exact
+    chunking.
+
+    Scale shape: candidate positions explode ×len per doc but stay
+    NARROW (window substring + hash + filter in one codegen'd
+    projection; nothing shuffles at ×len volume) — the survivors,
+    ~len/mod boundary rows per doc, are all that reach the per-doc
+    window; chunk text is then cut by ONE equi-join back to the
+    corpus (text ships once per chunk, projected to the substring
+    immediately).
+
+    Returns (id_col, chunk_idx, chunk_start, chunk_text)."""
+    ln = F.length(F.col(text_col))
+    window = F.col(text_col).substr(
+        F.col("i") - F.lit(gram - 1), F.lit(gram))
+    boundaries = (
+        docs.filter(ln >= gram)
+        .select(F.col(id_col),
+                F.col(text_col),
+                F.explode(F.sequence(F.lit(gram), ln)).alias("i"))
+        .filter(F.pmod(portable_hash60(window), F.lit(mod)) == 0)
+        .select(id_col, "i")
+    )
+    sentinel = docs.filter(ln >= 1).select(
+        F.col(id_col), ln.alias("i"))
+    bpos = boundaries.union(sentinel).distinct()
+    w = Window.partitionBy(id_col).orderBy("i")
+    spans = bpos.select(
+        F.col(id_col),
+        (F.coalesce(F.lag("i").over(w), F.lit(0)) + 1).alias("s"),
+        F.col("i").alias("e"),
+        F.row_number().over(w).alias("chunk_idx"))
+    return (
+        spans.join(docs.select(id_col, text_col), id_col)
+        .select(
+            F.col(id_col), "chunk_idx",
+            F.col("s").alias("chunk_start"),
+            F.col(text_col).substr(
+                F.col("s"), F.col("e") - F.col("s") + 1)
+            .alias("chunk_text"))
+    )

@@ -226,6 +226,7 @@ def connected_components_star(pairs: DataFrame, src: str = "doc_a",
         .localCheckpoint(eager=True)
     )
     edges = canon
+    prev_n = edges.count()
     try:
         for _ in range(max_rounds):
             # Large-star: every node u links its LARGER neighbors to
@@ -254,10 +255,14 @@ def connected_components_star(pairs: DataFrame, src: str = "doc_a",
                 .distinct()
                 .localCheckpoint(eager=True)
             )
-            changed = (
-                stepped.subtract(edges).limit(1).count() > 0
-                or edges.subtract(stepped).limit(1).count() > 0
-            )
+            # Both relations are distinct, so equal counts plus
+            # stepped ⊆ edges imply set equality — the second
+            # subtract direction is redundant, and when counts
+            # differ no subtract is needed at all.
+            n = stepped.count()
+            changed = (n != prev_n
+                       or stepped.subtract(edges).limit(1).count() > 0)
+            prev_n = n
             _release_local_checkpoint(edges)
             edges = stepped
             if not changed:

@@ -1102,3 +1102,74 @@ def dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+@query(
+    "dedup_chunk_cdc",
+    oracle="""
+WITH corpus AS (
+    SELECT doc_id, text, length(text) AS ln FROM documents
+    WHERE length(text) >= 1
+),
+bpos AS (
+    SELECT doc_id, i FROM (
+        SELECT doc_id, text,
+               unnest(generate_series(8, ln)) AS i
+        FROM corpus WHERE ln >= 8
+    ) WHERE ('0x' || substr(md5(substr(text, i - 7, 8)), 1, 15))::BIGINT
+            % 64 = 0
+    UNION
+    SELECT doc_id, ln AS i FROM corpus
+),
+spans AS (
+    SELECT doc_id,
+           coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) + 1
+               AS s,
+           i AS e
+    FROM bpos
+),
+chunks AS (
+    SELECT sp.doc_id, substr(d.text, sp.s, sp.e - sp.s + 1) AS chunk_text
+    FROM spans sp JOIN corpus d USING (doc_id)
+),
+fp AS (
+    SELECT ('0x' || substr(md5(chunk_text), 1, 15))::BIGINT AS chunk_hash,
+           length(chunk_text) AS chunk_len, doc_id
+    FROM chunks WHERE length(chunk_text) >= 16
+)
+SELECT chunk_hash,
+       CAST(min(chunk_len) AS BIGINT) AS chunk_len,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM fp GROUP BY 1 HAVING count(*) >= 2
+""",
+)
+def dedup_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup by CONTENT-DEFINED chunking
+    (operators/dedup.py cdc_chunks): boundaries fall where the
+    portable hash of the trailing 8-gram ≡ 0 mod 64, so chunk
+    fingerprints survive insertions/shifts that would break
+    fixed-size blocking — the granularity at which large corpora
+    actually repeat (boilerplate, quoted passages, templates), and
+    the passage-level complement of dedup_passage's fixed token
+    windows. Emits every chunk (≥ 16 chars) whose fingerprint
+    repeats, with its corpus frequency.
+
+    The oracle re-derives boundary positions, spans, substrings and
+    fingerprints from the same md5 arithmetic — a one-character
+    drift in the chunker breaks the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    ch = D.cdc_chunks(docs)
+    fp = (
+        ch.filter(F.length("chunk_text") >= 16)
+        .select("doc_id",
+                D.portable_hash60(F.col("chunk_text")).alias("chunk_hash"),
+                F.length("chunk_text").alias("chunk_len"))
+    )
+    return (
+        fp.groupBy("chunk_hash")
+        .agg(F.min("chunk_len").cast("bigint").alias("chunk_len"),
+             F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+             F.count("*").cast("bigint").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= 2)
+    )

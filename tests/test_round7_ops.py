@@ -179,3 +179,51 @@ def test_star_cc_releases_cache(spark):
     connected_components_star(pairs).collect()
     after = len(sc._jsc.getPersistentRDDs())
     assert after <= before + 1
+
+
+# ------------------------------------------------- CDC chunking
+
+def test_cdc_chunks_reassemble(spark):
+    from project_2_semantic_similarity_spark.operators.dedup import (
+        cdc_chunks)
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog " * 20),
+         (2, "tiny"),
+         (3, "x" * 7)],
+        "doc_id long, text string")
+    ch = cdc_chunks(docs).orderBy("doc_id", "chunk_idx").collect()
+    by_doc = {}
+    for r in ch:
+        by_doc.setdefault(r["doc_id"], []).append(r["chunk_text"])
+    originals = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert set(by_doc) == {1, 2, 3}
+    for d, parts in by_doc.items():
+        assert "".join(parts) == originals[d]
+    # sub-gram docs are exactly one whole-text chunk
+    assert by_doc[2] == ["tiny"]
+
+
+def test_cdc_chunks_shift_resilient(spark):
+    """The CDC property: a prefix insertion shifts every byte
+    offset, yet the chunk fingerprints of the unchanged tail are
+    preserved — fixed-size blocking would lose all of them."""
+    from project_2_semantic_similarity_spark.operators.dedup import (
+        cdc_chunks)
+
+    base = ("lorem ipsum dolor sit amet consectetur adipiscing elit "
+            "sed do eiusmod tempor incididunt ut labore " * 10)
+    docs = spark.createDataFrame(
+        [(1, base), (2, "INSERTED-PREFIX-123 " + base)],
+        "doc_id long, text string")
+    ch = cdc_chunks(docs).collect()
+    c1 = {r["chunk_text"] for r in ch if r["doc_id"] == 1}
+    c2 = {r["chunk_text"] for r in ch if r["doc_id"] == 2}
+    shared = c1 & c2
+    # all but the first chunk (the one containing the insertion)
+    # must survive verbatim
+    assert len(shared) >= len(c1) - 2
+    # the fixture is long enough to chunk repeatedly (the periodic
+    # text collapses to few DISTINCT chunk strings — itself the
+    # dedup signal); count rows, not the distinct set
+    assert sum(1 for r in ch if r["doc_id"] == 1) >= 5
