@@ -191,6 +191,58 @@ def main() -> None:
             cnt = _prep_lsh_survivors(spark, out,
                                       stage_to=scratch).count()
             shutil.rmtree(scratch, ignore_errors=True)
+        elif name == "cc_star_deep":
+            # 5k chains of depth 1000 (5M nodes / ~5M edges): the
+            # graph shape where min-label CC would need ~1000 shuffle
+            # rounds; star alternation must land in O(log depth).
+            # Self-checks the closed-form fixed point (component =
+            # chain head) before reporting.
+            from project_2_semantic_similarity_spark.operators.graph \
+                import connected_components_star
+
+            chains, depth = 5000, 1000
+            nodes = spark.range(chains * depth)
+            edges = (nodes.filter(F.pmod(F.col("id"), F.lit(depth))
+                                  != depth - 1)
+                     .select(F.col("id").alias("u"),
+                             (F.col("id") + 1).alias("v")))
+            labels = connected_components_star(edges, "u", "v",
+                                               max_rounds=25)
+            expected = F.col("node") - F.pmod(F.col("node"),
+                                              F.lit(depth))
+            bad = labels.filter(
+                F.col("component_id") != expected).count()
+            assert bad == 0, f"{bad} mislabeled nodes"
+            cnt = labels.count()
+        elif name == "wsample_probe":
+            from project_2_semantic_similarity_spark.operators.sampling \
+                import weighted_sample_es
+
+            docs = spark.read.parquet(f"{out}/documents.parquet")
+            cnt = weighted_sample_es(
+                docs, "doc_id", F.length("text"), 1000).count()
+        elif name == "cms_probe":
+            from project_2_semantic_similarity_spark.operators.sketch \
+                import cms_sketch
+
+            docs = spark.read.parquet(f"{out}/documents.parquet")
+            cnt = cms_sketch(docs, "doc_id").count()
+        elif name == "bloom_probe":
+            # 10k-key bloom (2^17 bits — a 2048-long constant-folded
+            # literal) pruning an n-row fact relation; reports the
+            # kept-row count so the fp mass is visible next to the
+            # ~10k true matches.
+            from project_2_semantic_similarity_spark.operators.sketch \
+                import bloom_build, bloom_might_contain
+
+            keys = spark.range(10_000).select(
+                (F.col("id") * 977).alias("k"))
+            words = bloom_build(keys, "k", m_log2=17)
+            fact = spark.range(n).select(
+                F.pmod(F.xxhash64("id"), F.lit(10_000_000)).alias("k"))
+            cnt = fact.filter(
+                bloom_might_contain(F.col("k"), words,
+                                    m_log2=17)).count()
         else:
             cnt = QUERIES[name](spark, out).count()
         wall = time.time() - t
