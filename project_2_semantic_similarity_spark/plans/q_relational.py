@@ -2791,3 +2791,154 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
                            * (F.lit(1) - F.col("l_discount"))), 2)
              .alias("revenue"))
     )
+
+
+@query(
+    "sql_api_tpch_q7",
+    oracle="""
+SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+FROM (
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           l.l_extendedprice * (1 - l.l_discount) AS volume
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+""",
+)
+def sql_api_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): the two-nation disjunction joined
+    through BOTH ends of the fact table — supplier nation via
+    l_suppkey, customer nation via orders→customer. The scale shape:
+    nation is broadcast twice (25 rows), the nation-pair disjunction
+    cannot be pushed into either scan alone, so it rides the joins
+    as a residual; lineitem is the only large scan and the shipdate
+    window is pushed into parquet. The nation pair names are the
+    testdata's synthetic NATION_k spellings."""
+    from project_2_semantic_similarity_spark.sources.tables import (
+        register_views)
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT supp_nation, cust_nation, l_year,
+               round(sum(volume), 2) AS revenue
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   year(l.l_shipdate) AS l_year,
+                   l.l_extendedprice * (1 - l.l_discount) AS volume
+            FROM supplier s
+            JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+            JOIN orders o   ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+            JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+            WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+              AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+    """)
+
+
+@query(
+    "sql_api_tpch_q10",
+    oracle="""
+SELECT c.c_custkey, c.c_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       round(c.c_acctbal, 2) AS c_acctbal, n.n_name
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+""",
+)
+def sql_api_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): one quarter of orders,
+    returned lines only, top-20 customers by lost revenue — the
+    classic 'who to call first' report, adapted to the testdata's
+    customer columns. Plan shape: both filters pushed to the scans,
+    customer and nation broadcast, one shuffle for the group-by,
+    TakeOrderedAndProject for the top-20 (no global sort)."""
+    from project_2_semantic_similarity_spark.sources.tables import (
+        register_views)
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT c.c_custkey, c.c_name,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                   AS revenue,
+               round(c.c_acctbal, 2) AS c_acctbal, n.n_name
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-10-01'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+          AND l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        ORDER BY revenue DESC, c.c_custkey
+        LIMIT 20
+    """)
+
+
+@query(
+    "win_range_frame",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       CAST(n_orders_90d AS BIGINT) AS n_orders_90d,
+       round(sum_90d, 2) AS sum_90d
+FROM (
+    SELECT o_orderkey, o_custkey,
+           count(*) OVER w AS n_orders_90d,
+           sum(o_totalprice) OVER w AS sum_90d
+    FROM (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               date_diff('day', DATE '1970-01-01',
+                         CAST(o_orderdate AS DATE)) AS d
+        FROM orders
+    )
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY d
+                 RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)
+) t
+""",
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-interval window frame — the VALUE-based frame the
+    rows-based family (win_sliding_frame, win_running) cannot
+    express: each order aggregates every order of the same customer
+    within the trailing 90 DAYS, however many rows that is. Ordering
+    key is days-since-epoch so the frame bound is a plain numeric
+    range (both engines agree on the calendar arithmetic), and —
+    unlike a rows frame — two orders on the same day each see the
+    other.
+
+    Scale: one hash-partitioned window per customer, frame evaluated
+    by Spark's sliding range accumulator in one pass over each
+    partition's sort — no self-join materialization of the 90-day
+    neighborhood, which is how this query degrades when written as a
+    theta join."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy(F.datediff(F.to_date("o_orderdate"),
+                             F.lit("1970-01-01").cast("date")))
+         .rangeBetween(-90, Window.currentRow))
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.count("*").over(w).cast("bigint").alias("n_orders_90d"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("sum_90d"))
