@@ -1173,3 +1173,90 @@ def dedup_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.count("*").cast("bigint").alias("n_occurrences"))
         .filter(F.col("n_occurrences") >= 2)
     )
+
+
+@query(
+    "text_dup_chunk_fraction",
+    oracle="""
+WITH corpus AS (
+    SELECT doc_id, text, length(text) AS ln FROM documents
+    WHERE length(text) >= 1
+),
+bpos AS (
+    SELECT doc_id, i FROM (
+        SELECT doc_id, text,
+               unnest(generate_series(8, ln)) AS i
+        FROM corpus WHERE ln >= 8
+    ) WHERE ('0x' || substr(md5(substr(text, i - 7, 8)), 1, 15))::BIGINT
+            % 64 = 0
+    UNION
+    SELECT doc_id, ln AS i FROM corpus
+),
+spans AS (
+    SELECT doc_id,
+           coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) + 1
+               AS s,
+           i AS e
+    FROM bpos
+),
+fpchunks AS (
+    SELECT sp.doc_id,
+           sp.e - sp.s + 1 AS clen,
+           ('0x' || substr(md5(substr(d.text, sp.s, sp.e - sp.s + 1)),
+                           1, 15))::BIGINT AS fp
+    FROM spans sp JOIN corpus d USING (doc_id)
+),
+counts AS (SELECT fp, count(*) AS n_occ FROM fpchunks GROUP BY 1),
+dup AS (
+    SELECT doc_id, sum(clen) AS dup_chars
+    FROM fpchunks JOIN counts USING (fp)
+    WHERE n_occ >= 2
+    GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(d.ln AS BIGINT) AS total_chars,
+       CAST(coalesce(dup.dup_chars, 0) AS BIGINT) AS dup_chars,
+       round(coalesce(dup.dup_chars, 0) / CAST(d.ln AS DOUBLE), 6)
+           AS dup_fraction
+FROM corpus d LEFT JOIN dup USING (doc_id)
+""",
+)
+def text_dup_chunk_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DUPLICATED-CHUNK MASS — the fraction of a doc's
+    characters living in CDC chunks whose fingerprint repeats
+    anywhere in the corpus (operators/dedup.py cdc_chunks). This is
+    the quality signal the chunk-level view buys that doc-level
+    dedup cannot: a document that is 80% boilerplate but 20% novel
+    is neither an exact nor a near dup of anything, yet most of its
+    training mass is redundant. Pipelines threshold on exactly this
+    fraction (and the engineered near-dup decades in the probe
+    corpus light it up end-to-end).
+
+    Scale: chunking as in dedup_chunk_cdc; the repeat counts are one
+    hash agg on fingerprints and one equi-join back — both
+    partitioned on the fingerprint (uniform md5, no skew)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 1)
+    ch = D.cdc_chunks(docs).select(
+        "doc_id",
+        F.length("chunk_text").alias("clen"),
+        D.portable_hash60(F.col("chunk_text")).alias("fp"))
+    counts = ch.groupBy("fp").agg(F.count("*").alias("n_occ"))
+    dup = (
+        ch.join(counts, "fp")
+        .filter(F.col("n_occ") >= 2)
+        .groupBy("doc_id")
+        .agg(F.sum("clen").alias("dup_chars"))
+    )
+    return (
+        docs.select("doc_id", F.length("text").alias("ln"))
+        .join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("ln").cast("bigint").alias("total_chars"),
+            F.coalesce(F.col("dup_chars"), F.lit(0)).cast("bigint")
+            .alias("dup_chars"),
+            F.round(F.coalesce(F.col("dup_chars"), F.lit(0))
+                    / F.col("ln").cast("double"), 6)
+            .alias("dup_fraction"))
+    )
