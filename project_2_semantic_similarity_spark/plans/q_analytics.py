@@ -769,3 +769,56 @@ def graph_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.col("nxt").alias("v"))
     return connected_components_star(edges, "u", "v").select(
         "node", "component_id")
+
+
+@query(
+    "orders_cohort_ltv",
+    oracle="""
+WITH firsts AS (
+    SELECT o_custkey,
+           min(date_trunc('month', o_orderdate)) AS cohort
+    FROM orders GROUP BY 1
+),
+aged AS (
+    SELECT f.cohort,
+           date_diff('month', f.cohort,
+                     date_trunc('month', o.o_orderdate)) AS age_months,
+           o.o_custkey, o.o_totalprice
+    FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+)
+SELECT strftime(cohort, '%Y-%m') AS cohort_month,
+       CAST(age_months AS INT) AS age_months,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       round(sum(o_totalprice), 2) AS revenue
+FROM aged
+GROUP BY cohort, age_months
+""",
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: customers grouped by
+    first-order month, revenue accumulated by months-since-cohort —
+    the (cohort × age) triangle every growth/finance team reads,
+    and the revenue-weighted counterpart of events_retention's
+    user-count triangle.
+
+    Scale: one grouped min for the cohort relation (customer-sized,
+    broadcastable), one equi-join back to orders, one group-by on
+    (cohort, age) whose result is months² rows — driver-tiny. The
+    calendar arithmetic is month-truncated on both sides so the
+    month-diff is exact integer arithmetic in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", "o_orderdate")).alias("cohort"))
+    aged = o.join(F.broadcast(firsts), "o_custkey").select(
+        "o_custkey", "o_totalprice", "cohort",
+        F.months_between(
+            F.date_trunc("month", "o_orderdate"), F.col("cohort"))
+        .cast("int").alias("age_months"))
+    return (
+        aged.groupBy(
+            F.date_format("cohort", "yyyy-MM").alias("cohort_month"),
+            "age_months")
+        .agg(F.countDistinct("o_custkey").cast("bigint")
+             .alias("n_customers"),
+             F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )

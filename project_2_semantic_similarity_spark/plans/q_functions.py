@@ -214,3 +214,37 @@ def fn_case_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor("o_totalprice").cast("bigint").alias("price_int"),
         (F.col("o_orderstatus") == "O").cast("string").alias("is_open"),
     )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+SELECT c_custkey,
+       c_custkey & 255 AS and_mask,
+       c_custkey | 4096 AS or_flag,
+       xor(c_custkey, 1365) AS xor_val,
+       c_custkey << 3 AS shl3,
+       c_custkey >> 2 AS shr2,
+       CAST(bit_count(c_custkey) AS INT) AS popcount,
+       ~c_custkey AS complement
+FROM customer
+""",
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise expression family — the primitives every hash/bucket/
+    bitmap technique in the engine leans on (simhash hamming via
+    bit_count, bloom word masks via shifts), exercised as first-class
+    scalar functions with a cross-engine oracle. All pure codegen'd
+    JVM arithmetic."""
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    return c.select(
+        "c_custkey",
+        k.bitwiseAND(F.lit(255)).alias("and_mask"),
+        k.bitwiseOR(F.lit(4096)).alias("or_flag"),
+        k.bitwiseXOR(F.lit(1365)).alias("xor_val"),
+        F.shiftleft(k, 3).alias("shl3"),
+        F.shiftright(k, 2).alias("shr2"),
+        F.bit_count(k).alias("popcount"),
+        F.bitwise_not(k).alias("complement"),
+    )

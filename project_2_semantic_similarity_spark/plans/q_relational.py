@@ -2942,3 +2942,122 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey",
         F.count("*").over(w).cast("bigint").alias("n_orders_90d"),
         F.round(F.sum("o_totalprice").over(w), 2).alias("sum_90d"))
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+WITH a AS (
+    SELECT o_orderkey AS a_key, CAST(o_orderdate AS DATE) AS a_s,
+           CAST(o_orderdate AS DATE) + 7 AS a_e
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 400000
+),
+b AS (
+    SELECT o_orderkey AS b_key, CAST(o_orderdate AS DATE) AS b_s,
+           CAST(o_orderdate AS DATE) + 10 AS b_e
+    FROM orders
+    WHERE o_orderpriority = '2-HIGH' AND o_totalprice > 400000
+)
+SELECT a_key, b_key,
+       CAST(date_diff('day', greatest(a_s, b_s), least(a_e, b_e))
+            AS INT) AS overlap_days
+FROM a JOIN b ON a_s < b_e AND b_s < a_e
+""",
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL×INTERVAL overlap join — the two-sided sibling of
+    join_range_interval's point-in-interval: both relations are date
+    ranges and a pair qualifies when the ranges intersect. Executed
+    with the same bin trick, generalized: each interval explodes to
+    the week buckets it covers (≤ 2-3 rows), overlapping intervals
+    NECESSARILY share the bucket containing their intersection, so a
+    plain bucket equi-join + exact residual + distinct replaces the
+    O(|A|·|B|) nested loop Catalyst would otherwise plan for the
+    pure inequality predicate. Candidate volume is
+    Σ buckets-per-interval — linear in the inputs for bounded-length
+    intervals, an ordinary AQE-sizable hash join at 100 TB."""
+    epoch = F.lit("1970-01-01").cast("date")
+
+    def intervals(prio, days, key, s, e):
+        return (load_table(spark, sf_dir, "orders")
+                .filter((F.col("o_orderpriority") == prio)
+                        & (F.col("o_totalprice") > 400000))
+                .select(F.col("o_orderkey").alias(key),
+                        F.to_date("o_orderdate").alias(s),
+                        F.date_add(F.to_date("o_orderdate"), days)
+                        .alias(e)))
+
+    a = intervals("1-URGENT", 7, "a_key", "a_s", "a_e")
+    b = intervals("2-HIGH", 10, "b_key", "b_s", "b_e")
+
+    def binned(df, s, e):
+        return df.withColumn(
+            "bucket",
+            F.explode(F.sequence(
+                F.floor(F.datediff(F.col(s), epoch) / 7),
+                F.floor((F.datediff(F.col(e), epoch) - 1) / 7))))
+
+    return (
+        binned(a, "a_s", "a_e")
+        .join(binned(b, "b_s", "b_e"), "bucket")
+        .filter((F.col("a_s") < F.col("b_e"))
+                & (F.col("b_s") < F.col("a_e")))
+        .select(
+            "a_key", "b_key",
+            F.datediff(F.least("a_e", "b_e"),
+                       F.greatest("a_s", "b_s")).cast("int")
+            .alias("overlap_days"))
+        .distinct()
+    )
+
+
+@query(
+    "agg_regression_group",
+    oracle="""
+WITH m AS (
+    SELECT l_returnflag,
+           CAST(count(*) AS DOUBLE) AS n,
+           sum(l_quantity) AS sx, sum(l_extendedprice) AS sy,
+           sum(l_quantity * l_quantity) AS sxx,
+           sum(l_quantity * l_extendedprice) AS sxy,
+           sum(l_extendedprice * l_extendedprice) AS syy
+    FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy * sxx - sx * sxy) / (n * sxx - sx * sx), 6)
+           AS intercept,
+       round(pow(n * sxy - sx * sy, 2)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM m
+""",
+)
+def agg_regression_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary least squares (price ~ quantity by return
+    flag) from the five SUFFICIENT MOMENTS — slope, intercept, R² in
+    closed form. The moments are one mergeable hash aggregation
+    (map-side partials, O(groups) shuffle rows at any input size),
+    which is why OLS-by-moments is THE distributed regression: no
+    second pass, no per-group value buffers, and incremental
+    re-training is moment addition. Formula arithmetic is written
+    out identically in the oracle rather than relying on either
+    engine's regr_* built-ins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(q).alias("sx"), F.sum(p).alias("sy"),
+        F.sum(q * q).alias("sxx"), F.sum(q * p).alias("sxy"),
+        F.sum(p * p).alias("syy"))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    det = n * sxx - sx * sx
+    return m.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n"),
+        F.round((n * sxy - sx * sy) / det, 6).alias("slope"),
+        F.round((sy * sxx - sx * sxy) / det, 6).alias("intercept"),
+        F.round(F.pow(n * sxy - sx * sy, F.lit(2))
+                / (det * (n * syy - sy * sy)), 6).alias("r2"))
