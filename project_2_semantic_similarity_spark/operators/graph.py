@@ -235,13 +235,18 @@ def connected_components_star(pairs: DataFrame, src: str = "doc_a",
                 edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
             lmins = adj.groupBy(F.col("a").alias("u")).agg(
                 F.min("b").alias("mn"))
+            # No distinct here: adj is duplicate-free by
+            # construction, so large-star only produces duplicate
+            # (v, m) pairs when two rewirings collide — bounded
+            # residue that the round-final distinct cleans. Dropping
+            # the mid-round distinct saves one full shuffle per
+            # round.
             large = (
                 adj.join(lmins, adj["a"] == lmins["u"])
                 .filter(F.col("b") > F.col("a"))
                 .select(F.col("b").alias("a"),
                         F.least(F.col("mn"), F.col("u")).alias("b"))
                 .filter(F.col("a") != F.col("b"))
-                .distinct()
             )
             # Small-star: every node links its SMALLER-or-equal
             # neighbors (canonical b-side) plus itself to their min.

@@ -314,26 +314,50 @@ _BLOOM_M_LOG2 = 13  # 8192 bits = 128 64-bit words
 
 
 def _bloom_bitpos(value_col, i: int, m: int):
-    """Bit position of hash row ``i``: portable md5 of
-    'bloom{i}:{value}' mod m."""
+    """Bit position of hash row ``i``: JVM-native xxhash64 of
+    'bloom{i}:{value}' mod m. Deliberately NOT the portable md5
+    family: a bloom's false positives are semantically transparent
+    (the exact join downstream rechecks every survivor), so
+    cross-engine reproducibility buys nothing here and xxhash64 is
+    ~5× cheaper per probe — at fact-table volume the k probes ARE
+    the prefilter's cost. Within Spark the filter is still fully
+    deterministic. The sketches whose VALUES are the result (CMS,
+    KMV, HLL, minhash) keep md5."""
     return F.pmod(
-        portable_hash60(F.concat(F.lit(f"bloom{i}:"), value_col)),
+        F.xxhash64(F.concat(F.lit(f"bloom{i}:"), value_col)),
         F.lit(m))
 
 
 def bloom_build(df: DataFrame, col: str, k: int = _BLOOM_K,
-                m_log2: int = _BLOOM_M_LOG2) -> list[int]:
+                m_log2: int | None = None,
+                bits_per_key: int = 10) -> list[int]:
     """Bloom filter of ``col``'s values as a dense list of
     2^m_log2 / 64 signed-long words, built distributed and collected
     to the driver.
 
-    The collect is BIT-ARRAY-sized (m bits — here 1 KiB), never
-    data-sized: the groupBy("word") pre-aggregates every partition
-    down to ≤ m/64 (word, mask) partials, so this is exactly the
-    cost profile of building a broadcast-join hash table, which is
-    the role the filter plays (a broadcastable stand-in for the
-    small side's key set when even the key set is too wide to ship
-    row-by-row)."""
+    ``m_log2`` defaults to AUTO-SIZING from the actual key count
+    (one count() on the small side): ~``bits_per_key`` bits per key
+    rounded up to a power of two, clamped to [2^13, 2^17] bits
+    (1 KiB – 16 KiB of words). Under-sizing is the silent failure
+    mode of a fixed-m bloom — at 10× the designed key count the
+    filter saturates and the "prefilter" passes ~20% of the fact
+    table while still paying k hashes per row. Past the 2^17 clamp
+    (~13k keys at 10 bits/key) the constant-folded-literal approach
+    itself wanes — switch to Spark's native runtime bloom join
+    (spark.sql.optimizer.runtime.bloomFilter.enabled) there.
+
+    The collect is BIT-ARRAY-sized (m bits), never data-sized: the
+    groupBy("word") pre-aggregates every partition down to ≤ m/64
+    (word, mask) partials, so this is exactly the cost profile of
+    building a broadcast-join hash table, which is the role the
+    filter plays (a broadcastable stand-in for the small side's key
+    set when even the key set is too wide to ship row-by-row)."""
+    import math
+
+    if m_log2 is None:
+        n = df.count()
+        m_log2 = min(17, max(13, math.ceil(
+            math.log2(max(n, 1) * bits_per_key))))
     m = 1 << m_log2
     pos = df.select(F.col(col).cast("string").alias("v")).select(
         F.explode(F.array(*[
@@ -354,15 +378,17 @@ def bloom_build(df: DataFrame, col: str, k: int = _BLOOM_K,
     return dense
 
 
-def bloom_might_contain(col, words: list[int], k: int = _BLOOM_K,
-                        m_log2: int = _BLOOM_M_LOG2):
+def bloom_might_contain(col, words: list[int], k: int = _BLOOM_K):
     """JVM-side membership test Column against a driver-held word
     list: k portable-md5 bit probes ANDed together, the bit array
-    riding along as a constant-folded array literal (1 KiB — the
-    moral equivalent of a broadcast variable, but visible to
-    Catalyst). No Python runs per row; the whole predicate stays
-    inside whole-stage codegen."""
-    m = 1 << m_log2
+    riding along as a constant-folded array literal (the moral
+    equivalent of a broadcast variable, but visible to Catalyst).
+    No Python runs per row; the whole predicate stays inside
+    whole-stage codegen. The bit-array size is derived from the
+    word list itself (64 bits per word), so a filter built with any
+    auto-sized m verifies against the matching m by construction."""
+    m = 64 * len(words)
+    assert m and (m & (m - 1)) == 0, "word list must be 2^n bits"
     arr = F.array(*[F.lit(int(x)).cast("long") for x in words])
     test = F.lit(True)
     for i in range(k):

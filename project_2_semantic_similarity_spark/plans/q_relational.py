@@ -2756,9 +2756,11 @@ GROUP BY 1, 2
 )
 def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered fact-dimension join: build a portable bloom
-    filter (operators/sketch.py bloom_build, k=5 md5 probes into
-    8192 bits) over the FILTERED small side's join keys, prune the
-    fact table with a pure-JVM membership Column BEFORE its shuffle,
+    filter (operators/sketch.py bloom_build, k=5 md5 probes into an
+    auto-sized ~10-bits-per-key array — under-sizing silently
+    saturates the filter) over the FILTERED small side's join keys,
+    prune the fact table with a pure-JVM membership Column BEFORE
+    its shuffle,
     then run the exact join. False positives are eliminated by the
     join itself, so the result is EXACTLY the plain join's — which
     is what the oracle checks — while the shuffle carries only

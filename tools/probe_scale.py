@@ -241,8 +241,7 @@ def main() -> None:
             fact = spark.range(n).select(
                 F.pmod(F.xxhash64("id"), F.lit(10_000_000)).alias("k"))
             cnt = fact.filter(
-                bloom_might_contain(F.col("k"), words,
-                                    m_log2=17)).count()
+                bloom_might_contain(F.col("k"), words)).count()
         else:
             cnt = QUERIES[name](spark, out).count()
         wall = time.time() - t
