@@ -822,3 +822,43 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("n_customers"),
              F.round(F.sum("o_totalprice"), 2).alias("revenue"))
     )
+
+
+@query(
+    "win_locf_gapfill",
+    oracle="""
+SELECT user_id, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       event_type,
+       round(last_value(CASE WHEN event_type <> 'view' THEN value END
+                        IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             2) AS value_filled
+FROM events
+""",
+)
+def win_locf_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward gap filling — the IGNORE
+    NULLS window family (last_value/lag skipping nulls) that every
+    sensor/metrics pipeline leans on and that plain window frames
+    cannot express: 'view' events are treated as carrying no
+    measurement, and each row reads the most recent real measurement
+    of the same user. Leading rows before any measurement stay NULL
+    by contract (no fabrication).
+
+    Scale: one hash-partitioned window per user ordered by (ts,
+    event_id) — the unique event id makes tie order deterministic,
+    so the fill is reproducible across engines and partitionings.
+    Spark evaluates last(ignorenulls) incrementally over the running
+    frame; no self-join, no gap materialization."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    measured = F.when(F.col("event_type") != "view", F.col("value"))
+    return ev.select(
+        "user_id", "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "event_type",
+        F.round(F.last(measured, ignorenulls=True).over(w), 2)
+        .alias("value_filled"))

@@ -413,3 +413,45 @@ def stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", F.round(z, 6).alias("z"))
     )
     return S.run_to_memory(scored, "stream_anomaly", "append")
+
+
+@query(
+    "stream_cms_counts",
+    oracle="""
+WITH vals AS (SELECT CAST(user_id AS VARCHAR) AS v FROM events)
+SELECT j,
+       CAST(('0x' || substr(md5('cms' || CAST(j AS VARCHAR) || ':' || v),
+                            1, 15))::BIGINT % 512 AS INTEGER) AS bucket,
+       CAST(count(*) AS BIGINT) AS c
+FROM vals
+CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j)
+GROUP BY 1, 2
+""",
+)
+def stream_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch MAINTAINED UNDER STREAMING INGEST: the same
+    portable counters as agg_cms_portable (md5 rows, d=4 × w=512),
+    kept as a streaming aggregation whose state is d·w rows NO
+    MATTER the stream volume — the bounded-state property that makes
+    sketches the way to track frequencies over unbounded streams
+    (an exact per-key count would grow state with the key space).
+    Each micro-batch's increments merge by counter addition, which
+    is Spark's ordinary partial-agg path; replayed availableNow the
+    final counters equal the batch build bit-for-bit, and the oracle
+    rebuilds them from scratch in SQL."""
+    from project_2_semantic_similarity_spark.operators.sketch import (
+        _CMS_D, _CMS_W, _cms_bucket)
+
+    ev = S.read_events_stream(spark, S.stage_events_dir(sf_dir))
+    salted = ev.select(
+        F.col("user_id").cast("string").alias("v")).select(
+        "v",
+        F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("j"))
+    counters = (
+        salted.select(
+            "j", _cms_bucket(F.col("v"), F.col("j"), _CMS_W)
+            .alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    return S.run_to_memory(counters, "stream_cms_counts", "complete")
