@@ -248,3 +248,49 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count(k).alias("popcount"),
         F.bitwise_not(k).alias("complement"),
     )
+
+
+@query(
+    "fn_url_parse",
+    oracle="""
+WITH raw AS (
+    SELECT doc_id,
+           'https://www.example' || (doc_id % 5) || '.com'
+           || '/docs/' || (doc_id % 250)
+           || '?page=' || (doc_id % 9) || '&ref=idx' AS url
+    FROM documents
+)
+SELECT doc_id,
+       regexp_extract(url, '^([a-z][a-z0-9+.-]*)://', 1) AS protocol,
+       regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1) AS host,
+       regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+           AS path,
+       regexp_extract(url, '\\?([^#]*)', 1) AS query,
+       regexp_extract(url, '[?&]page=([^&#]*)', 1) AS page_param
+FROM raw
+""",
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL structural decomposition via Spark's parse_url
+    (protocol/host/path/query + single-parameter extraction) — the
+    crawl-metadata scalar family next to dedup_url's canonicalizer.
+    Spark side uses the built-in java.net.URI-backed parse_url;
+    the oracle re-derives every component with RFC-3986 regexes —
+    so the check also pins that parse_url's semantics match the
+    grammar on well-formed URLs. Deterministic synthetic URLs ride
+    the documents table (no fixture files)."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://www.example"), (F.col("doc_id") % 5).cast("string"),
+        F.lit(".com/docs/"), (F.col("doc_id") % 250).cast("string"),
+        F.lit("?page="), (F.col("doc_id") % 9).cast("string"),
+        F.lit("&ref=idx"))
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url(F.col("url"), F.lit("PROTOCOL")).alias("protocol"),
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY")).alias("query"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("page"))
+        .alias("page_param"))

@@ -3063,3 +3063,90 @@ def agg_regression_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((sy * sxx - sx * sxy) / det, 6).alias("intercept"),
         F.round(F.pow(n * sxy - sx * sy, F.lit(2))
                 / (det * (n * syy - sy * sy)), 6).alias("r2"))
+
+
+@query(
+    "scan_binaryfile",
+    oracle="""
+WITH firstdocs AS (
+    SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 200
+)
+SELECT doc_id,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM firstdocs
+""",
+)
+def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary ingestion via Spark's ``binaryFile`` source —
+    the entry path for raw media/blob corpora (images, audio, model
+    shards) where each FILE is a row: (path, modificationTime,
+    length, content). Stages the first 200 documents as one .bin
+    file each (UTF-8 bytes, id in the file name), reads them back
+    whole, and emits (doc_id-from-path, byte length, content md5) —
+    the oracle recomputes both from the documents table without
+    touching the files, so a staging/read corruption breaks the
+    hash.
+
+    Scale notes: binaryFile caps at files ≤ 2 GiB (driver-enforced)
+    and one task per file — right for many medium blobs; for
+    billions of tiny blobs, pack into parquet binary columns
+    (multimodal_* family) instead. Partition pruning and predicate
+    pushdown on path/length still apply (pathGlobFilter,
+    modifiedAfter)."""
+    import os
+
+    out = _tmp(sf_dir, "binfiles")
+    docs = (load_table(spark, sf_dir, "documents")
+            .orderBy("doc_id").limit(200)
+            .select("doc_id", "text").collect())
+    os.makedirs(out, exist_ok=True)
+    if len(os.listdir(out)) != len(docs):
+        for r in docs:
+            with open(f"{out}/doc_{r['doc_id']}.bin", "wb") as fh:
+                fh.write(r["text"].encode("utf-8"))
+    files = spark.read.format("binaryFile").load(out)
+    return files.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+        .cast("bigint").alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("content_md5"))
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1
+""",
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmap words — the
+    roaring-bitmap idea in its DataFrame form, for dense integer id
+    domains: each (group, id div 64) cell ORs a one-bit mask, the
+    distinct count is the popcount sum. Two mergeable hash
+    aggregations; state per group is domain/64 words regardless of
+    event volume, and merging two periods' bitmaps is word-wise OR —
+    the exact-arithmetic alternative to HLL when ids are dense
+    machine integers (users, items), which is why warehouse engines
+    ship it as bitmap_count/bitmap_or_agg.
+
+    The ORACLE is plain COUNT(DISTINCT): the check pins that the
+    whole bitmap pipeline lands on the true cardinality, not that an
+    implementation detail matches."""
+    ev = load_table(spark, sf_dir, "events")
+    words = (
+        ev.select("event_type",
+                  (F.col("user_id") / 64).cast("long").alias("w"),
+                  F.col("user_id").bitwiseAND(F.lit(63)).cast("int")
+                  .alias("bit"))
+        .select("event_type", "w",
+                F.expr("shiftleft(CAST(1 AS BIGINT), bit)").alias("m"))
+        .groupBy("event_type", "w")
+        .agg(F.bit_or("m").alias("mask"))
+    )
+    return (
+        words.groupBy("event_type")
+        .agg(F.sum(F.bit_count("mask")).cast("bigint").alias("n_users"))
+    )
