@@ -3150,3 +3150,56 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         words.groupBy("event_type")
         .agg(F.sum(F.bit_count("mask")).cast("bigint").alias("n_users"))
     )
+
+
+@query(
+    "agg_bitmap_intersect",
+    oracle="""
+WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view')
+SELECT CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click,
+       CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+       CAST((SELECT count(*) FROM c JOIN v USING (user_id)) AS BIGINT)
+           AS n_both,
+       CAST((SELECT count(*) FROM (SELECT user_id FROM c UNION
+                                   SELECT user_id FROM v)) AS BIGINT)
+           AS n_either
+""",
+)
+def agg_bitmap_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap SET OPERATIONS — the capability that makes bitmap
+    indexes an audience-segmentation engine: the click and view user
+    sets are built as (word, mask) bitmaps once, then intersection
+    is word-wise AND, union word-wise OR, each counted by popcount —
+    NO revisit of the raw events and no distinct-pair join, the same
+    sketch-side-only contract as agg_kmv_portable's merged estimate
+    but EXACT for dense integer ids. The oracle computes the four
+    cardinalities from scratch with set SQL, pinning that the
+    word-algebra lands on the true values."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def bitmap(event_type):
+        return (
+            ev.filter(F.col("event_type") == event_type)
+            .select((F.col("user_id") / 64).cast("long").alias("w"),
+                    F.expr("shiftleft(CAST(1 AS BIGINT), "
+                           "CAST(user_id % 64 AS INT))").alias("m"))
+            .groupBy("w")
+            .agg(F.bit_or("m").alias("mask"))
+        )
+
+    c, v = bitmap("click"), bitmap("view")
+    joined = (
+        c.withColumnRenamed("mask", "cm")
+        .join(v.withColumnRenamed("mask", "vm"), "w", "full")
+        .select(
+            F.coalesce("cm", F.lit(0)).alias("cm"),
+            F.coalesce("vm", F.lit(0)).alias("vm"))
+    )
+    return joined.agg(
+        F.sum(F.bit_count("cm")).cast("bigint").alias("n_click"),
+        F.sum(F.bit_count("vm")).cast("bigint").alias("n_view"),
+        F.sum(F.bit_count(F.col("cm").bitwiseAND(F.col("vm"))))
+        .cast("bigint").alias("n_both"),
+        F.sum(F.bit_count(F.col("cm").bitwiseOR(F.col("vm"))))
+        .cast("bigint").alias("n_either"))

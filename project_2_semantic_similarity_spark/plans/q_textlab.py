@@ -5,7 +5,7 @@ the DuckDB oracles."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from project_2_semantic_similarity_spark.functions import text_analysis as TA
@@ -708,3 +708,79 @@ def _prep_lsh_survivors(spark: SparkSession, sf_dir: str,
         .join(exact_winners, "doc_id", "left_semi")
         .join(near_losers, "doc_id", "left_anti")
     )
+
+
+@query(
+    "text_zipf_fit",
+    oracle="""
+WITH tok AS (
+    SELECT unnest(string_split_regex(text, '\\s+')) AS term
+    FROM documents
+),
+freq AS (
+    SELECT term, count(*) AS f FROM tok WHERE term <> '' GROUP BY term
+),
+ranked AS (
+    SELECT f, row_number() OVER (ORDER BY f DESC, term) AS r
+    FROM freq
+),
+pts AS (
+    SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(f AS DOUBLE)) AS y
+    FROM ranked WHERE r <= 500
+),
+m AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n,
+           sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+           sum(x * y) AS sxy, sum(y * y) AS syy
+    FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       round((sy * sxx - sx * sxy) / (n * sxx - sx * sx), 6)
+           AS intercept,
+       round(pow(n * sxy - sx * sy, 2)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM m
+""",
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus term distribution: OLS of
+    log-frequency against log-rank over the top-500 terms — slope
+    ≈ −1 is what natural language looks like, and a corpus-health
+    check pipelines run after every major filter (aggressive dedup
+    or quality filtering visibly flattens the head). Composes the
+    tokenizer with the sufficient-moments OLS of
+    agg_regression_group; ranking ties break on the term string so
+    the point set is deterministic.
+
+    Scale: term counting is the flagship's one hash agg; the rank
+    is top-500-by-frequency (TakeOrderedAndProject-sized), so the
+    regression runs on a driver-tiny relation no matter the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.array_remove(
+            F.split(F.col("text"), r"\s+"), "")).alias("term"))
+    freq = tok.groupBy("term").agg(F.count("*").alias("f"))
+    ranked = (freq.orderBy(F.col("f").desc(), "term").limit(500)
+              .select(F.col("f"),
+                      F.row_number().over(
+                          Window.orderBy(F.col("f").desc(), "term"))
+                      .alias("r")))
+    pts = ranked.select(
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("f").cast("double")).alias("y"))
+    m = pts.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    det = n * sxx - sx * sx
+    return m.select(
+        n.cast("bigint").alias("n_terms"),
+        F.round((n * sxy - sx * sy) / det, 6).alias("zipf_slope"),
+        F.round((sy * sxx - sx * sxy) / det, 6).alias("intercept"),
+        F.round(F.pow(n * sxy - sx * sy, F.lit(2))
+                / (det * (n * syy - sy * sy)), 6).alias("r2"))
