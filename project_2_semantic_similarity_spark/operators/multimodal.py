@@ -297,6 +297,48 @@ def decode_image(payloads: DataFrame) -> DataFrame:
     return payloads.mapInPandas(decode_batches, schema=IMAGE_SCHEMA)
 
 
+def phash_image(payloads: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual difference-hash (dHash) per image, from the DECODED
+    raster: parse the P6 payload (decode_ppm), grayscale each pixel as
+    the exact integer channel sum, nearest-neighbor-sample a
+    ``grid`` x ``grid`` lattice (sx = i*w // grid — pure integer
+    arithmetic, so any engine lands on the same samples), and emit one
+    bit per horizontal neighbor comparison gray[j][i+1] > gray[j][i] —
+    (grid-1) * grid = 56 bits packed into a positive BIGINT. dHash
+    survives uniform brightness shifts and small edits, which is what
+    makes it the standard near-dup key for image corpora (the visual
+    analogue of simhash for text).
+
+    At 100 TB: one narrow Arrow-batched stage over the binary column,
+    zero shuffle; downstream near-dup joins operate on the 8-byte
+    hash, never re-shipping pixels."""
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, payload, media_type in zip(
+                    pdf["doc_id"], pdf["payload"], pdf["media_type"]):
+                if media_type != PPM_MEDIA_TYPE:
+                    raise NotImplementedError(
+                        f"no codec for {media_type} in this environment")
+                w, h, _, px = decode_ppm(payload)
+                gray = px.astype(np.int64).sum(axis=2)  # (h, w) exact
+                sx = (np.arange(grid, dtype=np.int64) * w) // grid
+                sy = (np.arange(grid, dtype=np.int64) * h) // grid
+                g = gray[np.ix_(sy, sx)]               # (grid, grid)
+                bits = (g[:, 1:] > g[:, :-1]).astype(np.int64)
+                weights = (np.int64(1)
+                           << np.arange(grid * (grid - 1),
+                                        dtype=np.int64)
+                           .reshape(grid, grid - 1))
+                ids.append(doc_id)
+                hashes.append(int((bits * weights).sum()))
+            yield pd.DataFrame({"doc_id": ids, "phash": hashes})
+
+    return payloads.mapInPandas(
+        hash_batches, schema="doc_id bigint, phash bigint")
+
+
 def _decode_payload(payload: bytes, media_type: str) -> list[float]:
     """STUB decoder. Real media types need codecs absent from this
     container; the deterministic fake below exercises the identical

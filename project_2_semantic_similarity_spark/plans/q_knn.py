@@ -1149,6 +1149,75 @@ def multimodal_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_phash_dedup",
+    oracle="""
+WITH dims AS (
+    SELECT doc_id,
+           4 + doc_id % 5 AS w,
+           3 + doc_id % 4 AS h
+    FROM documents
+),
+g AS (
+    SELECT d.doc_id, gy.j, gx.i,
+           (d.doc_id + 7 * ((gx.i * d.w) // 8)
+                     + 13 * ((gy.j * d.h) // 8)) % 256
+         + (d.doc_id + 7 * ((gx.i * d.w) // 8)
+                     + 13 * ((gy.j * d.h) // 8) + 29) % 256
+         + (d.doc_id + 7 * ((gx.i * d.w) // 8)
+                     + 13 * ((gy.j * d.h) // 8) + 58) % 256 AS gray
+    FROM dims d
+    CROSS JOIN range(8) gx(i)
+    CROSS JOIN range(8) gy(j)
+),
+bits AS (
+    SELECT a.doc_id, a.j, a.i,
+           CASE WHEN b.gray > a.gray THEN 1 ELSE 0 END AS bit
+    FROM g a
+    JOIN g b ON b.doc_id = a.doc_id AND b.j = a.j AND b.i = a.i + 1
+    WHERE a.i < 7
+),
+ph AS (
+    SELECT doc_id,
+           CAST(sum(CAST(bit AS BIGINT)
+                    * (CAST(1 AS BIGINT) << CAST(j * 7 + i AS INT)))
+                AS BIGINT) AS phash
+    FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+FROM ph a
+JOIN ph b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 3
+""",
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image NEAR-DUP detection end-to-end: real binary PPM payloads
+    → decoded rasters → 56-bit perceptual dHash (operators/
+    multimodal.py phash_image) → Hamming-radius-3 pair discovery via
+    the same exact-recall pigeonhole banding as dedup_simhash (4
+    chunks of 14 bits: 3 flips can touch at most 3, so every true
+    pair agrees on ≥1 chunk). The visual half of the dedup story —
+    the text side's simhash machinery reused verbatim on a hash
+    computed from pixels the oracle re-derives arithmetically
+    without ever parsing a PPM (a decode or sampling bug breaks the
+    hash, exactly like multimodal_decode_image).
+
+    At 100 TB: hashing is one narrow Arrow stage over the binary
+    column; the join operates on 8-byte hashes inside
+    (chunk_idx, chunk) buckets — candidates, not all-pairs, and no
+    pixel bytes ever shuffle."""
+    from project_2_semantic_similarity_spark.operators.dedup import (
+        simhash_near_pairs)
+    from project_2_semantic_similarity_spark.operators.multimodal import (
+        attach_ppm_payload, phash_image)
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = (phash_image(attach_ppm_payload(docs))
+              .withColumnRenamed("phash", "simhash"))
+    return simhash_near_pairs(hashes, max_hamming=3, bits=56)
+
+
+@query(
     "embedding_gram",
     oracle=f"""
 SELECT CAST(i.n AS BIGINT) AS i,
