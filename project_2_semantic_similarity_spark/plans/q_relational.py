@@ -2899,6 +2899,54 @@ def sql_api_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+_Q21_SQL = """
+WITH l1 AS (
+    SELECT l.l_orderkey, l.l_suppkey,
+           CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                THEN 1 ELSE 0 END AS late
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+)
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM l1
+JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+WHERE l1.late = 1
+  AND EXISTS (
+      SELECT 1 FROM l1 l2
+      WHERE l2.l_orderkey = l1.l_orderkey
+        AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+      SELECT 1 FROM l1 l3
+      WHERE l3.l_orderkey = l1.l_orderkey
+        AND l3.l_suppkey <> l1.l_suppkey
+        AND l3.late = 1)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 20
+"""
+
+
+@query("sql_api_tpch_q21", oracle=_Q21_SQL)
+def sql_api_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting): the hardest
+    decorrelation shape in the suite — an EXISTS and a NOT EXISTS
+    both correlated to the SAME derived fact relation. Catalyst
+    rewrites them to a LeftSemi and a LeftAnti join on l_orderkey;
+    all three legs of the self-join share that key, so under AQE the
+    exchange is planned once and reused rather than re-shuffling the
+    fact table per subquery — the declarative form IS the efficient
+    form, where the reference's style (app.py:122-158 driver loops)
+    would re-scan per correlation. Lateness is adapted to this
+    schema (no commit/receipt dates): l_shipdate more than 60 days
+    after o_orderdate. Top-20 rides TakeOrderedAndProject."""
+    from project_2_semantic_similarity_spark.sources.tables import (
+        register_views)
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q21_SQL)
+
+
 @query(
     "win_range_frame",
     oracle="""
