@@ -81,6 +81,61 @@ def with_global_rank(
     return out.drop(_PID, _LRN, _OFF, "__grk_total")
 
 
+def with_global_running_sum(
+    df: DataFrame,
+    sort_cols: list[Column],
+    val_col: str,
+    sum_col: str = "running_sum",
+    num_partitions: int | None = None,
+    with_total: str | None = None,
+) -> DataFrame:
+    """Add ``sum_col`` = cumulative sum of ``val_col`` under the total
+    order ``sort_cols`` (MUST be unique — include a tie-break), with
+    the same scale-safe shape as ``with_global_rank``: range
+    partitions, per-partition running sums, and a broadcast
+    metadata-sized offset table instead of a single-partition window.
+
+    Exactness contract: use an INTEGRAL ``val_col``. The offset is
+    the sum of prior partitions' totals, so floating-point input
+    would accumulate in a different association than a sequential
+    left-to-right scan — integer sums are association-free and land
+    bit-identically in any engine.
+
+    ``with_total``: optionally attach the grand total (the last
+    cumulative offset; saves a second pass for share-of-total math).
+    """
+    n = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    ranged = (
+        df.repartitionByRange(n, *sort_cols)
+        .withColumn(_PID, F.spark_partition_id())
+    )
+    local = ranged.withColumn(
+        _LRN,
+        F.sum(val_col).over(
+            Window.partitionBy(_PID).orderBy(*sort_cols)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    sums = ranged.groupBy(_PID).agg(F.sum(val_col).alias("_s"))
+    woff = Window.orderBy(_PID).rowsBetween(
+        Window.unboundedPreceding, -1)
+    offsets = sums.select(
+        _PID,
+        F.coalesce(F.sum("_s").over(woff), F.lit(0)).alias(_OFF),
+        F.sum("_s").over(
+            Window.partitionBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("__grk_total"),
+    )
+    out = (
+        local.join(F.broadcast(offsets), _PID)
+        .withColumn(sum_col, F.col(_OFF) + F.col(_LRN))
+    )
+    if with_total is not None:
+        out = out.withColumn(with_total, F.col("__grk_total"))
+    return out.drop(_PID, _LRN, _OFF, "__grk_total")
+
+
 def grouped_quantiles_exact(
     df: DataFrame,
     group_col: str,

@@ -862,3 +862,145 @@ def win_locf_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round(F.last(measured, ignorenulls=True).over(w), 2)
         .alias("value_filled"))
+
+
+@query(
+    "win_ema",
+    oracle="""
+WITH RECURSIVE daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS cnt
+    FROM events GROUP BY user_id, CAST(ts AS DATE)
+),
+ranked AS (
+    SELECT user_id, day, cnt,
+           row_number() OVER (PARTITION BY user_id ORDER BY day) AS r
+    FROM daily
+),
+ema AS (
+    SELECT user_id, day, r, CAST(cnt AS DOUBLE) AS ema
+    FROM ranked WHERE r = 1
+    UNION ALL
+    SELECT x.user_id, x.day, x.r, 0.25 * x.cnt + 0.75 * e.ema
+    FROM ranked x JOIN ema e
+      ON x.user_id = e.user_id AND x.r = e.r + 1
+)
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day, round(ema, 6) AS ema
+FROM ema
+""",
+)
+def win_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential moving average of per-user daily activity
+    (alpha = 0.25) — a LINEAR RECURRENCE (ema_t = a*x_t +
+    (1-a)*ema_{t-1}) that no plain window frame can express: every
+    output depends on the entire prefix through a multiply, not a
+    frame aggregate. Implemented as one fold per user with the
+    higher-order aggregate() over the sorted (day, count) sequence;
+    the oracle is the same recurrence as a recursive CTE, with the
+    multiply-add written in the identical order so IEEE doubles
+    match bit-for-bit before rounding.
+
+    Scale: the daily pre-aggregation is a map-side-combinable hash
+    agg, so per-user state is bounded by the CALENDAR (days in
+    range), not event volume; the fold is then O(days) per user on
+    a relation of |users| x |days| rows. For multi-year horizons
+    chunk the fold by month and carry the boundary EMA — the
+    recurrence composes associatively through scans."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy("user_id",
+                        F.col("ts").cast("date").alias("day"))
+             .agg(F.count("*").alias("cnt")))
+    packed = daily.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("day", "cnt")))
+        .alias("seq"))
+    folded = packed.withColumn(
+        "emas",
+        F.aggregate(
+            "seq",
+            F.expr("CAST(array() AS ARRAY<DOUBLE>)"),
+            lambda acc, x: F.concat(acc, F.array(
+                F.when(F.size(acc) == 0, x["cnt"].cast("double"))
+                .otherwise(F.lit(0.25) * x["cnt"]
+                           + F.lit(0.75) * F.element_at(acc, -1))))))
+    z = F.posexplode(F.arrays_zip("seq", "emas"))
+    return (folded.select("user_id", z.alias("pos", "z"))
+            .select("user_id",
+                    F.date_format("z.seq.day", "yyyy-MM-dd")
+                    .alias("day"),
+                    F.round("z.emas", 6).alias("ema")))
+
+
+@query(
+    "orders_abc_pareto",
+    oracle="""
+WITH rev AS (
+    SELECT l_partkey,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+               AS rev_e4
+    FROM lineitem GROUP BY l_partkey
+),
+cum AS (
+    SELECT l_partkey, rev_e4,
+           sum(rev_e4) OVER (ORDER BY rev_e4 DESC, l_partkey)
+               AS cum_e4,
+           sum(rev_e4) OVER () AS tot_e4
+    FROM rev
+),
+cls AS (
+    SELECT CASE WHEN CAST(cum_e4 AS DOUBLE) / tot_e4 <= 0.80 THEN 'A'
+                WHEN CAST(cum_e4 AS DOUBLE) / tot_e4 <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           rev_e4, tot_e4
+    FROM cum
+)
+SELECT abc_class,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       round(CAST(sum(rev_e4) AS DOUBLE) / 10000, 2) AS revenue,
+       round(CAST(sum(rev_e4) AS DOUBLE) / max(tot_e4), 6)
+           AS revenue_share
+FROM cls GROUP BY abc_class
+""",
+)
+def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of parts by revenue: rank parts by
+    lifetime discounted revenue, cut the cumulative share at 80% (A)
+    and 95% (B) — the classic inventory-priority analysis whose crux
+    is a GLOBAL running sum over the part relation. Runs on the
+    range-partitioned running-sum machinery (operators/rank.py
+    with_global_running_sum) so the cumulative total never funnels
+    through a single-partition window; revenue is carried as exact
+    integer e4-units (cents x discount-percent), making the running
+    sum association-free — identical in any engine regardless of
+    partition boundaries, where a float cumsum would round
+    differently per partitioning.
+
+    Scale: fact -> part revenue is one map-side-combinable hash agg;
+    everything after runs on the |parts| relation (range shuffle +
+    broadcast offsets + one 3-group agg)."""
+    from project_2_semantic_similarity_spark.operators.rank import (
+        with_global_running_sum)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (li.select(
+        "l_partkey",
+        (F.round(F.col("l_extendedprice") * 100).cast("bigint")
+         * (F.lit(100)
+            - F.round(F.col("l_discount") * 100).cast("bigint")))
+        .alias("rev_e4"))
+        .groupBy("l_partkey").agg(F.sum("rev_e4").alias("rev_e4")))
+    cum = with_global_running_sum(
+        rev, [F.col("rev_e4").desc(), F.col("l_partkey").asc()],
+        "rev_e4", sum_col="cum_e4", with_total="tot_e4")
+    share = F.col("cum_e4").cast("double") / F.col("tot_e4")
+    cls = cum.select(
+        F.when(share <= 0.80, "A")
+        .when(share <= 0.95, "B")
+        .otherwise("C").alias("abc_class"),
+        "rev_e4", "tot_e4")
+    return (cls.groupBy("abc_class")
+            .agg(F.count("*").cast("bigint").alias("n_parts"),
+                 F.round(F.sum("rev_e4").cast("double") / 10000, 2)
+                 .alias("revenue"),
+                 F.round(F.sum("rev_e4").cast("double")
+                         / F.max("tot_e4"), 6)
+                 .alias("revenue_share")))

@@ -478,3 +478,25 @@ def test_chunk_cdc_boundary_stage_is_narrow(spark, sf_dir):
     assert "Generate explode" in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_abc_pareto_running_sum_is_range_partitioned(spark, sf_dir):
+    """The Pareto cumulative total rides with_global_running_sum:
+    range exchange + pid-partitioned window + broadcast offsets —
+    never a partition-less running-sum window over the part
+    relation."""
+    plan = plan_of(spark, "orders_abc_pareto", sf_dir)
+    assert "windowspecdefinition(__grk_pid" in plan
+    assert "rangepartitioning(rev_e4" in plan
+    assert "BroadcastHashJoin" in plan
+    _single_partition_exchanges_are_metadata_sized(plan)
+
+
+def test_phash_dedup_join_ships_hashes_not_pixels(spark, sf_dir):
+    """The Hamming join's shuffle carries (doc_id, simhash, chunk)
+    rows only — the binary payload column must be projected away
+    before any exchange."""
+    plan = plan_of(spark, "multimodal_phash_dedup", sf_dir)
+    for i, ln in enumerate(plan.splitlines()):
+        if "Exchange hashpartitioning" in ln:
+            assert "payload" not in ln, ln
