@@ -70,6 +70,78 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     return filled.filter(F.col("__side") == 1).drop("__side")
 
 
+def asof_join_nearest(left: DataFrame, right: DataFrame,
+                      on: Sequence[str], left_ts: str, right_ts: str,
+                      right_cols: Sequence[str]) -> DataFrame:
+    """For each left row, attach the right row NEAREST in time —
+    either direction — within the same ``on`` key group (pandas
+    ``merge_asof(direction='nearest')`` semantics, left-outer).
+
+    Rides the same union + sorted-window machinery as ``asof_join``,
+    with BOTH directions read off one sort: the backward candidate is
+    ``last(..., ignorenulls)`` over the preceding frame, the forward
+    candidate ``first(..., ignorenulls)`` over the following frame —
+    one shuffle, one sort, two frame scans; never a candidate-pair
+    join. Distances compare at microsecond precision; ties (equal
+    distance both directions) resolve backward, deterministically.
+
+    Callers should dedupe right rows per (key, ts) first — among
+    same-timestamp right rows the carried one is sort-order
+    dependent, same caveat as ``asof_join``."""
+    lcols = list(left.columns)
+    tagged_left = left.select(
+        *lcols,
+        F.lit(1).alias("__side"),
+        F.col(left_ts).alias("__ts"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+          for c in right_cols],
+    )
+    tagged_right = right.select(
+        *on,
+        F.lit(0).alias("__side"),
+        F.col(right_ts).alias("__ts"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    for c in lcols:
+        if c not in on:
+            tagged_right = tagged_right.withColumn(
+                c, F.lit(None).cast(left.schema[c].dataType))
+
+    unioned = tagged_left.unionByName(tagged_right).withColumn(
+        "__ts_us", F.unix_micros(F.col("__ts").cast("timestamp")))
+    order = [F.col("__ts").asc(), F.col("__side").asc()]
+    wb = (Window.partitionBy(*on).orderBy(*order)
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wf = (Window.partitionBy(*on).orderBy(*order)
+          .rowsBetween(0, Window.unboundedFollowing))
+    fill_cols = list(right_cols)
+    filled = unioned.select(
+        *lcols, "__side", "__ts_us",
+        *[F.last(f"__r_{c}", ignorenulls=True).over(wb).alias(f"__b_{c}")
+          for c in fill_cols],
+        F.last(F.when(F.col("__side") == 0, F.col("__ts_us")),
+               ignorenulls=True).over(wb).alias("__b_us"),
+        *[F.first(f"__r_{c}", ignorenulls=True).over(wf).alias(f"__f_{c}")
+          for c in fill_cols],
+        F.first(F.when(F.col("__side") == 0, F.col("__ts_us")),
+                ignorenulls=True).over(wf).alias("__f_us"),
+    )
+    b_dist = F.col("__ts_us") - F.col("__b_us")
+    f_dist = F.col("__f_us") - F.col("__ts_us")
+    take_back = F.col("__b_us").isNotNull() & (
+        F.col("__f_us").isNull() | (b_dist <= f_dist))
+    out = filled.filter(F.col("__side") == 1).select(
+        *lcols,
+        *[F.when(take_back, F.col(f"__b_{c}"))
+          .otherwise(F.col(f"__f_{c}")).alias(f"asof_{c}")
+          for c in fill_cols],
+        F.when(take_back, b_dist)
+        .when(F.col("__f_us").isNotNull(), f_dist)
+        .cast("bigint").alias("asof_dist_us"),
+    )
+    return out
+
+
 def theta_range_join(left: DataFrame, right: DataFrame,
                      equi_keys: Sequence[str],
                      condition: Column,

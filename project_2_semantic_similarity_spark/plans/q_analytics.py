@@ -1004,3 +1004,80 @@ def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum("rev_e4").cast("double")
                          / F.max("tot_e4"), 6)
                  .alias("revenue_share")))
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+WITH pairs AS (
+    SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+    FROM lineitem a
+    JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+tri AS (
+    SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+    FROM pairs e1
+    JOIN pairs e2 ON e2.p1 = e1.p2
+    JOIN pairs e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+),
+per_part AS (
+    SELECT part, count(*) AS n_triangles FROM (
+        SELECT a AS part FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    ) GROUP BY part
+)
+SELECT CAST(part AS BIGINT) AS l_partkey,
+       CAST(n_triangles AS BIGINT) AS n_triangles
+FROM per_part
+ORDER BY n_triangles DESC, part
+LIMIT 20
+""",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the co-purchase graph (parts appearing in
+    the same order), top-20 parts by triangle participation — the
+    standard clustering-coefficient / community-density primitive.
+    Edges are canonically oriented (p1 < p2) so each triangle
+    materializes EXACTLY once as (a<b<c): two equi-join hops (wedge
+    build + closing-edge check), never an undirected 6x blow-up. The
+    edge relation is built once and persisted (keyed_persist slot),
+    then drives all three join legs.
+
+    Scale: the wedge join is the quadratic term — Sum(deg^2). At
+    100 TB orient edges low-degree -> high-degree first (count each
+    wedge at its lowest-degree endpoint; Suri & Vassilvitskii,
+    WWW'11) — same joins, bounded wedge volume; the canonical
+    orientation here is the exact baseline the oracle can mirror.
+    Top-20 rides TakeOrderedAndProject."""
+    from project_2_semantic_similarity_spark.operators.cache import (
+        keyed_persist)
+
+    def build():
+        li = (load_table(spark, sf_dir, "lineitem")
+              .select("l_orderkey", "l_partkey"))
+        a, b = li.alias("a"), li.alias("b")
+        return (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                       & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+                .select(F.col("a.l_partkey").alias("p1"),
+                        F.col("b.l_partkey").alias("p2"))
+                .distinct())
+
+    pairs = keyed_persist("triangle_edges", sf_dir, build)
+    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    tri = (e1.join(e2, F.col("e2.p1") == F.col("e1.p2"))
+           .join(e3, (F.col("e3.p1") == F.col("e1.p1"))
+                 & (F.col("e3.p2") == F.col("e2.p2")))
+           .select(F.col("e1.p1").alias("a"),
+                   F.col("e1.p2").alias("b"),
+                   F.col("e2.p2").alias("c")))
+    corners = (tri.select(F.col("a").alias("part"))
+               .unionAll(tri.select(F.col("b").alias("part")))
+               .unionAll(tri.select(F.col("c").alias("part"))))
+    return (corners.groupBy("part")
+            .agg(F.count("*").cast("bigint").alias("n_triangles"))
+            .select(F.col("part").cast("bigint").alias("l_partkey"),
+                    "n_triangles")
+            .orderBy(F.col("n_triangles").desc(), "l_partkey")
+            .limit(20))

@@ -676,6 +676,62 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_asof_nearest",
+    oracle="""
+WITH purchases AS (
+    SELECT event_id, user_id, ts FROM events
+    WHERE event_type = 'purchase'
+),
+clicks AS (
+    SELECT user_id, ts, max(event_id) AS click_id
+    FROM events WHERE event_type = 'click'
+    GROUP BY user_id, ts
+)
+SELECT p.event_id, p.user_id, n.click_id, n.dist_us
+FROM purchases p
+LEFT JOIN LATERAL (
+    SELECT c.click_id,
+           CAST(abs(epoch_us(CAST(p.ts AS TIMESTAMP))
+                    - epoch_us(CAST(c.ts AS TIMESTAMP)))
+                AS BIGINT) AS dist_us
+    FROM clicks c
+    WHERE c.user_id = p.user_id
+    ORDER BY dist_us, c.ts
+    LIMIT 1
+) n ON TRUE
+""",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time as-of join (pandas merge_asof
+    direction='nearest'): the click closest to each purchase in
+    EITHER direction, per user. One union + sorted-window pass reads
+    both candidates off a single shuffle/sort — backward via a
+    preceding-frame last(ignorenulls), forward via a following-frame
+    first(ignorenulls) — then picks the nearer at microsecond
+    precision, ties resolving backward (operators/joins.py
+    asof_join_nearest). The oracle is the per-row LATERAL nearest
+    lookup, which is exactly the O(n·m) plan this operator exists to
+    avoid. Clicks are deduped per (user, ts) first so the carried
+    row is deterministic."""
+    from project_2_semantic_similarity_spark.operators.joins import (
+        asof_join_nearest)
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    c = (ev.filter(F.col("event_type") == "click")
+         .groupBy("user_id", "ts")
+         .agg(F.max("event_id").alias("click_id")))
+    out = asof_join_nearest(
+        p, c, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=["click_id"])
+    return out.select(
+        "event_id", "user_id",
+        F.col("asof_click_id").alias("click_id"),
+        F.col("asof_dist_us").alias("dist_us"))
+
+
+@query(
     "join_multiway",
     oracle="""
 SELECT r.r_name, count(*) AS n_items,
