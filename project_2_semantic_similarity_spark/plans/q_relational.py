@@ -3307,3 +3307,66 @@ def agg_bitmap_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint").alias("n_both"),
         F.sum(F.bit_count(F.col("cm").bitwiseOR(F.col("vm"))))
         .cast("bigint").alias("n_either"))
+
+
+_Q14_SQL = """
+SELECT round(100.00 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                               THEN l.l_extendedprice * (1 - l.l_discount)
+                               ELSE 0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+           AS promo_revenue_pct,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l.l_shipdate <  TIMESTAMP '1996-10-01'
+"""
+
+
+@query("sql_api_tpch_q14", oracle=_Q14_SQL)
+def sql_api_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): share of one month's revenue from
+    promo parts — the conditional-aggregate-over-join shape. The
+    month filter pushes into the lineitem scan (PushedFilters), part
+    broadcasts, and both numerator and denominator come out of ONE
+    aggregation pass (a CASE inside sum), never two scans. The
+    single-row ratio is computed after the partial aggregates merge."""
+    from project_2_semantic_similarity_spark.sources.tables import (
+        register_views)
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q14_SQL)
+
+
+_Q19_SQL = """
+SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#11'
+       AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#22'
+       AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity BETWEEN 10 AND 35)
+   OR (p.p_brand = 'Brand#9'
+       AND p.p_size BETWEEN 20 AND 50
+       AND l.l_quantity BETWEEN 20 AND 50)
+"""
+
+
+@query("sql_api_tpch_q19", oracle=_Q19_SQL)
+def sql_api_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue): an OR-of-ANDs predicate mixing
+    columns from BOTH join sides — the disjunction cannot push into
+    either scan whole, so the optimizer's job is to split it:
+    Catalyst extracts the per-side disjunction envelopes (brand/size
+    on part, quantity on lineitem) as pushable pre-filters and keeps
+    the full disjunction as the join residual. Adapted to this
+    schema's columns (no container/shipinstruct): brand x size x
+    quantity bands. One broadcast join, one agg row."""
+    from project_2_semantic_similarity_spark.sources.tables import (
+        register_views)
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q19_SQL)
