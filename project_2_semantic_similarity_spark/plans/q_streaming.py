@@ -455,3 +455,38 @@ def stream_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("c"))
     )
     return S.run_to_memory(counters, "stream_cms_counts", "complete")
+
+
+@query(
+    "stream_ema",
+    oracle="""
+WITH RECURSIVE ranked AS (
+    SELECT user_id, value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS r,
+           count(*) OVER (PARTITION BY user_id) AS n
+    FROM events
+),
+ema AS (
+    SELECT user_id, r, n, CAST(value AS DOUBLE) AS ema
+    FROM ranked WHERE r = 1
+    UNION ALL
+    SELECT x.user_id, x.r, x.n, 0.25 * x.value + 0.75 * e.ema
+    FROM ranked x JOIN ema e
+      ON x.user_id = e.user_id AND x.r = e.r + 1
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events, round(ema, 6) AS ema
+FROM ema WHERE r = n
+""",
+)
+def stream_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EMA (alpha = 0.25) maintained under streaming ingest —
+    the decaying-counter shape that makes applyInPandasWithState
+    necessary: state is one (n, ema) pair per user at ANY stream
+    volume, updated by a fold no built-in streaming aggregate
+    expresses (streaming twin of win_ema). Replayed availableNow;
+    the final state equals the batch recurrence, which the oracle
+    states as a recursive CTE with the identical multiply-add
+    order."""
+    ev = S.read_events_stream(spark, S.stage_events_dir(sf_dir))
+    return S.run_to_memory(S.ema_state(ev), "stream_ema", "update")

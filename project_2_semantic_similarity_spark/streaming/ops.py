@@ -334,6 +334,48 @@ def custom_state_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def ema_state(events: DataFrame, alpha: float = 0.25) -> DataFrame:
+    """Per-user exponential moving average maintained in the state
+    store — the streaming twin of win_ema's batch fold: state is ONE
+    (n, ema) pair per user at any stream volume (a decaying counter,
+    the canonical can't-do-with-builtin-window streaming state).
+
+    Rows fold in (ts, event_id) order WITHIN each micro-batch (sorted
+    before the fold) and the state carries across batches, so the
+    final state after replay equals the batch recurrence; the
+    multiply-add is written in the same order as the oracle's
+    recursive CTE, landing bit-identical doubles."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update_ema(key, pdfs, state: GroupState):
+        import pandas as pd
+        n, ema = state.get if state.exists else (0, None)
+        parts = [p for p in pdfs if len(p)]
+        if parts:
+            pdf = (pd.concat(parts)
+                   .sort_values(["ts", "event_id"], kind="mergesort"))
+            for v in pdf["value"]:
+                v = float(v)
+                ema = v if ema is None else alpha * v + (1 - alpha) * ema
+                n += 1
+        state.update((n, ema))
+        yield pd.DataFrame({
+            "user_id": [key[0]], "n_events": [n],
+            "ema": [None if ema is None else round(ema, 6)],
+        })
+
+    return (
+        events.groupBy("user_id").applyInPandasWithState(
+            update_ema,
+            outputStructType="user_id bigint, n_events bigint, "
+                             "ema double",
+            stateStructType="n bigint, ema double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def dedup_stream(events: DataFrame) -> DataFrame:
     """Streaming dropDuplicates on event_id with watermark-bounded
     state. Callers feed a doubled stream to make the dedup

@@ -9,6 +9,7 @@ late rows beyond the watermark are dropped (not just absent)."""
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 import __spark_entry__ as e
@@ -274,3 +275,42 @@ def test_rocksdb_state_store_provider_takes_effect(spark, sf_dir):
         else:
             spark.conf.set(key, prev)
     assert sorted(map(tuple, got)) == sorted(map(tuple, baseline))
+
+
+def test_ema_state_carries_across_batches(spark, sf_dir):
+    # Events split into two micro-batch files at the median ts
+    # (mtimes ordered): the fold must carry ema/n state across the
+    # batch boundary, so the final per-user state equals the
+    # single-batch replay (which the DuckDB recursive-CTE oracle
+    # verifies independently).
+    import os
+    import time
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tag = S._stream_tag(sf_dir)
+    d = f"/tmp/p2ss_stream_{tag}/events_ema2"
+    f1, f2 = f"{d}/batch0.parquet", f"{d}/batch1.parquet"
+    if not (os.path.exists(f1) and os.path.exists(f2)):
+        os.makedirs(d, exist_ok=True)
+        t = pq.read_table(f"{sf_dir}/events.parquet")
+        ts_sorted = pc.array_sort_indices(t["ts"].combine_chunks())
+        cut = t["ts"].combine_chunks()[ts_sorted[len(t) // 2].as_py()]
+        pq.write_table(t.filter(pc.less_equal(t["ts"], cut)), f1)
+        pq.write_table(t.filter(pc.greater(t["ts"], cut)), f2)
+        now = time.time()
+        os.utime(f1, (now - 60, now - 60))
+        os.utime(f2, (now, now))
+    ev = S.read_events_stream(spark, d, maxFilesPerTrigger="1")
+    out = S.run_to_memory(S.ema_state(ev), "ema_state_2batch", "update")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = {(r.user_id): (r.n_events, r.ema) for r in
+             out.withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") == 1).collect()}
+    single = {(r.user_id): (r.n_events, r.ema) for r in
+              S.run_to_memory(
+                  S.ema_state(S.read_events_stream(
+                      spark, S.stage_events_dir(sf_dir))),
+                  "ema_state_1batch", "update").collect()}
+    assert final == single

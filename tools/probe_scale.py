@@ -242,6 +242,43 @@ def main() -> None:
                 F.pmod(F.xxhash64("id"), F.lit(10_000_000)).alias("k"))
             cnt = fact.filter(
                 bloom_might_contain(F.col("k"), words)).count()
+        elif name == "phash_probe":
+            # decode+hash throughput of the image near-dup pipeline's
+            # narrow stage: n real PPM payloads parsed and dHashed.
+            # The banded join is NOT probed on this corpus — the
+            # doc_id-derived fixture images are engineered to be
+            # heavily self-similar (pair volume is a data property);
+            # the join machinery's scaling evidence is dedup_simhash's
+            # (same operator, same blocking).
+            from project_2_semantic_similarity_spark.operators.\
+                multimodal import attach_ppm_payload, phash_image
+
+            docs = spark.read.parquet(f"{out}/documents.parquet")
+            cnt = (phash_image(attach_ppm_payload(docs))
+                   .agg(F.countDistinct("phash")).collect()[0][0])
+        elif name == "triangle_probe":
+            # ladder graph with known closure: edges (i,i+1) and
+            # (i,i+2) → exactly n-2 triangles (i,i+1,i+2). Exercises
+            # the wedge join + closing-edge join at 2n edges with a
+            # closed-form self-check, so the probe validates while it
+            # times.
+            from project_2_semantic_similarity_spark.operators.cache \
+                import keyed_persist
+
+            nodes = spark.range(n)
+            e1 = nodes.filter(F.col("id") < n - 1).select(
+                F.col("id").alias("p1"), (F.col("id") + 1).alias("p2"))
+            e2 = nodes.filter(F.col("id") < n - 2).select(
+                F.col("id").alias("p1"), (F.col("id") + 2).alias("p2"))
+            pairs = keyed_persist("triangle_edges", ("probe", n, out),
+                                  lambda: e1.unionAll(e2))
+            a, b, c = pairs.alias("e1"), pairs.alias("e2"), \
+                pairs.alias("e3")
+            tri = (a.join(b, F.col("e2.p1") == F.col("e1.p2"))
+                   .join(c, (F.col("e3.p1") == F.col("e1.p1"))
+                         & (F.col("e3.p2") == F.col("e2.p2"))))
+            cnt = tri.count()
+            assert cnt == n - 2, f"expected {n - 2} triangles, {cnt}"
         else:
             cnt = QUERIES[name](spark, out).count()
         wall = time.time() - t
