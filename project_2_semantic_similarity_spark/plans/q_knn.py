@@ -1453,3 +1453,93 @@ def embedding_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.transform("projected", lambda x: F.round(x, 6)))
         .alias("dim_idx", "component"))
 
+
+
+@query(
+    "dedup_phash_clusters",
+    oracle="""
+WITH RECURSIVE dims AS (
+    SELECT doc_id,
+           4 + doc_id % 5 AS w,
+           3 + doc_id % 4 AS h
+    FROM documents
+),
+g AS (
+    SELECT d.doc_id, gy.j, gx.i,
+           (d.doc_id + 7 * ((gx.i * d.w) // 8)
+                     + 13 * ((gy.j * d.h) // 8)) % 256
+         + (d.doc_id + 7 * ((gx.i * d.w) // 8)
+                     + 13 * ((gy.j * d.h) // 8) + 29) % 256
+         + (d.doc_id + 7 * ((gx.i * d.w) // 8)
+                     + 13 * ((gy.j * d.h) // 8) + 58) % 256 AS gray
+    FROM dims d
+    CROSS JOIN range(8) gx(i)
+    CROSS JOIN range(8) gy(j)
+),
+bits AS (
+    SELECT a.doc_id, a.j, a.i,
+           CASE WHEN b.gray > a.gray THEN 1 ELSE 0 END AS bit
+    FROM g a
+    JOIN g b ON b.doc_id = a.doc_id AND b.j = a.j AND b.i = a.i + 1
+    WHERE a.i < 7
+),
+ph AS (
+    SELECT doc_id,
+           CAST(sum(CAST(bit AS BIGINT)
+                    * (CAST(1 AS BIGINT) << CAST(j * 7 + i AS INT)))
+                AS BIGINT) AS phash
+    FROM bits GROUP BY doc_id
+),
+near AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM ph a
+    JOIN ph b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 3
+),
+edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM near
+    UNION
+    SELECT doc_b AS u, doc_a AS v FROM near
+),
+walk(node, label) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+    UNION
+    SELECT e.u, w.label FROM edges e JOIN walk w ON w.node = e.v
+),
+comp AS (
+    SELECT node AS doc_id, min(label) AS component_id
+    FROM walk GROUP BY node
+),
+csz AS (
+    SELECT component_id, CAST(count(*) AS BIGINT) AS component_size
+    FROM comp GROUP BY component_id
+)
+SELECT c.doc_id, c.component_id, s.component_size
+FROM comp c JOIN csz s USING (component_id)
+""",
+)
+def dedup_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VISUAL dedup consolidation — the image corpus's answer to
+    dedup_clusters: perceptual-hash near-dup pairs (Hamming ≤ 3, the
+    multimodal_phash_dedup discovery stage) collapse transitively
+    into clusters via min-label propagation, each doc tagged with
+    its canonical representative (min doc_id) and cluster size. A
+    near-dup image corpus keeps one representative per component —
+    chains a~b~c that pairwise suppression cannot see collapse here.
+
+    Scale: pixels are gone after the one narrow hash stage; pair
+    discovery is the banded join; propagation is the same
+    O(diameter)-round persist-and-release loop dedup_clusters runs
+    (operators/graph.py), on a pair relation, not the corpus."""
+    from project_2_semantic_similarity_spark.operators.dedup import (
+        simhash_near_pairs)
+    from project_2_semantic_similarity_spark.operators.graph import (
+        dedup_clusters as clusters_op)
+    from project_2_semantic_similarity_spark.operators.multimodal import (
+        attach_ppm_payload, phash_image)
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = (phash_image(attach_ppm_payload(docs))
+              .withColumnRenamed("phash", "simhash"))
+    pairs = simhash_near_pairs(hashes, max_hamming=3, bits=56)
+    return clusters_op(pairs.select("doc_a", "doc_b"))
