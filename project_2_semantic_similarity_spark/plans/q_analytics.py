@@ -1081,3 +1081,63 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_triangles")
             .orderBy(F.col("n_triangles").desc(), "l_partkey")
             .limit(20))
+
+
+@query(
+    "events_sliding_distinct_bitmap",
+    oracle="""
+WITH days AS (
+    SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+),
+u AS (
+    SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+)
+SELECT strftime(d.day, '%Y-%m-%d') AS day,
+       CAST(count(DISTINCT u.user_id) AS BIGINT) AS n_users_7d
+FROM days d
+JOIN u ON u.day BETWEEN d.day - 6 AND d.day
+GROUP BY d.day
+""",
+)
+def events_sliding_distinct_bitmap(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """EXACT sliding-window distinct — 7-day rolling active users —
+    via bitmap-word algebra: COUNT(DISTINCT) does not decompose over
+    overlapping windows (the classic sliding-distinct trap: a
+    distinct-per-window self-join re-scans every event 7×), but
+    bitmaps do — one pass builds per-day (word, mask) bitmaps, each
+    day's relation is |users|/64 words, and a window's distinct
+    count is popcount(OR of its days' masks). The 7× fan-out happens
+    on the compressed bitmap relation, never on raw events — the
+    same revisit-nothing contract as agg_bitmap_intersect, extended
+    along the time axis (period merge = word-wise OR).
+
+    Scale: events → daily bitmaps is one map-side-combinable agg;
+    everything downstream is days × |users|/64 words. Output days
+    are restricted to days present in the data (semi join with the
+    broadcast day list)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.col("ts").cast("date").alias("day"),
+            (F.col("user_id") / 64).cast("long").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), "
+                   "CAST(user_id % 64 AS INT))").alias("m"))
+        .groupBy("day", "w").agg(F.bit_or("m").alias("mask")))
+    fanned = daily.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+        "day", "w", "mask"
+    ).select(F.date_add("day", F.col("off")).alias("target_day"),
+             "w", "mask")
+    wins = (fanned.groupBy("target_day", "w")
+            .agg(F.bit_or("mask").alias("mask")))
+    counts = (wins.groupBy("target_day")
+              .agg(F.sum(F.bit_count("mask")).cast("bigint")
+                   .alias("n_users_7d")))
+    present = daily.select("day").distinct()
+    return (counts.join(F.broadcast(present),
+                        counts["target_day"] == present["day"],
+                        "left_semi")
+            .select(F.date_format("target_day", "yyyy-MM-dd")
+                    .alias("day"),
+                    "n_users_7d"))

@@ -294,3 +294,92 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(F.col("url"), F.lit("QUERY")).alias("query"),
         F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("page"))
         .alias("page_param"))
+
+
+@query(
+    "fn_struct",
+    oracle="""
+WITH r AS (
+    SELECT l_orderkey, l_extendedprice, l_linenumber,
+           row_number() OVER (PARTITION BY l_orderkey
+                              ORDER BY l_extendedprice DESC,
+                                       l_linenumber DESC) AS rd,
+           row_number() OVER (PARTITION BY l_orderkey
+                              ORDER BY l_extendedprice ASC,
+                                       l_linenumber ASC) AS ra,
+           count(*) OVER (PARTITION BY l_orderkey) AS n
+    FROM lineitem
+)
+SELECT a.l_orderkey,
+       CAST(a.n AS BIGINT) AS n_items,
+       round(a.l_extendedprice, 2) AS top_price,
+       CAST(a.l_linenumber AS BIGINT) AS top_linenumber,
+       CAST(b.l_linenumber AS BIGINT) AS cheapest_linenumber
+FROM r a
+JOIN r b ON a.l_orderkey = b.l_orderkey AND b.ra = 1
+WHERE a.rd = 1
+""",
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StructType surface: pack each order's lines into an
+    array<struct>, sort by the struct's natural (field-order)
+    comparison — Spark sorts structs lexicographically by field, so
+    (price, linenumber) is a total order — and read fields off the
+    min/max elements. ONE shuffle replaces the oracle's two ranking
+    windows + self-join: the array is built and both extremes read
+    in a single hash aggregate. Top-level output stays scalar per
+    the driver-canonicalizer contract; structs live only inside the
+    plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    packed = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list(F.struct(
+            F.col("l_extendedprice").alias("price"),
+            F.col("l_linenumber").alias("ln")))).alias("items"))
+    top = F.element_at("items", -1)
+    bottom = F.element_at("items", 1)
+    return packed.select(
+        "l_orderkey",
+        F.size("items").cast("bigint").alias("n_items"),
+        F.round(top["price"], 2).alias("top_price"),
+        top["ln"].cast("bigint").alias("top_linenumber"),
+        bottom["ln"].cast("bigint").alias("cheapest_linenumber"))
+
+
+@query(
+    "agg_decimal_exact",
+    oracle="""
+SELECT l_returnflag,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 2))) AS DOUBLE)
+           AS sum_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 2))
+                * CAST(l_discount AS DECIMAL(4, 2))) AS DOUBLE)
+           AS sum_discounted,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT money aggregation through DecimalType: prices cast to
+    DECIMAL(18,2) (the cast rounds the stored double to its true
+    2-dp value — unambiguous for currency data), then summed in
+    decimal space where addition is associative — the sum is
+    bit-identical under ANY partitioning/merge order, unlike a
+    double sum whose low bits depend on reduction shape. The
+    price × discount product widens per SQL decimal rules
+    (DECIMAL(18,2) × DECIMAL(4,2) → scale 4) and stays exact. The
+    final cast to DOUBLE is one exact conversion of the settled
+    total (well under 2^53).
+
+    At 100 TB this is the difference between a ledger that
+    reconciles and one that drifts: partial-agg merge order is
+    nondeterministic under AQE, so financial pipelines must sum in
+    decimal, not double."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    return (li.groupBy("l_returnflag")
+            .agg(F.sum(price).cast("double").alias("sum_price"),
+                 F.sum(price * disc).cast("double")
+                 .alias("sum_discounted"),
+                 F.count("*").cast("bigint").alias("n")))
