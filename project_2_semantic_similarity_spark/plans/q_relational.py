@@ -3370,3 +3370,75 @@ def sql_api_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_Q19_SQL)
+
+
+@query(
+    "join_dim_snapshot",
+    oracle="""
+WITH daily AS (
+    SELECT user_id, day, state FROM (
+        SELECT user_id, CAST(ts AS DATE) AS day, event_type AS state,
+               row_number() OVER (
+                   PARTITION BY user_id, CAST(ts AS DATE)
+                   ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+),
+flagged AS (
+    SELECT user_id, day, state,
+           CASE WHEN lag(state) OVER w IS DISTINCT FROM state
+                THEN 1 ELSE 0 END AS changed
+    FROM daily
+    WINDOW w AS (PARTITION BY user_id ORDER BY day)
+),
+islands AS (
+    SELECT user_id, day, state,
+           sum(changed) OVER (PARTITION BY user_id ORDER BY day
+                              ROWS UNBOUNDED PRECEDING) AS version
+    FROM flagged
+),
+dim AS (
+    SELECT user_id, CAST(version AS BIGINT) AS version, state,
+           min(day) AS valid_from, max(day) AS valid_to
+    FROM islands GROUP BY user_id, version, state
+)
+SELECT p.event_id, p.user_id,
+       strftime(CAST(p.ts AS DATE), '%Y-%m-%d') AS day,
+       d.version, d.state
+FROM events p
+JOIN dim d
+  ON d.user_id = p.user_id
+ AND CAST(p.ts AS DATE) BETWEEN d.valid_from AND d.valid_to
+WHERE p.event_type = 'purchase'
+""",
+)
+def join_dim_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME dimension join — the consumption half of SCD2:
+    each purchase is joined to the dimension version valid on its
+    day. The dimension is scd2_history's interval relation; the
+    lookup rides the as-of machinery (latest valid_from ≤ day via
+    union + sorted window — one shuffle, no interval explosion)
+    with the valid_to bound checked after, which equals the
+    oracle's BETWEEN join because SCD2 intervals are disjoint.
+    The inequality-join-per-row plan the oracle states is exactly
+    what this avoids at scale."""
+    from project_2_semantic_similarity_spark.operators.joins import (
+        asof_join)
+
+    versions = scd2_history(spark, sf_dir).select(
+        "user_id", "version", "state",
+        F.to_date("valid_from").alias("valid_from"),
+        F.to_date("valid_to").alias("valid_to"))
+    ev = load_table(spark, sf_dir, "events")
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select("event_id", "user_id",
+                 F.col("ts").cast("date").alias("day")))
+    out = asof_join(
+        p, versions, on=["user_id"], left_ts="day",
+        right_ts="valid_from",
+        right_cols=["version", "state", "valid_to"])
+    return (out.filter(F.col("day") <= F.col("asof_valid_to"))
+            .select("event_id", "user_id",
+                    F.date_format("day", "yyyy-MM-dd").alias("day"),
+                    F.col("asof_version").alias("version"),
+                    F.col("asof_state").alias("state")))
