@@ -3442,3 +3442,119 @@ def join_dim_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.date_format("day", "yyyy-MM-dd").alias("day"),
                     F.col("asof_version").alias("version"),
                     F.col("asof_state").alias("state")))
+
+
+@query(
+    "agg_unpivot",
+    oracle="""
+WITH wide AS (
+    SELECT o_custkey,
+           sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice
+                    ELSE 0 END) AS open_total,
+           sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice
+                    ELSE 0 END) AS finished_total,
+           sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice
+                    ELSE 0 END) AS pending_total
+    FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, status_col, round(amount, 2) AS amount
+FROM wide
+UNPIVOT (amount FOR status_col IN
+         (open_total, finished_total, pending_total))
+""",
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt — the inverse of agg_pivot: a wide per-customer
+    status breakdown folds back to (key, column-name, value) rows
+    with the built-in unpivot (Spark 3.4+), a zero-shuffle narrow
+    expansion after the one pivot agg. Wide→long is how metric
+    tables feed generic downstream consumers (one row per metric)
+    without per-metric scans. UNPIVOT drops NULL cells by SQL
+    definition in both engines; the CASE totals here are never NULL,
+    so the shapes agree exactly."""
+    o = load_table(spark, sf_dir, "orders")
+    wide = o.groupBy("o_custkey").agg(
+        F.sum(F.when(F.col("o_orderstatus") == "O",
+                     F.col("o_totalprice")).otherwise(0.0))
+        .alias("open_total"),
+        F.sum(F.when(F.col("o_orderstatus") == "F",
+                     F.col("o_totalprice")).otherwise(0.0))
+        .alias("finished_total"),
+        F.sum(F.when(F.col("o_orderstatus") == "P",
+                     F.col("o_totalprice")).otherwise(0.0))
+        .alias("pending_total"))
+    return (wide.unpivot(
+        "o_custkey",
+        ["open_total", "finished_total", "pending_total"],
+        "status_col", "amount")
+        .select("o_custkey", "status_col",
+                F.round("amount", 2).alias("amount")))
+
+
+@query(
+    "agg_string_agg",
+    oracle="""
+SELECT c_mktsegment,
+       string_agg(DISTINCT n_name, ',' ORDER BY n_name) AS nations,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY c_mktsegment
+""",
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG): the distinct nations of
+    each market segment concatenated in a DETERMINISTIC order —
+    collect_set is unordered by contract, so the only
+    engine-portable form is sort_array before concat_ws; emitting an
+    unsorted listagg is the classic nondeterminism bug this query
+    pins against. One hash agg after a broadcast dim join."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    j = c.join(F.broadcast(n),
+               c["c_nationkey"] == n["n_nationkey"])
+    return (j.groupBy("c_mktsegment")
+            .agg(F.concat_ws(",", F.sort_array(F.collect_set("n_name")))
+                 .alias("nations"),
+                 F.count("*").cast("bigint").alias("n_customers")))
+
+
+@query(
+    "fn_null",
+    oracle="""
+SELECT event_id,
+       coalesce(CAST(json_extract_string(props, '$.missing') AS DOUBLE),
+                value, 0.0) AS v_filled,
+       CASE WHEN nullif(event_type, 'view') IS NULL
+            THEN 1 ELSE 0 END AS is_view,
+       CASE WHEN value IS NOT NULL AND isnan(value)
+            THEN NULL ELSE value END AS v_nan_scrubbed,
+       CASE WHEN value IS NULL THEN 'null'
+            WHEN isnan(value) THEN 'nan'
+            ELSE 'ok' END AS v_class
+FROM events
+""",
+)
+def fn_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL/NaN-handling surface: coalesce chains, nullif, NaN
+    scrubbing (nanvl) and three-way classification. NULL and NaN are
+    DIFFERENT things in both engines — NaN is a double value that
+    compares weirdly, NULL is absence — and pipelines that conflate
+    them corrupt aggregates (Spark's avg skips NULL but propagates
+    NaN). The scrubbed column is the standard pre-aggregation
+    hygiene map; v_class pins the classification logic matches the
+    oracle exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    missing = F.get_json_object("props", "$.missing").cast("double")
+    return ev.select(
+        "event_id",
+        F.coalesce(missing, F.col("value"), F.lit(0.0))
+        .alias("v_filled"),
+        F.when(F.expr("nullif(event_type, 'view')").isNull(), 1)
+        .otherwise(0).alias("is_view"),
+        F.when(F.col("value").isNotNull() & F.isnan("value"),
+               F.lit(None).cast("double"))
+        .otherwise(F.col("value")).alias("v_nan_scrubbed"),
+        F.when(F.col("value").isNull(), "null")
+        .when(F.isnan("value"), "nan")
+        .otherwise("ok").alias("v_class"))
