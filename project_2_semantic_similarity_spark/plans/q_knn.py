@@ -1543,3 +1543,131 @@ def dedup_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
               .withColumnRenamed("phash", "simhash"))
     pairs = simhash_near_pairs(hashes, max_hamming=3, bits=56)
     return clusters_op(pairs.select("doc_a", "doc_b"))
+
+
+@query(
+    "knn_hybrid_rrf",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+    FROM documents
+),
+tc AS (
+    SELECT doc_id, term, count(*) AS tf
+    FROM tok WHERE term <> '' GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, sum(tf) AS doc_len FROM tc GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+dfreq AS (SELECT count(*) AS df FROM tc WHERE term = 'join'),
+lex AS (
+    SELECT t.doc_id,
+           row_number() OVER (ORDER BY
+               ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1)
+                 * t.tf * 2.2
+                 / (t.tf + 1.2 * (1 - 0.75 + 0.75 * d.doc_len
+                                  / s.avgdl)) DESC,
+               t.doc_id ASC) AS r
+    FROM tc t
+    JOIN dl d ON d.doc_id = t.doc_id
+    CROSS JOIN stats s CROSS JOIN dfreq f
+    WHERE t.term = 'join'
+    QUALIFY r <= 50
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+      WHERE vec_id = 0),
+vec AS (
+    SELECT vec_id AS doc_id,
+           row_number() OVER (ORDER BY
+               list_cosine_similarity(e.embedding::DOUBLE[], q.qv)
+                   DESC, e.vec_id ASC) AS r
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+    QUALIFY r <= 50
+),
+fused AS (
+    SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+           coalesce(1.0 / (60 + l.r), 0)
+             + coalesce(1.0 / (60 + v.r), 0) AS rrf,
+           l.r AS lex_rank, v.r AS vec_rank
+    FROM lex l FULL JOIN vec v ON l.doc_id = v.doc_id
+)
+SELECT doc_id, round(rrf, 6) AS rrf,
+       CAST(lex_rank AS BIGINT) AS lex_rank,
+       CAST(vec_rank AS BIGINT) AS vec_rank
+FROM fused
+ORDER BY rrf DESC, doc_id ASC
+LIMIT 10
+""",
+)
+def knn_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval — reciprocal-rank fusion of the lexical and
+    vector legs (the standard two-tower RAG first stage): BM25
+    top-50 for the flagship term and brute-force cosine top-50 for
+    the query vector fuse as sum of 1/(60+rank), a score that needs
+    only RANKS, so the legs never have to calibrate their score
+    scales against each other. Each leg's top-k plans as
+    TakeOrderedAndProject; the ranks attach via row_number over the
+    post-limit (metadata-sized) relations; fusion is a full outer
+    join of two 50-row lists — driver-tiny no matter the corpus.
+    Missing-leg docs score on the present leg alone (coalesce 0).
+
+    At 100 TB each leg scales independently (BM25 candidates =
+    df(term) rows; the vector leg swaps in knn_ivf_pq) and the
+    fusion cost never grows."""
+    from pyspark.sql import Window
+
+    from project_2_semantic_similarity_spark.operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = T.term_counts(T.tokenize(
+        docs.select("doc_id", "text")))
+    doc_len = counts.groupBy("doc_id").agg(
+        F.sum("tf_count").alias("doc_len"))
+    stats = doc_len.agg(F.count("*").alias("n_docs"),
+                        F.avg("doc_len").alias("avgdl"))
+    from project_2_semantic_similarity_spark.plans.q_text import (
+        FLAGSHIP_QUERY_TERM)
+
+    cand = counts.filter(F.col("term") == FLAGSHIP_QUERY_TERM)
+    dfreq = cand.agg(F.count("*").alias("df"))
+    k1, b = 1.2, 0.75
+    lex_scored = (
+        cand.join(doc_len, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(dfreq))
+        .select(
+            "doc_id",
+            (F.log((F.col("n_docs") - F.col("df") + 0.5)
+                   / (F.col("df") + 0.5) + 1)
+             * F.col("tf_count") * (k1 + 1)
+             / (F.col("tf_count")
+                + k1 * (1 - b + b * F.col("doc_len")
+                        / F.col("avgdl")))).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(50))
+    lex = lex_scored.select(
+        "doc_id",
+        F.row_number().over(
+            Window.orderBy(F.col("score").desc(),
+                           F.col("doc_id").asc())).alias("lex_rank"))
+    e = load_table(spark, sf_dir, "embeddings")
+    vec_scored = S.knn_brute_force(e, _QUERY_VEC_ID, 50)
+    vec = vec_scored.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(
+            Window.orderBy(F.col("cosine").desc(),
+                           F.col("vec_id").asc())).alias("vec_rank"))
+    fused = (lex.join(vec, "doc_id", "full")
+             .select(
+                 "doc_id",
+                 (F.coalesce(1.0 / (F.lit(60) + F.col("lex_rank")),
+                             F.lit(0.0))
+                  + F.coalesce(1.0 / (F.lit(60) + F.col("vec_rank")),
+                               F.lit(0.0))).alias("rrf"),
+                 "lex_rank", "vec_rank"))
+    return (fused.select(
+        "doc_id", F.round("rrf", 6).alias("rrf"),
+        F.col("lex_rank").cast("bigint").alias("lex_rank"),
+        F.col("vec_rank").cast("bigint").alias("vec_rank"))
+        .orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+        .limit(10))
