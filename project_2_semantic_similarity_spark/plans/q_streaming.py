@@ -490,3 +490,29 @@ def stream_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     order."""
     ev = S.read_events_stream(spark, S.stage_events_dir(sf_dir))
     return S.run_to_memory(S.ema_state(ev), "stream_ema", "update")
+
+
+@query(
+    "stream_bitmap_distinct",
+    oracle="""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY 1
+""",
+)
+def stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per day under streaming ingest, via
+    bitmap-word state (streaming/ops.py bitmap_distinct_daily):
+    bounded state (domain/64 words per day) where a naive streaming
+    COUNT(DISTINCT) would buffer every id, and exact where
+    approx_count_distinct sketches. bit_or's associativity makes
+    micro-batch merge = the batch build, which is what the batch
+    oracle states. Replayed availableNow in complete mode."""
+    ev = S.read_events_stream(spark, S.stage_events_dir(sf_dir))
+    mat = S.run_to_memory(
+        S.bitmap_distinct_daily(ev), "stream_bitmap_distinct",
+        "complete")
+    return (mat.groupBy("day")
+            .agg(F.sum(F.bit_count("mask")).cast("bigint")
+                 .alias("n_users")))

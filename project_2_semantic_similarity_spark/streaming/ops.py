@@ -386,3 +386,28 @@ def dedup_stream(events: DataFrame) -> DataFrame:
         .select("event_id", "event_type", "user_id",
                 F.round("value", 2).alias("value"))
     )
+
+
+def bitmap_distinct_daily(events: DataFrame) -> DataFrame:
+    """EXACT distinct users per day maintained under streaming
+    ingest: state is per-(day, word) bitmap masks — domain/64 words
+    per day at ANY stream volume, merged across micro-batches by the
+    ordinary partial-agg path (bit_or is commutative/associative, so
+    incremental ingest equals the batch build). The streaming answer
+    to approx_count_distinct when the count must be EXACT and the id
+    domain is dense integers — the same word algebra as
+    agg_bitmap_distinct, kept alive as streaming state. Emits the
+    (day, word, mask) relation; the popcount rollup happens in batch
+    over the materialized bitmap (one stateful operator per stream —
+    the same serving split as the rollup cascade)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.window("ts", "1 day").alias("w"),
+            (F.col("user_id") / 64).cast("long").alias("word"))
+        .agg(F.bit_or(F.expr(
+            "shiftleft(CAST(1 AS BIGINT), "
+            "CAST(user_id % 64 AS INT))")).alias("mask"))
+        .select(F.date_format("w.start", "yyyy-MM-dd").alias("day"),
+                "word", "mask")
+    )
