@@ -383,3 +383,36 @@ def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(price * disc).cast("double")
                  .alias("sum_discounted"),
                  F.count("*").cast("bigint").alias("n")))
+
+
+@query(
+    "fn_regex",
+    oracle="""
+SELECT doc_id,
+       regexp_extract(text, '[a-z]+ing', 0) AS first_ing,
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT)
+           AS n_numbers,
+       regexp_replace(text, '\\s+', '_', 'g')[1:40] AS squeezed_40,
+       CASE WHEN regexp_matches(text, '(dup|join|merge)')
+            THEN 1 ELSE 0 END AS has_keyword
+FROM documents
+""",
+)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex surface: first-match extraction, match counting via
+    extract-all, global whitespace squeeze (prefix-bounded so the
+    hash is readable), and RLIKE boolean — all JVM-side codegen'd
+    expressions over the corpus, the string-hygiene toolkit every
+    text pipeline leans on. Regex syntax kept to the portable
+    intersection (character classes, +, alternation) so Java and
+    RE2-style engines agree."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", "[a-z]+ing", 0).alias("first_ing"),
+        F.size(F.expr(r"regexp_extract_all(text, '[0-9]+')"))
+        .cast("bigint").alias("n_numbers"),
+        F.substring(F.regexp_replace("text", r"\s+", "_"), 1, 40)
+        .alias("squeezed_40"),
+        F.when(F.col("text").rlike("(dup|join|merge)"), 1)
+        .otherwise(0).alias("has_keyword"))

@@ -265,3 +265,54 @@ def sample_reservoir_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         sel.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .select("doc_id", "weight", "rank")
     )
+
+
+@query(
+    "sample_balanced_classes",
+    oracle="""
+WITH counts AS (
+    SELECT lang, count(*) AS n FROM documents GROUP BY lang
+),
+cap AS (SELECT min(n) AS cap FROM counts),
+ranked AS (
+    SELECT doc_id, lang,
+           row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('bal:' || CAST(doc_id AS VARCHAR)),
+                        doc_id) AS rn
+    FROM documents
+)
+SELECT r.doc_id, r.lang
+FROM ranked r, cap c
+WHERE r.rn <= c.cap
+""",
+)
+def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: every language capped at the
+    MINORITY class size, members chosen by seeded md5 rank within
+    class — deterministic, engine-portable (the same RNG-free
+    hash-threshold discipline as sample_hash_split, here as a
+    hash-RANK because the quota is a count, not a rate). The
+    standard rebalancing step before training on skewed corpora;
+    re-runs on a grown corpus keep earlier picks only as their
+    hash rank survives the cap (stable-prefix property of hash
+    ordering).
+
+    Scale: one count agg (map-side combinable), a 1-row cap
+    broadcast, and one per-class window — partition-parallel across
+    classes; for classes too large to sort, pre-filter by a hash
+    THRESHOLD slightly above cap/|class| and rank only the
+    survivors."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    cap = counts.agg(F.min("n").alias("cap"))
+    ranked = docs.select(
+        "doc_id", "lang",
+        F.row_number().over(
+            Window.partitionBy("lang").orderBy(
+                F.md5(F.concat(F.lit("bal:"),
+                               F.col("doc_id").cast("string"))),
+                "doc_id")).alias("rn"))
+    return (ranked.crossJoin(F.broadcast(cap))
+            .filter(F.col("rn") <= F.col("cap"))
+            .select("doc_id", "lang"))
