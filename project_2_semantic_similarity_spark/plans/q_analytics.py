@@ -1141,3 +1141,53 @@ def events_sliding_distinct_bitmap(spark: SparkSession,
             .select(F.date_format("target_day", "yyyy-MM-dd")
                     .alias("day"),
                     "n_users_7d"))
+
+
+@query(
+    "events_decay_score",
+    oracle="""
+WITH ref AS (SELECT max(CAST(ts AS DATE)) AS ref_day FROM events),
+aged AS (
+    SELECT e.user_id, e.value,
+           date_diff('day', CAST(e.ts AS DATE), r.ref_day) AS age
+    FROM events e, ref r
+    WHERE e.value IS NOT NULL AND NOT isnan(e.value)
+)
+SELECT user_id,
+       round(sum(value * pow(0.5, CAST(age // 7 AS DOUBLE))), 6)
+           AS decay_score,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM aged GROUP BY user_id
+""",
+)
+def events_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed engagement score — the recency-weighted feature
+    every ranking/churn model starts from: each event contributes
+    value x 0.5^(weeks old), halving per week back from the
+    corpus's last day. The decay weight is a DYADIC rational
+    (0.5^integer), exactly representable in binary floating point,
+    so per-row products are bit-identical across engines and the
+    only float caveat is the usual summation rounding (round 6
+    absorbs it). Reference day is a 1-row aggregate attached
+    in-plan by broadcast — no driver scalar. NaN values are
+    scrubbed first (fn_null's hygiene rule applied for real).
+
+    Scale: one scan, one broadcast, one map-side-combinable hash
+    agg — the decay weight folds into the projection, so this costs
+    exactly what sum(value) costs."""
+    ev = load_table(spark, sf_dir, "events")
+    ref = ev.agg(F.max(F.col("ts").cast("date")).alias("ref_day"))
+    aged = (ev.filter(F.col("value").isNotNull()
+                      & ~F.isnan("value"))
+            .crossJoin(F.broadcast(ref))
+            .select(
+                "user_id",
+                (F.col("value")
+                 * F.pow(F.lit(0.5),
+                         F.floor(F.datediff("ref_day",
+                                            F.col("ts").cast("date"))
+                                 / 7).cast("double")))
+                .alias("w")))
+    return (aged.groupBy("user_id")
+            .agg(F.round(F.sum("w"), 6).alias("decay_score"),
+                 F.count("*").cast("bigint").alias("n_events")))
