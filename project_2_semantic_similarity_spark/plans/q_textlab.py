@@ -784,3 +784,77 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((sy * sxx - sx * sxy) / det, 6).alias("intercept"),
         F.round(F.pow(n * sxy - sx * sy, F.lit(2))
                 / (det * (n * syy - sy * sy)), 6).alias("r2"))
+
+
+@query(
+    "text_perplexity_bigram",
+    oracle="""
+WITH corpus AS (
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+),
+tok AS (
+    SELECT doc_id,
+           CAST(generate_subscripts(string_split_regex(text, '\\s+'), 1)
+                AS BIGINT) AS pos,
+           unnest(string_split_regex(text, '\\s+')) AS term
+    FROM corpus
+),
+tok2 AS (SELECT doc_id, pos, term FROM tok WHERE term <> ''),
+big AS (
+    SELECT doc_id, term AS w1,
+           lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM tok2
+),
+big2 AS (SELECT doc_id, w1, w2 FROM big WHERE w2 IS NOT NULL),
+bcnt AS (SELECT w1, w2, count(*) AS bc FROM big2 GROUP BY w1, w2),
+ucnt AS (SELECT w1, count(*) AS uc FROM big2 GROUP BY w1),
+vocab AS (SELECT CAST(count(DISTINCT term) AS DOUBLE) AS v FROM tok2)
+SELECT b.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(-ln((c.bc + 0.5) / (u.uc + 0.5 * vv.v))), 6)
+           AS bigram_xent
+FROM big2 b
+JOIN bcnt c ON c.w1 = b.w1 AND c.w2 = b.w2
+JOIN ucnt u ON u.w1 = b.w1
+CROSS JOIN vocab vv
+GROUP BY b.doc_id
+""",
+)
+def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM cross-entropy per document with add-k smoothing
+    (k=0.5) — the sequence-aware upgrade of text_perplexity_proxy's
+    unigram model: P(w2|w1) = (c(w1,w2)+k) / (c(w1·)+kV), so word-
+    salad documents score high even when their unigram profile looks
+    natural (the quality signal unigram models are blind to).
+    Context counts c(w1·) are bigram-row counts, making the
+    conditional distribution properly normalized over the smoothed
+    vocabulary.
+
+    Scale: bigrams form via one per-doc window (lead over pos —
+    shares the doc_id shuffle), the two count relations are
+    map-side-combinable hash aggs joined back by (w1,w2)/(w1)
+    equi-joins, V is a 1-row broadcast. Everything is token-volume
+    linear; no vocabulary-sized driver state."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.posexplode(F.split("text", r"\s+")).alias("pos", "term"))
+        .filter(F.col("term") != ""))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (tok.select("doc_id", F.col("term").alias("w1"),
+                      F.lead("term").over(w).alias("w2"))
+           .filter(F.col("w2").isNotNull()))
+    bcnt = big.groupBy("w1", "w2").agg(F.count("*").alias("bc"))
+    ucnt = big.groupBy("w1").agg(F.count("*").alias("uc"))
+    vocab = tok.agg(
+        F.countDistinct("term").cast("double").alias("v"))
+    scored = (big.join(bcnt, ["w1", "w2"])
+              .join(ucnt, ["w1"])
+              .crossJoin(F.broadcast(vocab))
+              .select("doc_id",
+                      (-F.log((F.col("bc") + 0.5)
+                              / (F.col("uc") + 0.5 * F.col("v"))))
+                      .alias("nll")))
+    return (scored.groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias("n_bigrams"),
+                 F.round(F.avg("nll"), 6).alias("bigram_xent")))
