@@ -3558,3 +3558,124 @@ def fn_null(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("value").isNull(), "null")
         .when(F.isnan("value"), "nan")
         .otherwise("ok").alias("v_class"))
+
+
+@query(
+    "agg_histogram_equiwidth",
+    oracle="""
+WITH mm AS (
+    SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+    FROM orders
+),
+b AS (
+    SELECT least(CAST(floor((o.o_totalprice - m.lo)
+                            / ((m.hi - m.lo) / 20.0)) AS BIGINT),
+                 19) AS bucket,
+           m.lo, m.hi
+    FROM orders o, mm m
+)
+SELECT bucket,
+       round(lo + bucket * ((hi - lo) / 20.0), 6) AS bucket_lo,
+       CAST(count(*) AS BIGINT) AS n
+FROM b
+GROUP BY bucket, lo, hi
+""",
+)
+def agg_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 20-bucket equi-width histogram with in-plan range
+    discovery: min/max come from a 1-row aggregate broadcast back
+    (no driver scalar, no second submission), bucket assignment is a
+    codegen'd floor projection, counts one map-side-combinable agg —
+    the exact companion to agg_quantile_hist's GK sketch (use this
+    when a second cheap pass is affordable and bin edges must be
+    data-driven but exact; the sketch when one pass is the budget).
+    The max lands in bucket 19 via least(), the standard closed-top
+    convention, identically in both engines. Bucket width (hi-lo)/20
+    is computed ONCE and divided through — the same expression both
+    sides so the floor boundaries agree bit-for-bit."""
+    o = load_table(spark, sf_dir, "orders")
+    mm = o.agg(F.min("o_totalprice").alias("lo"),
+               F.max("o_totalprice").alias("hi"))
+    b = (o.crossJoin(F.broadcast(mm))
+         .select(
+             F.least(
+                 F.floor((F.col("o_totalprice") - F.col("lo"))
+                         / ((F.col("hi") - F.col("lo")) / 20.0))
+                 .cast("bigint"),
+                 F.lit(19).cast("bigint")).alias("bucket"),
+             "lo", "hi"))
+    return (b.groupBy("bucket", "lo", "hi")
+            .agg(F.count("*").cast("bigint").alias("n"))
+            .select("bucket",
+                    F.round(F.col("lo") + F.col("bucket")
+                            * ((F.col("hi") - F.col("lo")) / 20.0), 6)
+                    .alias("bucket_lo"),
+                    "n"))
+
+
+@query(
+    "dq_outliers_mad",
+    oracle="""
+WITH med AS (
+    SELECT c_mktsegment AS seg,
+           quantile_cont(o_totalprice, 0.5) AS med
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c_mktsegment
+),
+dev AS (
+    SELECT c.c_mktsegment AS seg, o.o_totalprice,
+           abs(o.o_totalprice - m.med) AS d, m.med
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN med m ON m.seg = c.c_mktsegment
+),
+mad AS (
+    SELECT seg, quantile_cont(d, 0.5) AS mad FROM dev GROUP BY seg
+)
+SELECT d.seg AS c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(max(d.med), 6) AS median_price,
+       round(max(m.mad), 6) AS mad,
+       CAST(sum(CASE WHEN d.d > 3 * m.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m ON m.seg = d.seg
+GROUP BY d.seg
+""",
+)
+def dq_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST outlier detection per segment: median absolute
+    deviation, the estimator a 50%-contaminated column cannot fool —
+    mean/stddev z-scores (events_anomaly_zscore) break down when the
+    outliers themselves inflate the yardstick. Both medians (center,
+    then MAD) ride grouped_quantiles_exact — the range-partitioned
+    exact-quantile machinery (operators/rank.py), so neither pass
+    buffers per-group values; the flag is |x − med| > 3·MAD.
+
+    Scale: two quantile passes (each one range shuffle + metadata
+    joins) + one counting agg — the fact table is scanned, never
+    collected; segment medians attach back by broadcast (|segments|
+    rows)."""
+    from project_2_semantic_similarity_spark.operators.rank import (
+        grouped_quantiles_exact)
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    fact = (o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+                   o["o_custkey"] == c["c_custkey"])
+            .select("c_mktsegment", "o_totalprice"))
+    med = grouped_quantiles_exact(
+        fact, "c_mktsegment", "o_totalprice", {"med": 0.5})
+    dev = (fact.join(F.broadcast(med), "c_mktsegment")
+           .select("c_mktsegment", "o_totalprice", "med",
+                   F.abs(F.col("o_totalprice") - F.col("med"))
+                   .alias("d")))
+    mad = grouped_quantiles_exact(
+        dev, "c_mktsegment", "d", {"mad": 0.5})
+    return (dev.join(F.broadcast(mad), "c_mktsegment")
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").cast("bigint").alias("n_orders"),
+                 F.round(F.max("med"), 6).alias("median_price"),
+                 F.round(F.max("mad"), 6).alias("mad"),
+                 F.sum(F.when(F.col("d") > 3 * F.col("mad"), 1)
+                       .otherwise(0)).cast("bigint")
+                 .alias("n_outliers")))
