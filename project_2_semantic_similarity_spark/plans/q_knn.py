@@ -1671,3 +1671,55 @@ def knn_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_rank").cast("bigint").alias("vec_rank"))
         .orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
         .limit(10))
+
+
+@query(
+    "embedding_outlier_distance",
+    oracle="""
+WITH e AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+),
+flat AS (
+    SELECT label, generate_subscripts(emb, 1) AS pos, unnest(emb) AS val
+    FROM e
+),
+cent AS (
+    SELECT label, list(avg_val ORDER BY pos) AS cvec
+    FROM (SELECT label, pos, avg(val) AS avg_val
+          FROM flat GROUP BY label, pos)
+    GROUP BY label
+)
+SELECT e.vec_id, e.label,
+       round(list_cosine_similarity(e.emb, c.cvec), 6)
+           AS centroid_cosine
+FROM e JOIN cent c USING (label)
+ORDER BY list_cosine_similarity(e.emb, c.cvec) ASC, e.vec_id ASC
+LIMIT 20
+""",
+)
+def embedding_outlier_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space data quality: the 20 vectors FARTHEST from
+    their own label's centroid (lowest cosine) — mislabeled or
+    corrupted embeddings surface here before they poison retrieval
+    or training (the vector-side sibling of dq_outliers_mad). Rides
+    label_centroids (posexplode → per-position avg → reassemble) +
+    one broadcast join; the bottom-k is TakeOrderedAndProject
+    ascending, never a global sort.
+
+    Scale: centroid build reduces |vectors|×dim rows to
+    |labels|×dim; the scoring pass is one narrow map over the
+    vectors with the |labels|-row codebook broadcast."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = S.label_centroids(e)
+    from project_2_semantic_similarity_spark.operators.similarity import (
+        cosine_similarity)
+
+    scored = (e.join(F.broadcast(cents), "label")
+              .select("vec_id", "label",
+                      cosine_similarity("embedding", "centroid")
+                      .alias("ccos")))
+    return (scored
+            .orderBy(F.col("ccos").asc(), F.col("vec_id").asc())
+            .limit(20)
+            .select("vec_id", "label",
+                    F.round("ccos", 6).alias("centroid_cosine")))
