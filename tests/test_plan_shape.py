@@ -500,3 +500,36 @@ def test_phash_dedup_join_ships_hashes_not_pixels(spark, sf_dir):
     for i, ln in enumerate(plan.splitlines()):
         if "Exchange hashpartitioning" in ln:
             assert "payload" not in ln, ln
+
+
+def test_hybrid_rrf_legs_are_take_ordered(spark, sf_dir):
+    """Both retrieval legs must keep their top-k as per-partition
+    heaps (TakeOrderedAndProject) and the corpus stats must attach by
+    broadcast — a global sort in either leg would be the scale bug."""
+    plan = plan_of(spark, "knn_hybrid_rrf", sf_dir)
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_sliding_bitmap_fans_out_compressed_relation(spark, sf_dir):
+    """The 7-day fan-out (explode) must sit ABOVE the daily bitmap
+    aggregate — i.e. the generator's input is the aggregated (day,
+    word, mask) relation, never raw events."""
+    plan = plan_of(spark, "events_sliding_distinct_bitmap", sf_dir)
+    gen = plan.index("Generate explode")
+    agg_before = plan.index("HashAggregate", gen)
+    assert agg_before > gen  # an aggregate appears below the generator
+    # and the raw value/props columns never reach the generator's input
+    gen_line = [l for l in plan.splitlines()
+                if "Generate explode" in l][0]
+    assert "props" not in gen_line and "value" not in gen_line
+
+
+def test_decay_score_is_single_agg_pass(spark, sf_dir):
+    """The decay weight folds into the projection: one scan of
+    events on the scoring side, partial+final hash agg, 1-row
+    reference day by broadcast — no window, no extra shuffle."""
+    plan = plan_of(spark, "events_decay_score", sf_dir)
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
