@@ -1191,3 +1191,107 @@ def events_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (aged.groupBy("user_id")
             .agg(F.round(F.sum("w"), 6).alias("decay_score"),
                  F.count("*").cast("bigint").alias("n_events")))
+
+
+@query(
+    "events_peak_concurrency",
+    oracle="""
+WITH flagged AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  OR lag(ts) OVER w IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id,
+           sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_id,
+           ts
+    FROM flagged
+),
+iv AS (
+    SELECT user_id, session_id, min(ts) AS s, max(ts) AS e
+    FROM sess GROUP BY user_id, session_id
+),
+bounds AS (
+    SELECT s AS ts, 1 AS delta, user_id, session_id FROM iv
+    UNION ALL
+    SELECT e, -1, user_id, session_id FROM iv
+),
+swept AS (
+    SELECT ts, delta,
+           sum(delta) OVER (
+               ORDER BY ts, delta DESC, user_id, session_id
+               ROWS UNBOUNDED PRECEDING) AS live
+    FROM bounds
+),
+peak AS (SELECT max(live) AS peak FROM swept)
+SELECT CAST(p.peak AS BIGINT) AS peak_concurrency,
+       strftime(min(s.ts), '%Y-%m-%d %H:%M:%S') AS first_peak_ts
+FROM swept s JOIN peak p ON s.live = p.peak
+GROUP BY p.peak
+""",
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions — the sweep-line classic: sessions
+    (win_sessionize's 30-minute-gap islands) become +1/−1 boundary
+    events, and the live count at any instant is the running sum
+    over the time-ordered boundary stream; the answer is its max and
+    the first instant reaching it. Boundary rows ride
+    with_global_running_sum (operators/rank.py) on the tie-broken
+    order (ts, starts-before-ends, user, session) — integer deltas,
+    so the sweep is exact and association-free, and the global
+    running sum never funnels the boundary relation through one
+    partition (the oracle's partition-less window is exactly the
+    plan this avoids). Ends are inclusive: a session ending at the
+    instant another starts counts as overlapping, deterministically
+    in both engines via the delta DESC tie-break.
+
+    Scale: boundaries = 2 rows per session (tiny vs events); the
+    sweep is the range-partitioned machinery over that compressed
+    relation."""
+    from project_2_semantic_similarity_spark.operators.rank import (
+        with_global_running_sum)
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id", "event_id", "ts",
+        # µs-precision gap, matching win_sessionize (cast-to-long
+        # truncates to seconds and can disagree with the oracle's
+        # interval compare on sub-second boundaries)
+        F.when(
+            F.unix_micros("ts")
+            - F.lag(F.unix_micros("ts")).over(w) >= 1_800_000_000, 1)
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0).alias("new_session"))
+    sess = flagged.select(
+        "user_id", "ts",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_id"))
+    iv = (sess.groupBy("user_id", "session_id")
+          .agg(F.min("ts").alias("s"), F.max("ts").alias("e")))
+    bounds = (iv.select(F.col("s").alias("ts"),
+                        F.lit(1).alias("delta"),
+                        "user_id", "session_id")
+              .unionAll(iv.select(F.col("e").alias("ts"),
+                                  F.lit(-1).alias("delta"),
+                                  "user_id", "session_id")))
+    swept = with_global_running_sum(
+        bounds,
+        [F.col("ts").asc(), F.col("delta").desc(),
+         F.col("user_id").asc(), F.col("session_id").asc()],
+        "delta", sum_col="live")
+    peak = swept.agg(F.max("live").alias("peak"))
+    return (swept.join(F.broadcast(peak),
+                       swept["live"] == peak["peak"])
+            .groupBy("peak")
+            .agg(F.min("ts").alias("first_ts"))
+            .select(F.col("peak").cast("bigint")
+                    .alias("peak_concurrency"),
+                    F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss")
+                    .alias("first_peak_ts")))
