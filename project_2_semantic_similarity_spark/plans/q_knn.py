@@ -1723,3 +1723,98 @@ def embedding_outlier_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(20)
             .select("vec_id", "label",
                     F.round("ccos", 6).alias("centroid_cosine")))
+
+
+@query(
+    "knn_recall_eval",
+    oracle="""
+WITH base AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+               / 127.0 AS scale
+    FROM embeddings
+),
+deq AS (
+    SELECT vec_id,
+           list_transform(v, x -> floor(x / scale + 0.5) * scale) AS dv
+    FROM base WHERE scale > 0
+),
+exact AS (
+    SELECT q.vec_id AS qid, e.vec_id,
+           row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(e.v, q.v) DESC,
+                        e.vec_id) AS r
+    FROM base e JOIN base q ON q.vec_id < 10 AND e.vec_id <> q.vec_id
+    QUALIFY r <= 10
+),
+approx AS (
+    SELECT q.vec_id AS qid, e.vec_id,
+           row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(e.dv, q.dv) DESC,
+                        e.vec_id) AS r
+    FROM deq e JOIN deq q ON q.vec_id < 10 AND e.vec_id <> q.vec_id
+    QUALIFY r <= 10
+)
+SELECT x.qid AS query_id,
+       CAST(count(a.vec_id) AS BIGINT) AS n_hits,
+       round(count(a.vec_id) / 10.0, 2) AS recall_at_10
+FROM exact x
+LEFT JOIN approx a ON a.qid = x.qid AND a.vec_id = x.vec_id
+GROUP BY x.qid
+""",
+)
+def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality harness IN the engine: recall@10 of the int8-
+    quantized search path against exact ground truth, per query, for
+    a 10-query panel — the measure-don't-guess loop an ANN deployment
+    runs after every index rebuild, as a query instead of an offline
+    script. Both legs batch all 10 queries in one pass (10-row
+    broadcast against the corpus, rank windowed per query); recall is
+    a left join of the two top-k lists. Ties at the k boundary break
+    on vec_id in both engines, so the panel is deterministic.
+
+    Scale: the exact leg is the expensive one (its cost IS the
+    reason the approximate index exists) — run the panel on a
+    sampled corpus slice, or swap the ground-truth leg to a cached
+    previous run; the harness shape stays identical."""
+    from project_2_semantic_similarity_spark.functions import (
+        cosine_similarity, quantize_scale)
+
+    e = load_table(spark, sf_dir, "embeddings")
+    scale = quantize_scale("embedding")
+    deq = (e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") / scale + 0.5) * scale)
+        .alias("dv"),
+        scale.alias("scale"))
+        .where(F.col("scale") > 0).drop("scale"))
+
+    def topk(corpus, vec_col):
+        qs = (corpus.filter(F.col("vec_id") < 10)
+              .select(F.col("vec_id").alias("qid"),
+                      F.col(vec_col).alias("qv")))
+        w = Window.partitionBy("qid").orderBy(
+            F.col("cos").desc(), F.col("vec_id").asc())
+        return (corpus.crossJoin(F.broadcast(qs))
+                .filter(F.col("vec_id") != F.col("qid"))
+                .select("qid", "vec_id",
+                        cosine_similarity(vec_col, "qv").alias("cos"))
+                .withColumn("r", F.row_number().over(w))
+                .filter(F.col("r") <= 10)
+                .select("qid", "vec_id"))
+
+    from pyspark.sql import Window
+
+    exact = topk(e, "embedding")
+    approx = topk(deq, "dv").withColumnRenamed("vec_id", "a_vec")
+    return (exact.join(
+        approx,
+        (exact["qid"] == approx["qid"])
+        & (exact["vec_id"] == approx["a_vec"]), "left")
+        .groupBy(exact["qid"].alias("query_id"))
+        .agg(F.count("a_vec").cast("bigint").alias("n_hits"),
+             F.round(F.count("a_vec") / 10.0, 2).alias("recall_at_10")))

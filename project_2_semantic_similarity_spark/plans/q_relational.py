@@ -3679,3 +3679,96 @@ def dq_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.when(F.col("d") > 3 * F.col("mad"), 1)
                        .otherwise(0)).cast("bigint")
                  .alias("n_outliers")))
+
+
+@query(
+    "dq_profile_columns",
+    oracle="""
+SELECT 'o_totalprice' AS col_name,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) - count(o_totalprice) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT o_totalprice) AS BIGINT) AS n_distinct,
+       CAST(round(min(o_totalprice), 2) AS VARCHAR) AS min_s,
+       CAST(round(max(o_totalprice), 2) AS VARCHAR) AS max_s
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(o_orderstatus) AS BIGINT),
+       CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+       min(o_orderstatus), max(o_orderstatus)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(o_orderpriority) AS BIGINT),
+       CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+       min(o_orderpriority), max(o_orderpriority)
+FROM orders
+UNION ALL
+SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(o_custkey) AS BIGINT),
+       CAST(count(DISTINCT o_custkey) AS BIGINT),
+       CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+FROM orders
+""",
+)
+def dq_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the `describe` a pipeline runs on every new
+    snapshot): count / nulls / exact distinct / min / max per column,
+    computed in ONE scan — all per-column aggregates live in a single
+    hash-agg projection and the long shape falls out of a stack
+    (unpivot of aggregate structs), where the oracle's UNION ALL
+    formulation scans the table once per column. At 100 TB that is
+    the difference between one pass and C passes. Values stringify so
+    heterogeneous column types share one report schema (min/max of
+    doubles rounded before the cast; orderstatus/priority compare
+    lexically in both engines)."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = o.agg(
+        F.count("*").alias("n"),
+        F.count("o_totalprice").alias("nn_price"),
+        F.countDistinct("o_totalprice").alias("nd_price"),
+        F.round(F.min("o_totalprice"), 2).cast("string").alias("mn_price"),
+        F.round(F.max("o_totalprice"), 2).cast("string").alias("mx_price"),
+        F.count("o_orderstatus").alias("nn_status"),
+        F.countDistinct("o_orderstatus").alias("nd_status"),
+        F.min("o_orderstatus").alias("mn_status"),
+        F.max("o_orderstatus").alias("mx_status"),
+        F.count("o_orderpriority").alias("nn_prio"),
+        F.countDistinct("o_orderpriority").alias("nd_prio"),
+        F.min("o_orderpriority").alias("mn_prio"),
+        F.max("o_orderpriority").alias("mx_prio"),
+        F.count("o_custkey").alias("nn_cust"),
+        F.countDistinct("o_custkey").alias("nd_cust"),
+        F.min("o_custkey").cast("string").alias("mn_cust"),
+        F.max("o_custkey").cast("string").alias("mx_cust"))
+    rows = aggs.select(F.explode(F.array(
+        F.struct(F.lit("o_totalprice").alias("col_name"),
+                 F.col("n"),
+                 (F.col("n") - F.col("nn_price")).alias("n_null"),
+                 F.col("nd_price").alias("n_distinct"),
+                 F.col("mn_price").alias("min_s"),
+                 F.col("mx_price").alias("max_s")),
+        F.struct(F.lit("o_orderstatus").alias("col_name"),
+                 F.col("n"),
+                 (F.col("n") - F.col("nn_status")).alias("n_null"),
+                 F.col("nd_status").alias("n_distinct"),
+                 F.col("mn_status").alias("min_s"),
+                 F.col("mx_status").alias("max_s")),
+        F.struct(F.lit("o_orderpriority").alias("col_name"),
+                 F.col("n"),
+                 (F.col("n") - F.col("nn_prio")).alias("n_null"),
+                 F.col("nd_prio").alias("n_distinct"),
+                 F.col("mn_prio").alias("min_s"),
+                 F.col("mx_prio").alias("max_s")),
+        F.struct(F.lit("o_custkey").alias("col_name"),
+                 F.col("n"),
+                 (F.col("n") - F.col("nn_cust")).alias("n_null"),
+                 F.col("nd_cust").alias("n_distinct"),
+                 F.col("mn_cust").alias("min_s"),
+                 F.col("mx_cust").alias("max_s")))).alias("p"))
+    return rows.select(
+        "p.col_name",
+        F.col("p.n").cast("bigint").alias("n"),
+        F.col("p.n_null").cast("bigint").alias("n_null"),
+        F.col("p.n_distinct").cast("bigint").alias("n_distinct"),
+        "p.min_s", "p.max_s")
