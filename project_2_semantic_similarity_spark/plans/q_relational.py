@@ -3772,3 +3772,115 @@ def dq_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.n_null").cast("bigint").alias("n_null"),
         F.col("p.n_distinct").cast("bigint").alias("n_distinct"),
         "p.min_s", "p.max_s")
+
+
+@query(
+    "scan_snapshot_diff",
+    oracle="""
+SELECT o_orderkey,
+       o_orderstatus AS old_status,
+       'U' AS new_status,
+       round(round(o_totalprice + 1000.0, 2)
+             - round(o_totalprice, 2), 2) AS price_delta
+FROM orders
+WHERE o_orderkey % 97 = 0
+""",
+)
+def scan_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED from the snapshot layout — the consumption
+    half of scan_time_travel: diff two adjacent immutable version
+    directories by full-outer-joining on the primary key and keeping
+    rows whose payload changed, emitting (key, old, new, delta) —
+    what Delta/Iceberg's CDF serves from the log, reconstructed from
+    copy-on-write snapshots alone. Downstream incremental consumers
+    (sync jobs, aggregate maintainers) read this instead of
+    re-scanning either snapshot.
+
+    Scale: one co-partitioned full outer join on the pk (both sides
+    hash-shuffle once; with both versions bucketed by pk it is
+    exchange-free), filter selectivity = the change rate — the
+    output is |changes|, never |table|. The oracle re-derives the
+    engineered merge (every 97th key repriced +1000, status 'U')
+    from the base table."""
+    v1_dir = _tmp(sf_dir, "orders_v1")
+    v2_dir = _tmp(sf_dir, "orders_v2")
+    base = load_table(spark, sf_dir, "orders")
+    base.select("o_orderkey", "o_orderstatus",
+                F.round("o_totalprice", 2).alias("o_totalprice")) \
+        .write.mode("overwrite").parquet(v1_dir)
+    merge_plan(spark, sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice") \
+        .write.mode("overwrite").parquet(v2_dir)
+    a = spark.read.parquet(v1_dir).alias("a")
+    b = spark.read.parquet(v2_dir).alias("b")
+    joined = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"),
+                    "full_outer")
+    changed = joined.filter(
+        (F.col("a.o_orderkey").isNull())
+        | (F.col("b.o_orderkey").isNull())
+        | (F.col("a.o_orderstatus") != F.col("b.o_orderstatus"))
+        | (F.col("a.o_totalprice") != F.col("b.o_totalprice")))
+    return changed.select(
+        F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey"))
+        .alias("o_orderkey"),
+        F.col("a.o_orderstatus").alias("old_status"),
+        F.col("b.o_orderstatus").alias("new_status"),
+        F.round(F.col("b.o_totalprice") - F.col("a.o_totalprice"), 2)
+        .alias("price_delta"))
+
+
+@query(
+    "sink_compaction",
+    oracle="""
+SELECT CAST(64 AS BIGINT) AS n_files_before,
+       CAST(2 AS BIGINT) AS n_files_after,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                                     || CAST(n_chars AS VARCHAR)), 1, 15))
+                    ::BIGINT) AS BIGINT) AS content_xor
+FROM documents
+""",
+)
+def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file COMPACTION — the table-maintenance pass every lake
+    runs: a 64-way fragmented copy of the documents snapshot (the
+    many-small-writers layout streaming ingest leaves behind) is
+    rewritten to 2 right-sized files with coalesce — a NARROW
+    rewrite, no shuffle: each output file concatenates input
+    partitions, which is exactly what a compactor wants (bin-packing
+    by size; repartition would shuffle the whole table for no layout
+    gain). The query re-reads the compacted table and emits file
+    counts plus content invariants — row count, byte mass, and an
+    order-insensitive md5 content-sum the oracle recomputes from the
+    source table, pinning that compaction moved bytes and dropped
+    NOTHING.
+
+    At 100 TB: compact per partition-directory on a schedule, target
+    files of 128-512 MB (maxPartitionBytes-aligned), and swap the
+    directory atomically — the immutable-snapshot discipline of
+    scan_time_travel applied to maintenance."""
+    import glob as _glob
+
+    frag_dir = _tmp(sf_dir, "docs_fragmented")
+    comp_dir = _tmp(sf_dir, "docs_compacted")
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "n_chars")
+    docs.repartition(64).write.mode("overwrite").parquet(frag_dir)
+    n_before = len(_glob.glob(f"{frag_dir}/part-*.parquet"))
+    spark.read.parquet(frag_dir).coalesce(2) \
+        .write.mode("overwrite").parquet(comp_dir)
+    n_after = len(_glob.glob(f"{comp_dir}/part-*.parquet"))
+    from project_2_semantic_similarity_spark.operators.dedup import (
+        portable_hash60)
+
+    compacted = spark.read.parquet(comp_dir)
+    return compacted.agg(
+        F.lit(n_before).cast("bigint").alias("n_files_before"),
+        F.lit(n_after).cast("bigint").alias("n_files_after"),
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.bit_xor(portable_hash60(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":"),
+                     F.col("n_chars").cast("string"))))
+        .cast("bigint").alias("content_xor"))
