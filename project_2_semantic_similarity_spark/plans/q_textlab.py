@@ -858,3 +858,42 @@ def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.groupBy("doc_id")
             .agg(F.count("*").cast("bigint").alias("n_bigrams"),
                  F.round(F.avg("nll"), 6).alias("bigram_xent")))
+
+
+@query(
+    "text_lang_confusion",
+    oracle=f"""
+WITH scored AS (
+    SELECT doc_id, lang,
+           {_hits_sql(_EN)} AS s_en,
+           {_hits_sql(_DE)} AS s_de,
+           {_hits_sql(_FR)} AS s_fr
+    FROM documents
+),
+pred AS (
+    SELECT lang,
+           CASE WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 THEN 'unknown'
+                WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+                WHEN s_de >= s_fr THEN 'de'
+                ELSE 'fr' END AS predicted_lang
+    FROM scored
+)
+SELECT lang, predicted_lang,
+       CAST(count(*) AS BIGINT) AS n
+FROM pred GROUP BY lang, predicted_lang
+""",
+)
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID CONFUSION MATRIX — the evaluation harness for the
+    classifier, in the engine (the lang-ID sibling of
+    knn_recall_eval): stored label × predicted label counts, the
+    one table that says where the classifier is wrong and how much
+    of the corpus each error mode would mislabel at scale. One
+    narrow scoring map (text_lang_id's codegen'd stopword counter)
+    feeding one map-side-combinable agg over a
+    |langs|×|langs|-bounded key space."""
+    d = load_table(spark, sf_dir, "documents")
+    return (d.select("lang",
+                     TA.lang_id(F.col("text")).alias("predicted_lang"))
+            .groupBy("lang", "predicted_lang")
+            .agg(F.count("*").cast("bigint").alias("n")))

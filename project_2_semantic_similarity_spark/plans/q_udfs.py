@@ -20,6 +20,7 @@ from project_2_semantic_similarity_spark.operators.udfs import (
 )
 from project_2_semantic_similarity_spark.plans.q_text import _corpus, _TFIDF_CTES
 from project_2_semantic_similarity_spark.plans.registry import query
+from project_2_semantic_similarity_spark.sources import load_table
 
 
 @query(
@@ -149,3 +150,64 @@ def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c.doc_id, t.pos, t.term
         FROM udtf_corpus c, LATERAL tokenize_udtf(c.text) t
     """)
+
+
+@query(
+    "udf_batch_inference",
+    oracle="""
+WITH w AS (
+    SELECT list_transform(generate_series(0, 63),
+                          i -> 1.0 / (1 + CAST(i AS DOUBLE))) AS wv
+),
+scored AS (
+    SELECT e.vec_id,
+           list_dot_product(e.embedding::DOUBLE[], w.wv) AS logit
+    FROM embeddings e, w
+)
+SELECT vec_id,
+       round(1.0 / (1.0 + exp(-logit)), 6) AS score,
+       CASE WHEN 1.0 / (1.0 + exp(-logit)) >= 0.5
+            THEN 1 ELSE 0 END AS keep
+FROM scored
+""",
+)
+def udf_batch_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH MODEL INFERENCE over Arrow — the shape of model-based
+    quality filtering at 100 TB (a classifier scores every document/
+    embedding; the pipeline keeps survivors): mapInPandas receives
+    Arrow record batches, runs one VECTORIZED numpy matvec per batch
+    (batch_rows × dim @ dim — this is where a real ONNX/torch
+    forward pass plugs in), and emits (id, score, keep). The
+    'model' is a fixed harmonic-weight logistic head so the oracle
+    can replay the same inference in SQL — the plumbing (Arrow
+    batching, batch-level vectorization, schema contract, narrow
+    zero-shuffle stage) is exactly what a real checkpoint uses;
+    weights would broadcast the same way.
+
+    exp/sigmoid agree bit-for-bit across engines per IEEE libm
+    conventions at round-6; the dot product folds in index order on
+    both sides."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings")
+    dim = 64
+    weights = 1.0 / (1.0 + np.arange(dim, dtype=np.float64))
+
+    def infer(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64)
+                 for v in pdf["embedding"]])
+            logit = mat @ weights
+            score = 1.0 / (1.0 + np.exp(-logit))
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"],
+                "score": np.round(score, 6),
+                "keep": (score >= 0.5).astype("int32"),
+            })
+
+    return e.select("vec_id", "embedding").mapInPandas(
+        infer, schema="vec_id bigint, score double, keep int")
