@@ -227,3 +227,112 @@ def test_cdc_chunks_shift_resilient(spark):
     # text collapses to few DISTINCT chunk strings — itself the
     # dedup signal); count rows, not the distinct set
     assert sum(1 for r in ch if r["doc_id"] == 1) >= 5
+
+
+# ------------------------------------------- global running sum
+
+def test_running_sum_matches_sequential_prefix(spark):
+    from project_2_semantic_similarity_spark.operators.rank import (
+        with_global_running_sum)
+
+    rows = [(i, (-1) ** i * (i % 7 + 1)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k bigint, v bigint")
+    out = with_global_running_sum(
+        df, [F.col("k").asc()], "v", sum_col="run",
+        with_total="tot", num_partitions=8).collect()
+    got = {r["k"]: (r["run"], r["tot"]) for r in out}
+    acc, total = 0, sum(v for _, v in rows)
+    for k, v in rows:
+        acc += v
+        assert got[k] == (acc, total), k
+
+
+def test_running_sum_handles_desc_and_single_row(spark):
+    from project_2_semantic_similarity_spark.operators.rank import (
+        with_global_running_sum)
+
+    df = spark.createDataFrame([(1, 5)], "k bigint, v bigint")
+    out = with_global_running_sum(
+        df, [F.col("k").desc()], "v", sum_col="run").collect()
+    assert out[0]["run"] == 5
+
+
+# ------------------------------------------- nearest as-of join
+
+def _nearest_fixture(spark):
+    left = spark.createDataFrame(
+        [(1, 1, 100), (2, 1, 205), (3, 2, 50)],
+        "event_id bigint, user_id bigint, ts bigint")
+    right = spark.createDataFrame(
+        [(10, 1, 90), (11, 1, 210), (12, 1, 300)],
+        "click_id bigint, user_id bigint, ts bigint")
+    from pyspark.sql import functions as F2
+    to_ts = lambda df: df.withColumn(
+        "ts", F2.timestamp_seconds(F2.col("ts")))
+    return to_ts(left), to_ts(right)
+
+
+def test_asof_nearest_picks_either_direction_and_ties_backward(spark):
+    from project_2_semantic_similarity_spark.operators.joins import (
+        asof_join_nearest)
+
+    left, right = _nearest_fixture(spark)
+    out = {r["event_id"]: (r["asof_click_id"], r["asof_dist_us"])
+           for r in asof_join_nearest(
+               left, right, on=["user_id"], left_ts="ts",
+               right_ts="ts", right_cols=["click_id"]).collect()}
+    # t=100: backward 90 (d=10) vs forward 210 (d=110) -> backward
+    assert out[1] == (10, 10_000_000)
+    # t=205: backward 90 (d=115) vs forward 210 (d=5) -> forward
+    assert out[2] == (11, 5_000_000)
+    # user 2 has no clicks at all -> left row kept, nulls
+    assert out[3] == (None, None)
+
+
+def test_asof_nearest_equidistant_resolves_backward(spark):
+    from project_2_semantic_similarity_spark.operators.joins import (
+        asof_join_nearest)
+    from pyspark.sql import functions as F2
+
+    left = spark.createDataFrame(
+        [(1, 1, 100)], "event_id bigint, user_id bigint, ts bigint")
+    right = spark.createDataFrame(
+        [(10, 1, 90), (11, 1, 110)],
+        "click_id bigint, user_id bigint, ts bigint")
+    to_ts = lambda df: df.withColumn(
+        "ts", F2.timestamp_seconds(F2.col("ts")))
+    out = asof_join_nearest(
+        to_ts(left), to_ts(right), on=["user_id"], left_ts="ts",
+        right_ts="ts", right_cols=["click_id"]).collect()[0]
+    assert out["asof_click_id"] == 10  # backward wins the 10s tie
+
+
+# ------------------------------------------------------- phash
+
+def test_phash_brightness_shift_invariance():
+    import numpy as np
+
+    from project_2_semantic_similarity_spark.operators.multimodal import (
+        decode_ppm, encode_ppm)
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 200, size=(12, 16, 3))
+
+    def dhash(arr):
+        gray = arr.astype(np.int64).sum(axis=2)
+        h, w = gray.shape
+        sx = (np.arange(8, dtype=np.int64) * w) // 8
+        sy = (np.arange(8, dtype=np.int64) * h) // 8
+        g = gray[np.ix_(sy, sx)]
+        bits = (g[:, 1:] > g[:, :-1]).astype(np.int64)
+        weights = (np.int64(1)
+                   << np.arange(56, dtype=np.int64).reshape(8, 7))
+        return int((bits * weights).sum())
+
+    # encode -> decode round-trips the exact raster
+    w, h, _, decoded = decode_ppm(encode_ppm(px))
+    assert (decoded == px).all() and (w, h) == (16, 12)
+    # a uniform brightness shift leaves every comparison unchanged
+    assert dhash(px) == dhash(np.clip(px + 40, 0, 255))
+    # flipping the image horizontally changes the hash
+    assert dhash(px) != dhash(px[:, ::-1, :])
