@@ -1295,3 +1295,75 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("peak_concurrency"),
                     F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss")
                     .alias("first_peak_ts")))
+
+
+@query(
+    "graph_khop_neighbors",
+    oracle="""
+WITH pairs AS (
+    SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+    FROM lineitem a
+    JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+edges AS (
+    SELECT p1 AS u, p2 AS v FROM pairs
+    UNION ALL
+    SELECT p2, p1 FROM pairs
+),
+hop1 AS (
+    SELECT DISTINCT v AS part FROM edges WHERE u = 1 AND v <> 1
+),
+hop2 AS (
+    SELECT DISTINCT e.v AS part
+    FROM hop1 h JOIN edges e ON e.u = h.part
+    WHERE e.v <> 1 AND e.v NOT IN (SELECT part FROM hop1)
+)
+SELECT part, CAST(1 AS BIGINT) AS hop FROM hop1
+UNION ALL
+SELECT part, CAST(2 AS BIGINT) FROM hop2
+""",
+)
+def graph_khop_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded multi-hop graph expansion — 2-hop BFS from a seed part
+    over the co-purchase graph, each node labeled with its first
+    (minimal) hop: the recommendation-candidate / blast-radius query
+    (\"what co-occurs with X, directly or through one intermediary\").
+    Each hop is ONE equi-join of the frontier against the edge
+    relation followed by an anti-join against the visited set — the
+    iterative-BFS round the graph loop operators (pagerank, CC) run
+    unbounded, here unrolled to a fixed k so the whole expansion is
+    one Catalyst plan and the oracle can state it as chained CTEs.
+
+    Scale: frontier and visited relations are node-sized, edges
+    shuffle once per hop on the join key; for large k switch to the
+    persist-per-round loop discipline of operators/graph.py —
+    identical joins, checkpointed lineage."""
+    from project_2_semantic_similarity_spark.operators.cache import (
+        keyed_persist)
+
+    def build():
+        li = (load_table(spark, sf_dir, "lineitem")
+              .select("l_orderkey", "l_partkey"))
+        a, b = li.alias("a"), li.alias("b")
+        pairs = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                        & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+                 .select(F.col("a.l_partkey").alias("p1"),
+                         F.col("b.l_partkey").alias("p2"))
+                 .distinct())
+        return (pairs.select(F.col("p1").alias("u"),
+                             F.col("p2").alias("v"))
+                .unionAll(pairs.select(F.col("p2").alias("u"),
+                                       F.col("p1").alias("v"))))
+
+    edges = keyed_persist("khop_edges", sf_dir, build)
+    seed = 1
+    hop1 = (edges.filter((F.col("u") == seed) & (F.col("v") != seed))
+            .select(F.col("v").alias("part")).distinct())
+    hop2 = (hop1.join(edges, hop1["part"] == edges["u"])
+            .filter(F.col("v") != seed)
+            .select(F.col("v").alias("part")).distinct()
+            .join(hop1, "part", "left_anti"))
+    return (hop1.select("part", F.lit(1).cast("bigint").alias("hop"))
+            .unionAll(hop2.select(
+                "part", F.lit(2).cast("bigint").alias("hop"))))
