@@ -279,6 +279,21 @@ def main() -> None:
                          & (F.col("e3.p2") == F.col("e2.p2"))))
             cnt = tri.count()
             assert cnt == n - 2, f"expected {n - 2} triangles, {cnt}"
+        elif name == "running_sum_probe":
+            # n rows of value 1 sorted by id: running sum must equal
+            # id+1 for every row — validates the range-partition +
+            # broadcast-offset machinery exactly while timing it.
+            from project_2_semantic_similarity_spark.operators.rank \
+                import with_global_running_sum
+
+            rows = spark.range(n).select(
+                F.col("id"), F.lit(1).cast("bigint").alias("v"))
+            summed = with_global_running_sum(
+                rows, [F.col("id").asc()], "v", sum_col="run")
+            bad = summed.filter(
+                F.col("run") != F.col("id") + 1).count()
+            assert bad == 0, f"{bad} wrong prefix sums"
+            cnt = summed.count()
         else:
             cnt = QUERIES[name](spark, out).count()
         wall = time.time() - t
