@@ -1367,3 +1367,73 @@ def graph_khop_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (hop1.select("part", F.lit(1).cast("bigint").alias("hop"))
             .unionAll(hop2.select(
                 "part", F.lit(2).cast("bigint").alias("hop"))))
+
+
+@query(
+    "events_dau_mau_stickiness",
+    oracle="""
+WITH days AS (
+    SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+),
+u AS (
+    SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+),
+dau AS (
+    SELECT day, count(*) AS dau FROM u GROUP BY day
+),
+mau AS (
+    SELECT d.day, count(DISTINCT u.user_id) AS mau
+    FROM days d
+    JOIN u ON u.day BETWEEN d.day - 29 AND d.day
+    GROUP BY d.day
+)
+SELECT strftime(d.day, '%Y-%m-%d') AS day,
+       CAST(a.dau AS BIGINT) AS dau,
+       CAST(m.mau AS BIGINT) AS mau,
+       round(a.dau / CAST(m.mau AS DOUBLE), 6) AS stickiness
+FROM days d JOIN dau a ON a.day = d.day JOIN mau m ON m.day = d.day
+""",
+)
+def events_dau_mau_stickiness(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """DAU / MAU / stickiness — THE product engagement triple, via
+    the bitmap-word algebra: one pass builds per-day (word, mask)
+    bitmaps; DAU is each day's own popcount, MAU the popcount of a
+    30-day OR-merge, stickiness their ratio. Same
+    compressed-relation contract as events_sliding_distinct_bitmap
+    (the 30× fan-out rides |users|/64-word rows, never raw events) —
+    where the oracle's range self-join re-touches every (day, user)
+    row 30 times.
+
+    Scale: events → daily bitmaps is the only event-volume term;
+    everything after is days × words. The DAU and MAU branches share
+    the daily bitmap relation (one aggregation, two readers)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.col("ts").cast("date").alias("day"),
+            (F.col("user_id") / 64).cast("long").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), "
+                   "CAST(user_id % 64 AS INT))").alias("m"))
+        .groupBy("day", "w").agg(F.bit_or("m").alias("mask")))
+    dau = (daily.groupBy("day")
+           .agg(F.sum(F.bit_count("mask")).cast("bigint")
+                .alias("dau")))
+    fanned = daily.select(
+        F.explode(F.sequence(F.lit(0), F.lit(29))).alias("off"),
+        "day", "w", "mask"
+    ).select(F.date_add("day", F.col("off")).alias("target_day"),
+             "w", "mask")
+    mau = (fanned.groupBy("target_day", "w")
+           .agg(F.bit_or("mask").alias("mask"))
+           .groupBy("target_day")
+           .agg(F.sum(F.bit_count("mask")).cast("bigint")
+                .alias("mau")))
+    present = daily.select("day").distinct()
+    return (dau.join(mau, dau["day"] == mau["target_day"])
+            .join(F.broadcast(present.withColumnRenamed("day", "pd")),
+                  F.col("day") == F.col("pd"), "left_semi")
+            .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
+                    "dau", "mau",
+                    F.round(F.col("dau") / F.col("mau").cast("double"),
+                            6).alias("stickiness")))
