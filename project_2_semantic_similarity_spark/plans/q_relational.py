@@ -3884,3 +3884,50 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.col("doc_id").cast("string"), F.lit(":"),
                      F.col("n_chars").cast("string"))))
         .cast("bigint").alias("content_xor"))
+
+
+@query(
+    "win_cumulative_distinct",
+    oracle="""
+WITH flagged AS (
+    SELECT user_id, event_id, ts, event_type,
+           CASE WHEN row_number() OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id) = 1
+                THEN 1 ELSE 0 END AS first_seen
+    FROM events
+)
+SELECT user_id, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       CAST(sum(first_seen) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS distinct_types_so_far
+FROM flagged
+""",
+)
+def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUNNING DISTINCT COUNT per user — how many distinct event
+    types the user has touched as of each event (the
+    breadth-of-engagement curve). COUNT(DISTINCT) OVER a running
+    frame is unsupported/quadratic in most engines; the linear
+    formulation is two windows: flag each (user, type)'s FIRST
+    occurrence, then running-sum the flags — an O(1)-state
+    accumulator per row instead of a re-counted set per row. Both
+    windows partition by user (the second shares the first's
+    shuffle), tie-broken on (ts, event_id) for a deterministic
+    curve."""
+    ev = load_table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type") \
+        .orderBy("ts", "event_id")
+    w_run = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    flagged = ev.select(
+        "user_id", "event_id", "ts",
+        F.when(F.row_number().over(w_first) == 1, 1)
+        .otherwise(0).alias("first_seen"))
+    return flagged.select(
+        "user_id", "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.sum("first_seen").over(w_run).cast("bigint")
+        .alias("distinct_types_so_far"))
