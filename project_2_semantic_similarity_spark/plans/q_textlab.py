@@ -897,3 +897,70 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                      TA.lang_id(F.col("text")).alias("predicted_lang"))
             .groupBy("lang", "predicted_lang")
             .agg(F.count("*").cast("bigint").alias("n")))
+
+
+@query(
+    "text_ngram_novelty",
+    oracle="""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+),
+tok AS (
+    SELECT doc_id,
+           CAST(generate_subscripts(string_split_regex(text, '\\s+'), 1)
+                AS BIGINT) AS pos,
+           unnest(string_split_regex(text, '\\s+')) AS term
+    FROM corpus
+),
+seq AS (
+    SELECT doc_id, pos, term,
+           lead(term, 1) OVER w AS t1,
+           lead(term, 2) OVER w AS t2
+    FROM tok WHERE term <> ''
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+sh AS (
+    SELECT DISTINCT doc_id, term || ' ' || t1 || ' ' || t2 AS shingle
+    FROM seq WHERE t2 IS NOT NULL
+),
+df AS (
+    SELECT shingle, count(*) AS df FROM sh GROUP BY shingle
+)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_unique,
+       round(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS novelty
+FROM sh s JOIN df d USING (shingle)
+GROUP BY s.doc_id
+""",
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTRIBUTION scoring for dataset curation: the fraction of a
+    document's distinct 3-gram shingles that appear NOWHERE else in
+    the corpus — the doc-level answer to \"what does keeping this
+    document actually add?\" (near-zero novelty = fully covered by
+    the rest of the corpus; dedup's complement, ranking by
+    information contribution instead of flagging sameness). One
+    shingle relation (array-side build, operators/dedup.py
+    shingles), one shingle-frequency hash agg, one join back — the
+    same discover-side machinery as dedup_jaccard_exact, read
+    through a different lens.
+
+    Scale: all terms are shingle-volume linear; the df relation is
+    vocabulary-sized and the join is hash-to-hash (deliberately NOT
+    broadcast — web-scale shingle vocabularies are huge)."""
+    from project_2_semantic_similarity_spark.operators.dedup import (
+        shingles)
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs, 3)
+    df_rel = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    uniq = F.when(F.col("df") == 1, 1).otherwise(0)
+    return (sh.join(df_rel, "shingle")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias("n_shingles"),
+                 F.sum(uniq).cast("bigint").alias("n_unique"),
+                 F.round(F.sum(uniq) / F.count("*").cast("double"), 6)
+                 .alias("novelty")))
