@@ -336,3 +336,46 @@ def test_phash_brightness_shift_invariance():
     assert dhash(px) == dhash(np.clip(px + 40, 0, 255))
     # flipping the image horizontally changes the hash
     assert dhash(px) != dhash(px[:, ::-1, :])
+
+
+# ---------------------------------------------- bitmap word algebra
+
+def test_bitmap_word_algebra_matches_sets(spark):
+    """The (id div 64, bit_or(1 << id mod 64)) word encoding used by
+    agg_bitmap_*, events_sliding_distinct_bitmap, stream_bitmap_
+    distinct, and events_dau_mau_stickiness: popcounts of word-wise
+    OR/AND must equal exact set union/intersection cardinalities on
+    adversarial ids (word-boundary values, duplicates, both ends of
+    a word)."""
+    import random
+
+    rng = random.Random(13)
+    a_ids = {rng.randrange(0, 1000) for _ in range(300)} \
+        | {0, 63, 64, 127, 128, 999}
+    b_ids = {rng.randrange(0, 1000) for _ in range(300)} | {63, 64}
+    df = spark.createDataFrame(
+        [(i, "a") for i in a_ids] * 2 + [(i, "b") for i in b_ids],
+        "id bigint, tag string")
+
+    def bitmap(tag):
+        return (df.filter(F.col("tag") == tag)
+                .select((F.col("id") / 64).cast("long").alias("w"),
+                        F.expr("shiftleft(CAST(1 AS BIGINT), "
+                               "CAST(id % 64 AS INT))").alias("m"))
+                .groupBy("w").agg(F.bit_or("m").alias("mask")))
+
+    a, b = bitmap("a"), bitmap("b")
+    j = (a.withColumnRenamed("mask", "am")
+         .join(b.withColumnRenamed("mask", "bm"), "w", "full")
+         .select(F.coalesce("am", F.lit(0)).alias("am"),
+                 F.coalesce("bm", F.lit(0)).alias("bm")))
+    row = j.agg(
+        F.sum(F.bit_count("am")).alias("na"),
+        F.sum(F.bit_count("bm")).alias("nb"),
+        F.sum(F.bit_count(F.col("am").bitwiseAND(F.col("bm")))).alias("ni"),
+        F.sum(F.bit_count(F.col("am").bitwiseOR(F.col("bm")))).alias("nu"),
+    ).collect()[0]
+    assert row["na"] == len(a_ids)
+    assert row["nb"] == len(b_ids)
+    assert row["ni"] == len(a_ids & b_ids)
+    assert row["nu"] == len(a_ids | b_ids)
