@@ -314,3 +314,25 @@ def test_ema_state_carries_across_batches(spark, sf_dir):
                       spark, S.stage_events_dir(sf_dir))),
                   "ema_state_1batch", "update").collect()}
     assert final == single
+
+
+def test_bitmap_distinct_state_merges_across_batches(spark, sf_dir):
+    # The doubled stream delivers every event twice in two
+    # micro-batches: bit_or state must absorb the duplicates, so the
+    # final popcount rollup equals the batch COUNT(DISTINCT) — the
+    # idempotence that makes bitmap state safe under at-least-once
+    # delivery.
+    d = S.stage_doubled_events_dir(sf_dir)
+    ev = S.read_events_stream(spark, d, maxFilesPerTrigger="1")
+    mat = S.run_to_memory(S.bitmap_distinct_daily(ev),
+                          "bitmap_distinct_2batch", "complete")
+    got = {r["day"]: r["n"] for r in
+           mat.groupBy("day")
+           .agg(F.sum(F.bit_count("mask")).cast("bigint").alias("n"))
+           .collect()}
+    expect = {r["day"]: r["n"] for r in
+              load_table(spark, sf_dir, "events")
+              .groupBy(F.date_format(F.col("ts").cast("date"),
+                                     "yyyy-MM-dd").alias("day"))
+              .agg(F.countDistinct("user_id").alias("n")).collect()}
+    assert got == expect
