@@ -3931,3 +3931,68 @@ def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
         F.sum("first_seen").over(w_run).cast("bigint")
         .alias("distinct_types_so_far"))
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+WITH l AS (
+    SELECT nullif(event_type, 'view') AS k, count(*) AS n_even
+    FROM events WHERE user_id % 2 = 0 GROUP BY nullif(event_type, 'view')
+),
+r AS (
+    SELECT nullif(event_type, 'view') AS k, count(*) AS n_odd
+    FROM events WHERE user_id % 2 = 1 GROUP BY nullif(event_type, 'view')
+)
+SELECT l.k, CAST(l.n_even AS BIGINT) AS n_even,
+       CAST(r.n_odd AS BIGINT) AS n_odd
+FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+""",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-SAFE equality join (<=> / IS NOT DISTINCT FROM): the
+    NULL-keyed group — here the 'view' bucket collapsed to NULL —
+    must MATCH its counterpart, where ordinary equality silently
+    drops every NULL pair (the classic lost-rows bug when joining on
+    nullable derived keys: status codes, optional categories,
+    sentinel-collapsed dimensions). Catalyst plans eqNullSafe as an
+    ordinary hash join (NULL hashes like any key under null-safe
+    semantics) — same shuffle shape as =, no nested-loop penalty."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.expr("nullif(event_type, 'view')")
+    l = (ev.filter(F.col("user_id") % 2 == 0)
+         .groupBy(k.alias("k"))
+         .agg(F.count("*").cast("bigint").alias("n_even")))
+    r = (ev.filter(F.col("user_id") % 2 == 1)
+         .groupBy(k.alias("k"))
+         .agg(F.count("*").cast("bigint").alias("n_odd")))
+    return (l.join(r, l["k"].eqNullSafe(r["k"]))
+            .select(l["k"].alias("k"), "n_even", "n_odd"))
+
+
+_FILTER_AGG_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) FILTER (WHERE value > 100) AS BIGINT) AS n_large,
+       round(sum(value) FILTER (WHERE value > 100), 2) AS sum_large,
+       round(avg(value) FILTER (WHERE value <= 100), 6) AS avg_small
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("agg_filter_clause", oracle=_FILTER_AGG_SQL)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI FILTER-clause aggregates — per-aggregate predicates in
+    ONE grouping pass (count/sum over the large tail, avg over the
+    small tail, all beside the unconditional count): the standard
+    form for conditional metrics that otherwise multiply into
+    CASE-WHEN noise or, worse, separate scans per condition. Spark
+    evaluates each FILTER inside the same partial/final hash
+    aggregate — one scan, one shuffle, any number of conditional
+    metrics."""
+    from project_2_semantic_similarity_spark.sources.tables import (
+        register_views)
+
+    register_views(spark, sf_dir)
+    return spark.sql(_FILTER_AGG_SQL)
