@@ -3996,3 +3996,76 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_FILTER_AGG_SQL)
+
+
+@query(
+    "scan_csv_gzip",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events
+WHERE event_type IN ('click', 'purchase')
+GROUP BY event_type
+""",
+)
+def scan_csv_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED text ingestion: the events subset staged as
+    gzip-compressed CSV and read back through the same csv reader —
+    the wire format half the world's exports arrive in. The catch
+    this query documents: gzip is NOT splittable, so each .csv.gz
+    file is one task regardless of size — at scale land MANY
+    medium-sized .gz files (or recompress to zstd/bgzf) so
+    parallelism comes from file count, which is exactly how this
+    fixture is staged (4 shards). Values round-trip through explicit
+    schema (no inference job)."""
+    import os
+
+    out = _tmp(sf_dir, "events_csv_gz")
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase"))
+    if not os.path.isdir(out) or not any(
+            f.endswith(".gz") for f in os.listdir(out)):
+        (ev.select("event_id", "event_type",
+                   F.round("value", 6).alias("value"))
+         .repartition(4)
+         .write.mode("overwrite")
+         .option("compression", "gzip")
+         .option("header", "true").csv(out))
+    back = (spark.read
+            .schema("event_id bigint, event_type string, value double")
+            .option("header", "true").csv(out))
+    return (back.groupBy("event_type")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_value")))
+
+
+@query(
+    "fn_encode_decode",
+    oracle="""
+SELECT doc_id,
+       to_base64(encode(substr(text, 1, 24))) AS b64,
+       decode(from_base64(to_base64(encode(substr(text, 1, 24)))))
+           AS roundtrip,
+       lower(to_hex(encode(substr(text, 1, 8)))) AS hex8,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+""",
+)
+def fn_encode_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary encode/decode surface: base64 and hex round-trips over
+    text prefixes plus byte length — the glue functions every
+    interchange pipeline needs (keys in headers, binary columns in
+    JSON, content hashing inputs). All pure JVM codegen; the oracle
+    pins that both engines agree on the base64 alphabet/padding and
+    hex casing, and that decode(encode(x)) is the identity."""
+    docs = load_table(spark, sf_dir, "documents")
+    prefix24 = F.substring("text", 1, 24)
+    return docs.select(
+        "doc_id",
+        F.base64(prefix24.cast("binary")).alias("b64"),
+        F.unbase64(F.base64(prefix24.cast("binary"))).cast("string")
+        .alias("roundtrip"),
+        F.lower(F.hex(F.substring("text", 1, 8).cast("binary")))
+        .alias("hex8"),
+        F.octet_length("text").cast("bigint").alias("n_bytes"))
