@@ -42,8 +42,9 @@ _MERSENNE31 = 2_147_483_647
 
 
 def portable_hash60(col):
-    """Low 60 bits of md5(col) as a non-negative BIGINT, computed so
-    that any md5-capable engine reproduces it bit-for-bit (DuckDB:
+    """Leading 15 hex chars (the HIGH 60 bits) of md5(col) as a
+    non-negative BIGINT, computed so that any md5-capable engine
+    reproduces it bit-for-bit (DuckDB:
     ``('0x' || substr(md5(s), 1, 15))::BIGINT``). 15 hex chars = 60
     bits, so the value is always positive and overflow-free."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
@@ -66,8 +67,10 @@ def canonical_url(col):
          keeps the ``?`` for the next real param, then any remaining
          ``[?&]utm_x``);
       3. lowercase the scheme+authority (case-insensitive per RFC
-         3986) and strip default ports ``:443``/``:80`` — path/query
-         case is PRESERVED (significant on most servers);
+         3986) and strip the scheme's OWN default port only
+         (``:80`` for http, ``:443`` for https — an explicit
+         ``http://host:443`` is a different origin and is kept) —
+         path/query case is PRESERVED (significant on most servers);
       4. strip one trailing slash.
 
     Pure JVM regexp/string Columns — narrow, codegen'd, no Python in
@@ -78,9 +81,10 @@ def canonical_url(col):
     auth = F.regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
     rest = u.substr(F.length(auth) + F.lit(1),
                     F.length(u) - F.length(auth))
-    return F.concat(
-        F.regexp_replace(F.lower(auth), ":(443|80)$", ""),
-        F.regexp_replace(rest, "/$", ""))
+    low = F.lower(auth)
+    low = F.regexp_replace(low, "^(http://.*):80$", "$1")
+    low = F.regexp_replace(low, "^(https://.*):443$", "$1")
+    return F.concat(low, F.regexp_replace(rest, "/$", ""))
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text",

@@ -115,15 +115,22 @@ def asof_join_nearest(left: DataFrame, right: DataFrame,
     wf = (Window.partitionBy(*on).orderBy(*order)
           .rowsBetween(0, Window.unboundedFollowing))
     fill_cols = list(right_cols)
+    # The value-carry and the timestamp-carry must skip the SAME rows:
+    # a right row with NULL right_ts contributes neither its timestamp
+    # nor its values, else the attached value and the reported distance
+    # could come from different right rows.
+    carry_ok = (F.col("__side") == 0) & F.col("__ts_us").isNotNull()
     filled = unioned.select(
         *lcols, "__side", "__ts_us",
-        *[F.last(f"__r_{c}", ignorenulls=True).over(wb).alias(f"__b_{c}")
+        *[F.last(F.when(carry_ok, F.col(f"__r_{c}")),
+                 ignorenulls=True).over(wb).alias(f"__b_{c}")
           for c in fill_cols],
-        F.last(F.when(F.col("__side") == 0, F.col("__ts_us")),
+        F.last(F.when(carry_ok, F.col("__ts_us")),
                ignorenulls=True).over(wb).alias("__b_us"),
-        *[F.first(f"__r_{c}", ignorenulls=True).over(wf).alias(f"__f_{c}")
+        *[F.first(F.when(carry_ok, F.col(f"__r_{c}")),
+                  ignorenulls=True).over(wf).alias(f"__f_{c}")
           for c in fill_cols],
-        F.first(F.when(F.col("__side") == 0, F.col("__ts_us")),
+        F.first(F.when(carry_ok, F.col("__ts_us")),
                 ignorenulls=True).over(wf).alias("__f_us"),
     )
     b_dist = F.col("__ts_us") - F.col("__b_us")

@@ -380,7 +380,8 @@ def bloom_build(df: DataFrame, col: str, k: int = _BLOOM_K,
 
 def bloom_might_contain(col, words: list[int], k: int = _BLOOM_K):
     """JVM-side membership test Column against a driver-held word
-    list: k portable-md5 bit probes ANDed together, the bit array
+    list: k xxhash64-derived bit probes (see ``_bloom_bitpos`` for
+    why xxhash64 rather than portable md5) ANDed together, the bit array
     riding along as a constant-folded array literal (the moral
     equivalent of a broadcast variable, but visible to Catalyst).
     No Python runs per row; the whole predicate stays inside

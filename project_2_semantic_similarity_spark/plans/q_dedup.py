@@ -132,7 +132,9 @@ parts AS (
 ),
 canon AS (
     SELECT doc_id,
-           regexp_replace(lower(auth), ':(443|80)$', '', 'g')
+           regexp_replace(
+               regexp_replace(lower(auth), '^(http://.*):80$', '\\1', 'g'),
+               '^(https://.*):443$', '\\1', 'g')
            || regexp_replace(substr(u, length(auth) + 1), '/$', '', 'g')
                AS canonical_url
     FROM parts

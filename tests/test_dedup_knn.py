@@ -722,6 +722,11 @@ def test_canonical_url_rules(spark):
          "https://e.com:8443/p"),
         ("https://E.com/CaseKept?X=Y",
          "https://e.com/CaseKept?X=Y"),
+        # only the scheme's OWN default port strips — a cross-scheme
+        # explicit port is a different origin and must survive
+        ("http://e.com:443/x", "http://e.com:443/x"),
+        ("https://e.com:80/x", "https://e.com:80/x"),
+        ("https://e.com:443/x", "https://e.com/x"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
     got = [r.c for r in

@@ -307,6 +307,33 @@ def test_asof_nearest_equidistant_resolves_backward(spark):
     assert out["asof_click_id"] == 10  # backward wins the 10s tie
 
 
+def test_asof_nearest_null_right_ts_rows_are_invisible(spark):
+    """A right row with NULL right_ts must contribute neither its
+    timestamp nor its value columns — otherwise the attached value
+    and the reported distance can come from different right rows."""
+    from project_2_semantic_similarity_spark.operators.joins import (
+        asof_join_nearest)
+    from pyspark.sql import functions as F2
+
+    left = spark.createDataFrame(
+        [(1, 1, 100), (2, 2, 100)],
+        "event_id bigint, user_id bigint, ts bigint")
+    right = spark.createDataFrame(
+        [(10, 1, 90), (99, 1, None), (77, 2, None)],
+        "click_id bigint, user_id bigint, ts bigint")
+    to_ts = lambda df: df.withColumn(
+        "ts", F2.timestamp_seconds(F2.col("ts")))
+    out = {r["event_id"]: (r["asof_click_id"], r["asof_dist_us"])
+           for r in asof_join_nearest(
+               to_ts(left), to_ts(right), on=["user_id"],
+               left_ts="ts", right_ts="ts",
+               right_cols=["click_id"]).collect()}
+    # user 1: the NULL-ts row 99 is skipped; row 10 at d=10s attaches
+    assert out[1] == (10, 10_000_000)
+    # user 2: its ONLY click has a NULL ts -> no match at all
+    assert out[2] == (None, None)
+
+
 # ------------------------------------------------------- phash
 
 def test_phash_brightness_shift_invariance():
