@@ -1095,6 +1095,67 @@ def multimodal_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_decode_png",
+    oracle="""
+WITH dims AS (
+    SELECT doc_id,
+           4 + doc_id % 5 AS w,
+           3 + doc_id % 4 AS h
+    FROM documents
+),
+px AS (
+    SELECT d.doc_id, d.w, d.h, c.c,
+           avg(CAST((3 * d.doc_id + 11 * x.i + 19 * y.i + 37 * c.c) % 256
+                    AS DOUBLE)) AS mean_c
+    FROM dims d
+    CROSS JOIN range(8) x(i)
+    CROSS JOIN range(6) y(i)
+    CROSS JOIN range(3) c(c)
+    WHERE x.i < d.w AND y.i < d.h
+    GROUP BY d.doc_id, d.w, d.h, c.c
+)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       round(max(CASE WHEN c = 0 THEN mean_c END), 6) AS mean_r,
+       round(max(CASE WHEN c = 1 THEN mean_c END), 6) AS mean_g,
+       round(max(CASE WHEN c = 2 THEN mean_c END), 6) AS mean_b
+FROM px
+GROUP BY doc_id, w, h
+""",
+)
+def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First COMPRESSED image codec (r7 VERDICT #4): each document
+    carries a genuine PNG file — zlib-DEFLATE IDAT, CRC-verified
+    chunks, per-row scanline filters chosen by the spec's heuristic
+    so Sub/Up/Average/Paeth all occur — generated in-engine from
+    doc_id arithmetic, and the decode stage fully PARSES it
+    (operators/multimodal.py decode_png: chunk walk + CRC check +
+    inflate + filter reconstruction) before computing per-channel
+    pixel means. The oracle reproduces the pixel arithmetic directly
+    in SQL (it never touches zlib), so any decoder bug — wrong
+    Paeth tie-break, missed filter byte, bad stride — breaks the
+    hash. Reference parity: the reference treats media as opaque
+    bytes; this is the engine's training-pipeline extension surface.
+
+    At 100 TB: identical shape to multimodal_decode_image — one
+    narrow Arrow-batched mapInPandas stage over the binary column,
+    zero shuffle, executor memory bounded by maxRecordsPerBatch x
+    image size; decompression cost is embarrassingly parallel."""
+    from project_2_semantic_similarity_spark.operators.multimodal import (
+        attach_png_payload, decode_image)
+
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_image(attach_png_payload(docs))
+    return decoded.select(
+        "doc_id", "width", "height", "n_pixels",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"))
+
+
+@query(
     "multimodal_decode_audio",
     oracle="""
 WITH lens AS (
