@@ -316,6 +316,75 @@ def test_ema_state_carries_across_batches(spark, sf_dir):
     assert final == single
 
 
+def test_bitmap_distinct_over_unbounded_rate_source(spark):
+    """The bitmap-word state machine under a genuinely UNBOUNDED
+    source (r7 VERDICT #5): Spark's built-in ``rate`` source emits a
+    monotone row counter forever; we run the same watermark + day-
+    window + bit_or aggregation live for several processing-time
+    triggers, stop mid-stream, and verify the captured state against
+    the batch semantics of exactly the rows that were ingested.
+
+    With numPartitions=1 the ingested set is by construction a
+    PREFIX {0..V} of the counter, so the oracle needs no side
+    channel: recover the value set from the bitmap itself, assert it
+    is gap-free from 0 (any dropped/duplicated micro-batch or
+    mis-merged word breaks this), and assert every value landed in
+    the day window the batch computation assigns it."""
+    import time
+
+    src = (spark.readStream.format("rate")
+           .option("rowsPerSecond", "500")
+           .option("numPartitions", "1").load())
+    # synthetic event time: one hour per counter tick -> the day
+    # window rolls every 24 values; arrival order is monotone so the
+    # 1-hour watermark never drops anything.
+    ev = src.select(
+        F.timestamp_seconds(F.lit(0) + F.col("value") * 3600)
+         .alias("ts"),
+        F.col("value").alias("user_id"))
+    agg = (ev.withWatermark("ts", "1 hour")
+           .groupBy(F.window("ts", "1 day").alias("w"),
+                    (F.col("user_id") / 64).cast("long").alias("word"))
+           .agg(F.bit_or(F.expr(
+               "shiftleft(CAST(1 AS BIGINT), "
+               "CAST(user_id % 64 AS INT))")).alias("mask"))
+           .select(F.date_format("w.start", "yyyy-MM-dd").alias("day"),
+                   "word", "mask"))
+    name = "rate_bitmap_distinct"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete")
+         .trigger(processingTime="1 second").start())
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            n = spark.sql(
+                f"SELECT coalesce(sum(bit_count(mask)), 0) AS n "
+                f"FROM {name}").collect()[0]["n"]
+            if n >= 120:  # several triggers, several day windows
+                break
+            time.sleep(0.5)
+        else:
+            raise TimeoutError("rate stream produced too few rows")
+    finally:
+        q.stop()
+    rows = spark.table(name).collect()
+    values = sorted(
+        r["word"] * 64 + b
+        for r in rows for b in range(64) if (r["mask"] >> b) & 1)
+    # prefix-exactness: no gaps, no phantom bits, no duplicates
+    assert values == list(range(len(values))) and len(values) >= 120
+    # day assignment matches batch semantics for every ingested value
+    day_of = {(r["day"], r["word"] * 64 + b)
+              for r in rows for b in range(64) if (r["mask"] >> b) & 1}
+    expect = {(time.strftime("%Y-%m-%d",
+                             time.gmtime((v * 3600 // 86400) * 86400)),
+               v) for v in values}
+    assert day_of == expect
+
+
 def test_bitmap_distinct_state_merges_across_batches(spark, sf_dir):
     # The doubled stream delivers every event twice in two
     # micro-batches: bit_or state must absorb the duplicates, so the
