@@ -251,7 +251,8 @@ def bench_reference_corpus(spark, n_docs: int) -> tuple[float, int]:
         term_similarity_pipeline)
     from project_2_semantic_similarity_spark.sources import read_text_corpus
 
-    path = f"/tmp/p2ss_bench_gene_{n_docs}.txt"
+    from project_2_semantic_similarity_spark.scratch import scratch_path
+    path = scratch_path(f"bench_gene_{n_docs}.txt")
     n_tokens = _gene_corpus(path, n_docs)
     t0 = time.perf_counter()
     # cache_key: evicts the previous corpus's persisted weight table

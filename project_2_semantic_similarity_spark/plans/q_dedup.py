@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from project_2_semantic_similarity_spark.operators import dedup as D
 from project_2_semantic_similarity_spark.operators.cache import keyed_persist
 from project_2_semantic_similarity_spark.plans.registry import query
+from project_2_semantic_similarity_spark.scratch import scratch_path
 from project_2_semantic_similarity_spark.sources import load_table
 
 _SHINGLE_N = 3
@@ -622,7 +623,7 @@ def ensure_minhash_variant(spark: SparkSession, sf_dir: str,
     variant = _MINHASH_VARIANT_CACHE.get(key)
     if variant is not None:
         return variant
-    disk = f"/tmp/p2ss_minhash_variant_{key[2]}.txt"
+    disk = scratch_path(f"minhash_variant_{key[2]}.txt")
     if os.path.exists(disk):
         with open(disk) as fh:
             variant = fh.read().strip()
@@ -840,7 +841,7 @@ def _trained_codebook(spark: SparkSession, sf_dir: str,
     key = (*_table_key(sf_dir, "embeddings"), iters)
     hit = _CODEBOOK_CACHE.get(key)
     if hit is None:
-        disk = f"/tmp/p2ss_codebook_{key[2]}_i{iters}.json"
+        disk = scratch_path(f"codebook_{key[2]}_i{iters}.json")
         if os.path.exists(disk):
             with open(disk) as fh:
                 k, rows = json.load(fh)

@@ -138,7 +138,9 @@ def sink_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics."""
     e = load_table(spark, sf_dir, "embeddings")
     assigned = S.ivf_assign(e, S.label_centroids(e))
-    out = f"/tmp/p2ss_{sf_dir.strip('/').replace('/', '_')}_ivf_layout"
+    from project_2_semantic_similarity_spark.scratch import scratch_path
+    out = scratch_path(
+        f"{sf_dir.strip('/').replace('/', '_')}_ivf_layout")
     (assigned.select("vec_id", "embedding", "list_id")
      .write.mode("overwrite").partitionBy("list_id").parquet(out))
     idx = spark.read.parquet(out)

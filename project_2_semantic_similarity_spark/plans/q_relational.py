@@ -33,8 +33,9 @@ from project_2_semantic_similarity_spark.sources import (
 
 
 def _tmp(sf_dir: str, name: str) -> str:
+    from project_2_semantic_similarity_spark.scratch import scratch_path
     tag = sf_dir.strip("/").replace("/", "_")
-    return f"/tmp/p2ss_{tag}_{name}"
+    return scratch_path(f"{tag}_{name}")
 
 
 # ---------------------------------------------------------------- scans
@@ -1044,7 +1045,8 @@ def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     fp = source_fingerprint(sf_dir, "lineitem", "orders")
     tag = (sf_dir.strip("/").replace("/", "_").replace(".", "_")
            + "_" + fp)
-    base = f"/tmp/p2ss_bucketed_{tag}"
+    from project_2_semantic_similarity_spark.scratch import scratch_path
+    base = scratch_path(f"bucketed_{tag}")
     for name, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
         tbl = f"p2ss_{name}_bucketed_{tag}"
         # a completed write is marked by _SUCCESS; anything else

@@ -233,8 +233,9 @@ def stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fingerprinted tag: regenerated source ⇒ fresh sink+checkpoint
     # pair (a stale checkpoint over a new sink dir would double-write)
     tag = S._stream_tag(sf_dir)
-    out = f"/tmp/p2ss_stream_{tag}/sink_parquet"
-    cp = f"/tmp/p2ss_stream_{tag}/sink_parquet_cp"
+    from project_2_semantic_similarity_spark.scratch import scratch_path
+    out = scratch_path(f"stream_{tag}", "sink_parquet")
+    cp = scratch_path(f"stream_{tag}", "sink_parquet_cp")
     # self-heal checkpoint/data desync: a surviving checkpoint with
     # the sink dir gone would make the re-run a no-op over nothing
     if os.path.isdir(cp) and not os.path.isdir(out):

@@ -1,0 +1,44 @@
+"""Session-scoped scratch-directory root (r7 VERDICT #7).
+
+Plans that stage data on local disk (streaming source directories,
+bucketed-table copies, trained codebooks, checkpoint dirs) previously
+wrote world-readable ``/tmp/p2ss_*`` paths — fine on a single box,
+racy and leaky on shared hosts where another uid could pre-create or
+read the path. Every staging site now goes through :func:`scratch_path`,
+which roots under a per-user mode-0700 directory:
+
+- ``$P2SS_SCRATCH_DIR`` if set (a cluster deployment points this at
+  the executor's local-disk volume, e.g. the YARN/k8s work dir);
+- else ``<system tmp>/p2ss-<uid>`` created 0700.
+
+Cache keys (corpus fingerprints) stay in the file NAMES, so warm-run
+reuse across processes of the same user is preserved — only the root
+moved out of the shared namespace.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+
+def scratch_root() -> str:
+    """The per-user scratch root, created on first use with mode
+    0700 (and re-tightened if it already exists looser)."""
+    base = os.environ.get("P2SS_SCRATCH_DIR")
+    if not base:
+        uid = os.getuid() if hasattr(os, "getuid") else "u"
+        base = os.path.join(tempfile.gettempdir(), f"p2ss-{uid}")
+    os.makedirs(base, mode=0o700, exist_ok=True)
+    try:
+        os.chmod(base, 0o700)
+    except OSError:
+        pass
+    return base
+
+
+def scratch_path(*parts: str) -> str:
+    """Join ``parts`` under :func:`scratch_root` (parent dirs are NOT
+    created — callers that need a directory makedirs it themselves,
+    as before)."""
+    return os.path.join(scratch_root(), *parts)

@@ -22,6 +22,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from project_2_semantic_similarity_spark.scratch import scratch_path
+
 # events.ts has shipped in two physical layouts across testdata
 # generations (same dual-layout contract as sources/tables.py):
 # TIMESTAMP(NANOS) — which Spark 4 rejects unless read as raw nano
@@ -59,7 +61,7 @@ def stage_events_dir(sf_dir: str) -> str:
     """The file streaming source requires a *directory*; stage the
     single events.parquet into /tmp via hardlink (copy fallback)."""
     tag = _stream_tag(sf_dir)
-    d = f"/tmp/p2ss_stream_{tag}/events"
+    d = scratch_path(f"stream_{tag}", "events")
     os.makedirs(d, exist_ok=True)
     dst = f"{d}/events.parquet"
     if not os.path.exists(dst):
@@ -75,7 +77,7 @@ def stage_doubled_events_dir(sf_dir: str) -> str:
     """Stage the events file TWICE (two hardlinks) so a streaming
     dedup has actual duplicates to drop."""
     tag = _stream_tag(sf_dir)
-    d = f"/tmp/p2ss_stream_{tag}/events_x2"
+    d = scratch_path(f"stream_{tag}", "events_x2")
     os.makedirs(d, exist_ok=True)
     for i in (1, 2):
         dst = f"{d}/events_{i}.parquet"
@@ -107,7 +109,7 @@ def stage_late_events_dir(sf_dir: str, shift_days: int = 60) -> str:
     import pyarrow.parquet as pq
 
     tag = _stream_tag(sf_dir)
-    d = f"/tmp/p2ss_stream_{tag}/events_late3"
+    d = scratch_path(f"stream_{tag}", "events_late3")
     f1, f2 = f"{d}/batch0.parquet", f"{d}/batch1.parquet"
     late = f"{d}/batch2_late.parquet"
     if all(os.path.exists(p) for p in (f1, f2, late)):

@@ -290,7 +290,8 @@ def test_ema_state_carries_across_batches(spark, sf_dir):
     import pyarrow.parquet as pq
 
     tag = S._stream_tag(sf_dir)
-    d = f"/tmp/p2ss_stream_{tag}/events_ema2"
+    from project_2_semantic_similarity_spark.scratch import scratch_path
+    d = scratch_path(f"stream_{tag}", "events_ema2")
     f1, f2 = f"{d}/batch0.parquet", f"{d}/batch1.parquet"
     if not (os.path.exists(f1) and os.path.exists(f2)):
         os.makedirs(d, exist_ok=True)

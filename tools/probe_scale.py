@@ -7,7 +7,7 @@ writes it as a testdata-layout directory, and times the declared
 pipeline stages against it.
 
 Usage: python tools/probe_scale.py [n_docs] [out_dir] [stage,stage,...]
-Defaults: 1_000_000 /tmp/p2ss_probe_1m <default battery below>
+Defaults: 1_000_000 <scratch_root>/probe_1m <default battery below>
 
 Special stage names beyond registry queries:
   gen_embeddings  — also write an embeddings.parquet (64-dim float
@@ -140,7 +140,12 @@ def generate(spark, n: int, out_dir: str) -> None:
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/p2ss_probe_1m"
+    if len(sys.argv) > 2:
+        out = sys.argv[2]
+    else:
+        from project_2_semantic_similarity_spark.scratch import (
+            scratch_path)
+        out = scratch_path("probe_1m")
     stages = sys.argv[3].split(",") if len(sys.argv) > 3 else STAGES
 
     from project_2_semantic_similarity_spark.operators.cache import (
