@@ -52,25 +52,15 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # change is in fact result-preserving).
 _CHANGED_THIS_ROUND = frozenset(
     {
-        # round 7: output flattened Array -> (vec_id, dim_idx,
-        # component) scalar rows + per-dimension UNION ALL oracle
-        # (the r6 driver `err` fix) — needs its FIRST green driver
-        # row ever
-        "embedding_jl_project",
-        # round 7: cross-table duplicate collapse in cosine_pairs_lsh
-        # changed .distinct() -> max-per-pair (result-preserving on
-        # this BLAS build; the driver hash is the independent check)
-        "dedup_embedding_cosine_lsh",
-        # round 7: ranks on raw c_acctbal with round(,2) moved to the
-        # output projection (result-preserving on 2dp TPC-H data —
-        # driver hash is the independent check)
-        "sort_multi",
-        # round 7: connected_components now localCheckpoints each
-        # propagation round (plan-growth fix; result-preserving —
-        # driver hash is the independent check) — both riders of the
-        # operator re-verify
-        "dedup_clusters",
-        "dedup_transitive_keep",
+        # round 8: canonical_url now strips only the scheme's OWN
+        # default port (http:80 / https:443) — plan AND oracle regex
+        # changed together (fixture output is identical; the driver
+        # hash is the independent check that they still agree)
+        "dedup_url",
+        # round 8: NULL right-ts rows no longer contribute carried
+        # values in asof_join_nearest (result-preserving on testdata
+        # whose ts is non-null — driver hash is the independent check)
+        "join_asof_nearest",
     }
 )
 

@@ -44,11 +44,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     schema inference, so save/restore around the lazy read would
     corrupt the deferred action."""
     if name == "events":
+        from pyspark.sql import types as T
+
         path = f"{sf_dir}/{name}.parquet"
         if events_ts_is_nanos(path):
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            return spark.read.parquet(path).withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000")))
+            df = spark.read.parquet(path)
+            # Spark versions that support TIMESTAMP(NANOS) natively
+            # ignore the legacy conf and surface ts as a (µs-truncated)
+            # TimestampType directly; older ones surface the raw nano
+            # long. Branch on what the scan actually produced.
+            if isinstance(df.schema["ts"].dataType, T.LongType):
+                return df.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts div 1000")))
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
         return spark.read.parquet(path).withColumn(
             "ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

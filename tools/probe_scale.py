@@ -284,6 +284,66 @@ def main() -> None:
                          & (F.col("e3.p2") == F.col("e2.p2"))))
             cnt = tri.count()
             assert cnt == n - 2, f"expected {n - 2} triangles, {cnt}"
+        elif name == "gen_events":
+            # Synthetic event log in the testdata layout, with CRT
+            # structure that gives the bitmap family CLOSED FORMS:
+            # user = id % 1e6, day = id % 60; gcd(1e6, 60) = 20, so
+            # user u is active on day d iff u ≡ d (mod 20) — every
+            # day has exactly 50,000 distinct users, and a k-day run
+            # of consecutive days covers min(k, 20) residue classes.
+            # Full coverage of the (day, user) residue pairs needs n
+            # to be a multiple of lcm(60, 1e6) = 3,000,000.
+            assert n % 3_000_000 == 0, \
+                "gen_events needs n % 3,000,000 == 0 for the closed forms"
+            cnt = n
+            # match the testdata micros layout (Spark 4.1 otherwise
+            # writes TIMESTAMP(NANOS), the other dual-layout arm)
+            spark.conf.set("spark.sql.parquet.outputTimestampType",
+                           "TIMESTAMP_MICROS")
+            (spark.range(n).select(
+                F.col("id").alias("event_id"),
+                F.timestamp_seconds(
+                    F.lit(86400 * 19000)
+                    + F.pmod(F.col("id"), F.lit(60)) * 86400
+                    + F.pmod(F.col("id"), F.lit(86400))).alias("ts"),
+                F.pmod(F.col("id"), F.lit(1_000_000)).alias("user_id"),
+                F.lit("click").alias("event_type"),
+                (F.pmod(F.col("id"), F.lit(100)) / 10.0).alias("value"),
+                F.lit("{}").alias("props"))
+             .write.mode("overwrite").parquet(f"{out}/events.parquet"))
+        elif name == "bitmap_sliding_probe":
+            # events_sliding_distinct_bitmap on the CRT event log:
+            # day d (0-59) must report 50,000 × min(d+1, 7) distinct
+            # users in its trailing 7-day window. Self-checks every
+            # row while timing — pins the |users|/64-word claim: the
+            # post-agg relation is 60 days × ≤15,625 words.
+            res = QUERIES["events_sliding_distinct_bitmap"](spark, out)
+            rows = res.collect()
+            assert len(rows) == 60, f"expected 60 days, {len(rows)}"
+            import datetime as _dt
+            for r in rows:
+                d = (_dt.date.fromisoformat(r["day"])
+                     - _dt.date(1970, 1, 1)).days - 19000
+                want = 50_000 * min(d + 1, 7)
+                assert r["n_users_7d"] == want, \
+                    f"day {d}: {r['n_users_7d']} != {want}"
+            cnt = len(rows)
+        elif name == "bitmap_dau_mau_probe":
+            # events_dau_mau_stickiness on the same log: DAU = 50,000
+            # every day; MAU(d) = 50,000 × min(min(d+1, 30), 20)
+            # (consecutive days cover at most all 20 residue classes).
+            res = QUERIES["events_dau_mau_stickiness"](spark, out)
+            rows = res.collect()
+            assert len(rows) == 60, f"expected 60 days, {len(rows)}"
+            import datetime as _dt
+            for r in rows:
+                d = (_dt.date.fromisoformat(r["day"])
+                     - _dt.date(1970, 1, 1)).days - 19000
+                want_mau = 50_000 * min(d + 1, 30, 20)
+                assert r["dau"] == 50_000, f"day {d}: dau {r['dau']}"
+                assert r["mau"] == want_mau, \
+                    f"day {d}: mau {r['mau']} != {want_mau}"
+            cnt = len(rows)
         elif name == "running_sum_probe":
             # n rows of value 1 sorted by id: running sum must equal
             # id+1 for every row — validates the range-partition +
