@@ -2446,6 +2446,122 @@ def sql_api_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+_Q4_SQL = """
+SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= DATE '1996-01-01'
+  AND o.o_orderdate < DATE '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 80 DAY)
+GROUP BY o.o_orderpriority
+"""
+
+
+@query("sql_api_tpch_q4", oracle=_Q4_SQL)
+def sql_api_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking): the correlated-EXISTS
+    shape. Catalyst decorrelates the EXISTS into a LEFT-SEMI join on
+    l_orderkey with the correlated ship-vs-order-date comparison as
+    the join residual — one pass over lineitem, no per-order
+    subquery execution; the quarter filter pushes into the orders
+    scan before the semi join. Adapted to this schema's columns (no
+    commit/receipt dates): the existence test is "some line shipped
+    more than 80 days after the order date". At scale the semi join
+    shuffles on orderkey once and the priority agg is map-side
+    combinable over five groups."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q4_SQL)
+
+
+_Q13_SQL = """
+WITH c_orders AS (
+    SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                      AND o.o_orderpriority <> '1-URGENT'
+    GROUP BY c.c_custkey
+)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(count(*) AS BIGINT) AS custdist
+FROM c_orders GROUP BY c_count
+"""
+
+
+@query("sql_api_tpch_q13", oracle=_Q13_SQL)
+def sql_api_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): the OUTER-JOIN-then-
+    histogram shape — the one TPC-H query whose filter lives in the
+    JOIN CONDITION, not the WHERE clause (moving the priority filter
+    to WHERE would silently turn the left join inner and drop
+    zero-order customers from the c_count=0 bucket). count(o_orderkey)
+    over the null-extended rows gives 0, not 1 — the COUNT(col)
+    null-skip doing real semantic work. Adapted filter: non-URGENT
+    orders (this schema has no o_comment). Two aggregations: the
+    per-customer count shuffles on custkey (same key as the join, so
+    AQE reuses the exchange), the histogram is a ~40-group map-side
+    combine."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q13_SQL)
+
+
+_Q17_SQL = """
+SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#4' AND p.p_size < 25
+  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                      FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+@query("sql_api_tpch_q17", oracle=_Q17_SQL)
+def sql_api_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): the correlated
+    SCALAR-AGGREGATE subquery shape — each lineitem compares against
+    the average quantity OF ITS OWN PART. Catalyst decorrelates into
+    a per-partkey aggregate joined back to the fact rows: one extra
+    aggregation pass + one equi-join instead of a subquery per row
+    (the textbook magic-decorrelation example; NULL avg for parts
+    with no lines makes the comparison false, matching the empty-
+    subquery semantics). Adapted predicate: brand + size band (no
+    p_container here). At scale both the agg and the join-back
+    shuffle on partkey — one key, reusable exchange — and the
+    brand/size filter broadcasts part to prune lineitem first."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q17_SQL)
+
+
+_Q22_SQL = """
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS numcust,
+       round(sum(c.c_acctbal), 2) AS totacctbal
+FROM customer c
+WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                     WHERE c2.c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c.c_mktsegment
+"""
+
+
+@query("sql_api_tpch_q22", oracle=_Q22_SQL)
+def sql_api_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity): UNCORRELATED scalar
+    subquery + NOT-EXISTS anti-join in one query. The global
+    above-average-balance threshold is a one-row aggregate Catalyst
+    evaluates once and broadcasts into the filter (never a driver
+    round-trip — the reference's app.py:11/29/51 pattern is exactly
+    this done wrong); the NOT EXISTS decorrelates to a LEFT-ANTI
+    join on custkey. Adapted: segment stands in for the phone
+    country code, urgent orders for the open-order test. At scale:
+    scalar agg is metadata-sized, the anti join's right side reduces
+    to distinct urgent custkeys before shuffling."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q22_SQL)
+
+
 def _kmv_oracle() -> str:
     from project_2_semantic_similarity_spark.operators.sketch import (
         _KMV_K, kmv_oracle_cte)
