@@ -1,0 +1,510 @@
+"""Baseline JPEG codec in pure numpy (second COMPRESSED codec, after
+PNG — r7 VERDICT #4's other suggested target).
+
+Everything here derives from the public ITU T.81 spec: marker
+segments (SOI/DQT/SOF0/DHT/DRI/SOS/EOI, APPn/COM skipped), canonical
+Huffman tables reconstructed from the DHT BITS/HUFFVAL arrays exactly
+as Annex C describes, byte-stuffed entropy data (0xFF 0x00), DC
+differential + EXTEND amplitude decoding (F.2.2.1), zigzag
+dequantization, the orthonormal 2-D IDCT as an 8x8 basis-matrix
+sandwich, interleaved MCUs with per-component sampling factors
+(4:4:4 / 4:2:2 / 4:2:0), restart-interval predictor resets, and
+BT.601 full-range YCbCr->RGB. Progressive (SOF2), arithmetic coding,
+and 12-bit precision raise ValueError — declared unsupported, not
+silently wrong.
+
+The encoder is deliberately simple (one quant table, fixed-length
+canonical Huffman tables written into DHT — valid per spec, just not
+Annex-K-optimal) but produces genuine baseline files any JPEG reader
+decodes; the decoder reads whatever tables the file carries, so it is
+not paired to our encoder.
+
+EXACTNESS NOTE (what makes an SQL oracle possible for a lossy codec):
+a CONSTANT 8x8 block has only a DC coefficient, 8*(v-128) — an
+integer, exact under any integer quantization step that divides it
+(step 1 always does) and reconstructed bit-exactly by the IDCT
+(DC/8 = v-128 is representable). So fixtures tiled from constant 8x8
+blocks round-trip losslessly through the full entropy-coding +
+transform pipeline, while arbitrary images round-trip approximately
+(pinned by tolerance tests).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ------------------------------------------------------------- shared
+
+_ZIGZAG: list[tuple[int, int]] = []
+for _s in range(15):
+    _d = [(i, _s - i) for i in range(_s + 1) if i < 8 and _s - i < 8]
+    if _s % 2 == 0:
+        _d = _d[::-1]
+    _ZIGZAG.extend(_d)
+
+# orthonormal DCT-II basis: F = M f M^T, f = M^T F M
+_C = np.array([1 / np.sqrt(2)] + [1.0] * 7)
+_M = np.array([[0.5 * _C[u] * np.cos((2 * x + 1) * u * np.pi / 16)
+                for x in range(8)] for u in range(8)])
+
+
+def _quality_table(quality: int) -> np.ndarray:
+    """Annex-K-style luminance table scaled by the libjpeg quality
+    convention; quality=100 gives the all-ones (lossless-DC) table."""
+    base = np.array([
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99]], dtype=np.int64)
+    if not 1 <= quality <= 100:
+        raise ValueError(f"quality {quality} not in 1..100")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    t = (base * scale + 50) // 100
+    return np.clip(t, 1, 255)
+
+
+def _mag_category(v: int) -> int:
+    """Bit-size category of a coefficient amplitude (0 for 0)."""
+    return int(abs(v)).bit_length()
+
+
+# ----------------------------------------------------------- bit I/O
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:          # byte stuffing
+                self.out.append(0x00)
+
+    def pad_to_byte(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)   # 1-fill per spec
+
+    def raw_marker(self, marker: int) -> None:
+        """Emit an unstuffed 0xFFxx marker (RSTn) at a byte boundary."""
+        self.pad_to_byte()
+        self.out.extend((0xFF, marker))
+
+    def flush(self) -> bytes:
+        self.pad_to_byte()
+        return bytes(self.out)
+
+
+class _BitReader:
+    """Entropy-segment reader: un-stuffs 0xFF00, stops at markers."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                raise ValueError("hit marker while reading entropy bits")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_to_marker(self) -> int:
+        """Discard pad bits and consume one 0xFFxx marker; return xx."""
+        self.acc = 0
+        self.nbits = 0
+        while self.data[self.pos] != 0xFF:
+            self.pos += 1
+        while self.data[self.pos] == 0xFF:
+            self.pos += 1
+        m = self.data[self.pos]
+        self.pos += 1
+        return m
+
+
+# ------------------------------------------------------- Huffman spec
+
+
+class _HuffTable:
+    """Canonical Huffman code from DHT BITS/HUFFVAL (Annex C)."""
+
+    def __init__(self, bits: list[int], vals: list[int]) -> None:
+        self.encode: dict[int, tuple[int, int]] = {}
+        self.decode: dict[tuple[int, int], int] = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                sym = vals[k]
+                self.encode[sym] = (code, length)
+                self.decode[(length, code)] = sym
+                code += 1
+                k += 1
+            code <<= 1
+
+    def read(self, br: _BitReader) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | br.bit()
+            length += 1
+            sym = self.decode.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in entropy stream")
+
+
+def _fixed_table(symbols: list[int]) -> tuple[list[int], list[int]]:
+    """All-same-length canonical table spec for a symbol set (valid
+    DHT: count < 2^L keeps the all-ones code unused)."""
+    n = len(symbols)
+    length = max(1, (n + 1 - 1).bit_length())
+    while (1 << length) <= n:
+        length += 1
+    bits = [0] * 16
+    bits[length - 1] = n
+    return bits, list(symbols)
+
+
+_DC_SYMBOLS = list(range(12))
+_AC_SYMBOLS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)]
+
+
+# ------------------------------------------------------------ encoder
+
+
+def _encode_block(bw: _BitWriter, coef: np.ndarray, pred: int,
+                  dc_t: _HuffTable, ac_t: _HuffTable) -> int:
+    """Huffman-encode one quantized 8x8 coefficient block; returns
+    the new DC predictor."""
+    zz = [int(coef[r, c]) for r, c in _ZIGZAG]
+    diff = zz[0] - pred
+    s = _mag_category(diff)
+    code, ln = dc_t.encode[s]
+    bw.put(code, ln)
+    if s:
+        amp = diff if diff >= 0 else diff + (1 << s) - 1
+        bw.put(amp, s)
+    run = 0
+    last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+    for i in range(1, last_nz + 1):
+        v = zz[i]
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, ln = ac_t.encode[0xF0]       # ZRL
+            bw.put(code, ln)
+            run -= 16
+        s = _mag_category(v)
+        code, ln = ac_t.encode[(run << 4) | s]
+        bw.put(code, ln)
+        amp = v if v >= 0 else v + (1 << s) - 1
+        bw.put(amp, s)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_t.encode[0x00]           # EOB
+        bw.put(code, ln)
+    return zz[0]
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def encode_jpeg(pixels: np.ndarray, quality: int = 100,
+                subsample: bool = False,
+                restart_interval: int = 0) -> bytes:
+    """Baseline sequential JPEG writer: (h, w) grayscale or
+    (h, w, 3) RGB uint8 -> JFIF-less JPEG bytes (SOI..EOI). RGB is
+    4:4:4 by default; ``subsample=True`` writes 4:2:0 (Y at 2x2,
+    box-averaged chroma). ``restart_interval`` > 0 emits DRI + RSTn
+    markers every that many MCUs with DC-predictor resets, per spec.
+    Dimensions pad to MCU multiples by edge replication. quality=100
+    uses an all-ones quant table (constant 8x8 tiles then round-trip
+    exactly — see module note)."""
+    if pixels.ndim == 2:
+        comps = [(pixels.astype(np.float64) - 128.0, 1, 1)]
+    elif pixels.ndim == 3 and pixels.shape[2] == 3:
+        r = pixels[:, :, 0].astype(np.float64)
+        g = pixels[:, :, 1].astype(np.float64)
+        b = pixels[:, :, 2].astype(np.float64)
+        y = np.round(0.299 * r + 0.587 * g + 0.114 * b)
+        cb = np.round(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b)
+        cr = np.round(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b)
+        if subsample:
+            # box-average 2x2 chroma (pad odd dims by edge first)
+            def down(p):
+                ph = np.pad(p, ((0, p.shape[0] % 2), (0, p.shape[1] % 2)),
+                            mode="edge")
+                return np.round(
+                    (ph[0::2, 0::2] + ph[0::2, 1::2]
+                     + ph[1::2, 0::2] + ph[1::2, 1::2]) / 4.0)
+            comps = [(y - 128.0, 2, 2), (down(cb) - 128.0, 1, 1),
+                     (down(cr) - 128.0, 1, 1)]
+        else:
+            comps = [(y - 128.0, 1, 1), (cb - 128.0, 1, 1),
+                     (cr - 128.0, 1, 1)]
+    else:
+        raise ValueError(f"expected gray/RGB array, got {pixels.shape}")
+    h, w = pixels.shape[:2]
+    q = _quality_table(quality)
+    dc_bits, dc_vals = _fixed_table(_DC_SYMBOLS)
+    ac_bits, ac_vals = _fixed_table(_AC_SYMBOLS)
+    dc_t, ac_t = _HuffTable(dc_bits, dc_vals), _HuffTable(ac_bits, ac_vals)
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    padded = []
+    for p, ch, cv in comps:
+        th, tw = mcuy * cv * 8, mcux * ch * 8
+        padded.append((np.pad(
+            p, ((0, th - p.shape[0]), (0, tw - p.shape[1])),
+            mode="edge"), ch, cv))
+    writer = _BitWriter()
+    preds = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if (restart_interval and mcu_count
+                    and mcu_count % restart_interval == 0):
+                writer.raw_marker(
+                    0xD0 + (mcu_count // restart_interval - 1) % 8)
+                preds = [0] * len(comps)
+            for ci, (p, ch, cv) in enumerate(padded):
+                for v in range(cv):
+                    for hh in range(ch):
+                        y0 = (my * cv + v) * 8
+                        x0 = (mx * ch + hh) * 8
+                        blk = p[y0:y0 + 8, x0:x0 + 8]
+                        coef = np.round(
+                            (_M @ blk @ _M.T) / q).astype(np.int64)
+                        preds[ci] = _encode_block(
+                            writer, coef, preds[ci], dc_t, ac_t)
+            mcu_count += 1
+
+    dqt = _seg(0xDB, bytes([0]) + bytes(
+        int(q[r, c]) for r, c in _ZIGZAG))
+    ncomp = len(comps)
+    sof_body = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci, (_, ch, cv) in enumerate(comps):
+        sof_body += bytes([ci + 1, (ch << 4) | cv, 0])
+    sof = _seg(0xC0, sof_body)
+
+    def dht(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
+        return _seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits)
+                    + bytes(vals))
+
+    dri = (_seg(0xDD, struct.pack(">H", restart_interval))
+           if restart_interval else b"")
+    sos_body = bytes([ncomp])
+    for ci in range(ncomp):
+        sos_body += bytes([ci + 1, 0x00])      # DC table 0, AC table 0
+    sos_body += bytes([0, 63, 0])
+    return (b"\xFF\xD8" + dqt + sof + dri
+            + dht(0, 0, dc_bits, dc_vals) + dht(1, 0, ac_bits, ac_vals)
+            + _seg(0xDA, sos_body) + writer.flush() + b"\xFF\xD9")
+
+
+# ------------------------------------------------------------ decoder
+
+
+def _extend(v: int, s: int) -> int:
+    """F.2.2.1 EXTEND: map s low bits back to a signed amplitude."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Baseline JPEG parser: returns (width, height, (h, w, ch)
+    uint8) with ch 1 (grayscale) or 3 (RGB). Handles multiple
+    DQT/DHT segments, APPn/COM skip, component sampling factors in
+    {1, 2} (4:4:4 / 4:2:2 / 4:2:0 and transposes), restart
+    intervals, byte-stuffed entropy data, and BT.601 full-range
+    YCbCr->RGB. Raises ValueError on progressive/arithmetic/12-bit
+    streams or malformed structure."""
+    if payload[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], _HuffTable] = {}
+    frame = None
+    restart = 0
+    while True:
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            raise ValueError("EOI before SOS")
+        (seglen,) = struct.unpack(">H", payload[pos:pos + 2])
+        body = payload[pos + 2:pos + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("truncated marker segment")
+        if marker == 0xDB:                     # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 15
+                i += 1
+                t = np.zeros((8, 8), np.int64)
+                for r, c in _ZIGZAG:
+                    if pq:
+                        t[r, c] = struct.unpack(
+                            ">H", body[i:i + 2])[0]
+                        i += 2
+                    else:
+                        t[r, c] = body[i]
+                        i += 1
+                qt[tq] = t
+        elif marker == 0xC4:                   # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 15
+                bits = list(body[i + 1:i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17:i + 17 + n])
+                huff[(tc, th)] = _HuffTable(bits, vals)
+                i += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError(f"unsupported precision {prec}")
+            frame = []
+            for ci in range(nc):
+                cid, hv, tq = body[6 + 3 * ci:9 + 3 * ci]
+                frame.append((cid, hv >> 4, hv & 15, tq))
+            fsize = (fw, fh)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported SOF marker 0xFF{marker:02X} "
+                "(progressive/arithmetic/hierarchical)")
+        elif marker == 0xDD:                   # DRI
+            (restart,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:                   # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            scan = []
+            for si in range(ns):
+                cs, tables = body[1 + 2 * si], body[2 + 2 * si]
+                comp = next(
+                    (f for f in frame if f[0] == cs), None)
+                if comp is None:
+                    raise ValueError(f"scan references unknown comp {cs}")
+                scan.append((comp, tables >> 4, tables & 15))
+            pos += seglen
+            break
+        pos += seglen
+
+    fw, fh = fsize
+    hmax = max(c[0][1] for c in scan)
+    vmax = max(c[0][2] for c in scan)
+    if not all(c[0][1] in (1, 2) and c[0][2] in (1, 2) for c in scan):
+        raise ValueError("sampling factors beyond 2 unsupported")
+    mcux = -(-fw // (8 * hmax))
+    mcuy = -(-fh // (8 * vmax))
+    planes = []
+    for (cid, ch, cv, tq), _, _ in scan:
+        planes.append(np.zeros((mcuy * cv * 8, mcux * ch * 8)))
+
+    br = _BitReader(payload, pos)
+    preds = [0] * len(scan)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_count and mcu_count % restart == 0:
+                m = br.align_to_marker()
+                if not 0xD0 <= m <= 0xD7:
+                    raise ValueError(f"expected RSTn, got 0xFF{m:02X}")
+                preds = [0] * len(scan)
+            for si, ((cid, ch, cv, tq), td, ta) in enumerate(scan):
+                dc_t = huff.get((0, td))
+                ac_t = huff.get((1, ta))
+                if dc_t is None or ac_t is None:
+                    raise ValueError("scan uses undefined Huffman table")
+                q = qt.get(tq)
+                if q is None:
+                    raise ValueError("component uses undefined DQT")
+                for v in range(cv):
+                    for hgrid in range(ch):
+                        s = dc_t.read(br)
+                        diff = _extend(br.bits(s), s) if s else 0
+                        preds[si] += diff
+                        zz = np.zeros(64, np.int64)
+                        zz[0] = preds[si]
+                        k = 1
+                        while k < 64:
+                            rs = ac_t.read(br)
+                            if rs == 0x00:        # EOB
+                                break
+                            if rs == 0xF0:        # ZRL
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            size = rs & 15
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            zz[k] = _extend(br.bits(size), size)
+                            k += 1
+                        coef = np.zeros((8, 8), np.int64)
+                        for zi, (r, c) in enumerate(_ZIGZAG):
+                            coef[r, c] = zz[zi]
+                        blk = _M.T @ (coef * q) @ _M
+                        y0 = (my * cv + v) * 8
+                        x0 = (mx * ch + hgrid) * 8
+                        planes[si][y0:y0 + 8, x0:x0 + 8] = blk
+            mcu_count += 1
+
+    out_planes = []
+    for si, ((cid, ch, cv, tq), _, _) in enumerate(scan):
+        p = planes[si] + 128.0
+        # box upsample to full frame resolution
+        p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch,
+                      axis=1)
+        out_planes.append(p[:fh, :fw])
+    if len(out_planes) == 1:
+        px = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+        return fw, fh, px[:, :, None]
+    if len(out_planes) != 3:
+        raise ValueError(f"unsupported component count {len(out_planes)}")
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    px = np.stack([r, g, b], axis=2)
+    return fw, fh, np.clip(np.round(px), 0, 255).astype(np.uint8)

@@ -483,6 +483,42 @@ def attach_png_payload(docs: DataFrame) -> DataFrame:
         gen, schema="doc_id bigint, payload binary, media_type string")
 
 
+JPEG_MEDIA_TYPE = "image/jpeg"
+
+
+def attach_jpeg_payload(docs: DataFrame) -> DataFrame:
+    """In-engine LOSSY-COMPRESSED image fixture: a real baseline JPEG
+    per document — grayscale, tiled from constant 8x8 blocks with
+    tile (ty,tx) = (7*id + 31*tx + 59*ty) % 256, w/h tiles from
+    doc_id — encoded at quality=100 (all-ones quant table). Constant
+    blocks carry only an exactly-representable DC coefficient, so
+    these files round-trip BIT-EXACTLY through the full Huffman +
+    DCT pipeline (operators/jpeg.py module note), which is what lets
+    a SQL oracle state the decoded pixels of a lossy codec. Same
+    Arrow-batched shape as the other payload fixtures."""
+    from project_2_semantic_similarity_spark.operators.jpeg import (
+        encode_jpeg)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                wt, ht = 2 + doc_id % 3, 1 + doc_id % 2
+                tx = np.arange(wt, dtype=np.int64)[None, :]
+                ty = np.arange(ht, dtype=np.int64)[:, None]
+                tiles = (7 * doc_id + 31 * tx + 59 * ty) % 256
+                img = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)
+                payloads.append(encode_jpeg(img.astype(np.uint8)))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": payloads,
+                "media_type": JPEG_MEDIA_TYPE,
+            })
+
+    return docs.select("doc_id").mapInPandas(
+        gen, schema="doc_id bigint, payload binary, media_type string")
+
+
 IMAGE_SCHEMA = ("doc_id bigint, width bigint, height bigint, "
                 "n_pixels bigint, mean_r double, mean_g double, "
                 "mean_b double")
@@ -512,6 +548,12 @@ def decode_image(payloads: DataFrame) -> DataFrame:
                     if px.shape[2] == 1:
                         px = np.repeat(px, 3, axis=2)
                     px = px[:, :, :3]
+                elif media_type == JPEG_MEDIA_TYPE:
+                    from project_2_semantic_similarity_spark.operators \
+                        .jpeg import decode_jpeg
+                    w, h, px = decode_jpeg(payload)
+                    if px.shape[2] == 1:
+                        px = np.repeat(px, 3, axis=2)
                 else:
                     raise NotImplementedError(
                         f"no codec for {media_type} in this environment")

@@ -1158,6 +1158,66 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_decode_jpeg",
+    oracle="""
+WITH dims AS (
+    SELECT doc_id,
+           2 + doc_id % 3 AS wt,
+           1 + doc_id % 2 AS ht
+    FROM documents
+),
+tiles AS (
+    SELECT d.doc_id, d.wt, d.ht,
+           avg(CAST((7 * d.doc_id + 31 * tx.i + 59 * ty.j) % 256
+                    AS DOUBLE)) AS mean_v
+    FROM dims d
+    CROSS JOIN range(4) tx(i)
+    CROSS JOIN range(2) ty(j)
+    WHERE tx.i < d.wt AND ty.j < d.ht
+    GROUP BY d.doc_id, d.wt, d.ht
+)
+SELECT doc_id,
+       CAST(8 * wt AS BIGINT) AS width,
+       CAST(8 * ht AS BIGINT) AS height,
+       CAST(64 * wt * ht AS BIGINT) AS n_pixels,
+       round(mean_v, 6) AS mean_r,
+       round(mean_v, 6) AS mean_g,
+       round(mean_v, 6) AS mean_b
+FROM tiles
+""",
+)
+def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second compressed codec, and the LOSSY one: each document
+    carries a genuine baseline JPEG (ITU T.81) — canonical Huffman
+    entropy coding, byte-stuffed scan data, DC prediction, zigzag
+    dequantization, 2-D IDCT — and the decode stage fully PARSES it
+    (operators/jpeg.py decode_jpeg) before computing per-channel
+    means. The fixture is tiled from constant 8x8 blocks at
+    quality=100, which round-trip BIT-EXACTLY through the transform
+    pipeline (only an integer DC survives — jpeg.py module note), so
+    the SQL oracle can state a lossy codec's decoded pixels: any
+    Huffman/EXTEND/zigzag/IDCT-scaling bug lands on wrong pixels and
+    breaks the hash. Grayscale means replicate to r/g/b. Reference
+    parity: media stays opaque bytes there; this is the engine's
+    training-pipeline extension surface.
+
+    At 100 TB: identical shape to the other decode queries — one
+    narrow Arrow-batched mapInPandas stage, zero shuffle, memory
+    bounded by maxRecordsPerBatch x image size; entropy decode is
+    embarrassingly parallel across documents."""
+    from project_2_semantic_similarity_spark.operators.multimodal import (
+        attach_jpeg_payload, decode_image)
+
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_image(attach_jpeg_payload(docs))
+    return decoded.select(
+        "doc_id", "width", "height", "n_pixels",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"))
+
+
+@query(
     "multimodal_decode_audio",
     oracle="""
 WITH lens AS (

@@ -1,0 +1,126 @@
+"""Baseline JPEG codec unit tests (operators/jpeg.py): constant-tile
+bit-exactness (the property the multimodal_decode_jpeg oracle relies
+on), lossy round-trip tolerances, restart intervals, 4:2:0
+subsampling, and malformed-input rejection. Pure numpy — no Spark
+session needed."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from project_2_semantic_similarity_spark.operators.jpeg import (
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def _const_tiles(tiles: np.ndarray, tile: int = 8) -> np.ndarray:
+    return np.repeat(np.repeat(tiles, tile, axis=0), tile, axis=1)
+
+
+def test_constant_tiles_roundtrip_bit_exact():
+    """Constant 8x8 blocks carry only an integer DC coefficient, so
+    quality=100 files round-trip exactly — the lossy codec's one
+    SQL-stateable surface (and the fixture contract of the
+    multimodal_decode_jpeg oracle)."""
+    tiles = np.array([[0, 255, 77], [128, 1, 200]], dtype=np.uint8)
+    img = _const_tiles(tiles)
+    w, h, out = decode_jpeg(encode_jpeg(img))
+    assert (w, h) == (24, 16)
+    assert np.array_equal(out[:, :, 0], img)
+    # gray RGB constant tiles: Cb=Cr=128 exactly, still bit-exact
+    rgb = np.stack([img] * 3, axis=2)
+    _, _, out = decode_jpeg(encode_jpeg(rgb))
+    assert np.array_equal(out, rgb)
+
+
+def test_lossy_roundtrip_tolerances():
+    rng = np.random.default_rng(11)
+    g = rng.integers(0, 256, size=(24, 32), dtype=np.uint8)
+    _, _, out = decode_jpeg(encode_jpeg(g, quality=100))
+    assert np.abs(out[:, :, 0].astype(int) - g.astype(int)).max() <= 1
+    c = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    _, _, out = decode_jpeg(encode_jpeg(c, quality=100))
+    assert np.abs(out.astype(int) - c.astype(int)).max() <= 2
+    # smooth gradient at default-table qualities stays close
+    y, x = np.mgrid[0:32, 0:32]
+    smooth = (x * 2 + y * 1.5).astype(np.uint8)
+    _, _, out = decode_jpeg(encode_jpeg(smooth, quality=50))
+    assert np.abs(out[:, :, 0].astype(int) - smooth.astype(int)).max() <= 3
+
+
+def test_non_multiple_of_8_dimensions():
+    rng = np.random.default_rng(2)
+    g = rng.integers(0, 256, size=(13, 21), dtype=np.uint8)
+    w, h, out = decode_jpeg(encode_jpeg(g))
+    assert (w, h) == (21, 13) and out.shape == (13, 21, 1)
+
+
+def test_restart_intervals_reset_predictors():
+    """DRI + RSTn: every interval the decoder must re-align to a
+    byte boundary, consume the marker, and reset DC predictors —
+    any slip corrupts all following blocks, so a tight tolerance
+    across several interval lengths pins the whole path."""
+    rng = np.random.default_rng(4)
+    g = rng.integers(0, 256, size=(24, 40), dtype=np.uint8)  # 15 MCUs
+    for ri in (1, 2, 4, 7):
+        _, _, out = decode_jpeg(encode_jpeg(g, restart_interval=ri))
+        assert np.abs(
+            out[:, :, 0].astype(int) - g.astype(int)).max() <= 1, ri
+
+
+def test_420_subsampling():
+    # constant 16x16 gray tiles: chroma is exactly 128 everywhere,
+    # box downsample + upsample are identity -> bit-exact even 4:2:0
+    tiles = np.array([[40, 210], [130, 5]], dtype=np.uint8)
+    rgb = np.stack([_const_tiles(tiles, 16)] * 3, axis=2)
+    _, _, out = decode_jpeg(encode_jpeg(rgb, subsample=True))
+    assert np.array_equal(out, rgb)
+    # colored content: subsampled chroma within a small tolerance
+    c = np.zeros((32, 32, 3), np.uint8)
+    y, x = np.mgrid[0:32, 0:32]
+    c[:, :, 0] = (x * 4) % 256
+    c[:, :, 1] = (y * 4) % 256
+    c[:, :, 2] = 128
+    _, _, out = decode_jpeg(encode_jpeg(c, subsample=True))
+    assert np.abs(out.astype(int) - c.astype(int)).max() <= 8
+    # odd dimensions + restart + subsampling compose
+    rng = np.random.default_rng(9)
+    c2 = rng.integers(0, 256, size=(33, 47, 3), dtype=np.uint8)
+    w, h, out = decode_jpeg(
+        encode_jpeg(c2, subsample=True, restart_interval=3))
+    assert (w, h) == (47, 33) and out.shape == (33, 47, 3)
+
+
+def test_decoder_rejects_malformed():
+    good = encode_jpeg(np.zeros((8, 8), dtype=np.uint8))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00\x00" + good[2:])
+    # flip SOF0 -> SOF2 (progressive); fix nothing else — the marker
+    # dispatch must refuse before touching entropy data
+    prog = good.replace(b"\xFF\xC0", b"\xFF\xC2", 1)
+    with pytest.raises(ValueError, match="progressive|arithmetic"):
+        decode_jpeg(prog)
+    # truncate inside a marker segment
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:8])
+    # 12-bit precision flag
+    i = good.index(b"\xFF\xC0")
+    bad = bytearray(good)
+    bad[i + 4] = 12          # precision byte of SOF
+    with pytest.raises(ValueError, match="precision"):
+        decode_jpeg(bytes(bad))
+
+
+def test_decoder_skips_appn_and_com_segments():
+    """Real-world files lead with APPn/COM metadata; the parser must
+    skip any number of them before SOF."""
+    good = encode_jpeg(np.full((8, 8), 99, dtype=np.uint8))
+    app0 = b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    com = b"\xFF\xFE" + struct.pack(">H", 9) + b"comment"
+    spliced = good[:2] + app0 + com + good[2:]
+    _, _, out = decode_jpeg(spliced)
+    assert np.array_equal(out[:, :, 0], np.full((8, 8), 99))
