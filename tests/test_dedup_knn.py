@@ -899,7 +899,10 @@ def test_decode_audio_rejects_non_wav(spark):
         decode_audio(df).collect()
 
 
-def test_decode_image_rejects_non_ppm(spark):
+def test_decode_image_rejects_unknown_media_type(spark):
+    # image/jpeg and image/png now have REAL codecs; the stub path
+    # must still refuse media types without one (and a malformed
+    # payload under a real codec's type fails in the parser instead).
     import pandas as pd
     import pytest
 
@@ -907,10 +910,16 @@ def test_decode_image_rejects_non_ppm(spark):
         decode_image)
 
     df = spark.createDataFrame(
-        pd.DataFrame({"doc_id": [1], "payload": [b"\xff\xd8jpeg"],
-                      "media_type": ["image/jpeg"]}))
+        pd.DataFrame({"doc_id": [1], "payload": [b"\x00\x00webp"],
+                      "media_type": ["image/webp"]}))
     with pytest.raises(Exception, match="no codec"):
         decode_image(df).collect()
+
+    bad = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "payload": [b"\xff\xd8truncated"],
+                      "media_type": ["image/jpeg"]}))
+    with pytest.raises(Exception, match="marker|truncated"):
+        decode_image(bad).collect()
 
 
 def test_jl_projection_preserves_pairwise_distance(spark, sf_dir):
