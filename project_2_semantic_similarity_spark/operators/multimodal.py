@@ -591,10 +591,22 @@ def phash_image(payloads: DataFrame, grid: int = 8) -> DataFrame:
             ids, hashes = [], []
             for doc_id, payload, media_type in zip(
                     pdf["doc_id"], pdf["payload"], pdf["media_type"]):
-                if media_type != PPM_MEDIA_TYPE:
+                if media_type == PPM_MEDIA_TYPE:
+                    w, h, _, px = decode_ppm(payload)
+                elif media_type == PNG_MEDIA_TYPE:
+                    w, h, px = decode_png(payload)
+                    if px.shape[2] == 1:
+                        px = np.repeat(px, 3, axis=2)
+                    px = px[:, :, :3]
+                elif media_type == JPEG_MEDIA_TYPE:
+                    from project_2_semantic_similarity_spark.operators \
+                        .jpeg import decode_jpeg
+                    w, h, px = decode_jpeg(payload)
+                    if px.shape[2] == 1:
+                        px = np.repeat(px, 3, axis=2)
+                else:
                     raise NotImplementedError(
                         f"no codec for {media_type} in this environment")
-                w, h, _, px = decode_ppm(payload)
                 gray = px.astype(np.int64).sum(axis=2)  # (h, w) exact
                 sx = (np.arange(grid, dtype=np.int64) * w) // grid
                 sy = (np.arange(grid, dtype=np.int64) * h) // grid

@@ -365,6 +365,35 @@ def test_phash_brightness_shift_invariance():
     assert dhash(px) != dhash(px[:, ::-1, :])
 
 
+def test_phash_is_codec_invariant(spark):
+    """The SAME image delivered as PPM, PNG, and (constant-tile,
+    q=100) JPEG must produce the SAME perceptual hash — the property
+    that lets visual dedup collapse re-encoded copies across a
+    mixed-format crawl. All three payloads decode to identical
+    rasters here (PNG is lossless; the JPEG fixture is the exact
+    constant-block case), so any divergence is a decode bug."""
+    import numpy as np
+    import pandas as pd
+
+    from project_2_semantic_similarity_spark.operators.jpeg import (
+        encode_jpeg)
+    from project_2_semantic_similarity_spark.operators.multimodal import (
+        JPEG_MEDIA_TYPE, PNG_MEDIA_TYPE, PPM_MEDIA_TYPE, encode_png,
+        encode_ppm, phash_image)
+
+    tiles = np.array([[10, 200, 55], [128, 20, 240]], dtype=np.uint8)
+    img = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)  # 16x24
+    rgb = np.stack([img] * 3, axis=2)
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "payload": [encode_ppm(rgb), encode_png(rgb), encode_jpeg(img)],
+        "media_type": [PPM_MEDIA_TYPE, PNG_MEDIA_TYPE, JPEG_MEDIA_TYPE],
+    }))
+    hashes = {r["doc_id"]: r["phash"]
+              for r in phash_image(df).collect()}
+    assert hashes[1] == hashes[2] == hashes[3]
+
+
 # ---------------------------------------------- bitmap word algebra
 
 def test_bitmap_word_algebra_matches_sets(spark):
