@@ -284,6 +284,37 @@ def main() -> None:
                          & (F.col("e3.p2") == F.col("e2.p2"))))
             cnt = tri.count()
             assert cnt == n - 2, f"expected {n - 2} triangles, {cnt}"
+        elif name in ("png_decode_probe", "jpeg_decode_probe"):
+            # decode throughput of the compressed codecs' narrow
+            # Arrow stage: n real files parsed end-to-end (zlib +
+            # filter reconstruction / Huffman + IDCT). Self-checks
+            # the per-doc mean against the fixture arithmetic for a
+            # sample of rows while timing.
+            from project_2_semantic_similarity_spark.operators.\
+                multimodal import (attach_jpeg_payload,
+                                   attach_png_payload, decode_image)
+
+            docs = spark.range(n).select(F.col("id").alias("doc_id"))
+            attach = (attach_png_payload if name.startswith("png")
+                      else attach_jpeg_payload)
+            decoded = decode_image(attach(docs))
+            sample = decode_image(attach(
+                docs.filter(F.col("doc_id") == 7))).collect()[0]
+            if name.startswith("png"):
+                d = 7
+                w_, h_ = 4 + d % 5, 3 + d % 4
+                want_r = sum((3 * d + 11 * x + 19 * y) % 256
+                             for x in range(w_) for y in range(h_)
+                             ) / (w_ * h_)
+                assert abs(sample["mean_r"] - want_r) < 1e-9, sample
+            else:
+                d = 7
+                wt, ht = 2 + d % 3, 1 + d % 2
+                want = sum((7 * d + 31 * tx + 59 * ty) % 256
+                           for tx in range(wt) for ty in range(ht)
+                           ) / (wt * ht)
+                assert abs(sample["mean_r"] - want) < 1e-9, sample
+            cnt = decoded.count()
         elif name == "gen_events":
             # Synthetic event log in the testdata layout, with CRT
             # structure that gives the bitmap family CLOSED FORMS:
