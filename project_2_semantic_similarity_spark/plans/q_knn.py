@@ -1158,6 +1158,50 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_thumbnail",
+    oracle="""
+WITH dims AS (
+    SELECT doc_id,
+           4 + doc_id % 5 AS w,
+           3 + doc_id % 4 AS h
+    FROM documents
+),
+lattice AS (
+    SELECT d.doc_id, gy.j AS ty, gx.i AS tx,
+           (gx.i * d.w) // 2 AS sx,
+           (gy.j * d.h) // 2 AS sy
+    FROM dims d
+    CROSS JOIN range(2) gx(i)
+    CROSS JOIN range(2) gy(j)
+)
+SELECT doc_id, CAST(ty AS BIGINT) AS ty, CAST(tx AS BIGINT) AS tx,
+       CAST((3 * doc_id + 11 * sx + 19 * sy) % 256 AS BIGINT) AS r,
+       CAST((3 * doc_id + 11 * sx + 19 * sy + 37) % 256 AS BIGINT) AS g,
+       CAST((3 * doc_id + 11 * sx + 19 * sy + 74) % 256 AS BIGINT) AS b
+FROM lattice
+""",
+)
+def multimodal_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize over COMPRESSED payloads: each document's
+    PNG is fully decoded (zlib + filter reconstruction) and
+    nearest-neighbor-sampled to a 2x2 thumbnail on the pure-integer
+    lattice sx = i*w // 2 — the resize step of an image prep
+    pipeline on actual rasters (the byte-level resize_media stub's
+    real twin). The oracle re-derives every sampled pixel from the
+    fixture arithmetic without touching zlib, so a decode OR
+    sampling bug (wrong stride, off-by-one lattice, channel swap)
+    breaks the hash.
+
+    At 100 TB: one narrow Arrow-batched stage, zero shuffle; only
+    the grid²-small-int thumbnail relation leaves the stage."""
+    from project_2_semantic_similarity_spark.operators.multimodal import (
+        attach_png_payload, thumbnail_image)
+
+    docs = load_table(spark, sf_dir, "documents")
+    return thumbnail_image(attach_png_payload(docs), grid=2)
+
+
+@query(
     "multimodal_decode_jpeg",
     oracle="""
 WITH dims AS (
