@@ -533,3 +533,42 @@ def test_decay_score_is_single_agg_pass(spark, sf_dir):
     plan = plan_of(spark, "events_decay_score", sf_dir)
     assert "Window" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_codec_decode_queries_are_shuffle_free_narrow_maps(spark, sf_dir):
+    """The multimodal decode/resize family's scale claim: one
+    Arrow-batched mapInPandas stage over the binary column, zero
+    exchange — decompression parallelism is partition-wide and
+    nothing but the small decoded relation leaves the stage."""
+    for name in ("multimodal_decode_png", "multimodal_decode_jpeg",
+                 "multimodal_thumbnail"):
+        plan = plan_of(spark, name, sf_dir)
+        assert "Exchange" not in plan, name
+        assert "MapInPandas" in plan, name
+
+
+def test_tpch_q17_decorrelates_to_agg_joinback(spark, sf_dir):
+    """The correlated scalar-aggregate subquery must run as ONE
+    per-partkey aggregate joined back, never a per-row subquery."""
+    plan = plan_of(spark, "sql_api_tpch_q17", sf_dir)
+    assert "HashAggregate" in plan and "avg(l_quantity" in plan
+    assert "ScalarSubquery" not in plan
+
+
+def test_tpch_q4_exists_plans_semi_join(spark, sf_dir):
+    plan = plan_of(spark, "sql_api_tpch_q4", sf_dir)
+    assert "LeftSemi" in plan
+    # quarter filter reaches the orders scan
+    assert re.search(r"PushedFilters: \[[^\]]*o_orderdate", plan)
+
+
+def test_tpch_q22_anti_join_and_no_driver_scalar(spark, sf_dir):
+    """NOT EXISTS -> LeftAnti; the global-average threshold stays a
+    plan-side subquery result, executed once."""
+    plan = plan_of(spark, "sql_api_tpch_q22", sf_dir)
+    assert "LeftAnti" in plan
+    # exactly one distinct scalar subquery, shared by every reference
+    ids = set(re.findall(r"Subquery subquery#(\d+)", plan))
+    assert len(ids) == 1, ids
+    # and it even reaches the customer scan as a pushed filter
+    assert "GreaterThan(c_acctbal,ScalarSubquery" in plan
