@@ -58,9 +58,8 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                     TA.lang_id(F.col("text")).alias("predicted_lang"))
 
 
-@query(
-    "text_quality_score",
-    oracle="""
+# Shared with corpus_prep_multimodal, which embeds this as a CTE leg.
+_QUALITY_SQL = """
 WITH feat AS (
     SELECT doc_id,
            CAST(length(text) AS BIGINT) AS n_chars,
@@ -82,8 +81,10 @@ SELECT doc_id, n_chars, n_tokens,
          - 0.1 * coalesce(digits / CAST(n_chars AS DOUBLE), 0.0), 6)
            AS quality
 FROM feat
-""".replace("{en}", _EN),
-)
+""".replace("{en}", _EN)
+
+
+@query("text_quality_score", oracle=_QUALITY_SQL)
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality score from length/alpha/stopword/digit
     signals (linear stand-in for a learned quality classifier)."""
@@ -964,3 +965,94 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(uniq).cast("bigint").alias("n_unique"),
                  F.round(F.sum(uniq) / F.count("*").cast("double"), 6)
                  .alias("novelty")))
+
+
+@query(
+    "corpus_prep_multimodal",
+    oracle="""
+WITH q AS (SELECT * FROM ({quality}) t),
+norm AS (
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+               AS norm_text
+    FROM documents
+),
+keep_ids AS (
+    SELECT doc_id FROM (
+        SELECT doc_id, row_number() OVER (
+            PARTITION BY norm_text ORDER BY doc_id) AS rn
+        FROM norm) WHERE rn = 1
+),
+dims AS (
+    SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+    FROM documents
+),
+chan AS (
+    SELECT d.doc_id, c.c,
+           avg(CAST((3 * d.doc_id + 11 * x.i + 19 * y.i + 37 * c.c)
+                    % 256 AS DOUBLE)) AS mean_c
+    FROM dims d
+    CROSS JOIN range(8) x(i)
+    CROSS JOIN range(6) y(i)
+    CROSS JOIN range(3) c(c)
+    WHERE x.i < d.w AND y.i < d.h
+    GROUP BY d.doc_id, c.c
+),
+bright AS (
+    SELECT doc_id,
+           round((max(CASE WHEN c = 0 THEN mean_c END)
+                + max(CASE WHEN c = 1 THEN mean_c END)
+                + max(CASE WHEN c = 2 THEN mean_c END)) / 3.0, 6)
+               AS img_brightness
+    FROM chan GROUP BY doc_id
+)
+SELECT q.doc_id, q.quality, b.img_brightness
+FROM q
+JOIN keep_ids USING (doc_id)
+JOIN bright b ON b.doc_id = q.doc_id
+WHERE q.quality >= 0.68 AND b.img_brightness BETWEEN 100 AND 160
+""".replace("{quality}", _QUALITY_SQL),
+)
+def corpus_prep_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end MULTIMODAL prep pass — the text pipeline
+    (corpus_prep_pipeline) extended with a real image gate, the
+    composition a vision-language ingest runs: composite text
+    quality >= 0.68 AND exact text dedup (sha256 of normalized text,
+    lowest id kept) AND image mean brightness in [100, 160] (the
+    drop-too-dark/too-bright rule, computed from the FULLY DECODED
+    PNG raster — zlib + filter reconstruction, not metadata). All
+    three gate relations key on doc_id, so the joins co-partition on
+    one key; the image leg is the zero-shuffle codec stage feeding
+    one hash join.
+
+    Brightness is computed channel-mean-first ((r+g+b)/3 of the
+    per-channel means) IDENTICALLY in the oracle so both engines
+    round the same float; the gate compares the rounded value.
+
+    At 100 TB: quality pushes into the text scan; the dedup window
+    shuffles 32-byte hashes; the decode stage is Arrow-batched and
+    narrow — the pipeline's only wide ops are one window and two
+    equi-joins on the same key."""
+    from project_2_semantic_similarity_spark.operators import dedup as D
+    from project_2_semantic_similarity_spark.operators.multimodal import (
+        attach_png_payload, decode_image)
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id",
+        F.round(TA.quality_score(F.col("text")), 6).alias("quality"))
+    hashed = docs.select(
+        "doc_id",
+        F.sha2(D.normalize_text(F.col("text")), 256).alias("h"))
+    w = Window.partitionBy("h").orderBy(F.col("doc_id").asc())
+    keep = (hashed.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).select("doc_id"))
+    img = decode_image(attach_png_payload(docs))
+    bright = img.select(
+        "doc_id",
+        F.round((F.col("mean_r") + F.col("mean_g") + F.col("mean_b"))
+                / 3.0, 6).alias("img_brightness"))
+    return (q.join(keep, "doc_id").join(bright, "doc_id")
+            .filter((F.col("quality") >= 0.68)
+                    & F.col("img_brightness").between(100.0, 160.0))
+            .select("doc_id", "quality", "img_brightness"))
