@@ -71,3 +71,22 @@ def test_cli_usage_error():
     from project_2_semantic_similarity_spark.engine import main
 
     assert main(["only-one-arg"]) == 2
+
+
+def test_scratch_root_is_private_and_env_overridable(tmp_path, monkeypatch):
+    """All local staging routes through scratch_path: per-user 0700
+    root by default, $P2SS_SCRATCH_DIR override for deployments."""
+    import os
+    import stat
+
+    from project_2_semantic_similarity_spark import scratch
+
+    monkeypatch.delenv("P2SS_SCRATCH_DIR", raising=False)
+    root = scratch.scratch_root()
+    assert stat.S_IMODE(os.stat(root).st_mode) == 0o700
+    assert scratch.scratch_path("a", "b") == os.path.join(root, "a", "b")
+
+    override = tmp_path / "sc"
+    monkeypatch.setenv("P2SS_SCRATCH_DIR", str(override))
+    assert scratch.scratch_root() == str(override)
+    assert override.is_dir()
