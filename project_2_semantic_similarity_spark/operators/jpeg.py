@@ -118,6 +118,8 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated entropy stream")
         b = self.data[self.pos]
         if b == 0xFF:
             nxt = self.data[self.pos + 1]

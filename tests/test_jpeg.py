@@ -113,6 +113,10 @@ def test_decoder_rejects_malformed():
     bad[i + 4] = 12          # precision byte of SOF
     with pytest.raises(ValueError, match="precision"):
         decode_jpeg(bytes(bad))
+    # truncated mid-entropy-stream: ValueError, not IndexError
+    with pytest.raises(ValueError, match="truncated|marker"):
+        decode_jpeg(encode_jpeg(
+            np.arange(64, dtype=np.uint8).reshape(8, 8))[:-4])
 
 
 def test_decoder_skips_appn_and_com_segments():
