@@ -2562,6 +2562,38 @@ def sql_api_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q22_SQL)
 
 
+_Q15_SQL = """
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)
+               AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01'
+      AND l_shipdate < DATE '1996-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+@query("sql_api_tpch_q15", oracle=_Q15_SQL)
+def sql_api_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the ARGMAX-OF-AGGREGATE shape — a
+    derived revenue view consumed twice, once for its max (scalar
+    subquery) and once row-wise to find who attains it, keeping ties
+    (the spec's semantics; a LIMIT 1 would silently drop co-leaders).
+    Catalyst evaluates the max as a one-row subquery over the same
+    aggregate and broadcasts it into the filter; the quarter filter
+    pushes into the lineitem scan, and the supplier dim broadcasts.
+    The equality compares the ROUNDED revenue on both legs, so both
+    engines agree bit-for-bit. At scale the aggregate shuffles once
+    on suppkey; everything downstream is metadata-sized."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q15_SQL)
+
+
 def _kmv_oracle() -> str:
     from project_2_semantic_similarity_spark.operators.sketch import (
         _KMV_K, kmv_oracle_cte)
