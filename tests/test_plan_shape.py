@@ -572,3 +572,13 @@ def test_tpch_q22_anti_join_and_no_driver_scalar(spark, sf_dir):
     assert len(ids) == 1, ids
     # and it even reaches the customer scan as a pushed filter
     assert "GreaterThan(c_acctbal,ScalarSubquery" in plan
+
+
+def test_tpch_q15_argmax_scalar_and_pushed_quarter(spark, sf_dir):
+    """The revenue view's max is a single broadcast scalar subquery
+    (never a driver round-trip) and the quarter filter reaches the
+    lineitem scan."""
+    plan = plan_of(spark, "sql_api_tpch_q15", sf_dir)
+    assert len(set(re.findall(r"Subquery subquery#(\d+)", plan))) == 1
+    assert re.search(r"PushedFilters: \[[^\]]*l_shipdate", plan)
+    assert "BroadcastHashJoin" in plan
