@@ -62,12 +62,20 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     w = (Window.partitionBy(*on)
          .orderBy(F.col("__ts").asc(), F.col("__side").asc())
          .rowsBetween(Window.unboundedPreceding, 0))
+    # Carry the whole right row as ONE struct so every attached value
+    # comes from the SAME right row — per-column last(..., ignorenulls)
+    # would backfill a NULL field from an older right row.
+    carry = F.when(
+        F.col("__side") == 0,
+        F.struct(*[F.col(f"__r_{c}").alias(c) for c in right_cols]))
     filled = unioned.select(
         *lcols, "__side",
-        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-          for c in right_cols],
+        F.last(carry, ignorenulls=True).over(w).alias("__b"),
     )
-    return filled.filter(F.col("__side") == 1).drop("__side")
+    return filled.filter(F.col("__side") == 1).select(
+        *lcols,
+        *[F.col(f"__b.{c}").alias(f"asof_{c}") for c in right_cols],
+    )
 
 
 def asof_join_nearest(left: DataFrame, right: DataFrame,
@@ -115,35 +123,31 @@ def asof_join_nearest(left: DataFrame, right: DataFrame,
     wf = (Window.partitionBy(*on).orderBy(*order)
           .rowsBetween(0, Window.unboundedFollowing))
     fill_cols = list(right_cols)
-    # The value-carry and the timestamp-carry must skip the SAME rows:
-    # a right row with NULL right_ts contributes neither its timestamp
-    # nor its values, else the attached value and the reported distance
-    # could come from different right rows.
+    # Carry the whole right row — timestamp AND values — as ONE struct
+    # so the attached values and the reported asof_dist_us are
+    # atomically from the same right row. (Per-column carries could
+    # backfill a NULL field from an older right row; a right row with
+    # NULL right_ts contributes nothing at all.)
     carry_ok = (F.col("__side") == 0) & F.col("__ts_us").isNotNull()
+    carry = F.when(carry_ok, F.struct(
+        F.col("__ts_us").alias("__asof_us"),
+        *[F.col(f"__r_{c}").alias(c) for c in fill_cols]))
     filled = unioned.select(
         *lcols, "__side", "__ts_us",
-        *[F.last(F.when(carry_ok, F.col(f"__r_{c}")),
-                 ignorenulls=True).over(wb).alias(f"__b_{c}")
-          for c in fill_cols],
-        F.last(F.when(carry_ok, F.col("__ts_us")),
-               ignorenulls=True).over(wb).alias("__b_us"),
-        *[F.first(F.when(carry_ok, F.col(f"__r_{c}")),
-                  ignorenulls=True).over(wf).alias(f"__f_{c}")
-          for c in fill_cols],
-        F.first(F.when(carry_ok, F.col("__ts_us")),
-                ignorenulls=True).over(wf).alias("__f_us"),
+        F.last(carry, ignorenulls=True).over(wb).alias("__b"),
+        F.first(carry, ignorenulls=True).over(wf).alias("__f"),
     )
-    b_dist = F.col("__ts_us") - F.col("__b_us")
-    f_dist = F.col("__f_us") - F.col("__ts_us")
-    take_back = F.col("__b_us").isNotNull() & (
-        F.col("__f_us").isNull() | (b_dist <= f_dist))
+    b_dist = F.col("__ts_us") - F.col("__b.__asof_us")
+    f_dist = F.col("__f.__asof_us") - F.col("__ts_us")
+    take_back = F.col("__b").isNotNull() & (
+        F.col("__f").isNull() | (b_dist <= f_dist))
     out = filled.filter(F.col("__side") == 1).select(
         *lcols,
-        *[F.when(take_back, F.col(f"__b_{c}"))
-          .otherwise(F.col(f"__f_{c}")).alias(f"asof_{c}")
+        *[F.when(take_back, F.col(f"__b.{c}"))
+          .otherwise(F.col(f"__f.{c}")).alias(f"asof_{c}")
           for c in fill_cols],
         F.when(take_back, b_dist)
-        .when(F.col("__f_us").isNotNull(), f_dist)
+        .when(F.col("__f").isNotNull(), f_dist)
         .cast("bigint").alias("asof_dist_us"),
     )
     return out

@@ -122,6 +122,8 @@ class _BitReader:
             raise ValueError("truncated entropy stream")
         b = self.data[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("truncated entropy stream")
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
@@ -148,10 +150,13 @@ class _BitReader:
         """Discard pad bits and consume one 0xFFxx marker; return xx."""
         self.acc = 0
         self.nbits = 0
-        while self.data[self.pos] != 0xFF:
+        n = len(self.data)
+        while self.pos < n and self.data[self.pos] != 0xFF:
             self.pos += 1
-        while self.data[self.pos] == 0xFF:
+        while self.pos < n and self.data[self.pos] == 0xFF:
             self.pos += 1
+        if self.pos >= n:
+            raise ValueError("truncated entropy stream")
         m = self.data[self.pos]
         self.pos += 1
         return m
@@ -367,12 +372,23 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
     frame = None
     restart = 0
     while True:
-        if payload[pos] != 0xFF:
+        if pos >= len(payload) or payload[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
-        marker = payload[pos + 1]
-        pos += 2
+        # B.1.1.2: a marker may be preceded by any number of 0xFF
+        # fill bytes — skip them, then read the marker code proper.
+        while pos < len(payload) and payload[pos] == 0xFF:
+            pos += 1
+        if pos >= len(payload):
+            raise ValueError("truncated header (fill bytes to EOF)")
+        marker = payload[pos]
+        pos += 1
         if marker == 0xD9:
             raise ValueError("EOI before SOS")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / standalone RSTn carry no length segment.
+            continue
+        if pos + 2 > len(payload):
+            raise ValueError("truncated marker segment")
         (seglen,) = struct.unpack(">H", payload[pos:pos + 2])
         body = payload[pos + 2:pos + seglen]
         if len(body) != seglen - 2:

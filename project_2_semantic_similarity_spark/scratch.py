@@ -19,12 +19,21 @@ moved out of the shared namespace.
 from __future__ import annotations
 
 import os
+import stat as _stat
 import tempfile
 
 
 def scratch_root() -> str:
     """The per-user scratch root, created on first use with mode
-    0700 (and re-tightened if it already exists looser)."""
+    0700 (and re-tightened if it already exists looser).
+
+    After creation the directory is stat'ed and REJECTED unless it is
+    owned by the current uid with no group/other permission bits —
+    mirroring tempfile's per-user-dir check. makedirs(exist_ok=True)
+    happily adopts a pre-created attacker-owned path, and the chmod
+    that would tighten it fails with EPERM on a foreign-owned dir; an
+    ownership stat is the only reliable signal, so a failure here is
+    an error, never a silent pass."""
     base = os.environ.get("P2SS_SCRATCH_DIR")
     if not base:
         uid = os.getuid() if hasattr(os, "getuid") else "u"
@@ -34,6 +43,22 @@ def scratch_root() -> str:
         os.chmod(base, 0o700)
     except OSError:
         pass
+    if hasattr(os, "getuid"):
+        st = os.lstat(base)
+        if not _stat.S_ISDIR(st.st_mode):
+            raise RuntimeError(
+                f"scratch root {base!r} is not a directory")
+        if st.st_uid != os.getuid():
+            raise RuntimeError(
+                f"scratch root {base!r} is owned by uid {st.st_uid}, "
+                f"not the current uid {os.getuid()} — refusing to "
+                "stage data in a foreign-owned directory")
+        if st.st_mode & 0o077:
+            raise RuntimeError(
+                f"scratch root {base!r} has group/other permission "
+                f"bits 0o{st.st_mode & 0o777:o} that chmod could not "
+                "clear — refusing to stage data in a shared-readable "
+                "directory")
     return base
 
 
