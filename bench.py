@@ -323,6 +323,13 @@ def main() -> int:
 
     cold_flagship = run("flagship_term_similarity")
 
+    # Sweep FIRST, on a box the bench itself hasn't loaded yet: every
+    # r6-r8 sweep ran after the headline + gene passes and started at
+    # loadavg 6-8, manufacturing one-shot >25% "regressions" that each
+    # round's triage then closed as load noise (BENCH_TRIAGE.md r7/r8).
+    # Cold-box single-shot values are what the tripwire wants anyway.
+    sweep_summary = registry_sweep(run, qs, repo_root)
+
     times: dict[str, float] = {}
     for name in HEADLINE:
         if name not in qs:
@@ -359,8 +366,6 @@ def main() -> int:
             "reference_measured": measured,
             "speedup": round(ref_wall / wall, 1),
         }
-
-    sweep_summary = registry_sweep(run, qs, repo_root)
 
     vs_prev = None
     prev = load_prev_bench(repo_root)
