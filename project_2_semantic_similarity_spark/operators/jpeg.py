@@ -1,16 +1,25 @@
-"""Baseline JPEG codec in pure numpy (second COMPRESSED codec, after
-PNG — r7 VERDICT #4's other suggested target).
+"""Baseline + progressive JPEG codec in pure numpy (second COMPRESSED
+codec, after PNG — r7 VERDICT #4's other suggested target; the
+progressive mode closes r8 VERDICT #3, the highest-impact codec gap:
+most web-crawl JPEGs are progressive).
 
 Everything here derives from the public ITU T.81 spec: marker
-segments (SOI/DQT/SOF0/DHT/DRI/SOS/EOI, APPn/COM skipped), canonical
-Huffman tables reconstructed from the DHT BITS/HUFFVAL arrays exactly
-as Annex C describes, byte-stuffed entropy data (0xFF 0x00), DC
-differential + EXTEND amplitude decoding (F.2.2.1), zigzag
-dequantization, the orthonormal 2-D IDCT as an 8x8 basis-matrix
-sandwich, interleaved MCUs with per-component sampling factors
-(4:4:4 / 4:2:2 / 4:2:0), restart-interval predictor resets, and
-BT.601 full-range YCbCr->RGB. Progressive (SOF2), arithmetic coding,
-and 12-bit precision raise ValueError — declared unsupported, not
+segments (SOI/DQT/SOF0/SOF2/DHT/DRI/SOS/EOI, APPn/COM skipped),
+canonical Huffman tables reconstructed from the DHT BITS/HUFFVAL
+arrays exactly as Annex C describes, byte-stuffed entropy data
+(0xFF 0x00), DC differential + EXTEND amplitude decoding (F.2.2.1),
+zigzag dequantization, the orthonormal 2-D IDCT as an 8x8
+basis-matrix sandwich, interleaved MCUs with per-component sampling
+factors (4:4:4 / 4:2:2 / 4:2:0), restart-interval predictor resets,
+and BT.601 full-range YCbCr->RGB. Progressive decoding implements
+the full Annex G Huffman procedures: spectral selection (per-scan
+Ss..Se bands, non-interleaved AC scans over each component's own
+block grid), successive approximation (DC point transform +
+one-bit-per-block refinement, AC first/refinement scans with
+EOB-run symbols EOBn and buffered correction bits), with coefficient
+state accumulated across scans and one shared dequantize+IDCT
+reconstruction at EOI. Arithmetic coding, hierarchical mode, and
+12-bit precision raise ValueError — declared unsupported, not
 silently wrong.
 
 The encoder is deliberately simple (one quant table, fixed-length
@@ -48,6 +57,10 @@ for _s in range(15):
 _C = np.array([1 / np.sqrt(2)] + [1.0] * 7)
 _M = np.array([[0.5 * _C[u] * np.cos((2 * x + 1) * u * np.pi / 16)
                 for x in range(8)] for u in range(8)])
+
+# permutations between zigzag order and row-major 8x8 flat order
+_FLAT_OF_ZZ = np.array([r * 8 + c for r, c in _ZIGZAG])   # zz idx -> flat
+_ZZ_OF_FLAT = np.argsort(_FLAT_OF_ZZ)                     # flat -> zz idx
 
 
 def _quality_table(quality: int) -> np.ndarray:
@@ -213,11 +226,63 @@ _AC_SYMBOLS = [0x00, 0xF0] + [
 # ------------------------------------------------------------ encoder
 
 
-def _encode_block(bw: _BitWriter, coef: np.ndarray, pred: int,
+def _quantized_components(
+        pixels: np.ndarray, quality: int, subsample: bool,
+) -> tuple[int, int, np.ndarray, list[tuple[np.ndarray, int, int]]]:
+    """Shared front half of both encoders: color transform, MCU-grid
+    edge padding, 8x8 DCT and quantization for every block of every
+    component. Returns (h, w, quant_table, comps) where each comp is
+    (zigzag-order int64 coefficients of shape (bv, bh, 64), h_samp,
+    v_samp) on the MCU-padded block grid."""
+    if pixels.ndim == 2:
+        raw = [(pixels.astype(np.float64) - 128.0, 1, 1)]
+    elif pixels.ndim == 3 and pixels.shape[2] == 3:
+        r = pixels[:, :, 0].astype(np.float64)
+        g = pixels[:, :, 1].astype(np.float64)
+        b = pixels[:, :, 2].astype(np.float64)
+        y = np.round(0.299 * r + 0.587 * g + 0.114 * b)
+        cb = np.round(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b)
+        cr = np.round(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b)
+        if subsample:
+            # box-average 2x2 chroma (pad odd dims by edge first)
+            def down(p):
+                ph = np.pad(p, ((0, p.shape[0] % 2), (0, p.shape[1] % 2)),
+                            mode="edge")
+                return np.round(
+                    (ph[0::2, 0::2] + ph[0::2, 1::2]
+                     + ph[1::2, 0::2] + ph[1::2, 1::2]) / 4.0)
+            raw = [(y - 128.0, 2, 2), (down(cb) - 128.0, 1, 1),
+                   (down(cr) - 128.0, 1, 1)]
+        else:
+            raw = [(y - 128.0, 1, 1), (cb - 128.0, 1, 1),
+                   (cr - 128.0, 1, 1)]
+    else:
+        raise ValueError(f"expected gray/RGB array, got {pixels.shape}")
+    h, w = pixels.shape[:2]
+    q = _quality_table(quality)
+    hmax = max(c[1] for c in raw)
+    vmax = max(c[2] for c in raw)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    comps = []
+    for p, ch, cv in raw:
+        th, tw = mcuy * cv * 8, mcux * ch * 8
+        p = np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])),
+                   mode="edge")
+        bv, bh = th // 8, tw // 8
+        blocks = p.reshape(bv, 8, bh, 8).transpose(0, 2, 1, 3)
+        coef = np.einsum("ui,bhij,vj->bhuv", _M, blocks, _M)
+        zz = np.round(coef / q).astype(np.int64)
+        zz = zz.reshape(bv, bh, 64)[..., _FLAT_OF_ZZ]
+        comps.append((zz, ch, cv))
+    return h, w, q, comps
+
+
+def _encode_block(bw: _BitWriter, zz, pred: int,
                   dc_t: _HuffTable, ac_t: _HuffTable) -> int:
-    """Huffman-encode one quantized 8x8 coefficient block; returns
-    the new DC predictor."""
-    zz = [int(coef[r, c]) for r, c in _ZIGZAG]
+    """Huffman-encode one quantized 8x8 coefficient block (zigzag
+    order); returns the new DC predictor."""
+    zz = [int(v) for v in zz]
     diff = zz[0] - pred
     s = _mag_category(diff)
     code, ln = dc_t.encode[s]
@@ -263,46 +328,13 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 100,
     Dimensions pad to MCU multiples by edge replication. quality=100
     uses an all-ones quant table (constant 8x8 tiles then round-trip
     exactly — see module note)."""
-    if pixels.ndim == 2:
-        comps = [(pixels.astype(np.float64) - 128.0, 1, 1)]
-    elif pixels.ndim == 3 and pixels.shape[2] == 3:
-        r = pixels[:, :, 0].astype(np.float64)
-        g = pixels[:, :, 1].astype(np.float64)
-        b = pixels[:, :, 2].astype(np.float64)
-        y = np.round(0.299 * r + 0.587 * g + 0.114 * b)
-        cb = np.round(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b)
-        cr = np.round(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b)
-        if subsample:
-            # box-average 2x2 chroma (pad odd dims by edge first)
-            def down(p):
-                ph = np.pad(p, ((0, p.shape[0] % 2), (0, p.shape[1] % 2)),
-                            mode="edge")
-                return np.round(
-                    (ph[0::2, 0::2] + ph[0::2, 1::2]
-                     + ph[1::2, 0::2] + ph[1::2, 1::2]) / 4.0)
-            comps = [(y - 128.0, 2, 2), (down(cb) - 128.0, 1, 1),
-                     (down(cr) - 128.0, 1, 1)]
-        else:
-            comps = [(y - 128.0, 1, 1), (cb - 128.0, 1, 1),
-                     (cr - 128.0, 1, 1)]
-    else:
-        raise ValueError(f"expected gray/RGB array, got {pixels.shape}")
-    h, w = pixels.shape[:2]
-    q = _quality_table(quality)
+    h, w, q, comps = _quantized_components(pixels, quality, subsample)
     dc_bits, dc_vals = _fixed_table(_DC_SYMBOLS)
     ac_bits, ac_vals = _fixed_table(_AC_SYMBOLS)
     dc_t, ac_t = _HuffTable(dc_bits, dc_vals), _HuffTable(ac_bits, ac_vals)
 
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    padded = []
-    for p, ch, cv in comps:
-        th, tw = mcuy * cv * 8, mcux * ch * 8
-        padded.append((np.pad(
-            p, ((0, th - p.shape[0]), (0, tw - p.shape[1])),
-            mode="edge"), ch, cv))
+    mcuy, mcux = (comps[0][0].shape[0] // comps[0][2],
+                  comps[0][0].shape[1] // comps[0][1])
     writer = _BitWriter()
     preds = [0] * len(comps)
     mcu_count = 0
@@ -313,16 +345,12 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 100,
                 writer.raw_marker(
                     0xD0 + (mcu_count // restart_interval - 1) % 8)
                 preds = [0] * len(comps)
-            for ci, (p, ch, cv) in enumerate(padded):
+            for ci, (zz, ch, cv) in enumerate(comps):
                 for v in range(cv):
                     for hh in range(ch):
-                        y0 = (my * cv + v) * 8
-                        x0 = (mx * ch + hh) * 8
-                        blk = p[y0:y0 + 8, x0:x0 + 8]
-                        coef = np.round(
-                            (_M @ blk @ _M.T) / q).astype(np.int64)
                         preds[ci] = _encode_block(
-                            writer, coef, preds[ci], dc_t, ac_t)
+                            writer, zz[my * cv + v, mx * ch + hh],
+                            preds[ci], dc_t, ac_t)
             mcu_count += 1
 
     dqt = _seg(0xDB, bytes([0]) + bytes(
@@ -348,12 +376,262 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 100,
             + _seg(0xDA, sos_body) + writer.flush() + b"\xFF\xD9")
 
 
+# ------------------------------------------------- progressive encoder
+
+# AC table for progressive scans additionally needs the EOBn symbols
+# (n << 4 | 0 for n = 1..14: an end-of-band run of 2^n-1+ext blocks,
+# T.81 G.1.2.2) alongside EOB0, ZRL and the run/size pairs.
+_AC_SYMBOLS_PROG = ([0x00, 0xF0] + [n << 4 for n in range(1, 15)]
+                    + [(run << 4) | size
+                       for run in range(16) for size in range(1, 11)])
+
+
+class _ProgACWriter:
+    """Per-scan AC entropy state for progressive encoding: the
+    end-of-band run counter and the correction bits buffered behind
+    it (refinement scans append correction bits for
+    previously-nonzero coefficients to whatever symbol is emitted
+    next — T.81 G.1.2.3 read in reverse)."""
+
+    def __init__(self, bw: _BitWriter, ac_t: _HuffTable) -> None:
+        self.bw = bw
+        self.ac = ac_t
+        self.eobrun = 0
+        self.corr: list[int] = []     # bits riding behind the EOB run
+
+    def flush_eob(self) -> None:
+        if self.eobrun > 0:
+            n = self.eobrun.bit_length() - 1
+            code, ln = self.ac.encode[n << 4]
+            self.bw.put(code, ln)
+            if n:
+                self.bw.put(self.eobrun - (1 << n), n)
+            self.eobrun = 0
+        for b in self.corr:
+            self.bw.put(b, 1)
+        self.corr = []
+
+    def ac_first_block(self, zz, ss: int, se: int, al: int) -> None:
+        """First AC scan for one block: code the point-transformed
+        band with run/size symbols, folding trailing zeros into the
+        cross-block EOB run."""
+        band = [int(v) for v in zz[ss:se + 1]]
+        vals = [(abs(v) >> al) * (1 if v >= 0 else -1) for v in band]
+        last_nz = max((i for i, v in enumerate(vals) if v), default=-1)
+        if last_nz < 0:
+            self.eobrun += 1
+            if self.eobrun == 0x7FFF:
+                self.flush_eob()
+            return
+        self.flush_eob()
+        run = 0
+        for v in vals[:last_nz + 1]:
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                code, ln = self.ac.encode[0xF0]
+                self.bw.put(code, ln)
+                run -= 16
+            s = _mag_category(v)
+            code, ln = self.ac.encode[(run << 4) | s]
+            self.bw.put(code, ln)
+            amp = v if v >= 0 else v + (1 << s) - 1
+            self.bw.put(amp, s)
+            run = 0
+        if last_nz < se - ss:
+            self.eobrun += 1
+            if self.eobrun == 0x7FFF:
+                self.flush_eob()
+
+    def ac_refine_block(self, zz, ss: int, se: int, al: int) -> None:
+        """Refinement AC scan for one block: newly-nonzero
+        coefficients (|v| >> Al == 1) get a run/1 symbol + sign bit;
+        previously-nonzero ones contribute one correction bit each,
+        buffered behind the next emitted symbol or the EOB run."""
+        band = [int(v) for v in zz[ss:se + 1]]
+        absv = [abs(v) >> al for v in band]
+        run = 0
+        pend: list[int] = []
+        for i, a in enumerate(absv):
+            if a == 0:
+                run += 1
+                continue
+            if a > 1:
+                pend.append(a & 1)
+                continue
+            # newly nonzero at this approximation level
+            while run >= 16:
+                self.flush_eob()
+                code, ln = self.ac.encode[0xF0]
+                self.bw.put(code, ln)
+                run -= 16
+                for b in pend:
+                    self.bw.put(b, 1)
+                pend = []
+            self.flush_eob()
+            code, ln = self.ac.encode[(run << 4) | 1]
+            self.bw.put(code, ln)
+            self.bw.put(1 if band[i] >= 0 else 0, 1)
+            for b in pend:
+                self.bw.put(b, 1)
+            pend = []
+            run = 0
+        if run > 0 or pend:
+            self.eobrun += 1
+            self.corr.extend(pend)
+            if self.eobrun == 0x7FFF or len(self.corr) > 900:
+                self.flush_eob()
+
+
+def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 100,
+                            subsample: bool = False) -> bytes:
+    """Progressive (SOF2) JPEG writer exercising BOTH Annex G
+    dimensions: spectral selection (DC scan, then per-component AC
+    bands 1-5 and 6-63) and successive approximation (all first
+    scans at Al=1, then an AC refinement scan per component and a
+    final one-bit-per-block DC refinement). The complete scan script
+    restores every coefficient bit, so a progressive file decodes to
+    EXACTLY the same pixels as the baseline encoding of the same
+    input — the differential property the tests and the
+    multimodal_decode_jpeg_progressive oracle pin. Same input
+    contract as encode_jpeg."""
+    h, w, q, comps = _quantized_components(pixels, quality, subsample)
+    ncomp = len(comps)
+    dc_bits, dc_vals = _fixed_table(_DC_SYMBOLS)
+    ac_bits, ac_vals = _fixed_table(_AC_SYMBOLS_PROG)
+    dc_t = _HuffTable(dc_bits, dc_vals)
+    ac_t = _HuffTable(ac_bits, ac_vals)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcuy = comps[0][0].shape[0] // comps[0][2]
+    mcux = comps[0][0].shape[1] // comps[0][1]
+    # non-interleaved AC scans cover each component's ACTUAL block
+    # grid (B.2.3), not the MCU-padded one
+    actual = [(-(-(h * cv) // (vmax * 8)), -(-(w * ch) // (hmax * 8)))
+              for _, ch, cv in comps]
+
+    def sos(scan_comps: list[int], ss: int, se: int,
+            ah: int, al: int) -> bytes:
+        body = bytes([len(scan_comps)])
+        for ci in scan_comps:
+            body += bytes([ci + 1, 0x00])
+        body += bytes([ss, se, (ah << 4) | al])
+        return _seg(0xDA, body)
+
+    out = bytearray()
+    # scan 1: DC first, interleaved, point transform Al=1
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (zz, ch, cv) in enumerate(comps):
+                for v in range(cv):
+                    for hh in range(ch):
+                        val = int(zz[my * cv + v, mx * ch + hh, 0]) >> 1
+                        diff = val - preds[ci]
+                        preds[ci] = val
+                        s = _mag_category(diff)
+                        code, ln = dc_t.encode[s]
+                        bw.put(code, ln)
+                        if s:
+                            amp = (diff if diff >= 0
+                                   else diff + (1 << s) - 1)
+                            bw.put(amp, s)
+    out += sos(list(range(ncomp)), 0, 0, 0, 1) + bw.flush()
+    # AC first scans per component: two spectral bands, Al=1
+    for ci, (zz, ch, cv) in enumerate(comps):
+        bv, bh = actual[ci]
+        for ss, se in ((1, 5), (6, 63)):
+            bw = _BitWriter()
+            st = _ProgACWriter(bw, ac_t)
+            for by in range(bv):
+                for bx in range(bh):
+                    st.ac_first_block(zz[by, bx], ss, se, 1)
+            st.flush_eob()
+            out += sos([ci], ss, se, 0, 1) + bw.flush()
+    # AC refinement per component: full band, Ah=1 -> Al=0
+    for ci, (zz, ch, cv) in enumerate(comps):
+        bv, bh = actual[ci]
+        bw = _BitWriter()
+        st = _ProgACWriter(bw, ac_t)
+        for by in range(bv):
+            for bx in range(bh):
+                st.ac_refine_block(zz[by, bx], 1, 63, 0)
+        st.flush_eob()
+        out += sos([ci], 1, 63, 1, 0) + bw.flush()
+    # DC refinement: interleaved, one raw bit per block
+    bw = _BitWriter()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (zz, ch, cv) in enumerate(comps):
+                for v in range(cv):
+                    for hh in range(ch):
+                        bw.put(int(zz[my * cv + v, mx * ch + hh, 0]) & 1,
+                               1)
+    out += sos(list(range(ncomp)), 0, 0, 1, 0) + bw.flush()
+
+    dqt = _seg(0xDB, bytes([0]) + bytes(int(q[r, c]) for r, c in _ZIGZAG))
+    sof_body = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci, (_, ch, cv) in enumerate(comps):
+        sof_body += bytes([ci + 1, (ch << 4) | cv, 0])
+    dht_dc = _seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+    dht_ac = _seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    return (b"\xFF\xD8" + dqt + _seg(0xC2, sof_body) + dht_dc + dht_ac
+            + bytes(out) + b"\xFF\xD9")
+
+
 # ------------------------------------------------------------ decoder
 
 
 def _extend(v: int, s: int) -> int:
     """F.2.2.1 EXTEND: map s low bits back to a signed amplitude."""
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _parse_dqt(body: bytes, qt: dict[int, np.ndarray]) -> None:
+    i = 0
+    while i < len(body):
+        pq, tq = body[i] >> 4, body[i] & 15
+        i += 1
+        t = np.zeros((8, 8), np.int64)
+        for r, c in _ZIGZAG:
+            if pq:
+                t[r, c] = struct.unpack(">H", body[i:i + 2])[0]
+                i += 2
+            else:
+                t[r, c] = body[i]
+                i += 1
+        qt[tq] = t
+
+
+def _parse_dht(body: bytes, huff: dict[tuple[int, int], _HuffTable]) -> None:
+    i = 0
+    while i < len(body):
+        tc, th = body[i] >> 4, body[i] & 15
+        bits = list(body[i + 1:i + 17])
+        n = sum(bits)
+        vals = list(body[i + 17:i + 17 + n])
+        huff[(tc, th)] = _HuffTable(bits, vals)
+        i += 17 + n
+
+
+def _planes_to_pixels(out_planes: list[np.ndarray], fw: int,
+                      fh: int) -> tuple[int, int, np.ndarray]:
+    """Shared decoder tail: full-resolution component planes ->
+    (w, h, uint8 pixels), grayscale pass-through or BT.601
+    full-range YCbCr->RGB."""
+    if len(out_planes) == 1:
+        px = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+        return fw, fh, px[:, :, None]
+    if len(out_planes) != 3:
+        raise ValueError(f"unsupported component count {len(out_planes)}")
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    px = np.stack([r, g, b], axis=2)
+    return fw, fh, np.clip(np.round(px), 0, 255).astype(np.uint8)
 
 
 def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
@@ -394,30 +672,10 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
         if len(body) != seglen - 2:
             raise ValueError("truncated marker segment")
         if marker == 0xDB:                     # DQT
-            i = 0
-            while i < len(body):
-                pq, tq = body[i] >> 4, body[i] & 15
-                i += 1
-                t = np.zeros((8, 8), np.int64)
-                for r, c in _ZIGZAG:
-                    if pq:
-                        t[r, c] = struct.unpack(
-                            ">H", body[i:i + 2])[0]
-                        i += 2
-                    else:
-                        t[r, c] = body[i]
-                        i += 1
-                qt[tq] = t
+            _parse_dqt(body, qt)
         elif marker == 0xC4:                   # DHT
-            i = 0
-            while i < len(body):
-                tc, th = body[i] >> 4, body[i] & 15
-                bits = list(body[i + 1:i + 17])
-                n = sum(bits)
-                vals = list(body[i + 17:i + 17 + n])
-                huff[(tc, th)] = _HuffTable(bits, vals)
-                i += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            _parse_dht(body, huff)
+        elif marker in (0xC0, 0xC1, 0xC2):     # SOF0/1 baseline, SOF2
             prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError(f"unsupported precision {prec}")
@@ -426,11 +684,18 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
                 cid, hv, tq = body[6 + 3 * ci:9 + 3 * ci]
                 frame.append((cid, hv >> 4, hv & 15, tq))
             fsize = (fw, fh)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            if marker == 0xC2:
+                # progressive: hand the rest of the stream (scan
+                # scripts, interleaved table segments) to the
+                # multi-scan coefficient accumulator
+                return _decode_progressive(
+                    payload, pos + seglen, frame, fsize, qt, huff,
+                    restart)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported SOF marker 0xFF{marker:02X} "
-                "(progressive/arithmetic/hierarchical)")
+                "(lossless/arithmetic/hierarchical)")
         elif marker == 0xDD:                   # DRI
             (restart,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:                   # SOS
@@ -515,14 +780,244 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
         p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch,
                       axis=1)
         out_planes.append(p[:fh, :fw])
-    if len(out_planes) == 1:
-        px = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
-        return fw, fh, px[:, :, None]
-    if len(out_planes) != 3:
-        raise ValueError(f"unsupported component count {len(out_planes)}")
-    y, cb, cr = out_planes
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    px = np.stack([r, g, b], axis=2)
-    return fw, fh, np.clip(np.round(px), 0, 255).astype(np.uint8)
+    return _planes_to_pixels(out_planes, fw, fh)
+
+
+# --------------------------------------------- progressive decoder
+
+
+def _prog_ac_first(br: _BitReader, ac_t: _HuffTable, blk: np.ndarray,
+                   ss: int, se: int, al: int, eobrun: int) -> int:
+    """First AC scan for one block (G.1.2.2 decode side): run/size
+    symbols place point-transformed coefficients << Al; EOBn symbols
+    start an end-of-band run covering this and subsequent blocks.
+    Returns the remaining EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = ac_t.read(br)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:                        # ZRL: 16 zeros
+                k += 16
+                continue
+            eob = 1 << r
+            if r:
+                eob += br.bits(r)
+            return eob - 1                     # current block included
+        k += r
+        if k > se:
+            raise ValueError("AC run past band end")
+        blk[k] = _extend(br.bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _prog_ac_refine(br: _BitReader, ac_t: _HuffTable, blk: np.ndarray,
+                    ss: int, se: int, al: int, eobrun: int) -> int:
+    """Refinement AC scan for one block (G.1.2.3): run/1 symbols
+    place newly-nonzero coefficients at ±2^Al; every
+    previously-nonzero coefficient traversed contributes one
+    correction bit; EOB runs carry correction bits for the rest of
+    the band. Returns the remaining EOB run."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = ac_t.read(br)
+            r, s = rs >> 4, rs & 15
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.bits(r)
+                    break                      # tail handled below
+                # r == 15: ZRL — skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("invalid refinement size")
+                newval = p1 if br.bit() else m1
+            while k <= se:
+                c = int(blk[k])
+                if c != 0:
+                    # correction bit; two's-complement & p1 tells
+                    # whether this level's bit was already applied
+                    if br.bit() and (c & p1) == 0:
+                        blk[k] = c + (p1 if c > 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval:
+                if k > se:
+                    raise ValueError("refinement run past band end")
+                blk[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:                         # rest of band: corrections
+            c = int(blk[k])
+            if c != 0:
+                if br.bit() and (c & p1) == 0:
+                    blk[k] = c + (p1 if c > 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive(
+        payload: bytes, pos: int,
+        frame: list[tuple[int, int, int, int]], fsize: tuple[int, int],
+        qt: dict[int, np.ndarray],
+        huff: dict[tuple[int, int], _HuffTable],
+        restart: int) -> tuple[int, int, np.ndarray]:
+    """Multi-scan progressive body: accumulate per-component
+    coefficient state across every SOS (tables may be redefined
+    between scans), then dequantize + IDCT once at EOI. Entered from
+    decode_jpeg immediately after the SOF2 segment."""
+    fw, fh = fsize
+    if not all(f[1] in (1, 2) and f[2] in (1, 2) for f in frame):
+        raise ValueError("sampling factors beyond 2 unsupported")
+    hmax = max(f[1] for f in frame)
+    vmax = max(f[2] for f in frame)
+    mcux = -(-fw // (8 * hmax))
+    mcuy = -(-fh // (8 * vmax))
+    coefs: dict[int, np.ndarray] = {}
+    actual: dict[int, tuple[int, int]] = {}
+    params: dict[int, tuple[int, int, int]] = {}
+    for cid, ch, cv, tq in frame:
+        coefs[cid] = np.zeros((mcuy * cv, mcux * ch, 64), np.int64)
+        actual[cid] = (-(-(fh * cv) // (vmax * 8)),
+                       -(-(fw * ch) // (hmax * 8)))
+        params[cid] = (ch, cv, tq)
+
+    def decode_scan(pos: int, scan: list[tuple[int, int, int]],
+                    ss: int, se: int, ah: int, al: int) -> int:
+        nonlocal restart
+        br = _BitReader(payload, pos)
+        eobrun = 0
+        preds = {cid: 0 for cid, _, _ in scan}
+
+        def check_restart(mcu: int) -> None:
+            nonlocal eobrun
+            if restart and mcu and mcu % restart == 0:
+                m = br.align_to_marker()
+                if not 0xD0 <= m <= 0xD7:
+                    raise ValueError(f"expected RSTn, got 0xFF{m:02X}")
+                for cid in preds:
+                    preds[cid] = 0
+                eobrun = 0
+
+        def dc_block(cid: int, td: int, blk: np.ndarray) -> None:
+            if ah == 0:
+                dc_t = huff.get((0, td))
+                if dc_t is None:
+                    raise ValueError("scan uses undefined Huffman table")
+                s = dc_t.read(br)
+                diff = _extend(br.bits(s), s) if s else 0
+                preds[cid] += diff
+                blk[0] = preds[cid] << al
+            elif br.bit():                     # one refinement bit
+                blk[0] = int(blk[0]) | (1 << al)
+
+        if len(scan) > 1:                      # interleaved: DC only
+            if ss != 0 or se != 0:
+                raise ValueError("interleaved AC scan is invalid")
+            mcu = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    check_restart(mcu)
+                    for cid, td, _ in scan:
+                        ch, cv, _ = params[cid]
+                        for v in range(cv):
+                            for hh in range(ch):
+                                dc_block(cid, td, coefs[cid][
+                                    my * cv + v, mx * ch + hh])
+                    mcu += 1
+        else:
+            cid, td, ta = scan[0]
+            abv, abh = actual[cid]
+            if ss > 0:
+                ac_t = huff.get((1, ta))
+                if ac_t is None:
+                    raise ValueError("scan uses undefined Huffman table")
+            mcu = 0
+            for by in range(abv):
+                for bx in range(abh):
+                    check_restart(mcu)
+                    blk = coefs[cid][by, bx]
+                    if ss == 0:
+                        if se != 0:
+                            raise ValueError(
+                                "progressive scan mixes DC and AC")
+                        dc_block(cid, td, blk)
+                    elif ah == 0:
+                        eobrun = _prog_ac_first(
+                            br, ac_t, blk, ss, se, al, eobrun)
+                    else:
+                        eobrun = _prog_ac_refine(
+                            br, ac_t, blk, ss, se, al, eobrun)
+                    mcu += 1
+        return br.pos
+
+    while True:                                # inter-scan marker loop
+        if pos >= len(payload) or payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        while pos < len(payload) and payload[pos] == 0xFF:
+            pos += 1
+        if pos >= len(payload):
+            raise ValueError("truncated header (fill bytes to EOF)")
+        marker = payload[pos]
+        pos += 1
+        if marker == 0xD9:                     # EOI: reconstruct
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        if pos + 2 > len(payload):
+            raise ValueError("truncated marker segment")
+        (seglen,) = struct.unpack(">H", payload[pos:pos + 2])
+        body = payload[pos + 2:pos + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("truncated marker segment")
+        if marker == 0xDB:
+            _parse_dqt(body, qt)
+        elif marker == 0xC4:
+            _parse_dht(body, huff)
+        elif marker == 0xDD:
+            (restart,) = struct.unpack(">H", body[:2])
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("multiple frames unsupported")
+        elif marker == 0xDA:
+            ns = body[0]
+            scan = []
+            for si in range(ns):
+                cs, tables = body[1 + 2 * si], body[2 + 2 * si]
+                if cs not in params:
+                    raise ValueError(f"scan references unknown comp {cs}")
+                scan.append((cs, tables >> 4, tables & 15))
+            ss, se, aa = body[1 + 2 * ns:4 + 2 * ns]
+            ah, al = aa >> 4, aa & 15
+            if not (ss <= se <= 63):
+                raise ValueError(f"invalid spectral band {ss}..{se}")
+            pos = decode_scan(pos + seglen, scan, ss, se, ah, al)
+            continue
+        pos += seglen
+
+    out_planes = []
+    for cid, ch, cv, tq in frame:
+        q = qt.get(tq)
+        if q is None:
+            raise ValueError("component uses undefined DQT")
+        zz = coefs[cid]
+        bv, bh = zz.shape[:2]
+        grid = zz[..., _ZZ_OF_FLAT].reshape(bv, bh, 8, 8) * q
+        blocks = np.einsum("ui,bhuv,vj->bhij", _M, grid, _M)
+        p = blocks.transpose(0, 2, 1, 3).reshape(bv * 8, bh * 8) + 128.0
+        p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch,
+                      axis=1)
+        out_planes.append(p[:fh, :fw])
+    return _planes_to_pixels(out_planes, fw, fh)

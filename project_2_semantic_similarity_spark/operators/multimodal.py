@@ -497,7 +497,7 @@ def attach_jpeg_payload(docs: DataFrame) -> DataFrame:
     a SQL oracle state the decoded pixels of a lossy codec. Same
     Arrow-batched shape as the other payload fixtures."""
     from project_2_semantic_similarity_spark.operators.jpeg import (
-        encode_jpeg)
+        encode_jpeg, encode_jpeg_progressive)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -508,7 +508,45 @@ def attach_jpeg_payload(docs: DataFrame) -> DataFrame:
                 ty = np.arange(ht, dtype=np.int64)[:, None]
                 tiles = (7 * doc_id + 31 * tx + 59 * ty) % 256
                 img = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)
-                payloads.append(encode_jpeg(img.astype(np.uint8)))
+                # odd doc_ids get a progressive (SOF2) file of the
+                # SAME pixels — both modes are exact on constant
+                # tiles, so one oracle pins both decode paths
+                enc = (encode_jpeg_progressive if doc_id % 2
+                       else encode_jpeg)
+                payloads.append(enc(img.astype(np.uint8)))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": payloads,
+                "media_type": JPEG_MEDIA_TYPE,
+            })
+
+    return docs.select("doc_id").mapInPandas(
+        gen, schema="doc_id bigint, payload binary, media_type string")
+
+
+def attach_jpeg_progressive_payload(docs: DataFrame) -> DataFrame:
+    """All-progressive JPEG fixture (SOF2, full Annex-G scan script:
+    DC point transform + refinement, two spectral AC bands at Al=1,
+    AC refinement) — grayscale constant tiles with tile (ty,tx) =
+    (11*id + 37*tx + 53*ty) % 256, wt = 1 + id%4, ht = 1 + id%3,
+    quality=100. Constant tiles keep only an exactly-representable
+    DC coefficient, and the complete scan script restores every
+    coefficient bit, so the SQL oracle can state the decoded pixels
+    of a progressive lossy codec (operators/jpeg.py module note)."""
+    from project_2_semantic_similarity_spark.operators.jpeg import (
+        encode_jpeg_progressive)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                wt, ht = 1 + doc_id % 4, 1 + doc_id % 3
+                tx = np.arange(wt, dtype=np.int64)[None, :]
+                ty = np.arange(ht, dtype=np.int64)[:, None]
+                tiles = (11 * doc_id + 37 * tx + 53 * ty) % 256
+                img = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)
+                payloads.append(
+                    encode_jpeg_progressive(img.astype(np.uint8)))
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "payload": payloads,

@@ -1262,6 +1262,69 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_decode_jpeg_progressive",
+    oracle="""
+WITH dims AS (
+    SELECT doc_id,
+           1 + doc_id % 4 AS wt,
+           1 + doc_id % 3 AS ht
+    FROM documents
+),
+tiles AS (
+    SELECT d.doc_id, d.wt, d.ht,
+           avg(CAST((11 * d.doc_id + 37 * tx.i + 53 * ty.j) % 256
+                    AS DOUBLE)) AS mean_v
+    FROM dims d
+    CROSS JOIN range(4) tx(i)
+    CROSS JOIN range(3) ty(j)
+    WHERE tx.i < d.wt AND ty.j < d.ht
+    GROUP BY d.doc_id, d.wt, d.ht
+)
+SELECT doc_id,
+       CAST(8 * wt AS BIGINT) AS width,
+       CAST(8 * ht AS BIGINT) AS height,
+       CAST(64 * wt * ht AS BIGINT) AS n_pixels,
+       round(mean_v, 6) AS mean_r,
+       round(mean_v, 6) AS mean_g,
+       round(mean_v, 6) AS mean_b
+FROM tiles
+""",
+)
+def multimodal_decode_jpeg_progressive(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """PROGRESSIVE (SOF2) JPEG decode — r8 VERDICT #3, the
+    highest-impact codec gap (most web-crawl JPEGs are progressive).
+    Every document carries a genuine multi-scan progressive file:
+    interleaved DC scan with a point transform (Al=1), two
+    non-interleaved spectral AC bands (1-5, 6-63) per component,
+    an AC refinement scan with EOBn end-of-band runs and buffered
+    correction bits, and a one-bit-per-block DC refinement — the
+    full ITU T.81 Annex G Huffman procedure set. The decode stage
+    (operators/jpeg.py _decode_progressive) accumulates coefficient
+    state across scans and reconstructs once at EOI. Constant-tile
+    quality=100 fixtures restore every coefficient bit, so the SQL
+    oracle states exact decoded pixels; any EOB-run, refinement-bit,
+    or band-traversal bug lands on wrong means and breaks the hash.
+    Reference parity: media stays opaque bytes there; this is the
+    engine's training-pipeline extension surface.
+
+    At 100 TB: identical shape to the other decode queries — one
+    narrow Arrow-batched mapInPandas stage, zero shuffle; the
+    multi-scan state lives per-file inside the batch, so memory is
+    bounded by maxRecordsPerBatch x coefficient planes."""
+    from project_2_semantic_similarity_spark.operators.multimodal import (
+        attach_jpeg_progressive_payload, decode_image)
+
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_image(attach_jpeg_progressive_payload(docs))
+    return decoded.select(
+        "doc_id", "width", "height", "n_pixels",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"))
+
+
+@query(
     "multimodal_decode_audio",
     oracle="""
 WITH lens AS (

@@ -14,6 +14,7 @@ import pytest
 from project_2_semantic_similarity_spark.operators.jpeg import (
     decode_jpeg,
     encode_jpeg,
+    encode_jpeg_progressive,
 )
 
 
@@ -99,10 +100,11 @@ def test_decoder_rejects_malformed():
     good = encode_jpeg(np.zeros((8, 8), dtype=np.uint8))
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x00\x00" + good[2:])
-    # flip SOF0 -> SOF2 (progressive); fix nothing else — the marker
-    # dispatch must refuse before touching entropy data
+    # flip SOF0 -> SOF2: the body is still one full-band 0..63 scan,
+    # which is invalid inside a progressive frame (a progressive scan
+    # is either DC-only or a pure AC band)
     prog = good.replace(b"\xFF\xC0", b"\xFF\xC2", 1)
-    with pytest.raises(ValueError, match="progressive|arithmetic"):
+    with pytest.raises(ValueError, match="progressive|mixes"):
         decode_jpeg(prog)
     # truncate inside a marker segment
     with pytest.raises(ValueError):
@@ -128,3 +130,63 @@ def test_decoder_skips_appn_and_com_segments():
     spliced = good[:2] + app0 + com + good[2:]
     _, _, out = decode_jpeg(spliced)
     assert np.array_equal(out[:, :, 0], np.full((8, 8), 99))
+
+
+# ------------------------------------------------- progressive (SOF2)
+
+
+def test_progressive_constant_tiles_bit_exact():
+    """The multimodal_decode_jpeg_progressive oracle contract:
+    constant 8x8 tiles at quality=100 survive the full scan script
+    (DC point transform + refinement, AC bands, AC refinement)
+    bit-exactly."""
+    tiles = np.array([[3, 250, 66, 129], [190, 0, 255, 17]],
+                     dtype=np.uint8)
+    img = _const_tiles(tiles)
+    payload = encode_jpeg_progressive(img)
+    assert b"\xFF\xC2" in payload            # really SOF2
+    w, h, px = decode_jpeg(payload)
+    assert (w, h) == (32, 16)
+    assert np.array_equal(px[:, :, 0], img)
+
+
+@pytest.mark.parametrize("shape,quality,subsample", [
+    ((21, 37), 80, False),        # grayscale, non-multiple-of-8
+    ((16, 24, 3), 90, False),     # RGB 4:4:4
+    ((19, 29, 3), 75, True),      # RGB 4:2:0, odd dims
+])
+def test_progressive_matches_baseline_decode(shape, quality, subsample):
+    """The complete scan script restores every coefficient bit, so a
+    progressive file must decode to EXACTLY the pixels the baseline
+    encoding of the same input decodes to — a differential that
+    pins DC/AC first+refinement and EOB-run handling at once."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    _, _, base = decode_jpeg(encode_jpeg(img, quality=quality,
+                                         subsample=subsample))
+    _, _, prog = decode_jpeg(encode_jpeg_progressive(
+        img, quality=quality, subsample=subsample))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_long_eob_runs():
+    """A mostly-flat image with sparse detail makes the AC scans
+    almost entirely EOB runs (EOBn symbols with extension bits) and
+    the refinement scan buffer correction bits across blocks —
+    the cross-block state the per-block tests can't reach."""
+    img = np.full((64, 96), 130, dtype=np.uint8)
+    img[30:34, 50:54] = 255
+    img[10, 10] = 0
+    _, _, base = decode_jpeg(encode_jpeg(img, quality=60))
+    _, _, prog = decode_jpeg(encode_jpeg_progressive(img, quality=60))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_truncation_rejected():
+    img = np.arange(192, dtype=np.uint8).reshape(12, 16)
+    payload = encode_jpeg_progressive(img, quality=85)
+    with pytest.raises(ValueError, match="truncated|marker|Huffman"):
+        decode_jpeg(payload[:len(payload) // 2])
+    # dropping EOI leaves the scan loop without its terminator
+    with pytest.raises(ValueError):
+        decode_jpeg(payload[:-2])
