@@ -88,9 +88,11 @@ def decode_ppm(payload: bytes) -> tuple[int, int, int, np.ndarray]:
 # every CRC-32, concatenates multiple IDAT chunks into one zlib
 # stream, and reverses all five filter types (None/Sub/Up/Average/
 # Paeth) — any spec-conforming non-interlaced 8-bit gray/RGB/RGBA
-# file decodes, not just our fixtures. Adam7 interlace and palette /
-# sub-byte depths raise ValueError (declared unsupported, not
-# silently wrong).
+# file decodes, not just our fixtures — including indexed-color
+# (PLTE + optional tRNS, bit depths 1/2/4/8 with big-endian sub-byte
+# unpacking) and 16-bit gray/RGB/RGBA (r9). Adam7 interlace and
+# sub-byte GRAYSCALE depths raise ValueError (declared unsupported,
+# not silently wrong).
 
 PNG_MEDIA_TYPE = "image/png"
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -171,31 +173,22 @@ def _unfilter_scanline(ftype: int, flt: np.ndarray, prior: np.ndarray,
     return out
 
 
-def encode_png(pixels: np.ndarray, filters=None, level: int = 6) -> bytes:
-    """PNG writer for 8-bit images: (h, w) gray, (h, w, 3) RGB, or
-    (h, w, 4) RGBA uint8 -> non-interlaced PNG bytes. ``filters``
-    selects the per-row filter type: None picks per-row by the
-    spec's minimum-sum-of-absolute-differences heuristic (so real
-    encodes naturally mix all five types), an int forces one type
-    for every row, and a sequence gives one type per row."""
-    import struct
+def _filtered_idat(byte_rows: np.ndarray, bpp: int, filters,
+                   level: int) -> bytes:
+    """Filter + deflate a (h, stride) BYTE matrix into IDAT data.
+    ``filters`` as in encode_png: None = per-row min-abs-sum
+    heuristic, int = fixed type, sequence = per-row types."""
     import zlib
 
-    if pixels.ndim == 2:
-        pixels = pixels[:, :, None]
-    if pixels.ndim != 3 or pixels.shape[2] not in (1, 3, 4):
-        raise ValueError(f"expected gray/RGB/RGBA array, got {pixels.shape}")
-    h, w, ch = pixels.shape
-    color_type = {1: 0, 3: 2, 4: 6}[ch]
-    px = pixels.astype(np.int64).reshape(h, w * ch)
-    prior = np.zeros(w * ch, np.int64)
+    h, stride = byte_rows.shape
+    prior = np.zeros(stride, np.int64)
     out_rows = []
     for y in range(h):
-        raw = px[y]
+        raw = byte_rows[y]
         if filters is None:
             best, best_cost = None, None
             for ft in range(5):
-                cand = _filter_scanline(ft, raw, prior, ch)
+                cand = _filter_scanline(ft, raw, prior, bpp)
                 # sum of |signed byte| — the spec's suggested heuristic
                 cost = int(np.minimum(cand, 256 - cand).sum())
                 if best_cost is None or cost < best_cost:
@@ -203,30 +196,104 @@ def encode_png(pixels: np.ndarray, filters=None, level: int = 6) -> bytes:
             ft, flt = best_ft, best
         else:
             ft = int(filters if np.isscalar(filters) else filters[y])
-            flt = _filter_scanline(ft, raw, prior, ch)
+            flt = _filter_scanline(ft, raw, prior, bpp)
         out_rows.append(bytes([ft]) + flt.astype(np.uint8).tobytes())
         prior = raw
-    idat = zlib.compress(b"".join(out_rows), level)
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return zlib.compress(b"".join(out_rows), level)
+
+
+def encode_png(pixels: np.ndarray, filters=None, level: int = 6) -> bytes:
+    """PNG writer: (h, w) gray, (h, w, 3) RGB, or (h, w, 4) RGBA ->
+    non-interlaced PNG bytes. uint8 input writes bit depth 8; uint16
+    input writes bit depth 16 (big-endian sample bytes per spec).
+    ``filters`` selects the per-row filter type: None picks per-row
+    by the spec's minimum-sum-of-absolute-differences heuristic (so
+    real encodes naturally mix all five types), an int forces one
+    type for every row, and a sequence gives one type per row."""
+    import struct
+
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    if pixels.ndim != 3 or pixels.shape[2] not in (1, 3, 4):
+        raise ValueError(f"expected gray/RGB/RGBA array, got {pixels.shape}")
+    h, w, ch = pixels.shape
+    color_type = {1: 0, 3: 2, 4: 6}[ch]
+    if pixels.dtype == np.uint16:
+        depth, bpp = 16, 2 * ch
+        byte_rows = np.ascontiguousarray(
+            pixels.reshape(h, w * ch).astype(">u2")
+        ).view(np.uint8).reshape(h, 2 * w * ch).astype(np.int64)
+    else:
+        depth, bpp = 8, ch
+        byte_rows = pixels.astype(np.int64).reshape(h, w * ch)
+    idat = _filtered_idat(byte_rows, bpp, filters, level)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
     return (_PNG_SIG
             + _png_chunk(b"IHDR", ihdr)
             + _png_chunk(b"IDAT", idat)
             + _png_chunk(b"IEND", b""))
 
 
+def encode_png_palette(indices: np.ndarray, palette: np.ndarray,
+                       depth: int | None = None, trns=None,
+                       filters=None, level: int = 6) -> bytes:
+    """Indexed-color PNG writer: (h, w) palette indices + (n, 3)
+    uint8 palette -> color-type-3 PNG at bit depth 1/2/4/8 (default:
+    narrowest depth that fits the palette). Sub-byte depths pack
+    indices big-endian-first within each byte, rows padded to byte
+    boundaries, exactly as the spec's serialization; filters run on
+    the PACKED bytes with bpp=1. ``trns`` adds per-entry alpha."""
+    import struct
+
+    palette = np.asarray(palette, np.uint8)
+    if palette.ndim != 2 or palette.shape[1] != 3 or not len(palette):
+        raise ValueError(f"bad palette shape {palette.shape}")
+    n = palette.shape[0]
+    if depth is None:
+        depth = next(d for d in (1, 2, 4, 8) if n <= (1 << d))
+    if depth not in (1, 2, 4, 8) or n > (1 << depth):
+        raise ValueError(f"{n} palette entries don't fit depth {depth}")
+    idx = np.asarray(indices, np.uint8)
+    if idx.max(initial=0) >= n:
+        raise ValueError("palette index out of range")
+    h, w = idx.shape
+    if depth == 8:
+        byte_rows = idx.astype(np.int64)
+    else:
+        per = 8 // depth                       # indices per byte
+        padded = np.zeros((h, -(-w // per) * per), np.uint8)
+        padded[:, :w] = idx
+        vals = padded.reshape(h, -1, per)
+        shifts = np.arange(per - 1, -1, -1) * depth
+        byte_rows = (vals.astype(np.int64) << shifts).sum(axis=2)
+    idat = _filtered_idat(byte_rows, 1, filters, level)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+    out = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+           + _png_chunk(b"PLTE", palette.tobytes()))
+    if trns is not None:
+        out += _png_chunk(b"tRNS", bytes(np.asarray(trns, np.uint8)))
+    return out + _png_chunk(b"IDAT", idat) + _png_chunk(b"IEND", b"")
+
+
 def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """PNG parser: returns (width, height, (h, w, ch) uint8) for
-    non-interlaced 8-bit grayscale / RGB / RGBA files. Walks the
-    chunk list verifying each CRC-32, concatenates all IDAT chunks
-    into one zlib stream, inflates, and reverses the five scanline
-    filters. Raises ValueError on malformed input, bad CRC, Adam7
-    interlace, palette images, or non-8-bit depth."""
+    """PNG parser: returns (width, height, (h, w, ch) array) for
+    non-interlaced files — 8-bit gray/RGB/RGBA (uint8), 16-bit
+    gray/RGB/RGBA (uint16, native range), and palette images at bit
+    depth 1/2/4/8 (PLTE lookup expanded to uint8 RGB, or RGBA when a
+    tRNS chunk supplies per-entry alpha). Walks the chunk list
+    verifying each CRC-32, concatenates all IDAT chunks into one
+    zlib stream, inflates, and reverses the five scanline filters
+    (filters operate on BYTES, so bpp is ceil(bits-per-pixel/8) —
+    1 for palette, 2·ch for 16-bit). Raises ValueError on malformed
+    input, bad CRC, Adam7 interlace, or sub-byte grayscale depths
+    (declared unsupported, not silently wrong)."""
     import struct
     import zlib
 
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     pos, ihdr, idat = 8, None, []
+    plte = trns = None
     while pos + 12 <= len(payload):
         (size,) = struct.unpack(">I", payload[pos:pos + 4])
         tag = payload[pos + 4:pos + 8]
@@ -239,6 +306,12 @@ def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
             raise ValueError(f"bad CRC in {tag!r} chunk")
         if tag == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            if size % 3:
+                raise ValueError("PLTE size not a multiple of 3")
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = np.frombuffer(body, np.uint8)
         elif tag == b"IDAT":
             idat.append(body)
         elif tag == b"IEND":
@@ -247,16 +320,24 @@ def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
     if ihdr is None or not idat:
         raise ValueError("missing IHDR or IDAT chunk")
     w, h, depth, color_type, comp, flt_method, interlace = ihdr
-    if depth != 8 or color_type not in _PNG_CHANNELS:
-        raise ValueError(
-            f"only 8-bit gray/RGB/RGBA supported, got "
-            f"depth={depth} color_type={color_type}")
     if comp != 0 or flt_method != 0:
         raise ValueError("nonstandard compression/filter method")
     if interlace != 0:
         raise ValueError("Adam7 interlace not supported")
-    ch = _PNG_CHANNELS[color_type]
-    stride = w * ch
+    if color_type == 3:                       # palette
+        if depth not in (1, 2, 4, 8):
+            raise ValueError(f"bad palette bit depth {depth}")
+        if plte is None:
+            raise ValueError("palette image without PLTE chunk")
+        bpp = 1
+        stride = (w * depth + 7) // 8
+    elif color_type in _PNG_CHANNELS and depth in (8, 16):
+        ch = _PNG_CHANNELS[color_type]
+        bpp = ch * (depth // 8)
+        stride = w * bpp
+    else:
+        raise ValueError(
+            f"unsupported depth={depth} color_type={color_type}")
     raw = zlib.decompress(b"".join(idat))
     if len(raw) != h * (1 + stride):
         raise ValueError(
@@ -266,10 +347,31 @@ def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
     rows = []
     for y in range(h):
         prior = _unfilter_scanline(
-            int(flt[y, 0]), flt[y, 1:].astype(np.int64), prior, ch)
+            int(flt[y, 0]), flt[y, 1:].astype(np.int64), prior, bpp)
         rows.append(prior)
-    px = np.stack(rows).astype(np.uint8).reshape(h, w, ch)
-    return w, h, px
+    arr = np.stack(rows).astype(np.uint8)      # (h, stride) bytes
+    if color_type == 3:
+        if depth == 8:
+            idx = arr[:, :w]
+        else:
+            bits = np.unpackbits(arr, axis=1)  # big-endian per byte
+            vals = bits[:, :(stride * 8 // depth) * depth]
+            vals = vals.reshape(h, -1, depth)
+            weights = 1 << np.arange(depth - 1, -1, -1)
+            idx = (vals * weights).sum(axis=2)[:, :w].astype(np.uint8)
+        if int(idx.max(initial=0)) * 3 >= plte.size:
+            raise ValueError("palette index out of range")
+        px = plte[idx]                         # (h, w, 3) uint8
+        if trns is not None:
+            alpha = np.full(plte.shape[0], 255, np.uint8)
+            alpha[:len(trns)] = trns
+            px = np.concatenate([px, alpha[idx][:, :, None]], axis=2)
+        return w, h, px
+    if depth == 16:
+        hi = arr.reshape(h, w * ch, 2).astype(np.uint16)
+        px = ((hi[:, :, 0] << 8) | hi[:, :, 1]).reshape(h, w, ch)
+        return w, h, px
+    return w, h, arr.reshape(h, w, ch)
 
 
 # ------------------------------------------------------------- WAV codec
@@ -461,7 +563,13 @@ def attach_png_payload(docs: DataFrame) -> DataFrame:
     Sub/Up/Average/Paeth rows occur in the corpus — arithmetic a SQL
     oracle reproduces without touching zlib, while the Spark side
     round-trips genuine compressed files through encode_png /
-    decode_png. Same Arrow-batched shape as attach_ppm_payload."""
+    decode_png. The SAME pixels are serialized three ways by
+    doc_id % 3 — truecolor 8-bit, indexed color (PLTE at the
+    narrowest fitting bit depth, exercising sub-byte unpack), and
+    16-bit (v*257 full-range expansion, the decoder's uint16 path +
+    the 16->8 normalization) — so one unchanged oracle pins all
+    three decode paths. Same Arrow-batched shape as
+    attach_ppm_payload."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -471,8 +579,19 @@ def attach_png_payload(docs: DataFrame) -> DataFrame:
                 ys = np.arange(h, dtype=np.int64)[:, None, None]
                 xs = np.arange(w, dtype=np.int64)[None, :, None]
                 cs = np.arange(3, dtype=np.int64)[None, None, :]
-                px = (3 * doc_id + 11 * xs + 19 * ys + 37 * cs) % 256
-                payloads.append(encode_png(px.astype(np.uint8)))
+                px = ((3 * doc_id + 11 * xs + 19 * ys + 37 * cs)
+                      % 256).astype(np.uint8)
+                variant = doc_id % 3
+                if variant == 1:
+                    colors, inv = np.unique(
+                        px.reshape(-1, 3), axis=0, return_inverse=True)
+                    payloads.append(encode_png_palette(
+                        inv.reshape(h, w).astype(np.uint8), colors))
+                elif variant == 2:
+                    payloads.append(encode_png(
+                        px.astype(np.uint16) * 257))
+                else:
+                    payloads.append(encode_png(px))
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "payload": payloads,
@@ -583,6 +702,10 @@ def decode_image(payloads: DataFrame) -> DataFrame:
                     w, h, _, px = decode_ppm(payload)
                 elif media_type == PNG_MEDIA_TYPE:
                     w, h, px = decode_png(payload)
+                    if px.dtype == np.uint16:
+                        # full-range 16->8 (v/257: exact inverse of
+                        # the spec's 8->16 expansion v*257)
+                        px = np.round(px / 257.0).astype(np.uint8)
                     if px.shape[2] == 1:
                         px = np.repeat(px, 3, axis=2)
                     px = px[:, :, :3]
@@ -633,6 +756,10 @@ def phash_image(payloads: DataFrame, grid: int = 8) -> DataFrame:
                     w, h, _, px = decode_ppm(payload)
                 elif media_type == PNG_MEDIA_TYPE:
                     w, h, px = decode_png(payload)
+                    if px.dtype == np.uint16:
+                        # full-range 16->8 (v/257: exact inverse of
+                        # the spec's 8->16 expansion v*257)
+                        px = np.round(px / 257.0).astype(np.uint8)
                     if px.shape[2] == 1:
                         px = np.repeat(px, 3, axis=2)
                     px = px[:, :, :3]
@@ -688,6 +815,10 @@ def thumbnail_image(payloads: DataFrame, grid: int = 2) -> DataFrame:
                     w, h, _, px = decode_ppm(payload)
                 elif media_type == PNG_MEDIA_TYPE:
                     w, h, px = decode_png(payload)
+                    if px.dtype == np.uint16:
+                        # full-range 16->8 (v/257: exact inverse of
+                        # the spec's 8->16 expansion v*257)
+                        px = np.round(px / 257.0).astype(np.uint8)
                     if px.shape[2] == 1:
                         px = np.repeat(px, 3, axis=2)
                     px = px[:, :, :3]

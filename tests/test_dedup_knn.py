@@ -805,12 +805,65 @@ def test_png_decoder_rejects_malformed():
     bad = good[:8] + ch + good[8 + 25:]
     with pytest.raises(ValueError, match="interlace"):
         decode_png(bad)
-    # 16-bit depth
+    # 16-bit is now a supported depth, so a 16-bit header over 8-bit
+    # sized data must fail on the SIZE check, not the depth check
     ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
     ch16 = (struct.pack(">I", 13) + b"IHDR" + ihdr16
             + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr16)))
-    with pytest.raises(ValueError, match="8-bit"):
+    with pytest.raises(ValueError, match="inflated size"):
         decode_png(good[:8] + ch16 + good[8 + 25:])
+    # sub-byte grayscale stays declared-unsupported
+    ihdr4 = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
+    ch4 = (struct.pack(">I", 13) + b"IHDR" + ihdr4
+           + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr4)))
+    with pytest.raises(ValueError, match="unsupported depth"):
+        decode_png(good[:8] + ch4 + good[8 + 25:])
+    # palette image without a PLTE chunk
+    ihdrp = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    chp = (struct.pack(">I", 13) + b"IHDR" + ihdrp
+           + struct.pack(">I", zlib.crc32(b"IHDR" + ihdrp)))
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(good[:8] + chp + good[8 + 25:])
+
+
+def test_png_palette_and_16bit_roundtrip():
+    """r9 coverage of the two formerly-declared-unsupported PNG
+    shapes common in web crawls: indexed color at every legal bit
+    depth (big-endian sub-byte packing, PLTE lookup, optional tRNS
+    alpha) and 16-bit samples (big-endian pairs -> uint16)."""
+    import numpy as np
+    import pytest
+
+    from project_2_semantic_similarity_spark.operators.multimodal import (
+        decode_png, encode_png, encode_png_palette)
+
+    rng = np.random.default_rng(5)
+    for n, depth in ((2, 1), (3, 2), (16, 4), (97, 8)):
+        pal = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+        idx = rng.integers(0, n, (6, 11), dtype=np.uint8)
+        w, h, px = decode_png(encode_png_palette(idx, pal, depth=depth))
+        assert (w, h) == (11, 6)
+        assert np.array_equal(px, pal[idx]), depth
+    # default depth picks the narrowest fit (3 colors -> 2 bits)
+    pal = np.array([[9, 8, 7], [1, 2, 3], [250, 0, 128]], np.uint8)
+    idx = np.array([[0, 2, 1, 2, 0]], np.uint8)
+    payload = encode_png_palette(idx, pal)
+    assert payload[24] == 2                       # IHDR bit-depth byte
+    assert np.array_equal(decode_png(payload)[2], pal[idx])
+    # tRNS: shorter-than-palette alpha pads with 255
+    w, h, px = decode_png(encode_png_palette(idx, pal, trns=[40]))
+    assert px.shape == (1, 5, 4)
+    assert px[0, 0, 3] == 40 and px[0, 1, 3] == 255
+    # 16-bit gray and RGB round-trip in native range
+    g16 = rng.integers(0, 65536, (5, 9), dtype=np.uint16)
+    w, h, px = decode_png(encode_png(g16))
+    assert px.dtype == np.uint16
+    assert np.array_equal(px[:, :, 0], g16)
+    c16 = rng.integers(0, 65536, (4, 7, 3), dtype=np.uint16)
+    assert np.array_equal(decode_png(encode_png(c16))[2], c16)
+    # oversized index rejected at encode time
+    with pytest.raises(ValueError, match="index out of range"):
+        encode_png_palette(np.array([[3]], np.uint8), pal[:3])
 
 
 def test_canonical_url_rules(spark):
