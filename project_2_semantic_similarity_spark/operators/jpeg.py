@@ -41,6 +41,7 @@ transform pipeline, while arbitrary images round-trip approximately
 from __future__ import annotations
 
 import struct
+from functools import lru_cache as _lru_cache
 
 import numpy as np
 
@@ -331,7 +332,8 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 100,
     h, w, q, comps = _quantized_components(pixels, quality, subsample)
     dc_bits, dc_vals = _fixed_table(_DC_SYMBOLS)
     ac_bits, ac_vals = _fixed_table(_AC_SYMBOLS)
-    dc_t, ac_t = _HuffTable(dc_bits, dc_vals), _HuffTable(ac_bits, ac_vals)
+    dc_t = _huff_from_spec(bytes(dc_bits) + bytes(dc_vals))
+    ac_t = _huff_from_spec(bytes(ac_bits) + bytes(ac_vals))
 
     mcuy, mcux = (comps[0][0].shape[0] // comps[0][2],
                   comps[0][0].shape[1] // comps[0][1])
@@ -500,8 +502,8 @@ def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 100,
     ncomp = len(comps)
     dc_bits, dc_vals = _fixed_table(_DC_SYMBOLS)
     ac_bits, ac_vals = _fixed_table(_AC_SYMBOLS_PROG)
-    dc_t = _HuffTable(dc_bits, dc_vals)
-    ac_t = _HuffTable(ac_bits, ac_vals)
+    dc_t = _huff_from_spec(bytes(dc_bits) + bytes(dc_vals))
+    ac_t = _huff_from_spec(bytes(ac_bits) + bytes(ac_vals))
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcuy = comps[0][0].shape[0] // comps[0][2]
@@ -605,14 +607,22 @@ def _parse_dqt(body: bytes, qt: dict[int, np.ndarray]) -> None:
         qt[tq] = t
 
 
+@_lru_cache(maxsize=256)
+def _huff_from_spec(spec: bytes) -> _HuffTable:
+    """Memoized canonical-table build: corpora re-use a handful of
+    DHT specs (every fixture shares ours; real encoders ship the
+    Annex-K tables), so keying on the raw BITS+HUFFVAL bytes skips
+    the dict rebuild per file."""
+    bits = list(spec[:16])
+    return _HuffTable(bits, list(spec[16:]))
+
+
 def _parse_dht(body: bytes, huff: dict[tuple[int, int], _HuffTable]) -> None:
     i = 0
     while i < len(body):
         tc, th = body[i] >> 4, body[i] & 15
-        bits = list(body[i + 1:i + 17])
-        n = sum(bits)
-        vals = list(body[i + 17:i + 17 + n])
-        huff[(tc, th)] = _HuffTable(bits, vals)
+        n = sum(body[i + 1:i + 17])
+        huff[(tc, th)] = _huff_from_spec(bytes(body[i + 1:i + 17 + n]))
         i += 17 + n
 
 

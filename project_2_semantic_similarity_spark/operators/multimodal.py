@@ -869,6 +869,213 @@ def _decode_payload(payload: bytes, media_type: str) -> list[float]:
     return feats
 
 
+# ---------------------------------------------------------- AVI codec
+#
+# Third REAL container (r8 VERDICT #5): MJPEG-in-AVI. The AVI RIFF
+# form is public (Microsoft's AVI RIFF spec): 'RIFF' size 'AVI ' +
+# a 'hdrl' LIST (avih MainAVIHeader, one 'strl' LIST with strh
+# AVIStreamHeader + strf BITMAPINFOHEADER) + a 'movi' LIST whose
+# '00dc' chunks each carry one complete JPEG, + an optional idx1
+# index. MJPEG means every frame is an independent baseline or
+# progressive JPEG — operators/jpeg.py decodes them — so real frame
+# sampling needs only this RIFF walk (reused from the WAV parser's
+# chunk discipline: skip unknown chunks, honor odd-size padding) and
+# a per-selected-frame decode_jpeg. Frames that aren't sampled are
+# never entropy-decoded — the scale property a real video pipeline
+# needs.
+
+AVI_MEDIA_TYPE = "video/x-msvideo"
+
+
+def encode_avi_mjpeg(frames: list[np.ndarray], fps: int = 10,
+                     quality: int = 100,
+                     progressive: bool = False) -> bytes:
+    """MJPEG-in-AVI writer: a list of same-shape (h, w[, 3]) uint8
+    frames -> AVI bytes (hdrl with avih/strh/strf, movi with one
+    '00dc' JPEG chunk per frame, idx1 index). ``progressive`` emits
+    SOF2 frames; both modes are exact on constant-tile fixtures."""
+    import struct
+
+    from project_2_semantic_similarity_spark.operators.jpeg import (
+        encode_jpeg, encode_jpeg_progressive)
+
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    enc = encode_jpeg_progressive if progressive else encode_jpeg
+    jpegs = []
+    for f in frames:
+        if f.shape[:2] != (h, w):
+            raise ValueError("frames must share one size")
+        jpegs.append(enc(f, quality=quality))
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (tag + struct.pack("<I", len(body)) + body
+                + (b"\x00" if len(body) & 1 else b""))
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    max_bytes = max(len(j) for j in jpegs)
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, max_bytes * fps, 0, 0x10,
+        len(jpegs), 0, 1, max_bytes, w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG"
+            + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0,
+                          len(jpegs), max_bytes, 0, 0)
+            + struct.pack("<4H", 0, 0, w, h))
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh)
+                     + chunk(b"strf", strf)))
+    movi_body = b"".join(chunk(b"00dc", j) for j in jpegs)
+    movi = lst(b"movi", movi_body)
+    idx, off = [], 4                        # offsets from 'movi' tag
+    for j in jpegs:
+        idx.append(b"00dc" + struct.pack("<III", 0x10, off, len(j)))
+        off += 8 + len(j) + (len(j) & 1)
+    idx1 = chunk(b"idx1", b"".join(idx))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi + idx1)
+
+
+def parse_avi_mjpeg(payload: bytes) -> tuple[int, int, int, list[bytes]]:
+    """AVI RIFF walk: returns (width, height, fps, per-frame JPEG
+    bytes) WITHOUT decoding any frame — sampling decides which
+    frames pay the entropy-decode cost. Validates the MJPG fourcc,
+    skips unknown chunks/LISTs, honors odd-size padding. Raises
+    ValueError on malformed structure or non-MJPEG streams."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    handler = compression = None
+    width = height = fps = None
+    frames: list[bytes] = []
+
+    def walk(data: bytes, inside_movi: bool) -> None:
+        nonlocal handler, compression, width, height, fps
+        pos = 0
+        while pos + 8 <= len(data):
+            tag = data[pos:pos + 4]
+            (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
+            body = data[pos + 8:pos + 8 + size]
+            if len(body) != size:
+                raise ValueError(f"truncated {tag!r} chunk")
+            if tag == b"LIST":
+                walk(body[4:], body[:4] == b"movi")
+            elif tag == b"avih":
+                if size < 40:
+                    raise ValueError("avih too short")
+                vals = struct.unpack("<10I", body[:40])
+                fps = round(1_000_000 / vals[0]) if vals[0] else 0
+                width, height = vals[8], vals[9]
+            elif tag == b"strh":
+                if body[:4] == b"vids":
+                    handler = body[4:8]
+            elif tag == b"strf" and size >= 20:
+                compression = body[16:20]
+            elif inside_movi and tag[2:4] in (b"dc", b"db"):
+                frames.append(bytes(body))
+            pos += 8 + size + (size & 1)
+
+    walk(payload[12:], False)
+    if width is None:
+        raise ValueError("missing avih header")
+    if handler != b"MJPG" and compression != b"MJPG":
+        raise ValueError(
+            f"only MJPEG AVI supported, got handler={handler!r} "
+            f"compression={compression!r}")
+    return width, height, fps, frames
+
+
+def attach_avi_payload(docs: DataFrame) -> DataFrame:
+    """In-engine VIDEO fixture: a real MJPEG AVI per document —
+    3 + id%5 grayscale frames of 16x8 constant 8x8 tiles, tile
+    (f, ty, tx) value (13*id + 29*f + 41*tx + 17*ty) % 256 at
+    quality=100 (bit-exact through the JPEG pipeline — jpeg.py
+    module note); odd doc_ids carry progressive frames. The SQL
+    oracle re-derives sampled-frame means from the tile arithmetic
+    without touching RIFF or JPEG."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                n = 3 + doc_id % 5
+                frames = []
+                for f in range(n):
+                    tx = np.arange(2, dtype=np.int64)[None, :]
+                    ty = np.arange(1, dtype=np.int64)[:, None]
+                    tiles = (13 * doc_id + 29 * f + 41 * tx
+                             + 17 * ty) % 256
+                    frames.append(np.repeat(np.repeat(
+                        tiles, 8, axis=0), 8, axis=1).astype(np.uint8))
+                payloads.append(encode_avi_mjpeg(
+                    frames, progressive=bool(doc_id % 2)))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": payloads,
+                "media_type": AVI_MEDIA_TYPE,
+            })
+
+    return docs.select("doc_id").mapInPandas(
+        gen, schema="doc_id bigint, payload binary, media_type string")
+
+
+VIDEO_FRAME_SCHEMA = ("doc_id bigint, frame_idx int, "
+                      "total_frames int, width bigint, height bigint, "
+                      "mean_r double, mean_g double, mean_b double")
+
+
+def sample_video_frames(payloads: DataFrame,
+                        n_frames: int = 4) -> DataFrame:
+    """REAL frame sampling: parse the AVI container, uniformly pick
+    k = min(n_frames, total) source frames at index i*total//k,
+    entropy-decode ONLY those JPEGs, and emit per-frame dimensions +
+    channel means. One-to-many mapInPandas — the same fan-out batch
+    shape as sample_frames, now over a genuine video container.
+
+    At 100 TB: one narrow Arrow stage, zero shuffle; the container
+    walk is O(bytes) but the expensive entropy decode is paid only
+    for sampled frames — the keyframe-extraction cost model of a
+    production pipeline."""
+    from project_2_semantic_similarity_spark.operators.jpeg import (
+        decode_jpeg)
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "frame_idx",
+                                    "total_frames", "width", "height",
+                                    "mean_r", "mean_g", "mean_b")}
+            for doc_id, payload, media_type in zip(
+                    pdf["doc_id"], pdf["payload"], pdf["media_type"]):
+                if media_type != AVI_MEDIA_TYPE:
+                    raise NotImplementedError(
+                        f"no video codec for {media_type}")
+                w, h, _, jpegs = parse_avi_mjpeg(payload)
+                total = len(jpegs)
+                k = min(n_frames, total)
+                for i in range(k):
+                    fi = i * total // k
+                    fw, fh, px = decode_jpeg(jpegs[fi])
+                    if px.shape[2] == 1:
+                        px = np.repeat(px, 3, axis=2)
+                    means = px.astype(np.float64).mean(axis=(0, 1))
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(fi)
+                    rows["total_frames"].append(total)
+                    rows["width"].append(fw)
+                    rows["height"].append(fh)
+                    rows["mean_r"].append(means[0])
+                    rows["mean_g"].append(means[1])
+                    rows["mean_b"].append(means[2])
+            yield pd.DataFrame(rows)
+
+    return payloads.mapInPandas(frame_batches,
+                                schema=VIDEO_FRAME_SCHEMA)
+
+
 FRAME_SCHEMA = ("doc_id bigint, frame_idx int, frame binary, "
                 "n_bytes bigint")
 

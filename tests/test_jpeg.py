@@ -190,3 +190,45 @@ def test_progressive_truncation_rejected():
     # dropping EOI leaves the scan loop without its terminator
     with pytest.raises(ValueError):
         decode_jpeg(payload[:-2])
+
+
+# --------------------------------------------------- MJPEG-in-AVI
+
+
+def test_avi_mjpeg_roundtrip_and_structure():
+    """encode_avi_mjpeg/parse_avi_mjpeg: RIFF structure (hdrl, movi,
+    idx1, odd-size padding), per-frame JPEG integrity in both
+    baseline and progressive modes, and MJPG validation."""
+    from project_2_semantic_similarity_spark.operators.multimodal import (
+        encode_avi_mjpeg, parse_avi_mjpeg)
+
+    rng = np.random.default_rng(21)
+    frames = [rng.integers(0, 256, (16, 24), dtype=np.uint8)
+              for _ in range(5)]
+    avi = encode_avi_mjpeg(frames, fps=12)
+    assert avi[:4] == b"RIFF" and avi[8:12] == b"AVI "
+    w, h, fps, jpegs = parse_avi_mjpeg(avi)
+    assert (w, h, fps, len(jpegs)) == (24, 16, 12, 5)
+    for f, j in zip(frames, jpegs):
+        _, _, px = decode_jpeg(j)
+        assert np.abs(px[:, :, 0].astype(int) - f.astype(int)).max() <= 1
+
+    # constant tiles, progressive frames: bit-exact through container
+    tiles = [np.full((1, 2), v, np.uint8) for v in (0, 77, 255)]
+    const = [_const_tiles(t) for t in tiles]
+    _, _, _, jpegs = parse_avi_mjpeg(
+        encode_avi_mjpeg(const, progressive=True))
+    for f, j in zip(const, jpegs):
+        assert j[:4] == b"\xFF\xD8\xFF\xDB" and b"\xFF\xC2" in j
+        _, _, px = decode_jpeg(j)
+        assert np.array_equal(px[:, :, 0], f)
+
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        parse_avi_mjpeg(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(ValueError, match="MJPEG"):
+        # rewrite both fourccs to an unsupported codec
+        parse_avi_mjpeg(avi.replace(b"MJPG", b"H264"))
+    with pytest.raises(ValueError, match="truncated"):
+        parse_avi_mjpeg(avi[:40])
+    with pytest.raises(ValueError):
+        encode_avi_mjpeg([])
