@@ -408,3 +408,46 @@ def test_knn_ivf_pq_recall_and_exact_rerank(spark, sf_dir):
     for r in a:
         if r["vec_id"] in brute:
             assert abs(r["cosine"] - brute[r["vec_id"]]) < 1e-9
+
+
+def test_bpe_segment_matches_reference_fold(spark):
+    """The Spark-side BPE (rank-ordered `aggregate` left-folds,
+    operators/text.py bpe_segment) against an independent pure-Python
+    fold, over words exercising multi-level chains, cross-rank
+    interactions (rank-1 (t,a) fires inside 'data' before rank-22
+    (d,a)), repeats ('tata', 'windowwindow'), and untouched words."""
+    from project_2_semantic_similarity_spark.operators.text import (
+        BPE_MERGES, bpe_word_tokens)
+
+    # merges-table invariant: every input symbol is a single char or
+    # the output of an EARLIER rank — the property that makes
+    # rank-ordered single-pass application equal greedy min-rank BPE
+    known = set()
+    for a, b in BPE_MERGES:
+        for s in (a, b):
+            assert len(s) == 1 or s in known, (a, b)
+        known.add(a + b)
+
+    def seg(word):
+        syms = list(word)
+        for a, b in BPE_MERGES:
+            out = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            syms = out
+        return syms
+
+    words = ["table", "value", "scan", "window", "data", "query",
+             "fast", "hash", "spark", "the", "key", "row", "big",
+             "tata", "anan", "sss", "windowwindow", "thethe", "t"]
+    df = spark.createDataFrame([(w,) for w in words], ["word"])
+    got = {r["word"]: (list(r["tokens"]), r["n_tok"])
+           for r in bpe_word_tokens(df).collect()}
+    for w in words:
+        want = seg(w)
+        assert got[w] == (want, len(want)), (w, got[w], want)
+    # the showcase chains actually merge to single tokens
+    assert got["table"][1] == got["window"][1] == got["query"][1] == 1
