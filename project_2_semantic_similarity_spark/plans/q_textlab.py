@@ -1221,6 +1221,8 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     back + hash assignment — no global prefix sum), with the token
     counts coming from the vocabulary-tokenize + broadcast-join plan
     of text_bpe_tokenize."""
+    from project_2_semantic_similarity_spark.operators.cache import (
+        keyed_persist)
     from project_2_semantic_similarity_spark.operators.text import (
         bpe_word_tokens)
 
@@ -1231,10 +1233,19 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
              .filter(F.col("word") != "")
              .groupBy("doc_id", "word").agg(F.count("*").alias("cnt")))
     vocab = bpe_word_tokens(words.select("word").distinct())
-    counted = (words.join(F.broadcast(vocab), "word")
-               .groupBy("doc_id")
-               .agg(F.sum(F.col("cnt") * F.col("n_tok"))
-                     .alias("n_bpe_tokens")))
+
+    def build_counted() -> DataFrame:
+        return (words.join(F.broadcast(vocab), "word")
+                .groupBy("doc_id")
+                .agg(F.sum(F.col("cnt") * F.col("n_tok"))
+                      .alias("n_bpe_tokens")))
+
+    # persisted: it feeds BOTH the scalar shard-count aggregate and
+    # the final projection — unpersisted, Catalyst plans the whole
+    # explode+fold+join subtree twice (6 shuffles instead of 3,
+    # verified via executedPlan)
+    counted = keyed_persist("bpe_counted", ("bpe_shards", sf_dir),
+                            build_counted)
     total = counted.agg(
         F.greatest(
             F.lit(1).cast("long"),

@@ -140,9 +140,12 @@ def generate(spark, n: int, out_dir: str) -> None:
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    if len(sys.argv) > 2:
+    if len(sys.argv) > 2 and sys.argv[2]:
         out = sys.argv[2]
     else:
+        # empty-string argv[2] falls through too: a bare "" would
+        # make every stage write relative to the CWD (one r9 probe
+        # dropped 3.5 GiB of parquet into the repo that way)
         from project_2_semantic_similarity_spark.scratch import (
             scratch_path)
         out = scratch_path("probe_1m")
@@ -375,6 +378,95 @@ def main() -> None:
                 assert r["mau"] == want_mau, \
                     f"day {d}: mau {r['mau']} != {want_mau}"
             cnt = len(rows)
+        elif name == "multimodal_volume_probe":
+            # r8 VERDICT #7: pin the codec family's zero-shuffle
+            # narrow Arrow stage AT VOLUME. Per doc a REAL PNG of
+            # (32+id%17) x (24+id%13) RGB px (multi-KB deflated, the
+            # same pixel arithmetic as the fixture so one decoded
+            # mean self-checks), decoded end-to-end; reports decoded
+            # raster GiB + a sampled payload-size estimate alongside
+            # rows/s. Peak memory stays bounded by
+            # maxRecordsPerBatch x image size — no shuffle at all.
+            import pandas as _pd
+
+            from project_2_semantic_similarity_spark.operators.\
+                multimodal import (PNG_MEDIA_TYPE, decode_image,
+                                   encode_png)
+
+            def gen(batches):
+                import numpy as _np
+                for pdf in batches:
+                    payloads = []
+                    for doc_id in pdf["doc_id"]:
+                        w_ = 32 + doc_id % 17
+                        h_ = 24 + doc_id % 13
+                        ys = _np.arange(h_, dtype=_np.int64)[:, None,
+                                                             None]
+                        xs = _np.arange(w_, dtype=_np.int64)[None, :,
+                                                             None]
+                        cs = _np.arange(3, dtype=_np.int64)[None,
+                                                            None, :]
+                        # x*y term breaks row linearity so deflate
+                        # can't trivially flatten the Sub deltas —
+                        # realistic payload sizes, still
+                        # closed-form-checkable
+                        px = ((3 * doc_id + 11 * xs + 19 * ys
+                               + 37 * cs + 5 * xs * ys)
+                              % 256).astype(_np.uint8)
+                        payloads.append(encode_png(px))
+                    yield _pd.DataFrame({
+                        "doc_id": pdf["doc_id"],
+                        "payload": payloads,
+                        "media_type": PNG_MEDIA_TYPE})
+
+            docs = spark.range(n).select(F.col("id").alias("doc_id"))
+            schema = ("doc_id bigint, payload binary, "
+                      "media_type string")
+            # stage payloads to parquet UNTIMED: the system under
+            # test is the decode stage reading files from storage,
+            # not our fixture encoder
+            pq = os.path.join(out, "png_volume.parquet")
+            docs.mapInPandas(gen, schema=schema) \
+                .write.mode("overwrite").parquet(pq)
+            payloads = spark.read.parquet(pq)
+            pay_bytes = payloads.agg(
+                F.sum(F.length("payload"))).collect()[0][0]
+            t_dec = time.time()
+            decoded = decode_image(payloads)
+            row = decoded.agg(
+                F.count("*"),
+                F.sum(F.col("width") * F.col("height") * 3)).collect()
+            dec_wall = time.time() - t_dec
+            cnt, raster_bytes = row[0][0], row[0][1]
+            sample = decode_image(
+                payloads.filter(F.col("doc_id") == 7)).collect()[0]
+            d = 7
+            w_, h_ = 32 + d % 17, 24 + d % 13
+            want_r = sum((3 * d + 11 * x + 19 * y + 5 * x * y) % 256
+                         for x in range(w_) for y in range(h_)
+                         ) / (w_ * h_)
+            assert abs(sample["mean_r"] - want_r) < 1e-9, sample
+            peak = ""
+            try:
+                with urllib.request.urlopen(
+                        f"{meter.base}/executors", timeout=10) as r:
+                    execs = json.load(r)
+                mem = max((e.get("peakMemoryMetrics", {})
+                           .get("JVMHeapMemory", 0)) for e in execs)
+                py = max((e.get("peakMemoryMetrics", {})
+                          .get("ProcessTreePythonRSSMemory", 0))
+                         for e in execs)
+                peak = (f" peak_jvm={mem / 2**30:.2f}GiB"
+                        f" peak_py_rss={py / 2**30:.2f}GiB")
+            except Exception:
+                pass
+            print(f"  decode-only: {dec_wall:.1f}s "
+                  f"{cnt / dec_wall:.0f} rows/s "
+                  f"({cnt / dec_wall / 32:.0f} rows/s/core) "
+                  f"payload={pay_bytes / 2**30:.2f}GiB "
+                  f"raster={raster_bytes / 2**30:.2f}GiB "
+                  f"({raster_bytes / dec_wall / 2**20:.0f} MiB/s "
+                  f"raster){peak}", flush=True)
         elif name == "running_sum_probe":
             # n rows of value 1 sorted by id: running sum must equal
             # id+1 for every row — validates the range-partition +
