@@ -90,8 +90,11 @@ def decode_ppm(payload: bytes) -> tuple[int, int, int, np.ndarray]:
 # Paeth) — any spec-conforming non-interlaced 8-bit gray/RGB/RGBA
 # file decodes, not just our fixtures — including indexed-color
 # (PLTE + optional tRNS, bit depths 1/2/4/8 with big-endian sub-byte
-# unpacking) and 16-bit gray/RGB/RGBA (r9). Adam7 interlace and
-# sub-byte GRAYSCALE depths raise ValueError (declared unsupported,
+# unpacking), 16-bit gray/RGB/RGBA, sub-byte grayscale (spec sample
+# expansion v*255/(2^d-1)), and Adam7 interlace (seven independently
+# filtered passes in one zlib stream, scattered back onto the
+# raster) — all r9. The one remaining declared gap is Adam7 combined
+# with sub-byte depths (packed-bit pass scatter; raises ValueError,
 # not silently wrong).
 
 PNG_MEDIA_TYPE = "image/png"
@@ -173,13 +176,12 @@ def _unfilter_scanline(ftype: int, flt: np.ndarray, prior: np.ndarray,
     return out
 
 
-def _filtered_idat(byte_rows: np.ndarray, bpp: int, filters,
-                   level: int) -> bytes:
-    """Filter + deflate a (h, stride) BYTE matrix into IDAT data.
-    ``filters`` as in encode_png: None = per-row min-abs-sum
-    heuristic, int = fixed type, sequence = per-row types."""
-    import zlib
-
+def _filter_rows(byte_rows: np.ndarray, bpp: int, filters) -> bytes:
+    """Filter a (h, stride) BYTE matrix into raw scanline data (one
+    filter byte + filtered bytes per row). ``filters`` as in
+    encode_png: None = per-row min-abs-sum heuristic, int = fixed
+    type, sequence = per-row types. A caller deflates — Adam7 files
+    concatenate several passes' scanlines into ONE zlib stream."""
     h, stride = byte_rows.shape
     prior = np.zeros(stride, np.int64)
     out_rows = []
@@ -199,17 +201,54 @@ def _filtered_idat(byte_rows: np.ndarray, bpp: int, filters,
             flt = _filter_scanline(ft, raw, prior, bpp)
         out_rows.append(bytes([ft]) + flt.astype(np.uint8).tobytes())
         prior = raw
-    return zlib.compress(b"".join(out_rows), level)
+    return b"".join(out_rows)
 
 
-def encode_png(pixels: np.ndarray, filters=None, level: int = 6) -> bytes:
+def _filtered_idat(byte_rows: np.ndarray, bpp: int, filters,
+                   level: int) -> bytes:
+    import zlib
+
+    return zlib.compress(_filter_rows(byte_rows, bpp, filters), level)
+
+
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per the spec's
+# 8x8 pattern; passes serialize in this order, each as an independent
+# filtered sub-image, all inside one zlib stream.
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _adam7_idat(arr3: np.ndarray, bpp: int, filters,
+                level: int) -> bytes:
+    """Interlaced serialization: extract each Adam7 pass from the
+    (h, w, bpp) byte raster, filter it as an independent sub-image,
+    deflate the concatenation."""
+    import zlib
+
+    h, w = arr3.shape[:2]
+    body = []
+    for x0, y0, xs, ys in _ADAM7:
+        sub = arr3[y0::ys, x0::xs]
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            continue
+        rows = sub.reshape(ph, pw * bpp).astype(np.int64)
+        body.append(_filter_rows(rows, bpp, filters))
+    return zlib.compress(b"".join(body), level)
+
+
+def encode_png(pixels: np.ndarray, filters=None, level: int = 6,
+               interlace: bool = False) -> bytes:
     """PNG writer: (h, w) gray, (h, w, 3) RGB, or (h, w, 4) RGBA ->
-    non-interlaced PNG bytes. uint8 input writes bit depth 8; uint16
-    input writes bit depth 16 (big-endian sample bytes per spec).
-    ``filters`` selects the per-row filter type: None picks per-row
-    by the spec's minimum-sum-of-absolute-differences heuristic (so
-    real encodes naturally mix all five types), an int forces one
-    type for every row, and a sequence gives one type per row."""
+    PNG bytes. uint8 input writes bit depth 8; uint16 input writes
+    bit depth 16 (big-endian sample bytes per spec). ``interlace``
+    writes Adam7 (seven passes, each an independently filtered
+    sub-image in one zlib stream). ``filters`` selects the per-row
+    filter type: None picks per-row by the spec's
+    minimum-sum-of-absolute-differences heuristic (so real encodes
+    naturally mix all five types), an int forces one type for every
+    row, and a sequence gives one type per row (per pass-row when
+    interlaced)."""
     import struct
 
     if pixels.ndim == 2:
@@ -220,14 +259,20 @@ def encode_png(pixels: np.ndarray, filters=None, level: int = 6) -> bytes:
     color_type = {1: 0, 3: 2, 4: 6}[ch]
     if pixels.dtype == np.uint16:
         depth, bpp = 16, 2 * ch
-        byte_rows = np.ascontiguousarray(
+        arr3 = np.ascontiguousarray(
             pixels.reshape(h, w * ch).astype(">u2")
-        ).view(np.uint8).reshape(h, 2 * w * ch).astype(np.int64)
+        ).view(np.uint8).reshape(h, w, 2 * ch)
     else:
         depth, bpp = 8, ch
-        byte_rows = pixels.astype(np.int64).reshape(h, w * ch)
-    idat = _filtered_idat(byte_rows, bpp, filters, level)
-    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
+        arr3 = pixels.astype(np.uint8)
+    if interlace:
+        idat = _adam7_idat(arr3, bpp, filters, level)
+    else:
+        idat = _filtered_idat(
+            arr3.reshape(h, w * bpp).astype(np.int64), bpp, filters,
+            level)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0,
+                       1 if interlace else 0)
     return (_PNG_SIG
             + _png_chunk(b"IHDR", ihdr)
             + _png_chunk(b"IDAT", idat)
@@ -284,8 +329,11 @@ def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
     verifying each CRC-32, concatenates all IDAT chunks into one
     zlib stream, inflates, and reverses the five scanline filters
     (filters operate on BYTES, so bpp is ceil(bits-per-pixel/8) —
-    1 for palette, 2·ch for 16-bit). Raises ValueError on malformed
-    input, bad CRC, Adam7 interlace, or sub-byte grayscale depths
+    1 for palette, 2·ch for 16-bit). Sub-byte grayscale expands by
+    the spec's v*255/(2^d-1); Adam7-interlaced files decode for all
+    byte-aligned formats (each pass unfiltered as an independent
+    sub-image, scattered onto the raster). Raises ValueError on
+    malformed input, bad CRC, or Adam7 combined with sub-byte depth
     (declared unsupported, not silently wrong)."""
     import struct
     import zlib
@@ -322,13 +370,16 @@ def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
     w, h, depth, color_type, comp, flt_method, interlace = ihdr
     if comp != 0 or flt_method != 0:
         raise ValueError("nonstandard compression/filter method")
-    if interlace != 0:
-        raise ValueError("Adam7 interlace not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad interlace method {interlace}")
     if color_type == 3:                       # palette
         if depth not in (1, 2, 4, 8):
             raise ValueError(f"bad palette bit depth {depth}")
         if plte is None:
             raise ValueError("palette image without PLTE chunk")
+        bpp = 1
+        stride = (w * depth + 7) // 8
+    elif color_type == 0 and depth in (1, 2, 4):  # sub-byte gray
         bpp = 1
         stride = (w * depth + 7) // 8
     elif color_type in _PNG_CHANNELS and depth in (8, 16):
@@ -339,26 +390,57 @@ def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
         raise ValueError(
             f"unsupported depth={depth} color_type={color_type}")
     raw = zlib.decompress(b"".join(idat))
-    if len(raw) != h * (1 + stride):
-        raise ValueError(
-            f"inflated size {len(raw)} != {h * (1 + stride)}")
-    flt = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
-    prior = np.zeros(stride, np.int64)
-    rows = []
-    for y in range(h):
-        prior = _unfilter_scanline(
-            int(flt[y, 0]), flt[y, 1:].astype(np.int64), prior, bpp)
-        rows.append(prior)
-    arr = np.stack(rows).astype(np.uint8)      # (h, stride) bytes
+
+    def unfilter(data: bytes, rows: int, rstride: int,
+                 rbpp: int) -> np.ndarray:
+        if len(data) != rows * (1 + rstride):
+            raise ValueError(
+                f"inflated size {len(data)} != {rows * (1 + rstride)}")
+        flt = np.frombuffer(data, dtype=np.uint8).reshape(
+            rows, 1 + rstride)
+        prior = np.zeros(rstride, np.int64)
+        out = []
+        for y in range(rows):
+            prior = _unfilter_scanline(
+                int(flt[y, 0]), flt[y, 1:].astype(np.int64), prior,
+                rbpp)
+            out.append(prior)
+        return np.stack(out).astype(np.uint8) if out else \
+            np.zeros((0, rstride), np.uint8)
+
+    if interlace == 1:
+        if depth < 8:
+            raise ValueError(
+                "Adam7 with sub-byte depth not supported")
+        # seven independently filtered sub-images in one zlib
+        # stream; scatter each pass onto the byte raster
+        arr3 = np.zeros((h, w, bpp), np.uint8)
+        pos_r = 0
+        for x0, y0, xs, ys in _ADAM7:
+            pw = -(-(w - x0) // xs)
+            ph = -(-(h - y0) // ys)
+            if pw <= 0 or ph <= 0:
+                continue
+            pstride = pw * bpp
+            need = ph * (1 + pstride)
+            sub = unfilter(raw[pos_r:pos_r + need], ph, pstride, bpp)
+            pos_r += need
+            arr3[y0::ys, x0::xs] = sub.reshape(ph, pw, bpp)
+        if pos_r != len(raw):
+            raise ValueError("trailing bytes after final Adam7 pass")
+        arr = arr3.reshape(h, stride)
+    else:
+        arr = unfilter(raw, h, stride, bpp)    # (h, stride) bytes
+
+    def unpack_bits(a: np.ndarray) -> np.ndarray:
+        bits = np.unpackbits(a, axis=1)        # big-endian per byte
+        vals = bits[:, :(stride * 8 // depth) * depth]
+        vals = vals.reshape(h, -1, depth)
+        weights = 1 << np.arange(depth - 1, -1, -1)
+        return (vals * weights).sum(axis=2)[:, :w].astype(np.uint8)
+
     if color_type == 3:
-        if depth == 8:
-            idx = arr[:, :w]
-        else:
-            bits = np.unpackbits(arr, axis=1)  # big-endian per byte
-            vals = bits[:, :(stride * 8 // depth) * depth]
-            vals = vals.reshape(h, -1, depth)
-            weights = 1 << np.arange(depth - 1, -1, -1)
-            idx = (vals * weights).sum(axis=2)[:, :w].astype(np.uint8)
+        idx = arr[:, :w] if depth == 8 else unpack_bits(arr)
         if int(idx.max(initial=0)) * 3 >= plte.size:
             raise ValueError("palette index out of range")
         px = plte[idx]                         # (h, w, 3) uint8
@@ -367,6 +449,11 @@ def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
             alpha[:len(trns)] = trns
             px = np.concatenate([px, alpha[idx][:, :, None]], axis=2)
         return w, h, px
+    if color_type == 0 and depth < 8:
+        # spec sample expansion: v * 255/(2^depth - 1), exact ints
+        scale = 255 // ((1 << depth) - 1)
+        return w, h, (unpack_bits(arr) * scale).astype(
+            np.uint8)[:, :, None]
     if depth == 16:
         hi = arr.reshape(h, w * ch, 2).astype(np.uint16)
         px = ((hi[:, :, 0] << 8) | hi[:, :, 1]).reshape(h, w, ch)
@@ -563,13 +650,14 @@ def attach_png_payload(docs: DataFrame) -> DataFrame:
     Sub/Up/Average/Paeth rows occur in the corpus — arithmetic a SQL
     oracle reproduces without touching zlib, while the Spark side
     round-trips genuine compressed files through encode_png /
-    decode_png. The SAME pixels are serialized three ways by
-    doc_id % 3 — truecolor 8-bit, indexed color (PLTE at the
-    narrowest fitting bit depth, exercising sub-byte unpack), and
-    16-bit (v*257 full-range expansion, the decoder's uint16 path +
-    the 16->8 normalization) — so one unchanged oracle pins all
-    three decode paths. Same Arrow-batched shape as
-    attach_ppm_payload."""
+    decode_png. The SAME pixels are serialized four ways by
+    doc_id % 4 — truecolor 8-bit, indexed color (PLTE at the
+    narrowest fitting bit depth, exercising sub-byte unpack), 16-bit
+    (v*257 full-range expansion, the decoder's uint16 path + the
+    16->8 normalization), and Adam7-interlaced truecolor (seven
+    independently filtered passes scattered back onto the raster) —
+    so one unchanged oracle pins all four decode paths. Same
+    Arrow-batched shape as attach_ppm_payload."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -581,7 +669,7 @@ def attach_png_payload(docs: DataFrame) -> DataFrame:
                 cs = np.arange(3, dtype=np.int64)[None, None, :]
                 px = ((3 * doc_id + 11 * xs + 19 * ys + 37 * cs)
                       % 256).astype(np.uint8)
-                variant = doc_id % 3
+                variant = doc_id % 4
                 if variant == 1:
                     colors, inv = np.unique(
                         px.reshape(-1, 3), axis=0, return_inverse=True)
@@ -590,6 +678,8 @@ def attach_png_payload(docs: DataFrame) -> DataFrame:
                 elif variant == 2:
                     payloads.append(encode_png(
                         px.astype(np.uint16) * 257))
+                elif variant == 3:
+                    payloads.append(encode_png(px, interlace=True))
                 else:
                     payloads.append(encode_png(px))
             yield pd.DataFrame({

@@ -798,13 +798,21 @@ def test_png_decoder_rejects_malformed():
     with pytest.raises(ValueError):
         decode_png(good[:-13])                       # truncated: no IEND,
                                                      # dangling partial chunk
-    # interlaced flag set (CRC recomputed so only interlace trips it)
+    # interlace flag on a NON-interlaced body: Adam7 is supported as
+    # of r9, so this now trips the per-pass size accounting rather
+    # than an unsupported-feature guard
     ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
     ch = (struct.pack(">I", 13) + b"IHDR" + ihdr
           + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr)))
     bad = good[:8] + ch + good[8 + 25:]
-    with pytest.raises(ValueError, match="interlace"):
+    with pytest.raises(ValueError, match="inflated size|trailing"):
         decode_png(bad)
+    # a bad interlace METHOD id still has a dedicated guard
+    ihdr7 = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 7)
+    ch7 = (struct.pack(">I", 13) + b"IHDR" + ihdr7
+           + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr7)))
+    with pytest.raises(ValueError, match="interlace"):
+        decode_png(good[:8] + ch7 + good[8 + 25:])
     # 16-bit is now a supported depth, so a 16-bit header over 8-bit
     # sized data must fail on the SIZE check, not the depth check
     ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
@@ -812,12 +820,19 @@ def test_png_decoder_rejects_malformed():
             + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr16)))
     with pytest.raises(ValueError, match="inflated size"):
         decode_png(good[:8] + ch16 + good[8 + 25:])
-    # sub-byte grayscale stays declared-unsupported
+    # sub-byte grayscale is supported as of r9 (fails on size here);
+    # a sub-byte TRUECOLOR depth is illegal per spec and still has
+    # the dedicated guard
     ihdr4 = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
     ch4 = (struct.pack(">I", 13) + b"IHDR" + ihdr4
            + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr4)))
-    with pytest.raises(ValueError, match="unsupported depth"):
+    with pytest.raises(ValueError, match="inflated size"):
         decode_png(good[:8] + ch4 + good[8 + 25:])
+    ihdr4c = struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0)
+    ch4c = (struct.pack(">I", 13) + b"IHDR" + ihdr4c
+            + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr4c)))
+    with pytest.raises(ValueError, match="unsupported depth"):
+        decode_png(good[:8] + ch4c + good[8 + 25:])
     # palette image without a PLTE chunk
     ihdrp = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
     chp = (struct.pack(">I", 13) + b"IHDR" + ihdrp
@@ -1001,3 +1016,60 @@ def test_jl_projection_preserves_pairwise_distance(spark, sf_dir):
     ratio = dy / dx
     assert 0.75 < np.median(ratio) < 1.25   # unbiased estimator
     assert (ratio > 0.25).all() and (ratio < 4.0).all()
+
+
+def test_png_adam7_and_subbyte_gray():
+    """r9 closes the last common PNG gaps: Adam7 interlace (seven
+    independently filtered passes in one zlib stream, scattered back
+    onto the raster — incl. dims < 8 where early passes are empty)
+    and sub-byte grayscale (spec sample expansion v*255/(2^d-1),
+    pinned by a hand-crafted file independent of our encoder)."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from project_2_semantic_similarity_spark.operators.multimodal import (
+        decode_png, encode_png)
+
+    rng = np.random.default_rng(23)
+    for shape, dt in (((21, 13, 3), np.uint8), ((8, 8), np.uint8),
+                      ((3, 5, 4), np.uint8), ((5, 3), np.uint16),
+                      ((1, 1), np.uint8), ((2, 9, 3), np.uint16)):
+        hi = 65536 if dt == np.uint16 else 256
+        px = rng.integers(0, hi, shape, dtype=dt)
+        payload = encode_png(px, interlace=True)
+        assert payload[28] == 1                 # IHDR interlace byte
+        _, _, out = decode_png(payload)
+        want = px[:, :, None] if px.ndim == 2 else px
+        assert np.array_equal(out, want), shape
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+
+    # depth-4 gray 3x2: rows 0x5A 0xF0 -> 5,10,15; 0x01 0x20 -> 0,1,2
+    scan = bytes([0, 0x5A, 0xF0, 0, 0x01, 0x20])
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 4, 0, 0, 0, 0)
+    payload = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(scan))
+               + chunk(b"IEND", b""))
+    _, _, out = decode_png(payload)
+    assert np.array_equal(out[:, :, 0],
+                          np.array([[5, 10, 15], [0, 1, 2]]) * 17)
+    # depth-1 gray: 0b10110000 -> 255,0,255,255
+    scan = bytes([0, 0b10110000])
+    ihdr = struct.pack(">IIBBBBB", 4, 1, 1, 0, 0, 0, 0)
+    payload = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(scan))
+               + chunk(b"IEND", b""))
+    _, _, out = decode_png(payload)
+    assert np.array_equal(out[:, :, 0], np.array([[255, 0, 255, 255]]))
+    # Adam7 + sub-byte stays a declared gap
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 4, 0, 0, 0, 1)
+    payload = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(scan))
+               + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="Adam7"):
+        decode_png(payload)
