@@ -4219,3 +4219,173 @@ def fn_encode_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower(F.hex(F.substring("text", 1, 8).cast("binary")))
         .alias("hex8"),
         F.octet_length("text").cast("bigint").alias("n_bytes"))
+
+
+_Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@query("sql_api_tpch_q6", oracle=_Q6_SQL)
+def sql_api_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change), faithful to spec on
+    this schema: the canonical PREDICATE-PUSHDOWN benchmark — a
+    single lineitem scan where every filter (ship-year range,
+    discount band, quantity cap) reaches the parquet reader as
+    PushedFilters, then one map-side-combinable aggregate. No join,
+    no shuffle beyond the final single-row merge; at 100 TB this is
+    the query whose cost is pure I/O after row-group pruning."""
+    from project_2_semantic_similarity_spark.sources.tables import (
+        register_views)
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q6_SQL)
+
+
+_Q8_SQL = """
+WITH all_nations AS (
+    SELECT extract(year FROM o.o_orderdate) AS o_year,
+           l.l_extendedprice * (1 - l.l_discount) AS volume,
+           n2.n_name AS supp_nation
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n1.n_regionkey
+    JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+    WHERE r.r_name = 'AMERICA'
+      AND p.p_type = 'ECONOMY'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+)
+SELECT CAST(o_year AS BIGINT) AS o_year,
+       round(sum(CASE WHEN supp_nation = 'NATION_7'
+                      THEN volume ELSE 0 END) / sum(volume), 6)
+           AS mkt_share
+FROM all_nations
+GROUP BY o_year
+"""
+
+
+@query("sql_api_tpch_q8", oracle=_Q8_SQL)
+def sql_api_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share), faithful shape: the
+    EIGHT-WAY join (lineitem at the center; part/supplier/orders/
+    customer + nation twice + region) with numerator and denominator
+    from ONE aggregation pass (CASE inside sum). Catalyst broadcasts
+    every dimension (part after the p_type pushdown, supplier,
+    customer, both nation aliases, region), so the only shuffle is
+    the orders⋈lineitem equi-join and the final per-year agg — the
+    plan a 100 TB star schema wants. Spec's BRAZIL/AMERICA/steel
+    becomes NATION_7/AMERICA/ECONOMY on this schema's values."""
+    from project_2_semantic_similarity_spark.sources.tables import (
+        register_views)
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q8_SQL)
+
+
+_Q9_SQL = """
+SELECT n.n_name AS nation,
+       CAST(extract(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)
+                 - 0.6 * p.p_retailprice * l.l_quantity), 4)
+           AS sum_profit
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY n.n_name, extract(year FROM o.o_orderdate)
+"""
+
+
+@query("sql_api_tpch_q9", oracle=_Q9_SQL)
+def sql_api_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product type profit), adapted: this schema has no
+    partsupp, so ps_supplycost becomes a 0.6 x p_retailprice x
+    quantity cost basis — the SHAPE is unchanged: a five-way join
+    pivoting lineitem against part (with the %red% name pushdown),
+    supplier->nation, and orders for the year, then a
+    nation x year profit rollup. part/supplier/nation broadcast;
+    orders⋈lineitem is the one big shuffle; the agg is map-side
+    combinable over ~25 nations x 7 years."""
+    from project_2_semantic_similarity_spark.sources.tables import (
+        register_views)
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q9_SQL)
+
+
+_Q12_SQL = """
+SELECT l.l_returnflag AS ship_class,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY l.l_returnflag
+"""
+
+
+@query("sql_api_tpch_q12", oracle=_Q12_SQL)
+def sql_api_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes and order priority), adapted: no
+    shipmode/commit/receipt columns here, so "late" becomes shipped
+    more than 60 days after the order date (a non-equi residual on
+    the join, like the spec's receipt-vs-commit comparison) and the
+    mode grouping becomes l_returnflag. The SHAPE is Q12's: one
+    orders⋈lineitem equi-join with a date-arithmetic residual, then
+    a two-way conditional count per class from one pass. The ship
+    year pushes into the lineitem scan."""
+    from project_2_semantic_similarity_spark.sources.tables import (
+        register_views)
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q12_SQL)
+
+
+_Q16_SQL = """
+SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part p ON p.p_partkey = ps.l_partkey
+WHERE p.p_brand <> 'Brand#3'
+  AND p.p_type NOT LIKE 'MEDIUM%'
+  AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                           WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+"""
+
+
+@query("sql_api_tpch_q16", oracle=_Q16_SQL)
+def sql_api_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship), adapted: the missing
+    partsupp bridge is rebuilt as SELECT DISTINCT (l_partkey,
+    l_suppkey) FROM lineitem — the same relation Q16 walks. The
+    SHAPE survives intact: brand/type/size anti-filters on part, a
+    NOT IN subquery excluding flagged suppliers (spec: complaint
+    comments; here: negative balance — Catalyst plans it as a
+    null-aware anti join against a broadcast 6-row relation), and a
+    COUNT(DISTINCT supplier) per (brand, type, size). The distinct
+    bridge is one shuffle on (partkey, suppkey); part broadcasts
+    after its selective IN-list pushdown."""
+    from project_2_semantic_similarity_spark.sources.tables import (
+        register_views)
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q16_SQL)

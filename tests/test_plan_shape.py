@@ -582,3 +582,53 @@ def test_tpch_q15_argmax_scalar_and_pushed_quarter(spark, sf_dir):
     assert len(set(re.findall(r"Subquery subquery#(\d+)", plan))) == 1
     assert re.search(r"PushedFilters: \[[^\]]*l_shipdate", plan)
     assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q6_all_filters_pushed_no_join(spark, sf_dir):
+    """Q6 is the canonical pushdown benchmark: every predicate
+    (ship-year range, discount band, quantity cap) must reach the
+    parquet scan, and the plan is scan -> agg, nothing else."""
+    plan = plan_of(spark, "sql_api_tpch_q6", sf_dir)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert re.search(rf"PushedFilters: \[[^\]]*{col}", plan), col
+    assert "Join" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_tpch_q8_star_broadcasts_every_dim(spark, sf_dir):
+    """Q8's eight-way star: part (post p_type pushdown), supplier,
+    customer, both nation aliases and region all broadcast; no
+    sort-merge join; numerator+denominator come out of one agg."""
+    plan = plan_of(spark, "sql_api_tpch_q8", sf_dir)
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 6
+    assert re.search(r"PushedFilters: \[[^\]]*p_type", plan)
+
+
+def test_tpch_q9_name_filter_pushed_dims_broadcast(spark, sf_dir):
+    plan = plan_of(spark, "sql_api_tpch_q9", sf_dir)
+    assert "SortMergeJoin" not in plan
+    assert re.search(r"PushedFilters: \[[^\]]*p_name", plan) \
+        or "StartsWith" in plan or "Contains" in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_tpch_q12_date_residual_single_join(spark, sf_dir):
+    """The 60-day lateness comparison is a RESIDUAL on the orderkey
+    equi-join — the plan must stay a hash join (never nested-loop)
+    with the ship-year pushed to the lineitem scan."""
+    plan = plan_of(spark, "sql_api_tpch_q12", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"PushedFilters: \[[^\]]*l_shipdate", plan)
+
+
+def test_tpch_q16_null_aware_anti_and_distinct_bridge(spark, sf_dir):
+    """NOT IN over a nullable-free subquery must plan as an anti
+    join against the broadcast 6-row supplier exclusion, and the
+    rebuilt partsupp bridge is ONE distinct aggregation."""
+    plan = plan_of(spark, "sql_api_tpch_q16", sf_dir)
+    assert "LeftAnti" in plan
+    assert re.search(r"PushedFilters: \[[^\]]*p_size", plan) \
+        or "In(p_size" in plan
+    assert "CartesianProduct" not in plan
