@@ -232,3 +232,52 @@ def test_avi_mjpeg_roundtrip_and_structure():
         parse_avi_mjpeg(avi[:40])
     with pytest.raises(ValueError):
         encode_avi_mjpeg([])
+
+
+def test_progressive_restart_intervals_hand_built():
+    """Progressive scans honor DRI too (G.1.2: RSTn resets the DC
+    predictor AND the EOB run). Our progressive encoder never emits
+    restarts, so this hand-assembles a DC-only SOF2 file (a valid
+    progressive file may stop after any scan; uncoded AC stays zero)
+    with DRI=2 and checks the decoder reproduces the tiles — a
+    missed predictor reset corrupts every block after the first
+    marker."""
+    from project_2_semantic_similarity_spark.operators.jpeg import (
+        _BitWriter,
+        _DC_SYMBOLS,
+        _fixed_table,
+        _huff_from_spec,
+        _mag_category,
+        _seg,
+    )
+
+    tiles = np.array([[8, 250, 99, 31, 170, 2]], dtype=np.uint8)
+    img = _const_tiles(tiles)                  # 8x48: 6 MCUs
+    dc_bits, dc_vals = _fixed_table(_DC_SYMBOLS)
+    dc_t = _huff_from_spec(bytes(dc_bits) + bytes(dc_vals))
+
+    bw = _BitWriter()
+    pred = 0
+    for i, v in enumerate(tiles[0]):
+        if i and i % 2 == 0:                   # DRI = 2
+            bw.raw_marker(0xD0 + (i // 2 - 1) % 8)
+            pred = 0
+        dc = 8 * (int(v) - 128)                # q=1 DC of constant blk
+        diff = dc - pred
+        pred = dc
+        s = _mag_category(diff)
+        code, ln = dc_t.encode[s]
+        bw.put(code, ln)
+        if s:
+            bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+
+    dqt = _seg(0xDB, bytes([0]) + bytes([1] * 64))
+    sof = _seg(0xC2, struct.pack(">BHHB", 8, 8, 48, 1) + bytes([1, 0x11, 0]))
+    dht = _seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+    dri = _seg(0xDD, struct.pack(">H", 2))
+    sos = _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00]))
+    payload = (b"\xFF\xD8" + dqt + sof + dht + dri + sos
+               + bw.flush() + b"\xFF\xD9")
+    w, h, px = decode_jpeg(payload)
+    assert (w, h) == (48, 8)
+    assert np.array_equal(px[:, :, 0], img)
