@@ -40,6 +40,22 @@ FEATURE_DIM = 8
 PPM_MEDIA_TYPE = "image/x-portable-pixmap"
 
 
+def _spread_ids(docs: DataFrame) -> DataFrame:
+    """Rebalance a bare doc_id relation across the session's cores
+    before a CPU-heavy Arrow codec stage. Bench/test inputs are
+    single-row-group parquet — ONE task no matter the split config,
+    so 5000 docs of encode+decode ran single-core (the r9 sweep's
+    9.8 s multimodal_frame_sample reading). The exchange moves one
+    long column round-robin, never payload bytes; at 100 TB the
+    file count already provides this parallelism and the rebalance
+    collapses to a cheap no-op pass-through."""
+    ids = docs.select("doc_id")
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if ids.rdd.getNumPartitions() >= target:
+        return ids
+    return ids.repartition(target)
+
+
 def encode_ppm(pixels: np.ndarray, maxval: int = 255) -> bytes:
     """P6 writer: (h, w, 3) uint8 array -> binary PPM bytes."""
     if pixels.ndim != 3 or pixels.shape[2] != 3:
@@ -552,7 +568,7 @@ def attach_wav_payload(docs: DataFrame) -> DataFrame:
                 "media_type": WAV_MEDIA_TYPE,
             })
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_ids(docs).mapInPandas(
         gen, schema="doc_id bigint, payload binary, media_type string")
 
 
@@ -638,7 +654,7 @@ def attach_ppm_payload(docs: DataFrame) -> DataFrame:
                 "media_type": PPM_MEDIA_TYPE,
             })
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_ids(docs).mapInPandas(
         gen, schema="doc_id bigint, payload binary, media_type string")
 
 
@@ -688,7 +704,7 @@ def attach_png_payload(docs: DataFrame) -> DataFrame:
                 "media_type": PNG_MEDIA_TYPE,
             })
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_ids(docs).mapInPandas(
         gen, schema="doc_id bigint, payload binary, media_type string")
 
 
@@ -729,7 +745,7 @@ def attach_jpeg_payload(docs: DataFrame) -> DataFrame:
                 "media_type": JPEG_MEDIA_TYPE,
             })
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_ids(docs).mapInPandas(
         gen, schema="doc_id bigint, payload binary, media_type string")
 
 
@@ -762,7 +778,7 @@ def attach_jpeg_progressive_payload(docs: DataFrame) -> DataFrame:
                 "media_type": JPEG_MEDIA_TYPE,
             })
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_ids(docs).mapInPandas(
         gen, schema="doc_id bigint, payload binary, media_type string")
 
 
@@ -1109,7 +1125,7 @@ def attach_avi_payload(docs: DataFrame) -> DataFrame:
                 "media_type": AVI_MEDIA_TYPE,
             })
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_ids(docs).mapInPandas(
         gen, schema="doc_id bigint, payload binary, media_type string")
 
 

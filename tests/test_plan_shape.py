@@ -537,14 +537,23 @@ def test_decay_score_is_single_agg_pass(spark, sf_dir):
 
 def test_codec_decode_queries_are_shuffle_free_narrow_maps(spark, sf_dir):
     """The multimodal decode/resize family's scale claim: one
-    Arrow-batched mapInPandas stage over the binary column, zero
-    exchange — decompression parallelism is partition-wide and
-    nothing but the small decoded relation leaves the stage."""
+    Arrow-batched mapInPandas stage with NO payload shuffle — the
+    only permissible exchange is the round-robin rebalance of the
+    bare doc_id column (_spread_ids: single-row-group bench inputs
+    would otherwise run the whole codec stage on one core; at scale
+    the file count provides the parallelism and payloads still never
+    cross the wire)."""
     for name in ("multimodal_decode_png", "multimodal_decode_jpeg",
-                 "multimodal_thumbnail"):
+                 "multimodal_frame_sample", "multimodal_thumbnail"):
         plan = plan_of(spark, name, sf_dir)
-        assert "Exchange" not in plan, name
+        assert "Exchange hashpartitioning" not in plan, name
+        assert "Exchange rangepartitioning" not in plan, name
+        assert plan.count("Exchange roundrobinpartitioning") <= 1, name
         assert "MapInPandas" in plan, name
+        # the exchange carries doc_id alone, never payload bytes
+        for ln in plan.splitlines():
+            if "Exchange roundrobinpartitioning" in ln:
+                assert "payload" not in ln, (name, ln)
 
 
 def test_tpch_q17_decorrelates_to_agg_joinback(spark, sf_dir):
