@@ -316,3 +316,72 @@ def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ranked.crossJoin(F.broadcast(cap))
             .filter(F.col("rn") <= F.col("cap"))
             .select("doc_id", "lang"))
+
+
+_CTX_WINDOW = 512  # tokens per packed context window
+
+
+@query(
+    "corpus_pack_context_windows",
+    oracle=f"""
+WITH counted AS (
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                t -> t <> '')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+c AS (
+    SELECT doc_id, n_tokens,
+           sum(n_tokens) OVER (ORDER BY doc_id) AS cum
+    FROM counted
+)
+SELECT doc_id, n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS start_offset,
+       CAST((cum - n_tokens) // {_CTX_WINDOW} AS BIGINT) AS window_id,
+       CAST((cum - n_tokens) % {_CTX_WINDOW} AS BIGINT) AS window_offset,
+       CAST(CASE WHEN n_tokens = 0 THEN 0
+                 ELSE (cum - 1) // {_CTX_WINDOW}
+                      - (cum - n_tokens) // {_CTX_WINDOW} + 1 END
+            AS BIGINT) AS n_windows_spanned
+FROM c
+""",
+)
+def corpus_pack_context_windows(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """SEQUENCE PACKING — the canonical pretraining step the corpus
+    family still lacked: concatenate the corpus into one token
+    stream (deterministic doc_id order) and cut fixed
+    512-token context windows; each document learns its global
+    start offset, first window id, offset inside that window, and
+    how many windows it spans (documents DO cross window boundaries,
+    as in real packed pretraining batches).
+
+    The global token offset is the textbook scale trap — a naive
+    cumulative-sum window over the whole corpus is a
+    single-partition sort. This reuses with_global_running_sum
+    (operators/rank.py): range-partition by doc_id, per-partition
+    running sums, and a BROADCAST metadata-sized offset table — one
+    range shuffle total, the same machinery running_sum_probe pins
+    at 5M rows. Integer token counts make the cumsum
+    association-free, so the DuckDB oracle's sequential window sum
+    lands bit-identically."""
+    from project_2_semantic_similarity_spark.functions.text_analysis import (
+        n_tokens)
+    from project_2_semantic_similarity_spark.operators.rank import (
+        with_global_running_sum)
+
+    docs = load_table(spark, sf_dir, "documents")
+    counted = docs.select(
+        "doc_id", n_tokens(F.col("text")).alias("n_tokens"))
+    c = with_global_running_sum(
+        counted, [F.col("doc_id").asc()], "n_tokens", sum_col="cum")
+    start = F.col("cum") - F.col("n_tokens")
+    return c.select(
+        "doc_id", "n_tokens",
+        start.cast("long").alias("start_offset"),
+        F.floor(start / _CTX_WINDOW).cast("long").alias("window_id"),
+        (start % _CTX_WINDOW).cast("long").alias("window_offset"),
+        F.when(F.col("n_tokens") == 0, F.lit(0)).otherwise(
+            F.floor((F.col("cum") - 1) / _CTX_WINDOW)
+            - F.floor(start / _CTX_WINDOW) + 1
+        ).cast("long").alias("n_windows_spanned"))

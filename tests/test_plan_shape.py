@@ -641,3 +641,20 @@ def test_tpch_q16_null_aware_anti_and_distinct_bridge(spark, sf_dir):
     assert re.search(r"PushedFilters: \[[^\]]*p_size", plan) \
         or "In(p_size" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pack_context_windows_no_single_partition_sort(spark, sf_dir):
+    """The global token cumsum must come from the range-partition +
+    broadcast-offsets machinery — a data-sized Exchange
+    SinglePartition (the naive global window) is the scale bug this
+    op exists to avoid. The only SinglePartition allowed is the
+    metadata-sized per-partition offset table (≤ shuffle.partitions
+    rows)."""
+    plan = plan_of(spark, "corpus_pack_context_windows", sf_dir)
+    assert "Exchange rangepartitioning" in plan
+    # the offsets table aggregates per partition id BEFORE its
+    # single-partition window — the data-sized relation never sees one
+    for i, ln in enumerate(plan.splitlines()):
+        if "Exchange SinglePartition" in ln:
+            tail = "\n".join(plan.splitlines()[i:i + 6])
+            assert "HashAggregate" in tail or "hashpartitioning" in tail
