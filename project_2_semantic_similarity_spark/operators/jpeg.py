@@ -453,17 +453,23 @@ class _ProgACWriter:
         buffered behind the next emitted symbol or the EOB run."""
         band = [int(v) for v in zz[ss:se + 1]]
         absv = [abs(v) >> al for v in band]
+        # last newly-nonzero position: zero runs beyond it fold into
+        # the EOB run instead of ZRLs (T.81 G.1.2.3 note)
+        eob_idx = max((i for i, a in enumerate(absv) if a == 1),
+                      default=-1)
         run = 0
         pend: list[int] = []
         for i, a in enumerate(absv):
             if a == 0:
                 run += 1
                 continue
-            if a > 1:
-                pend.append(a & 1)
-                continue
-            # newly nonzero at this approximation level
-            while run >= 16:
+            # ZRLs are due when REACHING any nonzero coefficient with
+            # 16+ zero-history positions pending — including a
+            # correction-only (a > 1) coefficient. Emitting them only
+            # at newly-nonzero positions flushed correction bits the
+            # decoder hadn't walked to yet (found by the hypothesis
+            # differential: band ..corr, 22 zeros, corr, new..).
+            while run >= 16 and i <= eob_idx:
                 self.flush_eob()
                 code, ln = self.ac.encode[0xF0]
                 self.bw.put(code, ln)
@@ -471,6 +477,10 @@ class _ProgACWriter:
                 for b in pend:
                     self.bw.put(b, 1)
                 pend = []
+            if a > 1:
+                pend.append(a & 1)
+                continue
+            # newly nonzero at this approximation level
             self.flush_eob()
             code, ln = self.ac.encode[(run << 4) | 1]
             self.bw.put(code, ln)

@@ -1,0 +1,232 @@
+"""Property-based tests for the r9 codec + tokenizer surfaces —
+pure numpy/duckdb, no Spark session, so hypothesis can afford real
+example counts:
+
+- PNG: every (dims, channels, dtype, interlace) combination
+  round-trips bit-exactly, including sub-8px images where most
+  Adam7 passes are empty; palette images round-trip through the
+  narrowest fitting bit depth.
+- JPEG: a progressive (SOF2) encoding decodes to EXACTLY the same
+  pixels as the baseline encoding of the same input — the full
+  Annex-G scan script restores every coefficient bit, so any
+  EOB-run/refinement/band bug shows as a pixel diff.
+- MJPEG-AVI: container round-trip preserves frame count, dims, fps,
+  and per-frame decoded pixels.
+- BPE: the DuckDB RECURSIVE single-replace oracle (generated from
+  BPE_MERGES) agrees with an independent pure-Python left-fold on
+  arbitrary words over the merge alphabet — pinning the oracle
+  GENERATOR, not just the fixture vocabulary.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 17),
+    w=st.integers(1, 17),
+    ch=st.sampled_from([1, 3, 4]),
+    wide=st.booleans(),
+    interlace=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_property(h, w, ch, wide, interlace, seed):
+    from project_2_semantic_similarity_spark.operators.multimodal import (
+        decode_png, encode_png)
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if ch == 1 else (h, w, ch)
+    dt = np.uint16 if wide else np.uint8
+    px = rng.integers(0, 65536 if wide else 256, shape, dtype=dt)
+    _, _, out = decode_png(encode_png(px, interlace=interlace))
+    want = px[:, :, None] if px.ndim == 2 else px
+    assert out.dtype == dt
+    assert np.array_equal(out, want)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    n=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_palette_roundtrip_property(h, w, n, seed):
+    from project_2_semantic_similarity_spark.operators.multimodal import (
+        decode_png, encode_png_palette)
+
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+    idx = rng.integers(0, n, (h, w), dtype=np.uint8)
+    _, _, out = decode_png(encode_png_palette(idx, pal))
+    assert np.array_equal(out, pal[idx])
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    color=st.booleans(),
+    subsample=st.booleans(),
+    quality=st.integers(50, 100),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_progressive_equals_baseline_property(
+        h, w, color, subsample, quality, seed):
+    from project_2_semantic_similarity_spark.operators.jpeg import (
+        decode_jpeg, encode_jpeg, encode_jpeg_progressive)
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if color else (h, w)
+    sub = subsample and color
+    px = rng.integers(0, 256, shape, dtype=np.uint8)
+    _, _, base = decode_jpeg(encode_jpeg(px, quality=quality,
+                                         subsample=sub))
+    _, _, prog = decode_jpeg(encode_jpeg_progressive(
+        px, quality=quality, subsample=sub))
+    assert np.array_equal(base, prog)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    n=st.integers(1, 6),
+    h=st.integers(8, 24),
+    w=st.integers(8, 24),
+    fps=st.integers(1, 60),
+    progressive=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_avi_roundtrip_property(n, h, w, fps, progressive, seed):
+    from project_2_semantic_similarity_spark.operators.jpeg import (
+        decode_jpeg)
+    from project_2_semantic_similarity_spark.operators.multimodal import (
+        encode_avi_mjpeg, parse_avi_mjpeg)
+
+    rng = np.random.default_rng(seed)
+    frames = [rng.integers(0, 256, (h, w), dtype=np.uint8)
+              for _ in range(n)]
+    gw, gh, gfps, jpegs = parse_avi_mjpeg(
+        encode_avi_mjpeg(frames, fps=fps, progressive=progressive))
+    assert (gw, gh, gfps, len(jpegs)) == (w, h, fps, n)
+    for f, j in zip(frames, jpegs):
+        _, _, px = decode_jpeg(j)
+        assert np.abs(px[:, :, 0].astype(int)
+                      - f.astype(int)).max() <= 1
+
+
+_BPE_ALPHABET = "tablevuriscownhdkqfy"
+
+
+def _python_fold(word: str, merges) -> list[str]:
+    syms = list(word)
+    for a, b in merges:
+        out: list[str] = []
+        for x in syms:
+            if out and out[-1] == a and x == b:
+                out[-1] = a + b
+            else:
+                out.append(x)
+        syms = out
+    return syms
+
+
+@settings(max_examples=25, deadline=None)
+@given(words=st.lists(
+    st.text(alphabet=_BPE_ALPHABET, min_size=1, max_size=14),
+    min_size=1, max_size=12))
+def test_bpe_duckdb_oracle_matches_python_fold(words):
+    """The recursive single-replace CTE that every BPE oracle embeds
+    must equal the left-fold on ARBITRARY words, not just the
+    fixture vocabulary — merge chains, repeats ('tata'), and words
+    created by concatenating merge outputs all land here."""
+    import duckdb
+
+    from project_2_semantic_similarity_spark.operators.text import (
+        BPE_MERGES, bpe_merges_values_sql)
+
+    n = len(BPE_MERGES)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE w (word VARCHAR)")
+    con.executemany("INSERT INTO w VALUES (?)",
+                    [(w,) for w in set(words)])
+    rows = con.execute(f"""
+WITH RECURSIVE merges(rank, pat, rep) AS (
+    VALUES {bpe_merges_values_sql()}
+),
+seed AS (
+    SELECT word, 1 AS rank,
+           ' ' || array_to_string(
+               list_transform(range(length(word)),
+                              i -> substr(word, CAST(i + 1 AS INT), 1)),
+               ' ') || ' ' AS s
+    FROM w
+),
+bpe AS (
+    SELECT * FROM seed
+    UNION ALL
+    SELECT b.word,
+           CASE WHEN strpos(b.s, m.pat) > 0
+                THEN b.rank ELSE b.rank + 1 END,
+           CASE WHEN strpos(b.s, m.pat) > 0
+                THEN substr(b.s, 1, strpos(b.s, m.pat) - 1) || m.rep
+                     || substr(b.s, strpos(b.s, m.pat) + length(m.pat))
+                ELSE b.s END
+    FROM bpe b JOIN merges m ON m.rank = b.rank
+    WHERE b.rank <= {n}
+)
+SELECT word, list_filter(string_split(trim(s, ' '), ' '),
+                         x -> x <> '') AS toks
+FROM bpe WHERE rank = {n + 1}
+""").fetchall()
+    got = {w: list(t) for w, t in rows}
+    for w in set(words):
+        assert got[w] == _python_fold(w, BPE_MERGES), w
+
+
+def test_bpe_merge_table_wellformed():
+    """Structural invariant that makes rank-ordered application equal
+    greedy min-rank BPE: every merge input is a single character or
+    the output of a strictly earlier rank."""
+    from project_2_semantic_similarity_spark.operators.text import (
+        BPE_MERGES)
+
+    known: set[str] = set()
+    for a, b in BPE_MERGES:
+        for s in (a, b):
+            assert len(s) == 1 or s in known, (a, b)
+        known.add(a + b)
+    # no duplicate merge outputs (a duplicate would shadow a rank)
+    assert len({a + b for a, b in BPE_MERGES}) == len(BPE_MERGES)
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_png_subbyte_gray_expansion_exact(depth):
+    """Sample expansion v*255/(2^d-1) is exact integer scaling."""
+    import struct
+    import zlib
+
+    from project_2_semantic_similarity_spark.operators.multimodal import (
+        decode_png)
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+
+    per = 8 // depth
+    maxv = (1 << depth) - 1
+    vals = [i % (maxv + 1) for i in range(per)]
+    packed = 0
+    for i, v in enumerate(vals):
+        packed |= v << (8 - (i + 1) * depth)
+    scan = bytes([0, packed])
+    ihdr = struct.pack(">IIBBBBB", per, 1, depth, 0, 0, 0, 0)
+    payload = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(scan))
+               + chunk(b"IEND", b""))
+    _, _, out = decode_png(payload)
+    scale = 255 // maxv
+    assert np.array_equal(out[0, :, 0], np.array(vals) * scale)
