@@ -109,9 +109,9 @@ def decode_ppm(payload: bytes) -> tuple[int, int, int, np.ndarray]:
 # unpacking), 16-bit gray/RGB/RGBA, sub-byte grayscale (spec sample
 # expansion v*255/(2^d-1)), and Adam7 interlace (seven independently
 # filtered passes in one zlib stream, scattered back onto the
-# raster) — all r9. The one remaining declared gap is Adam7 combined
-# with sub-byte depths (packed-bit pass scatter; raises ValueError,
-# not silently wrong).
+# raster, including sub-byte passes where each pass re-packs its own
+# rows) — all r9. Every depth/color/interlace combination the spec
+# allows now decodes.
 
 PNG_MEDIA_TYPE = "image/png"
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -295,16 +295,35 @@ def encode_png(pixels: np.ndarray, filters=None, level: int = 6,
             + _png_chunk(b"IEND", b""))
 
 
+def _pack_indices(idx: np.ndarray, depth: int) -> np.ndarray:
+    """(h, w) sample values -> (h, stride) packed byte rows at the
+    given bit depth, big-endian-first within each byte, rows padded
+    to byte boundaries (the spec's serialization)."""
+    h, w = idx.shape
+    if depth == 8:
+        return idx.astype(np.int64)
+    per = 8 // depth                           # samples per byte
+    padded = np.zeros((h, -(-w // per) * per), np.uint8)
+    padded[:, :w] = idx
+    vals = padded.reshape(h, -1, per)
+    shifts = np.arange(per - 1, -1, -1) * depth
+    return (vals.astype(np.int64) << shifts).sum(axis=2)
+
+
 def encode_png_palette(indices: np.ndarray, palette: np.ndarray,
                        depth: int | None = None, trns=None,
-                       filters=None, level: int = 6) -> bytes:
+                       filters=None, level: int = 6,
+                       interlace: bool = False) -> bytes:
     """Indexed-color PNG writer: (h, w) palette indices + (n, 3)
     uint8 palette -> color-type-3 PNG at bit depth 1/2/4/8 (default:
     narrowest depth that fits the palette). Sub-byte depths pack
     indices big-endian-first within each byte, rows padded to byte
     boundaries, exactly as the spec's serialization; filters run on
-    the PACKED bytes with bpp=1. ``trns`` adds per-entry alpha."""
+    the PACKED bytes with bpp=1. ``interlace`` writes Adam7 — each
+    pass packs and filters its OWN rows (pass rows re-pad to byte
+    boundaries per spec). ``trns`` adds per-entry alpha."""
     import struct
+    import zlib
 
     palette = np.asarray(palette, np.uint8)
     if palette.ndim != 2 or palette.shape[1] != 3 or not len(palette):
@@ -318,17 +337,20 @@ def encode_png_palette(indices: np.ndarray, palette: np.ndarray,
     if idx.max(initial=0) >= n:
         raise ValueError("palette index out of range")
     h, w = idx.shape
-    if depth == 8:
-        byte_rows = idx.astype(np.int64)
+    if interlace:
+        body = []
+        for x0, y0, xs, ys in _ADAM7:
+            sub = idx[y0::ys, x0::xs]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            body.append(_filter_rows(_pack_indices(sub, depth), 1,
+                                     filters))
+        idat = zlib.compress(b"".join(body), level)
     else:
-        per = 8 // depth                       # indices per byte
-        padded = np.zeros((h, -(-w // per) * per), np.uint8)
-        padded[:, :w] = idx
-        vals = padded.reshape(h, -1, per)
-        shifts = np.arange(per - 1, -1, -1) * depth
-        byte_rows = (vals.astype(np.int64) << shifts).sum(axis=2)
-    idat = _filtered_idat(byte_rows, 1, filters, level)
-    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+        idat = _filtered_idat(_pack_indices(idx, depth), 1, filters,
+                              level)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0,
+                       1 if interlace else 0)
     out = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
            + _png_chunk(b"PLTE", palette.tobytes()))
     if trns is not None:
@@ -424,39 +446,52 @@ def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
         return np.stack(out).astype(np.uint8) if out else \
             np.zeros((0, rstride), np.uint8)
 
+    def unpack_bits(a: np.ndarray, width: int) -> np.ndarray:
+        """Packed sub-byte samples -> per-pixel values, big-endian
+        within each byte, rows padded to byte boundaries."""
+        pstride = a.shape[1]
+        bits = np.unpackbits(a, axis=1)        # big-endian per byte
+        vals = bits[:, :(pstride * 8 // depth) * depth]
+        vals = vals.reshape(a.shape[0], -1, depth)
+        weights = 1 << np.arange(depth - 1, -1, -1)
+        return (vals * weights).sum(axis=2)[:, :width].astype(np.uint8)
+
+    packed_vals = None                         # (h, w) for depth < 8
     if interlace == 1:
-        if depth < 8:
-            raise ValueError(
-                "Adam7 with sub-byte depth not supported")
         # seven independently filtered sub-images in one zlib
-        # stream; scatter each pass onto the byte raster
-        arr3 = np.zeros((h, w, bpp), np.uint8)
+        # stream; scatter each pass onto the raster — bytes for
+        # byte-aligned formats, unpacked sample VALUES for sub-byte
+        # depths (each pass packs its own rows, so bits can't
+        # scatter directly)
+        if depth < 8:
+            packed_vals = np.zeros((h, w), np.uint8)
+        else:
+            arr3 = np.zeros((h, w, bpp), np.uint8)
         pos_r = 0
         for x0, y0, xs, ys in _ADAM7:
             pw = -(-(w - x0) // xs)
             ph = -(-(h - y0) // ys)
             if pw <= 0 or ph <= 0:
                 continue
-            pstride = pw * bpp
+            pstride = (pw * depth + 7) // 8 if depth < 8 else pw * bpp
             need = ph * (1 + pstride)
             sub = unfilter(raw[pos_r:pos_r + need], ph, pstride, bpp)
             pos_r += need
-            arr3[y0::ys, x0::xs] = sub.reshape(ph, pw, bpp)
+            if depth < 8:
+                packed_vals[y0::ys, x0::xs] = unpack_bits(sub, pw)
+            else:
+                arr3[y0::ys, x0::xs] = sub.reshape(ph, pw, bpp)
         if pos_r != len(raw):
             raise ValueError("trailing bytes after final Adam7 pass")
-        arr = arr3.reshape(h, stride)
+        if depth >= 8:
+            arr = arr3.reshape(h, stride)
     else:
         arr = unfilter(raw, h, stride, bpp)    # (h, stride) bytes
-
-    def unpack_bits(a: np.ndarray) -> np.ndarray:
-        bits = np.unpackbits(a, axis=1)        # big-endian per byte
-        vals = bits[:, :(stride * 8 // depth) * depth]
-        vals = vals.reshape(h, -1, depth)
-        weights = 1 << np.arange(depth - 1, -1, -1)
-        return (vals * weights).sum(axis=2)[:, :w].astype(np.uint8)
+        if depth < 8:
+            packed_vals = unpack_bits(arr, w)
 
     if color_type == 3:
-        idx = arr[:, :w] if depth == 8 else unpack_bits(arr)
+        idx = arr[:, :w] if depth == 8 else packed_vals
         if int(idx.max(initial=0)) * 3 >= plte.size:
             raise ValueError("palette index out of range")
         px = plte[idx]                         # (h, w, 3) uint8
@@ -468,7 +503,7 @@ def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
     if color_type == 0 and depth < 8:
         # spec sample expansion: v * 255/(2^depth - 1), exact ints
         scale = 255 // ((1 << depth) - 1)
-        return w, h, (unpack_bits(arr) * scale).astype(
+        return w, h, (packed_vals * scale).astype(
             np.uint8)[:, :, None]
     if depth == 16:
         hi = arr.reshape(h, w * ch, 2).astype(np.uint16)

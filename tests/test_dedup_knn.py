@@ -1066,10 +1066,22 @@ def test_png_adam7_and_subbyte_gray():
                + chunk(b"IEND", b""))
     _, _, out = decode_png(payload)
     assert np.array_equal(out[:, :, 0], np.array([[255, 0, 255, 255]]))
-    # Adam7 + sub-byte stays a declared gap
+    # Adam7 + sub-byte decodes too (r9 closed the last combo):
+    # palette depth-2 interlaced round-trip, incl. sub-8px dims
+    from project_2_semantic_similarity_spark.operators.multimodal import (
+        encode_png_palette)
+
+    rng2 = np.random.default_rng(29)
+    pal = rng2.integers(0, 256, (4, 3), dtype=np.uint8)
+    idx = rng2.integers(0, 4, (5, 11), dtype=np.uint8)
+    payload = encode_png_palette(idx, pal, depth=2, interlace=True)
+    assert payload[28] == 1
+    _, _, out = decode_png(payload)
+    assert np.array_equal(out, pal[idx])
+    # interlace flag with non-interlaced sub-byte data still errors
     ihdr = struct.pack(">IIBBBBB", 3, 2, 4, 0, 0, 0, 1)
     payload = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
                + chunk(b"IDAT", zlib.compress(scan))
                + chunk(b"IEND", b""))
-    with pytest.raises(ValueError, match="Adam7"):
+    with pytest.raises(ValueError, match="inflated size|trailing"):
         decode_png(payload)

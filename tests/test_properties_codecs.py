@@ -53,16 +53,18 @@ def test_png_roundtrip_property(h, w, ch, wide, interlace, seed):
     h=st.integers(1, 12),
     w=st.integers(1, 12),
     n=st.integers(1, 40),
+    interlace=st.booleans(),
     seed=st.integers(0, 2**31 - 1),
 )
-def test_png_palette_roundtrip_property(h, w, n, seed):
+def test_png_palette_roundtrip_property(h, w, n, interlace, seed):
     from project_2_semantic_similarity_spark.operators.multimodal import (
         decode_png, encode_png_palette)
 
     rng = np.random.default_rng(seed)
     pal = rng.integers(0, 256, (n, 3), dtype=np.uint8)
     idx = rng.integers(0, n, (h, w), dtype=np.uint8)
-    _, _, out = decode_png(encode_png_palette(idx, pal))
+    _, _, out = decode_png(encode_png_palette(idx, pal,
+                                              interlace=interlace))
     assert np.array_equal(out, pal[idx])
 
 
