@@ -1045,12 +1045,16 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge relation is built once and persisted (keyed_persist slot),
     then drives all three join legs.
 
-    Scale: the wedge join is the quadratic term — Sum(deg^2). At
-    100 TB orient edges low-degree -> high-degree first (count each
-    wedge at its lowest-degree endpoint; Suri & Vassilvitskii,
-    WWW'11) — same joins, bounded wedge volume; the canonical
-    orientation here is the exact baseline the oracle can mirror.
-    Top-20 rides TakeOrderedAndProject."""
+    Scale (implemented r9, was documented-only before): edges
+    re-orient LOW-degree -> HIGH-degree endpoint (ties by id) before
+    the wedge join — Suri & Vassilvitskii's (WWW'11) bound: each
+    wedge is counted at its lowest-degree corner, so wedge volume is
+    Sum(out_deg^2) with out_deg <= O(sqrt(m)) instead of Sum(deg^2)
+    on the hub nodes. Every triangle still materializes exactly once
+    (its minimum-order corner has out-edges to the other two, whose
+    closing edge carries the same orientation). The degree relation
+    is node-sized and broadcasts. Top-20 rides
+    TakeOrderedAndProject."""
     from project_2_semantic_similarity_spark.operators.cache import (
         keyed_persist)
 
@@ -1058,20 +1062,40 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         li = (load_table(spark, sf_dir, "lineitem")
               .select("l_orderkey", "l_partkey"))
         a, b = li.alias("a"), li.alias("b")
-        return (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                       & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-                .select(F.col("a.l_partkey").alias("p1"),
-                        F.col("b.l_partkey").alias("p2"))
-                .distinct())
+        pairs = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                        & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+                 .select(F.col("a.l_partkey").alias("p1"),
+                         F.col("b.l_partkey").alias("p2"))
+                 .distinct())
+        deg = (pairs.select(F.col("p1").alias("n"))
+               .unionAll(pairs.select(F.col("p2").alias("n")))
+               .groupBy("n").agg(F.count("*").alias("deg")))
+        d1 = F.broadcast(deg).alias("d1")
+        d2 = F.broadcast(deg).alias("d2")
+        keyed = (pairs.join(d1, F.col("p1") == F.col("d1.n"))
+                 .join(d2, F.col("p2") == F.col("d2.n"))
+                 .select("p1", "p2",
+                         F.col("d1.deg").alias("g1"),
+                         F.col("d2.deg").alias("g2")))
+        fwd = (F.col("g1") < F.col("g2")) | (
+            (F.col("g1") == F.col("g2")) & (F.col("p1") < F.col("p2")))
+        return keyed.select(
+            F.when(fwd, F.col("p1")).otherwise(F.col("p2")).alias("src"),
+            F.when(fwd, F.col("p2")).otherwise(F.col("p1")).alias("dst"),
+            F.when(fwd, F.col("g2")).otherwise(F.col("g1")).alias("gdst"))
 
-    pairs = keyed_persist("triangle_edges", sf_dir, build)
-    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
-    tri = (e1.join(e2, F.col("e2.p1") == F.col("e1.p2"))
-           .join(e3, (F.col("e3.p1") == F.col("e1.p1"))
-                 & (F.col("e3.p2") == F.col("e2.p2")))
-           .select(F.col("e1.p1").alias("a"),
-                   F.col("e1.p2").alias("b"),
-                   F.col("e2.p2").alias("c")))
+    oriented = keyed_persist("triangle_edges", sf_dir, build)
+    e1, e2, e3 = (oriented.alias("e1"), oriented.alias("e2"),
+                  oriented.alias("e3"))
+    lt = (F.col("e1.gdst") < F.col("e2.gdst")) | (
+        (F.col("e1.gdst") == F.col("e2.gdst"))
+        & (F.col("e1.dst") < F.col("e2.dst")))
+    tri = (e1.join(e2, (F.col("e2.src") == F.col("e1.src")) & lt)
+           .join(e3, (F.col("e3.src") == F.col("e1.dst"))
+                 & (F.col("e3.dst") == F.col("e2.dst")))
+           .select(F.col("e1.src").alias("a"),
+                   F.col("e1.dst").alias("b"),
+                   F.col("e2.dst").alias("c")))
     corners = (tri.select(F.col("a").alias("part"))
                .unionAll(tri.select(F.col("b").alias("part")))
                .unionAll(tri.select(F.col("c").alias("part"))))

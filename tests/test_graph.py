@@ -93,3 +93,32 @@ def test_no_leaked_cache_entries(spark):
     connected_components(pairs).collect()
     after = len(sc._jsc.getPersistentRDDs())
     assert after <= before + 1
+
+
+def test_triangle_count_degree_ordered_literal(spark, tmp_path):
+    """Degree-ordered triangle counting (r9: Suri-Vassilvitskii
+    orientation replaced the id-ordered baseline) on a hand-built
+    co-purchase graph: order 1 makes K4 over parts 1-4 (4 triangles,
+    every corner in 3), order 2 adds a pendant edge 4-5 and order 3
+    a disconnected pair 6-7 (no new triangles). The degree
+    re-orientation must neither lose nor double-count any triangle."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from project_2_semantic_similarity_spark.plans.registry import (
+        QUERIES, load_all)
+
+    load_all()
+    d = str(tmp_path)
+    rows = ([(1, p) for p in (1, 2, 3, 4)]
+            + [(2, 4), (2, 5)]
+            + [(3, 6), (3, 7)])
+    pq.write_table(
+        pa.table({"l_orderkey": pa.array([r[0] for r in rows],
+                                         pa.int64()),
+                  "l_partkey": pa.array([r[1] for r in rows],
+                                        pa.int64())}),
+        f"{d}/lineitem.parquet")
+    got = {r.l_partkey: r.n_triangles
+           for r in QUERIES["graph_triangle_count"](spark, d).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
