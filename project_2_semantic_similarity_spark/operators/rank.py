@@ -14,9 +14,19 @@ zipWithIndex, expressed as DataFrame ops so Catalyst/AQE still apply):
      (driver-sized) aggregate, broadcast back and added to the local
      row number.
 
-The per-partition count branch and the ranking branch share the range
-exchange (ReusedExchange); the offset table is metadata-sized
-(n_partitions rows) regardless of data volume.
+The count branch and the ranking branch MUST observe the same range
+boundaries. ReusedExchange usually guarantees that, but it is not a
+contract: in nested plans (e.g. three chained rank passes, AQE
+re-planning each) the two branches can re-execute the range exchange
+with DIFFERENT sampled boundaries — offsets then describe partitions
+the local ranks never saw, and a row's rank silently shifts with the
+DOWNSTREAM plan (caught r9: orders_rfm quintiles at sf0.1 changed
+value between passes). The ranged relation is therefore pinned with
+localCheckpoint(eager=False): one materialization serves both
+branches; the offset table stays metadata-sized (n_partitions rows)
+regardless of data volume. The materialization is the data-sized
+relation being ranked — in every caller an aggregate far smaller
+than its input corpus.
 """
 
 from __future__ import annotations
@@ -49,9 +59,13 @@ def with_global_rank(
     """
     n = num_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # localCheckpoint: both consumers below MUST see the SAME range
+    # boundaries (module note) — sampled boundaries are not stable
+    # across re-executions of nested plans
     ranged = (
         df.repartitionByRange(n, *sort_cols)
         .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     local = ranged.withColumn(
         _LRN,
@@ -106,9 +120,11 @@ def with_global_running_sum(
     """
     n = num_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # same single-materialization contract as with_global_rank
     ranged = (
         df.repartitionByRange(n, *sort_cols)
         .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     local = ranged.withColumn(
         _LRN,

@@ -2953,7 +2953,9 @@ def agg_cms_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_bloom_prefilter",
     oracle="""
 SELECT l.l_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * CAST(round((1 - l.l_discount) * 100) AS BIGINT))
+             / 10000.0, 2) AS revenue
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 WHERE o.o_orderdate >= TIMESTAMP '1996-03-01'
   AND o.o_orderdate < TIMESTAMP '1996-04-01'
@@ -2990,14 +2992,20 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     words = bloom_build(o, "o_orderkey")
     pre = li.filter(bloom_might_contain(F.col("l_orderkey"), words))
+    # revenue summed in EXACT integer 10^-4 units: prices/discounts
+    # are 2-decimal, so the float sum's true value can sit exactly on
+    # a half-cent (an sf0.1 group hit 100088.585) and round(,2) then
+    # flips with the engine's summation order. Integer sums are
+    # association-free — both engines derive the identical double.
+    cents4 = (F.round(F.col("l_extendedprice") * 100).cast("long")
+              * F.round((F.lit(1) - F.col("l_discount")) * 100)
+                 .cast("long"))
     return (
         pre.join(o, pre["l_orderkey"] == o["o_orderkey"])
         .groupBy("l_orderkey",
                  F.date_format("o_orderdate", "yyyy-MM-dd")
                  .alias("o_orderdate"))
-        .agg(F.round(F.sum(F.col("l_extendedprice")
-                           * (F.lit(1) - F.col("l_discount"))), 2)
-             .alias("revenue"))
+        .agg(F.round(F.sum(cents4) / 10000.0, 2).alias("revenue"))
     )
 
 
