@@ -984,8 +984,15 @@ def _decode_progressive(
         return br.pos
 
     while True:                                # inter-scan marker loop
-        if pos >= len(payload) or payload[pos] != 0xFF:
-            raise ValueError(f"expected marker at {pos}")
+        # Real web-crawl progressive files sometimes carry stray
+        # bytes between a scan's entropy data and the next marker;
+        # resync forward to the next 0xFF (as align_to_marker does)
+        # instead of requiring it at the exact position — truncation
+        # is still an error below.
+        while pos < len(payload) and payload[pos] != 0xFF:
+            pos += 1
+        if pos >= len(payload):
+            raise ValueError("truncated header (stray bytes to EOF)")
         while pos < len(payload) and payload[pos] == 0xFF:
             pos += 1
         if pos >= len(payload):

@@ -368,11 +368,12 @@ def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
     zlib stream, inflates, and reverses the five scanline filters
     (filters operate on BYTES, so bpp is ceil(bits-per-pixel/8) —
     1 for palette, 2·ch for 16-bit). Sub-byte grayscale expands by
-    the spec's v*255/(2^d-1); Adam7-interlaced files decode for all
-    byte-aligned formats (each pass unfiltered as an independent
-    sub-image, scattered onto the raster). Raises ValueError on
-    malformed input, bad CRC, or Adam7 combined with sub-byte depth
-    (declared unsupported, not silently wrong)."""
+    the spec's v*255/(2^d-1); Adam7-interlaced files decode for ALL
+    supported formats including sub-byte depths (each pass
+    unfiltered as an independent sub-image — sub-byte passes
+    unpacked per-pass at the pass's own row width — then scattered
+    onto the raster). Raises ValueError on malformed input or bad
+    CRC."""
     import struct
     import zlib
 

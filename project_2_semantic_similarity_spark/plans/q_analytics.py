@@ -1053,8 +1053,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the hub nodes. Every triangle still materializes exactly once
     (its minimum-order corner has out-edges to the other two, whose
     closing edge carries the same orientation). The degree relation
-    is node-sized and broadcasts. Top-20 rides
-    TakeOrderedAndProject."""
+    is node-cardinality, so its join is left unhinted: AQE
+    broadcasts it when it fits the threshold and shuffle-joins it at
+    billion-node scale. Top-20 rides TakeOrderedAndProject."""
     from project_2_semantic_similarity_spark.operators.cache import (
         keyed_persist)
 
@@ -1070,8 +1071,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         deg = (pairs.select(F.col("p1").alias("n"))
                .unionAll(pairs.select(F.col("p2").alias("n")))
                .groupBy("n").agg(F.count("*").alias("deg")))
-        d1 = F.broadcast(deg).alias("d1")
-        d2 = F.broadcast(deg).alias("d2")
+        # deg is node-cardinality: small on TPC-H part keys, but at
+        # billions of distinct nodes a forced broadcast would exceed
+        # the broadcast threshold / driver memory — let AQE pick
+        # broadcast vs shuffle join from the measured relation size.
+        d1 = deg.alias("d1")
+        d2 = deg.alias("d2")
         keyed = (pairs.join(d1, F.col("p1") == F.col("d1.n"))
                  .join(d2, F.col("p2") == F.col("d2.n"))
                  .select("p1", "p2",

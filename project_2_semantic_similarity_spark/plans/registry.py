@@ -52,15 +52,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # change is in fact result-preserving).
 _CHANGED_THIS_ROUND = frozenset(
     {
-        # round 8: canonical_url now strips only the scheme's OWN
-        # default port (http:80 / https:443) — plan AND oracle regex
-        # changed together (fixture output is identical; the driver
-        # hash is the independent check that they still agree)
-        "dedup_url",
-        # round 8: NULL right-ts rows no longer contribute carried
-        # values in asof_join_nearest (result-preserving on testdata
-        # whose ts is non-null — driver hash is the independent check)
-        "join_asof_nearest",
+        # round 10: degree-relation broadcast hint dropped (AQE now
+        # picks broadcast vs shuffle) — plan-shape change, results
+        # identical; the driver hash is the independent check
+        "graph_triangle_count",
+        # round 10: progressive decoder resyncs past stray inter-scan
+        # bytes instead of raising — result-preserving on well-formed
+        # fixtures; driver hash is the independent check
+        "multimodal_decode_jpeg_progressive",
     }
 )
 

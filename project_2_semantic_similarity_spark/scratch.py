@@ -28,13 +28,18 @@ def scratch_root() -> str:
     0700 (and re-tightened if it already exists looser).
 
     After creation the directory is stat'ed and REJECTED unless it is
-    owned by the current uid with no group/other permission bits —
-    mirroring tempfile's per-user-dir check. makedirs(exist_ok=True)
-    happily adopts a pre-created attacker-owned path, and the chmod
-    that would tighten it fails with EPERM on a foreign-owned dir; an
-    ownership stat is the only reliable signal, so a failure here is
-    an error, never a silent pass."""
+    owned by the current uid — mirroring tempfile's per-user-dir
+    check. makedirs(exist_ok=True) happily adopts a pre-created
+    attacker-owned path, and the chmod that would tighten it fails
+    with EPERM on a foreign-owned dir; an ownership stat is the only
+    reliable signal, so a failure here is an error, never a silent
+    pass. Residual group/other permission bits are likewise an error
+    for the default tmp-derived root; for a user-specified
+    ``$P2SS_SCRATCH_DIR`` they only warn — intentionally shared or
+    chmod-ignoring mounts (ACL-based NFS, some fuse mounts) are the
+    user's explicit choice."""
     base = os.environ.get("P2SS_SCRATCH_DIR")
+    user_chosen = bool(base)
     if not base:
         uid = os.getuid() if hasattr(os, "getuid") else "u"
         base = os.path.join(tempfile.gettempdir(), f"p2ss-{uid}")
@@ -54,11 +59,24 @@ def scratch_root() -> str:
                 f"not the current uid {os.getuid()} — refusing to "
                 "stage data in a foreign-owned directory")
         if st.st_mode & 0o077:
-            raise RuntimeError(
-                f"scratch root {base!r} has group/other permission "
-                f"bits 0o{st.st_mode & 0o777:o} that chmod could not "
-                "clear — refusing to stage data in a shared-readable "
-                "directory")
+            if user_chosen:
+                # The user explicitly chose this path; some mounts
+                # (ACL-based NFS, chmod-ignoring fuse) legitimately
+                # retain group/other bits — warn, don't refuse.
+                import warnings
+
+                warnings.warn(
+                    f"P2SS_SCRATCH_DIR {base!r} has group/other "
+                    f"permission bits 0o{st.st_mode & 0o777:o} that "
+                    "chmod could not clear — staged data may be "
+                    "readable by other users on this host",
+                    RuntimeWarning, stacklevel=2)
+            else:
+                raise RuntimeError(
+                    f"scratch root {base!r} has group/other permission "
+                    f"bits 0o{st.st_mode & 0o777:o} that chmod could "
+                    "not clear — refusing to stage data in a "
+                    "shared-readable directory")
     return base
 
 

@@ -90,3 +90,35 @@ def test_scratch_root_is_private_and_env_overridable(tmp_path, monkeypatch):
     monkeypatch.setenv("P2SS_SCRATCH_DIR", str(override))
     assert scratch.scratch_root() == str(override)
     assert override.is_dir()
+
+
+def test_scratch_root_mode_bits_warn_vs_raise(tmp_path, monkeypatch):
+    """Residual group/other bits (a chmod-ignoring mount) hard-fail
+    for the default tmp-derived root but only warn when the user
+    explicitly chose the path via $P2SS_SCRATCH_DIR."""
+    import os
+    import warnings
+
+    import pytest
+
+    from project_2_semantic_similarity_spark import scratch
+
+    monkeypatch.setattr(os, "chmod", lambda *a, **k: None)
+
+    chosen = tmp_path / "shared"
+    chosen.mkdir(mode=0o755)
+    monkeypatch.setenv("P2SS_SCRATCH_DIR", str(chosen))
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert scratch.scratch_root() == str(chosen)
+    assert any("group/other" in str(w.message) for w in caught)
+
+    monkeypatch.delenv("P2SS_SCRATCH_DIR", raising=False)
+    tmpbase = tmp_path / "tmp"
+    tmpbase.mkdir()
+    default = tmpbase / f"p2ss-{os.getuid()}"
+    default.mkdir(mode=0o755)
+    monkeypatch.setattr(scratch.tempfile, "gettempdir",
+                        lambda: str(tmpbase))
+    with pytest.raises(RuntimeError, match="group/other"):
+        scratch.scratch_root()

@@ -182,6 +182,25 @@ def test_progressive_long_eob_runs():
     assert np.array_equal(base, prog)
 
 
+def test_progressive_stray_inter_scan_bytes_resynced():
+    """Real web-crawl progressive files sometimes carry stray bytes
+    between a scan's entropy data and the next marker; libjpeg
+    resyncs to the next 0xFF. Injecting junk immediately before a
+    later scan's SOS must not change the decoded pixels."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (24, 40), dtype=np.uint8)
+    payload = encode_jpeg_progressive(img, quality=85)
+    _, _, clean = decode_jpeg(payload)
+    # entropy data byte-stuffs 0xFF as 0xFF00, so the second
+    # \xFF\xDA in the stream is a genuine inter-scan SOS marker
+    second_sos = payload.index(b"\xFF\xDA", payload.index(
+        b"\xFF\xDA") + 2)
+    dirty = payload[:second_sos] + b"\x13\x37\x00" + payload[
+        second_sos:]
+    _, _, got = decode_jpeg(dirty)
+    assert np.array_equal(clean, got)
+
+
 def test_progressive_truncation_rejected():
     img = np.arange(192, dtype=np.uint8).reshape(12, 16)
     payload = encode_jpeg_progressive(img, quality=85)
