@@ -752,13 +752,18 @@ BPE_MERGES: list[tuple[str, str]] = [
 ]
 
 
-def bpe_segment(chars: "F.Column") -> "F.Column":
+def bpe_segment(chars: "F.Column",
+                merges: list[tuple[str, str]] | None = None
+                ) -> "F.Column":
     """array<string> of single characters -> array<string> of BPE
-    symbols, folding every merge of BPE_MERGES in rank order. Each
-    merge is one `aggregate` left-fold: append the next symbol
-    unless (last == a AND next == b), in which case the pair fuses —
-    leftmost-first within a pass (a freshly fused symbol never
-    re-matches as `a`, so 'aaa' -> ['aa','a'] per the spec)."""
+    symbols, folding every merge of ``merges`` (default BPE_MERGES)
+    in rank order. Each merge is one `aggregate` left-fold: append
+    the next symbol unless (last == a AND next == b), in which case
+    the pair fuses — leftmost-first within a pass (a freshly fused
+    symbol never re-matches as `a`, so 'aaa' -> ['aa','a'] per the
+    spec). One nested lambda per merge: ideal at tens of merges,
+    prohibitive at thousands (use bpe_word_tokens_arrow there —
+    Catalyst analysis cost is measured in SCALE.md)."""
     empty = F.expr("CAST(array() AS ARRAY<STRING>)")
 
     def merge_fold(a: str, b: str):
@@ -776,7 +781,7 @@ def bpe_segment(chars: "F.Column") -> "F.Column":
         return fold
 
     out = chars
-    for a, b in BPE_MERGES:
+    for a, b in (BPE_MERGES if merges is None else merges):
         out = F.aggregate(out, empty, merge_fold(a, b))
     return out
 
@@ -802,3 +807,145 @@ def bpe_merges_values_sql() -> str:
     for rank, (a, b) in enumerate(BPE_MERGES, start=1):
         rows.append(f"({rank}, ' {a} {b} ', ' {a}{b} ')")
     return ", ".join(rows)
+
+
+# ------------------------------------------- BPE at realistic scale
+#
+# The 32-merge bpe_segment fold embeds one nested lambda per merge in
+# the Catalyst expression tree — ideal at tens of merges (pure JVM,
+# zero Python), quadratic pain at thousands (analysis time grows with
+# tree depth, and codegen splits). Real tokenizers carry 10k-100k
+# merges, so the scale path applies them DATA-side: the ranked merge
+# table is broadcast once and an Arrow-batched iterative applier runs
+# over the (small) distinct-word vocabulary relation.
+#
+# Equivalence contract: on a WELL-FORMED merge table — every pair's
+# constituent symbols exist (as single characters or earlier merges'
+# outputs) before the pair's rank, and no two merges produce the same
+# output string — the iterative lowest-rank-first algorithm below is
+# provably identical to bpe_segment's rank-ordered single-pass folds:
+# fusing the rank-j pair creates only adjacencies that involve the
+# rank-j output symbol, and every pair involving that symbol ranks
+# AFTER j (its rank is when the symbol first existed), so no earlier
+# rank ever becomes newly applicable and "one pass per rank, in rank
+# order" loses nothing. Trained tables are well-formed by
+# construction; large_merges() enforces it for synthetic ones. The
+# contract is pinned three ways: a Spark twin test (arrow applier ==
+# fold on BPE_MERGES), a hypothesis property test (random words,
+# 10k-merge table), and the driver oracle (rank-stepping recursive
+# CTE == fold semantics) hashing the applier's corpus output.
+
+
+def bpe_apply_word(word: str,
+                   ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Iterative BPE inference (Sennrich et al. 2016 §2.2 / the
+    GPT-2 reference algorithm): split to characters, repeatedly fuse
+    every leftmost-first non-overlapping occurrence of the
+    lowest-ranked adjacent pair present, until no pair matches. Cost
+    is O(len(word)^2) scans independent of table size — the merge
+    count only affects the dict, never the loop."""
+    syms = list(word)
+    while len(syms) > 1:
+        best_rank = None
+        best = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best = r, (syms[i], syms[i + 1])
+        if best is None:
+            break
+        a, b = best
+        out: list[str] = []
+        i = 0
+        n = len(syms)
+        while i < n:
+            if i < n - 1 and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def bpe_word_tokens_arrow(vocab: DataFrame,
+                          merges: list[tuple[str, str]],
+                          word_col: str = "word") -> DataFrame:
+    """`bpe_word_tokens` for LARGE merge tables: same output schema
+    (word, tokens array<string>, n_tok int), but the merges ride an
+    explicit SparkContext broadcast into one Arrow `mapInPandas`
+    stage instead of a Catalyst fold per merge. The 100 TB contract
+    is unchanged — this runs over the DISTINCT-word vocabulary, so
+    the Python cost is per vocabulary entry (with an intra-batch
+    memo), never per corpus token, and the broadcast is the merge
+    table (MBs at 100k merges), never data."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    bc = vocab.sparkSession.sparkContext.broadcast(ranks)
+
+    def tokenize(batches):
+        import pandas as pd
+
+        rk = bc.value
+        memo: dict[str, list[str]] = {}
+
+        def tok(w: str) -> list[str]:
+            t = memo.get(w)
+            if t is None:
+                t = bpe_apply_word(w, rk)
+                memo[w] = t
+            return t
+
+        for pdf in batches:
+            toks = [tok(w) for w in pdf[word_col]]
+            yield pd.DataFrame({
+                word_col: pdf[word_col],
+                "tokens": toks,
+                "n_tok": [len(t) for t in toks],
+            })
+
+    return vocab.select(word_col).mapInPandas(
+        tokenize,
+        schema=f"{word_col} string, tokens array<string>, n_tok int")
+
+
+def large_merges(n: int) -> list[tuple[str, str]]:
+    """Deterministic WELL-FORMED merge table of size ``n``: the 32
+    hand-ranked BPE_MERGES first (so the table genuinely fires on
+    the corpus), then synthetic merges drawn from a seeded PRNG over
+    the growing symbol pool. Well-formedness (see module comment) is
+    enforced by construction: pairs draw only symbols already in the
+    pool, duplicate pairs are skipped, and a pair whose OUTPUT
+    string was already produced by an earlier merge is skipped (two
+    producers for one symbol would let a later merge resurrect an
+    earlier rank's pair, breaking fold == iterative equivalence)."""
+    import random
+
+    rng = random.Random(0x5EED)
+    merges = list(BPE_MERGES)
+    pool = [chr(c) for c in range(ord("a"), ord("z") + 1)]
+    produced = set(pool)
+    seen = set(merges)
+    for a, b in merges:
+        pool.append(a + b)
+        produced.add(a + b)
+    while len(merges) < n:
+        a = rng.choice(pool)
+        b = rng.choice(pool)
+        if len(a) + len(b) > 12 or (a, b) in seen or a + b in produced:
+            continue
+        merges.append((a, b))
+        seen.add((a, b))
+        pool.append(a + b)
+        produced.add(a + b)
+    return merges
+
+
+def merges_compact_literal(merges: list[tuple[str, str]]) -> str:
+    """The merge table as one compact ``a|b;c|d;...`` literal for
+    SQL embedding (rank = 1-based list position) — 10k merges fit in
+    ~170 KB of oracle text instead of a 400 KB VALUES list."""
+    for a, b in merges:
+        if "|" in a + b or ";" in a + b or "'" in a + b:
+            raise ValueError(f"merge symbols not literal-safe: {a!r},{b!r}")
+    return ";".join(f"{a}|{b}" for a, b in merges)

@@ -1259,3 +1259,128 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "n_bpe_tokens",
                     F.floor(bucket * F.col("n_shards") / F.lit(65536.0))
                      .cast("long").alias("shard_id")))
+
+
+_BPE_LARGE_N = 10_000  # realistic merge-table scale (r9 VERDICT #1)
+
+
+def _bpe_large_oracle() -> str:
+    """DuckDB re-derivation of the LARGE-table tokenization. The
+    32-merge oracle steps rank-by-rank (10k ranks would mean 10k
+    recursion iterations — measured 66 s); this one SKIPS to the
+    next applicable rank via a LATERAL min-rank probe, so recursion
+    depth is the number of merges actually APPLIED per word (≤
+    len(word)-1), independent of table size — measured 0.6 s at 10k
+    merges. Single-replace per step with full rescan keeps the
+    shared-space leftmost semantics of the fold; min-rank-first is
+    equivalent to rank-ordered passes on a well-formed table (see
+    operators/text.py module comment)."""
+    from project_2_semantic_similarity_spark.operators.text import (
+        large_merges, merges_compact_literal)
+
+    lit = merges_compact_literal(large_merges(_BPE_LARGE_N))
+    return f"""
+WITH RECURSIVE raw AS (SELECT string_split('{lit}', ';') AS l),
+merges AS (
+    SELECT CAST(unnest(range(len(l))) + 1 AS BIGINT) AS rank,
+           ' ' || replace(unnest(l), '|', ' ') || ' ' AS pat,
+           ' ' || replace(unnest(l), '|', '') || ' ' AS rep
+    FROM raw
+),
+words AS (
+    SELECT doc_id, w AS word, count(*) AS cnt
+    FROM documents,
+         unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+             AS t(w)
+    GROUP BY doc_id, w
+),
+vocab AS (SELECT DISTINCT word FROM words),
+seed AS (
+    SELECT word, CAST(0 AS BIGINT) AS rank,
+           ' ' || array_to_string(
+               list_transform(range(length(word)),
+                              i -> substr(word, CAST(i + 1 AS INT), 1)),
+               ' ') || ' ' AS s
+    FROM vocab
+),
+bpe AS (
+    SELECT * FROM seed
+    UNION ALL
+    SELECT b.word, nxt.rank,
+           substr(b.s, 1, strpos(b.s, nxt.pat) - 1) || nxt.rep
+               || substr(b.s, strpos(b.s, nxt.pat) + length(nxt.pat))
+    FROM bpe b
+    JOIN LATERAL (
+        SELECT m.rank, m.pat, m.rep FROM merges m
+        WHERE m.rank >= b.rank AND strpos(b.s, m.pat) > 0
+        ORDER BY m.rank LIMIT 1
+    ) nxt ON true
+),
+tokenized AS (
+    SELECT word,
+           list_filter(string_split(trim(b.s, ' '), ' '), x -> x <> '')
+               AS tokens
+    FROM bpe b
+    WHERE NOT EXISTS (SELECT 1 FROM merges m
+                      WHERE m.rank >= b.rank
+                        AND strpos(b.s, m.pat) > 0)
+),
+sums AS (
+    SELECT w.doc_id,
+           CAST(sum(w.cnt) AS BIGINT) AS n_words,
+           CAST(sum(w.cnt * len(t.tokens)) AS BIGINT) AS n_bpe_tokens
+    FROM words w JOIN tokenized t USING (word)
+    GROUP BY w.doc_id
+),
+dcounts AS (
+    SELECT doc_id, CAST(count(DISTINCT u.x) AS BIGINT)
+               AS n_distinct_tokens
+    FROM words w
+    JOIN tokenized t USING (word), unnest(t.tokens) AS u(x)
+    GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_words, s.n_bpe_tokens, d.n_distinct_tokens,
+       round(s.n_bpe_tokens * 1.0 / s.n_words, 6) AS tokens_per_word
+FROM sums s JOIN dcounts d USING (doc_id)
+"""
+
+
+@query("text_bpe_tokenize_10k", oracle=_bpe_large_oracle())
+def text_bpe_tokenize_10k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text_bpe_tokenize at REALISTIC merge scale (r9 VERDICT #1):
+    the same per-doc fertility surface, driven by a 10,000-row
+    ranked merge table. The 32-merge fold embeds one Catalyst lambda
+    per merge — unusable at 10k (analysis alone is minutes, see
+    SCALE.md) — so the large table goes DATA-side: one explicit
+    broadcast of the rank dict and one Arrow `mapInPandas` iterative
+    applier (operators/text.py bpe_apply_word, the Sennrich/GPT-2
+    inference algorithm) over the distinct-word vocabulary. Python
+    touches vocabulary rows only; the corpus-scale plan is unchanged
+    from text_bpe_tokenize (two shuffles + broadcast join back).
+    Twin-pinned: applier == fold on the 32-merge table
+    (tests/test_text.py), and this query's oracle re-derives the 10k
+    table with a skip-to-next-rank recursive CTE, so a rank-order or
+    leftmost-scan bug in the applier breaks the hash."""
+    from project_2_semantic_similarity_spark.operators.text import (
+        bpe_word_tokens_arrow, large_merges)
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (docs
+             .select("doc_id",
+                     F.explode(F.split(F.col("text"), " ")).alias("word"))
+             .filter(F.col("word") != "")
+             .groupBy("doc_id", "word").agg(F.count("*").alias("cnt")))
+    vocab = bpe_word_tokens_arrow(words.select("word").distinct(),
+                                  large_merges(_BPE_LARGE_N))
+    joined = words.join(F.broadcast(vocab), "word")
+    per_doc = joined.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_words"),
+        F.sum(F.col("cnt") * F.col("n_tok")).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(F.flatten(F.collect_list("tokens"))))
+         .alias("n_distinct_tokens"))
+    return per_doc.select(
+        "doc_id", "n_words", "n_bpe_tokens",
+        F.col("n_distinct_tokens").cast("long")
+         .alias("n_distinct_tokens"),
+        F.round(F.col("n_bpe_tokens") / F.col("n_words"), 6)
+         .alias("tokens_per_word"))

@@ -229,3 +229,71 @@ def test_broadcast_guard_falls_back_for_hot_query(spark):
     got_h = {(r.term, round(r.similarity, 9)) for r in hinted.collect()}
     got_g = {(r.term, round(r.similarity, 9)) for r in guarded.collect()}
     assert got_g == got_h and len(got_g) > 0
+
+
+def test_bpe_arrow_applier_twin_of_fold(spark):
+    """Cross-op twin (r9 VERDICT #1): the Arrow iterative applier
+    (bpe_word_tokens_arrow, the 10k-merge scale path) must produce
+    EXACTLY the fold's tokenization on the same 32-merge table —
+    same words, same tokens, same counts, same schema."""
+    from project_2_semantic_similarity_spark.operators.text import (
+        BPE_MERGES, bpe_word_tokens, bpe_word_tokens_arrow)
+
+    words = ["table", "value", "scan", "window", "data", "query",
+             "fast", "hash", "spark", "the", "key", "row", "big",
+             "tata", "anan", "sss", "windowwindow", "thethe", "t",
+             "querying", "database", "scatter", "keykey"]
+    df = spark.createDataFrame([(w,) for w in words], ["word"])
+    fold = bpe_word_tokens(df)
+    arrow = bpe_word_tokens_arrow(df, BPE_MERGES)
+    assert arrow.schema.simpleString() == fold.schema.simpleString()
+    f = {r["word"]: (list(r["tokens"]), r["n_tok"])
+         for r in fold.collect()}
+    a = {r["word"]: (list(r["tokens"]), r["n_tok"])
+         for r in arrow.collect()}
+    assert a == f
+
+
+def test_bpe_iterative_equals_fold_semantics_on_large_table():
+    """Property pin of the well-formedness equivalence claim
+    (operators/text.py module comment): on large_merges(10000),
+    iterative lowest-rank-first application == rank-ordered
+    single-pass folds, over randomized words of the corpus alphabet
+    (hypothesis). A counterexample here would mean the 10k table is
+    not well-formed or the applier's scan order is wrong."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from project_2_semantic_similarity_spark.operators.text import (
+        bpe_apply_word, large_merges)
+
+    merges = large_merges(10_000)
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    # well-formedness, checked directly: inputs exist before rank,
+    # no output string produced twice
+    produced = {chr(c) for c in range(ord("a"), ord("z") + 1)}
+    for a, b in merges:
+        assert a in produced and b in produced, (a, b)
+        assert a + b not in produced, (a, b)
+        produced.add(a + b)
+
+    def fold_passes(word):
+        syms = list(word)
+        for a, b in merges:
+            out = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            syms = out
+        return syms
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet="abcdefghijklmnopqrstuvwxyz",
+                   min_size=0, max_size=24))
+    def check(word):
+        assert bpe_apply_word(word, ranks) == fold_passes(word)
+
+    check()

@@ -467,6 +467,57 @@ def main() -> None:
                   f"raster={raster_bytes / 2**30:.2f}GiB "
                   f"({raster_bytes / dec_wall / 2**20:.0f} MiB/s "
                   f"raster){peak}", flush=True)
+        elif name == "bpe_apply_50k_probe":
+            # r9 VERDICT #1: tokenize wall at a 50k-row merge table.
+            # The Arrow applier's cost is per VOCABULARY entry (the
+            # probe corpus has ~10k distinct words) plus one rank-
+            # dict broadcast — merge count must move the wall only
+            # through dict size, never through the corpus stage.
+            from project_2_semantic_similarity_spark.operators.text \
+                import bpe_word_tokens_arrow, large_merges
+            from project_2_semantic_similarity_spark.sources import (
+                load_table)
+
+            docs = load_table(spark, out, "documents")
+            words = (docs.select(
+                         "doc_id",
+                         F.explode(F.split(F.col("text"), " "))
+                          .alias("word"))
+                     .filter(F.col("word") != "")
+                     .groupBy("doc_id", "word")
+                     .agg(F.count("*").alias("cnt")))
+            vocab = bpe_word_tokens_arrow(
+                words.select("word").distinct(), large_merges(50_000))
+            cnt = (words.join(F.broadcast(vocab), "word")
+                   .groupBy("doc_id")
+                   .agg(F.sum(F.col("cnt") * F.col("n_tok"))
+                         .alias("n_bpe_tokens"))).count()
+        elif name == "bpe_fold_analysis_probe":
+            # Catalyst ANALYSIS cost of the nested-lambda fold as the
+            # merge count grows — the measurement that motivates the
+            # Arrow applier for large tables. Times .schema
+            # resolution (analysis only, one-row relation, no
+            # execution) at 32/128/512/1024 merges.
+            from project_2_semantic_similarity_spark.operators.text \
+                import bpe_segment, large_merges
+
+            merges = large_merges(1024)
+            one = spark.createDataFrame([("querywindow",)], ["word"])
+            chars = F.filter(F.split(F.col("word"), ""),
+                             lambda c: c != "")
+            for k in (32, 64, 96, 128, 512, 1024):
+                tk = time.time()
+                try:
+                    _ = one.withColumn(
+                        "tokens", bpe_segment(chars, merges[:k])).schema
+                    print(f"  fold analysis @ {k} merges: "
+                          f"{time.time() - tk:.1f}s", flush=True)
+                except Exception as exc:  # analyzer iteration cap
+                    msg = str(exc).splitlines()[0][:90]
+                    print(f"  fold analysis @ {k} merges: FAILS "
+                          f"after {time.time() - tk:.1f}s ({msg})",
+                          flush=True)
+            cnt = 1
         elif name == "running_sum_probe":
             # n rows of value 1 sorted by id: running sum must equal
             # id+1 for every row — validates the range-partition +
