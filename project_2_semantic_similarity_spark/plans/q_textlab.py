@@ -1384,3 +1384,153 @@ def text_bpe_tokenize_10k(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("n_distinct_tokens"),
         F.round(F.col("n_bpe_tokens") / F.col("n_words"), 6)
          .alias("tokens_per_word"))
+
+
+_BPE_TRAIN_ROUNDS = 10
+
+
+def _bpe_train_oracle(k: int = _BPE_TRAIN_ROUNDS) -> str:
+    """Unrolled k-round re-derivation of the trainer (the
+    cluster_kmeans oracle discipline: iterative but deterministic,
+    so each round is its own CTE block). Round r = pair counts over
+    the current segmentation (adjacent-symbol zip, weighted by word
+    count), argmax with the (count DESC, a, b) tie-break, then a
+    bounded RECURSIVE single-replace apply (full rescan per step
+    keeps the shared-space leftmost semantics — ' a a a ' must
+    become ' aa a ', which replace-all misses because consecutive
+    occurrences share the middle space). MATERIALIZED CTEs are
+    load-bearing: inlined, each round re-expands the whole prefix
+    chain and the plan re-opens the parquet scan 3^k times (the
+    first draft died on EMFILE)."""
+    parts = ["""
+WITH RECURSIVE words AS MATERIALIZED (
+    SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
+    FROM documents,
+         unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+             AS t(w)
+    GROUP BY w
+),
+seg1 AS MATERIALIZED (
+    SELECT word, cnt,
+           ' ' || array_to_string(
+               list_transform(range(length(word)),
+                              i -> substr(word, CAST(i + 1 AS INT), 1)),
+               ' ') || ' ' AS s
+    FROM words
+)"""]
+    for r in range(1, k + 1):
+        parts.append(f""",
+pairs{r} AS (
+    SELECT pr[1] AS a, pr[2] AS b,
+           CAST(sum(cnt) AS BIGINT) AS pair_cnt
+    FROM (
+        SELECT cnt,
+               unnest(list_transform(range(len(l) - 1),
+                                     i -> [l[i + 1], l[i + 2]])) AS pr
+        FROM (SELECT cnt, string_split(trim(s, ' '), ' ') AS l
+              FROM seg{r})
+    ) GROUP BY pr[1], pr[2]
+),
+best{r} AS MATERIALIZED (
+    SELECT a, b, pair_cnt,
+           ' ' || a || ' ' || b || ' ' AS pat,
+           ' ' || a || b || ' ' AS rep
+    FROM pairs{r} ORDER BY pair_cnt DESC, a, b LIMIT 1
+),
+app{r} AS (
+    SELECT word, cnt, s FROM seg{r}
+    UNION ALL
+    SELECT a.word, a.cnt,
+           substr(a.s, 1, strpos(a.s, b.pat) - 1) || b.rep
+               || substr(a.s, strpos(a.s, b.pat) + length(b.pat))
+    FROM app{r} a, best{r} b
+    WHERE strpos(a.s, b.pat) > 0
+),
+seg{r + 1} AS MATERIALIZED (
+    SELECT a.word, a.cnt, a.s FROM app{r} a, best{r} b
+    WHERE strpos(a.s, b.pat) = 0
+)""")
+    parts.append("\n" + "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS rank, a AS left_sym, "
+        f"b AS right_sym, pair_cnt FROM best{r}"
+        for r in range(1, k + 1)))
+    return "".join(parts)
+
+
+@query("text_bpe_train", oracle=_bpe_train_oracle())
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE TRAINER (r9 VERDICT #2) — learn the merge table from the
+    corpus: 10 rounds of most-frequent-adjacent-pair argmax over the
+    word-count-weighted vocabulary segmentation (Sennrich et al.
+    2016 §3.2 learn_bpe), deterministic (count DESC, left, right)
+    tie-break, emitting (rank, left_sym, right_sym, pair_cnt). The
+    output composes with the appliers: feeding the learned table to
+    bpe_word_tokens_arrow == the fold on the same table
+    (tests/test_text.py twin).
+
+    Plan (the cluster_kmeans discipline): per round, adjacent pairs
+    via a JVM transform-over-sequence zip + explode, one
+    vocabulary-sized hash agg, argmax as TakeOrdered(1), the winner
+    broadcast back by crossJoin, and the merge applied with the same
+    `aggregate` fold as bpe_segment — parameterized by the winner's
+    COLUMNS, so no Python and no driver round-trip carries data.
+    localCheckpoint per round truncates the 10-round lineage
+    (expression trees would otherwise nest 10 folds deep). At 100 TB
+    the corpus is touched ONCE (word-count agg); every round after
+    that is vocabulary-sized: explode ~avg_word_len x |vocab| pair
+    rows, one shuffle, a 1-row broadcast. Rounds are inherently
+    sequential — that is BPE's definition, not a plan defect."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (docs
+             .select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+             .filter(F.col("word") != "")
+             .groupBy("word").agg(F.count("*").alias("cnt")))
+    empty = F.expr("CAST(array() AS ARRAY<STRING>)")
+    seg = words.select(
+        "word", "cnt",
+        F.filter(F.split(F.col("word"), ""),
+                 lambda c: c != "").alias("syms")).localCheckpoint()
+
+    def apply_merge(syms, a, b):
+        def fold(acc, x):
+            return F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == a) & (x == b),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                         F.array(F.concat(a, b))),
+            ).otherwise(F.concat(acc, F.array(x)))
+
+        return F.aggregate(syms, empty, fold)
+
+    learned = []
+    for r in range(1, _BPE_TRAIN_ROUNDS + 1):
+        pairs = (seg.filter(F.size("syms") >= 2)
+                 .select("cnt", F.explode(F.transform(
+                     F.sequence(F.lit(0), F.size("syms") - 2),
+                     lambda i: F.struct(
+                         F.get("syms", i).alias("a"),
+                         F.get("syms", i + 1).alias("b"))))
+                     .alias("pair"))
+                 .select("cnt", "pair.a", "pair.b"))
+        best = (pairs.groupBy("a", "b")
+                .agg(F.sum("cnt").alias("pair_cnt"))
+                .orderBy(F.col("pair_cnt").desc(), F.col("a").asc(),
+                         F.col("b").asc())
+                .limit(1)).localCheckpoint()
+        learned.append(best.select(
+            F.lit(r).cast("long").alias("rank"),
+            F.col("a").alias("left_sym"),
+            F.col("b").alias("right_sym"),
+            F.col("pair_cnt").cast("long").alias("pair_cnt")))
+        seg = (seg.crossJoin(F.broadcast(
+                   best.select(F.col("a").alias("m_a"),
+                               F.col("b").alias("m_b"))))
+               .select("word", "cnt",
+                       apply_merge(F.col("syms"), F.col("m_a"),
+                                   F.col("m_b")).alias("syms"))
+               ).localCheckpoint()
+
+    out = learned[0]
+    for nxt in learned[1:]:
+        out = out.unionAll(nxt)
+    return out

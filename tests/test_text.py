@@ -297,3 +297,39 @@ def test_bpe_iterative_equals_fold_semantics_on_large_table():
         assert bpe_apply_word(word, ranks) == fold_passes(word)
 
     check()
+
+
+def test_bpe_trainer_feeds_appliers(spark, sf_dir):
+    """Composition pin (r9 VERDICT #2): the learned merge table
+    drives BOTH appliers to identical tokenizations (train -> apply
+    is the real tokenizer pipeline), the table is well-formed (every
+    symbol exists before its rank — the fold==iterative equivalence
+    precondition), counts are positive non-increasing-ish sane, and
+    ranks are 1..k."""
+    from project_2_semantic_similarity_spark.operators.text import (
+        bpe_word_tokens_arrow, bpe_segment)
+    from project_2_semantic_similarity_spark.plans import registry
+
+    registry.load_all()
+    rows = sorted(
+        registry.QUERIES["text_bpe_train"](spark, sf_dir).collect(),
+                  key=lambda r: r["rank"])
+    assert [r["rank"] for r in rows] == list(range(1, 11))
+    assert all(r["pair_cnt"] > 0 for r in rows)
+    merges = [(r["left_sym"], r["right_sym"]) for r in rows]
+
+    produced = {chr(c) for c in range(ord("a"), ord("z") + 1)}
+    for a, b in merges:
+        assert a in produced and b in produced, (a, b)
+        produced.add(a + b)
+
+    vocab = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+             .select(F.explode(F.split("text", " ")).alias("word"))
+             .filter(F.col("word") != "").distinct())
+    arrow = {r["word"]: list(r["tokens"])
+             for r in bpe_word_tokens_arrow(vocab, merges).collect()}
+    chars = F.filter(F.split(F.col("word"), ""), lambda c: c != "")
+    fold = {r["word"]: list(r["tokens"])
+            for r in vocab.withColumn(
+                "tokens", bpe_segment(chars, merges)).collect()}
+    assert arrow == fold and len(arrow) > 0
