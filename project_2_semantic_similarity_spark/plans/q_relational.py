@@ -4397,3 +4397,104 @@ def sql_api_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_Q16_SQL)
+
+
+_Q2_SQL = """
+WITH ps AS (
+    SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+           min(l_extendedprice / l_quantity) AS ps_supplycost
+    FROM lineitem
+    GROUP BY l_partkey, l_suppkey
+)
+SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_type,
+       round(ps.ps_supplycost, 6) AS ps_supplycost
+FROM part p
+JOIN ps ON p.p_partkey = ps.ps_partkey
+JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE p.p_size = 15 AND p.p_type = 'STANDARD' AND r.r_name = 'EUROPE'
+  AND ps.ps_supplycost = (
+      SELECT min(ps2.ps_supplycost)
+      FROM ps ps2
+      JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+      JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+      JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+      WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+LIMIT 100
+"""
+
+
+@query("sql_api_tpch_q2", oracle=_Q2_SQL)
+def sql_api_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier), adapted onto the derived
+    partsupp bridge (policy precedent: Q16's DISTINCT bridge, Q9's
+    cost basis): ps_supplycost := min unit price
+    (l_extendedprice / l_quantity) per DISTINCT (l_partkey,
+    l_suppkey) — an exact IEEE expression both engines compute
+    identically, so the min-equality correlated filter is
+    deterministic; p_type = 'STANDARD' stands in for the missing
+    '%BRASS' suffix. The SHAPE is Q2's defining one: a correlated
+    scalar MIN subquery over the same 4-way dimension join
+    (ps⋈supplier⋈nation⋈region), which Catalyst decorrelates to a
+    per-partkey aggregate + join-back (the Q17 machinery) rather
+    than a nested loop — plan-pinned in tests/test_plan_shape.py.
+    Dimensions broadcast; the ORDER BY ... LIMIT 100 carries a total
+    tie-break (acctbal DESC, nation, supplier, part) and rides
+    TakeOrderedAndProject."""
+    from project_2_semantic_similarity_spark.sources.tables import (
+        register_views)
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q2_SQL)
+
+
+_Q20_SQL = """
+WITH ps AS (
+    SELECT l_partkey, l_suppkey, sum(l_quantity) AS ps_availqty
+    FROM lineitem
+    GROUP BY l_partkey, l_suppkey
+)
+SELECT s.s_name, s.s_acctbal
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE n.n_name = 'NATION_3'
+  AND s.s_suppkey IN (
+      SELECT ps.l_suppkey FROM ps
+      WHERE ps.l_partkey IN (SELECT p_partkey FROM part
+                             WHERE p_name LIKE 'small%')
+        AND (SELECT coalesce(sum(l.l_quantity), 0) FROM lineitem l
+             WHERE l.l_partkey = ps.l_partkey
+               AND l.l_suppkey = ps.l_suppkey
+               AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+               AND l.l_shipdate <  TIMESTAMP '1996-01-01')
+            BETWEEN 1 AND ps.ps_availqty / 6.5)
+ORDER BY s.s_name
+"""
+
+
+@query("sql_api_tpch_q20", oracle=_Q20_SQL)
+def sql_api_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion / excess stock), adapted
+    onto the derived partsupp bridge: ps_availqty := lifetime
+    shipped quantity per (l_partkey, l_suppkey) (quantities are
+    integer-valued doubles, so the sums are exact in both engines).
+    With that surrogate the spec's literal `availqty > 0.5 x
+    year-shipments` is vacuous (lifetime ⊇ the year, and
+    zero-activity years pass trivially), so the threshold becomes
+    "the 1995 shipments are a POSITIVE share of at most 1/6.5 of
+    lifetime": the correlated one-year SUM subquery lands BETWEEN 1
+    AND availqty/6.5 — selective in both directions on this data
+    (1 of 1 / 1-2 of 3 / ~1 of 37 nation suppliers at the three
+    SFs). The SHAPE survives: nested IN chain (supplier IN bridge
+    pairs, part IN name-prefix parts) planned as semi-join chains,
+    with the spec's correlated aggregate subquery decorrelated to a
+    per-(part,supp) agg + join-back instead of a nested loop.
+    p_name LIKE 'small%' is the spec's 'forest%' prefix scan;
+    NATION_3 its CANADA."""
+    from project_2_semantic_similarity_spark.sources.tables import (
+        register_views)
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q20_SQL)

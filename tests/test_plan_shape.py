@@ -671,3 +671,31 @@ def test_pack_context_windows_no_single_partition_sort(spark, sf_dir):
         if "Exchange SinglePartition" in ln:
             tail = "\n".join(plan.splitlines()[i:i + 6])
             assert "HashAggregate" in tail or "hashpartitioning" in tail
+
+
+def test_tpch_q2_decorrelated_min_and_broadcast_dims(spark, sf_dir):
+    """Q2's correlated scalar-MIN subquery must decorrelate to a
+    per-partkey aggregate joined back (the Q17 machinery) — never a
+    per-row subquery or nested loop — with the dimension tables
+    broadcast and the size/type filters pushed to the part scan."""
+    plan = plan_of(spark, "sql_api_tpch_q2", sf_dir)
+    assert "ScalarSubquery" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert re.search(r"PushedFilters: \[[^\]]*p_size", plan) \
+        or "EqualTo(p_size" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q20_semi_join_chain_decorrelated(spark, sf_dir):
+    """Q20's nested IN chain must plan as semi joins and the
+    correlated one-year SUM subquery as a decorrelated aggregate
+    join-back; the part name prefix reaches the part scan."""
+    plan = plan_of(spark, "sql_api_tpch_q20", sf_dir)
+    assert "LeftSemi" in plan
+    assert "ScalarSubquery" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"PushedFilters: \[[^\]]*p_name", plan) \
+        or "StartsWith(p_name" in plan
