@@ -385,3 +385,85 @@ def corpus_pack_context_windows(spark: SparkSession,
             F.floor((F.col("cum") - 1) / _CTX_WINDOW)
             - F.floor(start / _CTX_WINDOW) + 1
         ).cast("long").alias("n_windows_spanned"))
+
+
+@query(
+    "corpus_context_window_view",
+    oracle=f"""
+WITH counted AS (
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                t -> t <> '')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+c AS (
+    SELECT doc_id, n_tokens,
+           sum(n_tokens) OVER (ORDER BY doc_id) AS cum
+    FROM counted
+),
+spans AS (
+    SELECT doc_id, n_tokens,
+           CAST(cum - n_tokens AS BIGINT) AS strt,
+           CAST(cum AS BIGINT) AS cum
+    FROM c WHERE n_tokens > 0
+)
+SELECT CAST(t.w AS BIGINT) AS window_id, doc_id,
+       CAST(greatest(strt, t.w * {_CTX_WINDOW}) - strt AS BIGINT)
+           AS doc_slice_start,
+       CAST(least(cum, (t.w + 1) * {_CTX_WINDOW})
+            - greatest(strt, t.w * {_CTX_WINDOW}) AS BIGINT)
+           AS slice_len,
+       CAST(greatest(strt, t.w * {_CTX_WINDOW})
+            - t.w * {_CTX_WINDOW} AS BIGINT) AS window_offset
+FROM spans,
+     unnest(generate_series(strt // {_CTX_WINDOW},
+                            (cum - 1) // {_CTX_WINDOW})) AS t(w)
+""",
+)
+def corpus_context_window_view(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """The CONSUMER view of sequence packing (r9 VERDICT #6):
+    corpus_pack_context_windows emits per-DOC window arithmetic;
+    training loaders want the transpose — one row per (window_id,
+    doc_id) slice assignment: which token span of the document
+    lands at which offset of which fixed 512-token context window.
+    Grouping this view by window_id reconstructs each training
+    batch row exactly.
+
+    Plan: the same with_global_running_sum relation (range
+    partitions + broadcast offsets — NO new shuffle), then a BOUNDED
+    explode of sequence(first_window, last_window) per document
+    (a document spans ceil((offset + len)/W) - offset//W windows,
+    ≤ len/W + 1 rows — never a cross join). Empty documents span no
+    window and are filtered before the explode in both engines
+    (Spark's sequence() would otherwise step DOWNWARD on the
+    degenerate first>last case rather than yielding empty). At
+    100 TB the output is ~(total_tokens / 512 + n_docs) rows,
+    produced narrowly from the range-partitioned relation."""
+    from project_2_semantic_similarity_spark.functions.text_analysis import (
+        n_tokens)
+    from project_2_semantic_similarity_spark.operators.rank import (
+        with_global_running_sum)
+
+    docs = load_table(spark, sf_dir, "documents")
+    counted = docs.select(
+        "doc_id", n_tokens(F.col("text")).alias("n_tokens"))
+    c = with_global_running_sum(
+        counted, [F.col("doc_id").asc()], "n_tokens", sum_col="cum")
+    W = F.lit(_CTX_WINDOW).cast("long")
+    start = (F.col("cum") - F.col("n_tokens")).cast("long")
+    spans = (c.filter(F.col("n_tokens") > 0)
+             .select("doc_id", start.alias("strt"),
+                     F.col("cum").cast("long").alias("cum")))
+    w = F.explode(F.sequence(
+        F.floor(F.col("strt") / W).cast("long"),
+        F.floor((F.col("cum") - 1) / W).cast("long"))).alias("w")
+    exploded = spans.select("doc_id", "strt", "cum", w)
+    gs = F.greatest(F.col("strt"), F.col("w") * W)
+    ge = F.least(F.col("cum"), (F.col("w") + 1) * W)
+    return exploded.select(
+        F.col("w").cast("long").alias("window_id"),
+        "doc_id",
+        (gs - F.col("strt")).cast("long").alias("doc_slice_start"),
+        (ge - gs).cast("long").alias("slice_len"),
+        (gs - F.col("w") * W).cast("long").alias("window_offset"))

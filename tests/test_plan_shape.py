@@ -699,3 +699,24 @@ def test_tpch_q20_semi_join_chain_decorrelated(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert re.search(r"PushedFilters: \[[^\]]*p_name", plan) \
         or "StartsWith(p_name" in plan
+
+
+def test_context_window_view_no_extra_shuffle(spark, sf_dir):
+    """The window-view explode must ride the SAME range-partitioned
+    running-sum relation as corpus_pack_context_windows — no new
+    data-sized exchange appears after it (the explode is narrow),
+    and the per-doc fan-out is a bounded sequence(), never a join
+    against a windows relation."""
+    plan = plan_of(spark, "corpus_context_window_view", sf_dir)
+    assert ("Exchange rangepartitioning" in plan
+            or "__grk_pid" in plan)
+    assert "Generate explode" in plan
+    assert "CartesianProduct" not in plan
+    # the only join allowed is the machinery's broadcast offset
+    # attach — never a shuffled join against a windows relation
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    for i, ln in enumerate(plan.splitlines()):
+        if "Exchange SinglePartition" in ln:
+            tail = "\n".join(plan.splitlines()[i:i + 6])
+            assert "HashAggregate" in tail or "hashpartitioning" in tail

@@ -139,3 +139,49 @@ def test_temperature_sample_flattens_head(spark):
                 temperature_sample(df.repartition(7), "source", 2.0,
                                    0.5, "doc_id").collect())
     assert k1 == k2
+
+
+def test_context_window_view_reconstructs_batches(spark, sf_dir):
+    """The window view must tile the packed token stream exactly:
+    every window except the last carries 512 tokens of contiguous
+    slices starting at offset 0, each document's slices sum to its
+    token count, and the view agrees row-for-row with the per-doc
+    arithmetic of corpus_pack_context_windows."""
+    import __spark_entry__ as e
+
+    q = e.queries()
+    view = q["corpus_context_window_view"](spark, sf_dir).collect()
+    packed = {r["doc_id"]: r
+              for r in q["corpus_pack_context_windows"](
+                  spark, sf_dir).collect()}
+
+    by_window: dict = {}
+    by_doc: dict = {}
+    for r in view:
+        by_window.setdefault(r["window_id"], []).append(r)
+        by_doc.setdefault(r["doc_id"], []).append(r)
+
+    last_w = max(by_window)
+    for w, rows in by_window.items():
+        rows.sort(key=lambda r: r["window_offset"])
+        # contiguous tiling from offset 0
+        pos = 0
+        for r in rows:
+            assert r["window_offset"] == pos, (w, r)
+            pos += r["slice_len"]
+        if w != last_w:
+            assert pos == 512, (w, pos)
+        else:
+            assert 0 < pos <= 512
+
+    for d, rows in by_doc.items():
+        p = packed[d]
+        rows.sort(key=lambda r: r["doc_slice_start"])
+        assert sum(r["slice_len"] for r in rows) == p["n_tokens"]
+        assert len(rows) == p["n_windows_spanned"]
+        assert rows[0]["window_id"] == p["window_id"]
+        assert rows[0]["window_offset"] == p["window_offset"]
+        assert rows[0]["doc_slice_start"] == 0
+    # zero-token docs appear in the packed relation, never the view
+    assert set(by_doc) == {d for d, p in packed.items()
+                           if p["n_tokens"] > 0}
