@@ -4498,3 +4498,61 @@ def sql_api_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_Q20_SQL)
+
+
+_Q11_SQL = """
+WITH ps AS (
+    SELECT l_partkey, l_suppkey,
+           CAST(round(min(l_extendedprice) * 100) AS BIGINT)
+               AS ps_supplycost_cents,
+           CAST(sum(l_quantity) AS BIGINT) AS ps_availqty
+    FROM lineitem
+    GROUP BY l_partkey, l_suppkey
+),
+natps AS (
+    SELECT ps.l_partkey,
+           ps.ps_supplycost_cents * ps.ps_availqty AS v
+    FROM ps
+    JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_12'
+)
+SELECT l_partkey AS ps_partkey,
+       round(sum(v) / CAST(100 AS DOUBLE), 2) AS value
+FROM natps
+GROUP BY l_partkey
+HAVING sum(v) > (
+    SELECT 2.0 * sum(v) / count(DISTINCT l_partkey) FROM natps)
+ORDER BY value DESC, ps_partkey
+"""
+
+
+@query("sql_api_tpch_q11", oracle=_Q11_SQL)
+def sql_api_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification) — the last of the
+    22 shapes, unlocked by composing the bridge surrogates r10
+    established: ps_availqty := lifetime shipped quantity (Q20's
+    basis) and a supply-cost basis per bridge pair. The cost basis
+    here is min(l_extendedprice) in EXACT CENTS rather than Q2's min
+    unit price — deliberately (documented adaptation, Q9 policy):
+    inventory value is a SUM of cost x qty products across suppliers
+    and parts, and in integer cents x integer quantities the sum is
+    association-free, so any partitioning and either engine lands on
+    identical bits (a double unit-price basis would make the HAVING
+    threshold order-dependent at the boundary). The SHAPE is intact:
+    per-part value sum over a nation's suppliers (NATION_12 — the
+    spec's GERMANY; present at every SF), filtered by an
+    uncorrelated scalar subquery threshold. The spec's FRACTION is
+    itself scale-dependent (0.0001/SF), which a fixed literal cannot
+    reproduce across this testdata's SFs — so the subquery computes
+    2.0 x national-total / n_parts ("at least twice the average
+    per-part share"): selective at all three SFs (25 / 85 of 1405 /
+    1684 of ~15k parts) and still one Catalyst-side one-row
+    broadcast into the filter, never a driver round-trip (the Q22
+    machinery). Dimensions broadcast; one exchange on l_partkey
+    serves the value agg."""
+    from project_2_semantic_similarity_spark.sources.tables import (
+        register_views)
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q11_SQL)

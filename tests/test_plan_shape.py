@@ -782,3 +782,18 @@ def test_stream_bitmap_distinct_state_is_day_word_rows(spark, sf_dir):
     assert ops[0]["numRowsTotal"] == day_words, (ops, day_words)
     assert ops[0]["numRowsTotal"] < n_events / 4
     assert not re.search(r"Sort \[[^\]]*\], true", plan)
+
+
+def test_tpch_q11_scalar_threshold_plan_side(spark, sf_dir):
+    """Q11's national-total threshold must be ONE plan-side scalar
+    subquery broadcast into the HAVING filter (never a driver
+    round-trip or per-group re-execution), dims broadcast, and the
+    value sum arrives in integer cents x quantity units (one
+    HashAggregate on l_partkey — no Window, no sort before the
+    final order)."""
+    plan = plan_of(spark, "sql_api_tpch_q11", sf_dir)
+    ids = set(re.findall(r"Subquery subquery#(\d+)", plan))
+    assert len(ids) == 1, ids
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
