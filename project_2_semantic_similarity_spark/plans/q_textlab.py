@@ -1534,3 +1534,69 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     for nxt in learned[1:]:
         out = out.unionAll(nxt)
     return out
+
+
+@query(
+    "text_bpe_vocab",
+    oracle=f"""
+WITH RECURSIVE {_bpe_oracle_ctes()},
+freq AS (
+    SELECT u.tok AS token, CAST(sum(w.cnt) AS BIGINT) AS freq
+    FROM words w JOIN tokenized t USING (word),
+         unnest(t.tokens) AS u(tok)
+    GROUP BY u.tok
+)
+SELECT token, token_id, freq FROM (
+    SELECT token,
+           CAST(row_number() OVER (ORDER BY freq DESC, token) + 3
+                AS BIGINT) AS token_id,
+           freq
+    FROM freq
+    UNION ALL
+    SELECT t.tok, CAST(t.i AS BIGINT), CAST(0 AS BIGINT)
+    FROM (VALUES ('<pad>', 0), ('<unk>', 1),
+                 ('<bos>', 2), ('<eos>', 3)) AS t(tok, i)
+)
+""",
+)
+def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-ID table — the tokenizer-pipeline step between apply
+    and pack: tokenize the corpus vocabulary (32-merge table),
+    weight each subword's frequency by corpus word counts, and
+    assign contiguous ids by (freq DESC, token) after 4 reserved
+    specials (<pad> 0, <unk> 1, <bos> 2, <eos> 3) — the layout every
+    embedding matrix and shard writer consumes.
+
+    The id assignment is a GLOBAL rank — the single-partition-window
+    trap — so it rides with_global_rank (operators/rank.py: range
+    partitions + broadcast per-partition offsets, the
+    running_sum_probe-pinned machinery). Token frequencies come from
+    the same vocabulary-tokenize + broadcast-join-back plan as
+    text_bpe_tokenize: the corpus is touched once; everything after
+    is vocabulary- then token-sized."""
+    from project_2_semantic_similarity_spark.operators.rank import (
+        with_global_rank)
+    from project_2_semantic_similarity_spark.operators.text import (
+        bpe_word_tokens)
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (docs
+             .select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+             .filter(F.col("word") != "")
+             .groupBy("word").agg(F.count("*").alias("cnt")))
+    vocab = bpe_word_tokens(words.select("word").distinct())
+    freq = (words.join(F.broadcast(vocab), "word")
+            .select(F.explode("tokens").alias("token"), "cnt")
+            .groupBy("token").agg(F.sum("cnt").alias("freq")))
+    ranked = with_global_rank(
+        freq, [F.col("freq").desc(), F.col("token").asc()],
+        rank_col="rn")
+    real = ranked.select(
+        "token", (F.col("rn") + 3).cast("long").alias("token_id"),
+        F.col("freq").cast("long").alias("freq"))
+    specials = spark.createDataFrame(
+        [("<pad>", 0), ("<unk>", 1), ("<bos>", 2), ("<eos>", 3)],
+        ["token", "token_id"]).select(
+        "token", F.col("token_id").cast("long"),
+        F.lit(0).cast("long").alias("freq"))
+    return real.unionAll(specials)
