@@ -4442,7 +4442,11 @@ def sql_api_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     than a nested loop — plan-pinned in tests/test_plan_shape.py.
     Dimensions broadcast; the ORDER BY ... LIMIT 100 carries a total
     tie-break (acctbal DESC, nation, supplier, part) and rides
-    TakeOrderedAndProject."""
+    TakeOrderedAndProject. The ps CTE is consumed twice (outer join
+    tree + decorrelated min) — statically two lineitem aggregations,
+    but AQE exchange reuse collapses them at runtime (2
+    ReusedExchange nodes in the executed plan), so the bridge is
+    built once."""
     from project_2_semantic_similarity_spark.sources.tables import (
         register_views)
 
