@@ -1600,3 +1600,108 @@ def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         "token", F.col("token_id").cast("long"),
         F.lit(0).cast("long").alias("freq"))
     return real.unionAll(specials)
+
+
+@query(
+    "text_bpe_encode_ids",
+    oracle=f"""
+WITH RECURSIVE {_bpe_oracle_ctes()},
+freq AS (
+    SELECT u.tok AS token, CAST(sum(w.cnt) AS BIGINT) AS freq
+    FROM words w JOIN tokenized t USING (word),
+         unnest(t.tokens) AS u(tok)
+    GROUP BY u.tok
+),
+ids AS (
+    SELECT token,
+           CAST(row_number() OVER (ORDER BY freq DESC, token) + 3
+                AS BIGINT) AS token_id
+    FROM freq
+),
+wp AS (
+    SELECT doc_id, unnest(l) AS word,
+           unnest(range(len(l))) AS widx
+    FROM (SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS l
+          FROM documents)
+),
+j AS (
+    SELECT wp.doc_id, wp.widx, t.tokens, len(t.tokens) AS n_tok
+    FROM wp JOIN tokenized t USING (word)
+),
+off AS (
+    SELECT doc_id, tokens,
+           coalesce(sum(n_tok) OVER (
+               PARTITION BY doc_id ORDER BY widx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS o
+    FROM j
+),
+tok AS (
+    SELECT doc_id,
+           CAST(o + unnest(range(len(tokens))) AS BIGINT) AS pos,
+           unnest(tokens) AS token
+    FROM off
+)
+SELECT t.doc_id, t.pos, v.token_id
+FROM tok t JOIN ids v USING (token)
+""",
+)
+def text_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS ENCODE — the capstone of the tokenizer pipeline: every
+    document as its ordered subword-id sequence, one row per
+    (doc_id, pos, token_id), which is exactly what
+    corpus_pack_context_windows' arithmetic slices into training
+    batches. Token ids are text_bpe_vocab's (freq DESC, token) order
+    + 4 reserved specials.
+
+    Plan: tokenization cost stays per-VOCABULARY-entry (the same
+    fold + broadcast-join-back as the whole family); per-word token
+    OFFSETS come from a per-doc running sum over word positions — a
+    window PARTITIONED by doc_id (bounded by document length,
+    embarrassingly parallel across docs; never the global
+    single-partition trap), then one bounded posexplode of each
+    word's token list and a broadcast id-map join. Word positions
+    come from posexplode BEFORE the empty-token filter — index gaps
+    are harmless because positions only ORDER the running sum (the
+    oracle indexes after filtering; both orderings agree since
+    filtering preserves relative order). At 100 TB the output is
+    corpus-token-sized — the one relation in the family that is
+    bigger than its input — produced narrowly from the word-count
+    join with a single per-doc window exchange."""
+    from pyspark.sql import Window
+    from project_2_semantic_similarity_spark.operators.rank import (
+        with_global_rank)
+    from project_2_semantic_similarity_spark.operators.text import (
+        bpe_word_tokens)
+
+    docs = load_table(spark, sf_dir, "documents")
+    words_pos = (docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " "))
+         .alias("widx", "word"))
+        .filter(F.col("word") != ""))
+    words = words_pos.groupBy("word").agg(F.count("*").alias("cnt"))
+    vocab = bpe_word_tokens(words.select("word").distinct())
+    freq = (words.join(F.broadcast(vocab), "word")
+            .select(F.explode("tokens").alias("token"), "cnt")
+            .groupBy("token").agg(F.sum("cnt").alias("freq")))
+    ids = with_global_rank(
+        freq, [F.col("freq").desc(), F.col("token").asc()],
+        rank_col="rn").select(
+        "token", (F.col("rn") + 3).cast("long").alias("token_id"))
+    w = (Window.partitionBy("doc_id").orderBy("widx")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    j = words_pos.join(F.broadcast(vocab), "word")
+    off = j.select(
+        "doc_id",
+        F.coalesce(F.sum("n_tok").over(w), F.lit(0)).alias("o"),
+        "tokens")
+    tok = off.select(
+        "doc_id", "o",
+        F.posexplode("tokens").alias("tidx", "token"))
+    return (tok.join(F.broadcast(ids), "token")
+            .select("doc_id",
+                    (F.col("o") + F.col("tidx")).cast("long")
+                     .alias("pos"),
+                    "token_id"))

@@ -333,3 +333,32 @@ def test_bpe_trainer_feeds_appliers(spark, sf_dir):
             for r in vocab.withColumn(
                 "tokens", bpe_segment(chars, merges)).collect()}
     assert arrow == fold and len(arrow) > 0
+
+
+def test_bpe_encode_ids_composes_with_tokenize_and_vocab(spark, sf_dir):
+    """Pipeline closure: encode's per-doc row count and max position
+    must equal text_bpe_tokenize's n_bpe_tokens (positions are a
+    0-based gapless sequence), and every token_id must exist in
+    text_bpe_vocab with matching id assignment."""
+    from project_2_semantic_similarity_spark.plans import registry
+
+    registry.load_all()
+    enc = registry.QUERIES["text_bpe_encode_ids"](spark, sf_dir)
+    per_doc = {r["doc_id"]: (r["n"], r["mx"]) for r in
+               enc.groupBy("doc_id")
+               .agg(F.count("*").alias("n"), F.max("pos").alias("mx"))
+               .collect()}
+    tk = {r["doc_id"]: r["n_bpe_tokens"] for r in
+          registry.QUERIES["text_bpe_tokenize"](spark, sf_dir)
+          .collect() if r["n_bpe_tokens"] > 0}
+    assert set(per_doc) == set(tk)
+    for d, (n, mx) in per_doc.items():
+        assert n == tk[d] and mx == n - 1, (d, n, mx, tk[d])
+
+    vocab_ids = {r["token"]: r["token_id"] for r in
+                 registry.QUERIES["text_bpe_vocab"](spark, sf_dir)
+                 .collect()}
+    used = {r["token_id"] for r in
+            enc.select("token_id").distinct().collect()}
+    assert used <= set(vocab_ids.values())
+    assert min(used) >= 4  # specials never appear in running text
