@@ -1573,7 +1573,13 @@ def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     running_sum_probe-pinned machinery). Token frequencies come from
     the same vocabulary-tokenize + broadcast-join-back plan as
     text_bpe_tokenize: the corpus is touched once; everything after
-    is vocabulary- then token-sized."""
+    is vocabulary- then token-sized. The word counts AND the
+    tokenized vocabulary are localCheckpointed before the rank
+    machinery consumes them: with_global_rank's range exchange reads
+    its input twice (boundary sampling + the shuffle), and an
+    un-materialized upstream would re-run the corpus explode and
+    re-expand the 32-lambda fold tree per branch (measured 40 s in
+    the sf0.1 sweep before staging; ~2 s after)."""
     from project_2_semantic_similarity_spark.operators.rank import (
         with_global_rank)
     from project_2_semantic_similarity_spark.operators.text import (
@@ -1583,8 +1589,10 @@ def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = (docs
              .select(F.explode(F.split(F.col("text"), " ")).alias("word"))
              .filter(F.col("word") != "")
-             .groupBy("word").agg(F.count("*").alias("cnt")))
-    vocab = bpe_word_tokens(words.select("word").distinct())
+             .groupBy("word").agg(F.count("*").alias("cnt"))
+             ).localCheckpoint()
+    vocab = bpe_word_tokens(
+        words.select("word").distinct()).localCheckpoint()
     freq = (words.join(F.broadcast(vocab), "word")
             .select(F.explode("tokens").alias("token"), "cnt")
             .groupBy("token").agg(F.sum("cnt").alias("freq")))
@@ -1655,34 +1663,40 @@ def text_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     batches. Token ids are text_bpe_vocab's (freq DESC, token) order
     + 4 reserved specials.
 
-    Plan: tokenization cost stays per-VOCABULARY-entry (the same
-    fold + broadcast-join-back as the whole family); per-word token
-    OFFSETS come from a per-doc running sum over word positions — a
-    window PARTITIONED by doc_id (bounded by document length,
-    embarrassingly parallel across docs; never the global
-    single-partition trap), then one bounded posexplode of each
-    word's token list and a broadcast id-map join. Word positions
-    come from posexplode BEFORE the empty-token filter — index gaps
-    are harmless because positions only ORDER the running sum (the
-    oracle indexes after filtering; both orderings agree since
-    filtering preserves relative order). At 100 TB the output is
-    corpus-token-sized — the one relation in the family that is
-    bigger than its input — produced narrowly from the word-count
-    join with a single per-doc window exchange."""
-    from pyspark.sql import Window
+    The scale design exploits that each document is ONE ROW before
+    any explode: the word -> id-sequence map (vocabulary-sized — the
+    same fits-in-broadcast contract as every broadcast join in this
+    family) is collected and broadcast once, and the encode itself is
+    a ZERO-SHUFFLE Arrow `mapInPandas` over the documents scan,
+    emitting (doc_id, pos, token_id) directly. The first draft
+    instead attached token arrays to the exploded corpus-word
+    relation and ran a per-doc offset window — semantically
+    identical, but it shuffled the whole 120M-row word relation just
+    to regroup words that were already co-located in their document
+    row (timed out at 2M docs; the Arrow version measures in
+    SCALE.md). The only shuffles left are the vocabulary builds:
+    corpus word counts (map-side combined to |vocab|) and the
+    token-frequency rank (with_global_rank's range machinery), both
+    over localCheckpointed inputs — un-materialized, the rank
+    exchange's double read (boundary sample + shuffle) re-runs the
+    corpus explode and re-expands the fold tree per branch (the
+    first draft burned 30 cores for minutes at 2M docs on exactly
+    that). For vocabularies beyond driver/broadcast reach, the
+    windowed-join formulation in git history is the fallback
+    shape."""
     from project_2_semantic_similarity_spark.operators.rank import (
         with_global_rank)
     from project_2_semantic_similarity_spark.operators.text import (
         bpe_word_tokens)
 
     docs = load_table(spark, sf_dir, "documents")
-    words_pos = (docs.select(
-        "doc_id",
-        F.posexplode(F.split(F.col("text"), " "))
-         .alias("widx", "word"))
-        .filter(F.col("word") != ""))
-    words = words_pos.groupBy("word").agg(F.count("*").alias("cnt"))
-    vocab = bpe_word_tokens(words.select("word").distinct())
+    words = (docs
+             .select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+             .filter(F.col("word") != "")
+             .groupBy("word").agg(F.count("*").alias("cnt"))
+             ).localCheckpoint()
+    vocab = bpe_word_tokens(
+        words.select("word").distinct()).localCheckpoint()
     freq = (words.join(F.broadcast(vocab), "word")
             .select(F.explode("tokens").alias("token"), "cnt")
             .groupBy("token").agg(F.sum("cnt").alias("freq")))
@@ -1690,18 +1704,37 @@ def text_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         freq, [F.col("freq").desc(), F.col("token").asc()],
         rank_col="rn").select(
         "token", (F.col("rn") + 3).cast("long").alias("token_id"))
-    w = (Window.partitionBy("doc_id").orderBy("widx")
-         .rowsBetween(Window.unboundedPreceding, -1))
-    j = words_pos.join(F.broadcast(vocab), "word")
-    off = j.select(
-        "doc_id",
-        F.coalesce(F.sum("n_tok").over(w), F.lit(0)).alias("o"),
-        "tokens")
-    tok = off.select(
-        "doc_id", "o",
-        F.posexplode("tokens").alias("tidx", "token"))
-    return (tok.join(F.broadcast(ids), "token")
-            .select("doc_id",
-                    (F.col("o") + F.col("tidx")).cast("long")
-                     .alias("pos"),
-                    "token_id"))
+    id_of = {r["token"]: r["token_id"] for r in ids.collect()}
+    word_ids = {r["word"]: [id_of[t] for t in r["tokens"]]
+                for r in vocab.collect()}
+    bc = spark.sparkContext.broadcast(word_ids)
+
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        # per-word id arrays so each document encodes as one
+        # np.concatenate — C-speed per corpus token, never a Python
+        # append loop (120M tokens/2M docs: the loop version was the
+        # bottleneck on a low-partition scan)
+        wmap = {w: np.asarray(t, dtype=np.int64)
+                for w, t in bc.value.items()}
+        empty = np.empty(0, dtype=np.int64)
+        for pdf in batches:
+            per_doc = [
+                np.concatenate([wmap[wd] for wd in text.split(" ")
+                                if wd] or [empty])
+                for text in pdf["text"]]
+            lens = np.fromiter((a.size for a in per_doc),
+                               dtype=np.int64, count=len(per_doc))
+            yield pd.DataFrame({
+                "doc_id": np.repeat(pdf["doc_id"].to_numpy(), lens),
+                "pos": np.concatenate(
+                    [np.arange(n) for n in lens] or [empty]),
+                "token_id": np.concatenate(per_doc or [empty]),
+            })
+
+    return (docs.select("doc_id", "text")
+            .mapInPandas(encode,
+                         schema="doc_id bigint, pos bigint, "
+                                "token_id bigint"))
