@@ -1738,3 +1738,120 @@ def text_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             .mapInPandas(encode,
                          schema="doc_id bigint, pos bigint, "
                                 "token_id bigint"))
+
+
+from project_2_semantic_similarity_spark.plans.q_sampling import (  # noqa: E402
+    _CTX_WINDOW)
+
+
+@query(
+    "corpus_context_window_ids",
+    oracle=f"""
+WITH RECURSIVE {_bpe_oracle_ctes()},
+freq AS (
+    SELECT u.tok AS token, CAST(sum(w.cnt) AS BIGINT) AS freq
+    FROM words w JOIN tokenized t USING (word),
+         unnest(t.tokens) AS u(tok)
+    GROUP BY u.tok
+),
+ids AS (
+    SELECT token,
+           CAST(row_number() OVER (ORDER BY freq DESC, token) + 3
+                AS BIGINT) AS token_id
+    FROM freq
+),
+nbpe AS (
+    SELECT w.doc_id,
+           CAST(sum(w.cnt * len(t.tokens)) AS BIGINT) AS n_bpe
+    FROM words w JOIN tokenized t USING (word)
+    GROUP BY w.doc_id
+),
+offs AS (
+    SELECT doc_id,
+           CAST(sum(n_bpe) OVER (ORDER BY doc_id) - n_bpe AS BIGINT)
+               AS strt
+    FROM nbpe
+),
+wp AS (
+    SELECT doc_id, unnest(l) AS word,
+           unnest(range(len(l))) AS widx
+    FROM (SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS l
+          FROM documents)
+),
+j AS (
+    SELECT wp.doc_id, wp.widx, t.tokens, len(t.tokens) AS n_tok
+    FROM wp JOIN tokenized t USING (word)
+),
+off AS (
+    SELECT doc_id, tokens,
+           coalesce(sum(n_tok) OVER (
+               PARTITION BY doc_id ORDER BY widx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS o
+    FROM j
+),
+tok AS (
+    SELECT doc_id,
+           CAST(o + unnest(range(len(tokens))) AS BIGINT) AS pos,
+           unnest(tokens) AS token
+    FROM off
+)
+SELECT CAST((f.strt + t.pos) // {_CTX_WINDOW} AS BIGINT) AS window_id,
+       CAST((f.strt + t.pos) % {_CTX_WINDOW} AS BIGINT) AS window_pos,
+       v.token_id
+FROM tok t
+JOIN offs f USING (doc_id)
+JOIN ids v USING (token)
+""",
+)
+def corpus_context_window_ids(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """THE TRAINING BATCH, materialized: every corpus subword id at
+    its exact (window_id, window_pos) slot in the packed 512-token
+    context windows — the relation a training loader reads row-group
+    by row-group. Closes the tokenizer pipeline loop:
+    text_bpe_train/vocab define ids, text_bpe_encode_ids orders them
+    per doc, corpus_pack_context_windows' arithmetic places docs in
+    the global stream, and this query composes the two coordinate
+    systems (global doc offset + within-doc position).
+
+    Plan: per-doc SUBWORD counts come from the vocabulary-sized
+    tokenize plan (never the encoded relation); their global running
+    sum rides with_global_running_sum's range machinery (doc-sized,
+    localCheckpointed input per the fold-staging rule); the encoded
+    relation (zero-shuffle Arrow stage) joins the doc-offset table on
+    doc_id — left unhinted so AQE broadcasts the doc-sized side
+    while it fits and shuffle-joins at 100 TB, where regrouping
+    corpus tokens by window requires that one shuffle no matter the
+    formulation. (window_id, window_pos) is a total order — the
+    driver hash is order-insensitive but uniqueness makes the
+    relation a well-defined batch layout."""
+    from project_2_semantic_similarity_spark.operators.rank import (
+        with_global_running_sum)
+    from project_2_semantic_similarity_spark.operators.text import (
+        bpe_word_tokens)
+
+    enc = text_bpe_encode_ids(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    words = (docs
+             .select("doc_id",
+                     F.explode(F.split(F.col("text"), " ")).alias("word"))
+             .filter(F.col("word") != "")
+             .groupBy("doc_id", "word").agg(F.count("*").alias("cnt"))
+             ).localCheckpoint()
+    vocab = bpe_word_tokens(
+        words.select("word").distinct()).localCheckpoint()
+    nbpe = (words.join(F.broadcast(vocab), "word")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("cnt") * F.col("n_tok")).alias("n_bpe")))
+    offs = with_global_running_sum(
+        nbpe, [F.col("doc_id").asc()], "n_bpe", sum_col="cum").select(
+        "doc_id", (F.col("cum") - F.col("n_bpe")).alias("strt"))
+    gpos = F.col("strt") + F.col("pos")
+    return (enc.join(offs, "doc_id")
+            .select(
+                F.floor(gpos / _CTX_WINDOW).cast("long")
+                 .alias("window_id"),
+                (gpos % _CTX_WINDOW).cast("long").alias("window_pos"),
+                "token_id"))
