@@ -1707,37 +1707,13 @@ def text_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     id_of = {r["token"]: r["token_id"] for r in ids.collect()}
     word_ids = {r["word"]: [id_of[t] for t in r["tokens"]]
                 for r in vocab.collect()}
-    bc = spark.sparkContext.broadcast(word_ids)
+    from project_2_semantic_similarity_spark.operators.text import (
+        bpe_encode_docs)
 
-    def encode(batches):
-        import numpy as np
-        import pandas as pd
-
-        # per-word id arrays so each document encodes as one
-        # np.concatenate — C-speed per corpus token, never a Python
-        # append loop (120M tokens/2M docs: the loop version was the
-        # bottleneck on a low-partition scan)
-        wmap = {w: np.asarray(t, dtype=np.int64)
-                for w, t in bc.value.items()}
-        empty = np.empty(0, dtype=np.int64)
-        for pdf in batches:
-            per_doc = [
-                np.concatenate([wmap[wd] for wd in text.split(" ")
-                                if wd] or [empty])
-                for text in pdf["text"]]
-            lens = np.fromiter((a.size for a in per_doc),
-                               dtype=np.int64, count=len(per_doc))
-            yield pd.DataFrame({
-                "doc_id": np.repeat(pdf["doc_id"].to_numpy(), lens),
-                "pos": np.concatenate(
-                    [np.arange(n) for n in lens] or [empty]),
-                "token_id": np.concatenate(per_doc or [empty]),
-            })
-
-    return (docs.select("doc_id", "text")
-            .mapInPandas(encode,
-                         schema="doc_id bigint, pos bigint, "
-                                "token_id bigint"))
+    # unk never fires here (the vocabulary IS this corpus's), but the
+    # operator's OOV -> <unk> path is the real serving behavior and
+    # is unit-tested on a disjoint corpus
+    return bpe_encode_docs(docs, word_ids, unk_id=1)
 
 
 from project_2_semantic_similarity_spark.plans.q_sampling import (  # noqa: E402

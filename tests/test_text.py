@@ -362,3 +362,22 @@ def test_bpe_encode_ids_composes_with_tokenize_and_vocab(spark, sf_dir):
             enc.select("token_id").distinct().collect()}
     assert used <= set(vocab_ids.values())
     assert min(used) >= 4  # specials never appear in running text
+
+
+def test_bpe_encode_docs_oov_maps_to_unk(spark):
+    """The serving-path contract of the zero-shuffle encoder: words
+    absent from the vocabulary map to the reserved <unk> id, empty
+    docs emit nothing, and positions stay gapless per doc."""
+    word_ids = {"hello": [7, 8], "world": [9]}
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello mystery world"), (3, ""),
+         (4, "unseen")],
+        ["doc_id", "text"])
+    rows = sorted(
+        (r["doc_id"], r["pos"], r["token_id"])
+        for r in T.bpe_encode_docs(docs, word_ids, unk_id=1).collect())
+    assert rows == [
+        (1, 0, 7), (1, 1, 8), (1, 2, 9),
+        (2, 0, 7), (2, 1, 8), (2, 2, 1), (2, 3, 9),
+        (4, 0, 1),
+    ]
