@@ -797,3 +797,17 @@ def test_tpch_q11_scalar_threshold_plan_side(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def test_bpe_vocab_fold_staged_before_rank(spark, sf_dir):
+    """Regression pin for the r10 fold-staging fix (SCALE.md): the
+    32-lambda fold tree must be MATERIALIZED (localCheckpoint) before
+    with_global_rank consumes it — un-staged, the rank exchange's
+    double read re-planned the fold + corpus explode into every
+    branch (40 s at sf0.1; 30 cores for minutes at 2M docs). The
+    returned plan must read only checkpointed scans: no lambda
+    expressions, no parquet re-scan."""
+    plan = plan_of(spark, "text_bpe_vocab", sf_dir)
+    assert "ExistingRDD" in plan          # checkpointed words+vocab
+    assert "lambdafunction" not in plan   # fold ran inside the stage
+    assert "FileScan" not in plan         # corpus never re-read
