@@ -219,6 +219,11 @@ def _fixed_table(symbols: list[int]) -> tuple[list[int], list[int]]:
     return bits, list(symbols)
 
 
+# Bound on stray non-marker bytes tolerated between progressive
+# scans (libjpeg-style resync). Crawl junk is bytes; decoder desync
+# is kilobytes — the cap distinguishes them (r10 advice).
+_MAX_INTER_SCAN_SKIP = 512
+
 _DC_SYMBOLS = list(range(12))
 _AC_SYMBOLS = [0x00, 0xF0] + [
     (run << 4) | size for run in range(16) for size in range(1, 11)]
@@ -988,9 +993,21 @@ def _decode_progressive(
         # bytes between a scan's entropy data and the next marker;
         # resync forward to the next 0xFF (as align_to_marker does)
         # instead of requiring it at the exact position — truncation
-        # is still an error below.
+        # is still an error below. The skip is BOUNDED (r10 advice):
+        # crawl junk measures in a handful of bytes, while an
+        # entropy-decoder desync (an internal off-by-N in scan
+        # consumption) leaves kilobytes of undecoded entropy data
+        # before the next marker — capping the skip keeps that
+        # tripwire instead of silently decoding wrong pixels.
+        skipped = 0
         while pos < len(payload) and payload[pos] != 0xFF:
             pos += 1
+            skipped += 1
+        if skipped > _MAX_INTER_SCAN_SKIP:
+            raise ValueError(
+                f"resync skipped {skipped} non-marker bytes between "
+                f"scans (cap {_MAX_INTER_SCAN_SKIP}) — likely "
+                "entropy-decoder desync, not crawl junk")
         if pos >= len(payload):
             raise ValueError("truncated header (stray bytes to EOF)")
         while pos < len(payload) and payload[pos] == 0xFF:

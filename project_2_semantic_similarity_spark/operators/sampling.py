@@ -23,6 +23,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+# Tokens per packed training context window. Lives here (not in a
+# plan module) so q_sampling and q_textlab can both read it without
+# either plan module depending on the other's init order — the
+# previous home (q_sampling module scope) made importing q_sampling
+# before q_textlab raise ImportError on the partially-initialized
+# circular pair (r10 advice).
+CTX_WINDOW = 512
+
+
 def _bucket(key: Column, salt: str) -> Column:
     """4-hex-char bucket label in ['0000', 'ffff'] — uniform over
     65,536 values, deterministic in (salt, key) only."""

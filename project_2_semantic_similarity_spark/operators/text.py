@@ -980,6 +980,11 @@ def bpe_encode_docs(docs: DataFrame, word_ids: dict[str, list[int]],
         empty = np.empty(0, dtype=np.int64)
 
         def enc_one(text):
+            # NULL text rows arrive as None in the Arrow batch; the
+            # plan-side F.split paths tolerate nulls, so the Arrow
+            # encoder must too (r10 advice): empty id sequence.
+            if not isinstance(text, str):
+                return empty
             arrs = [wmap.get(wd, unk_arr)
                     for wd in text.split(" ") if wd]
             return np.concatenate(arrs) if arrs else empty

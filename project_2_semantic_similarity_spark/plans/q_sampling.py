@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from project_2_semantic_similarity_spark.operators.sampling import (
+    CTX_WINDOW,
     hash_split,
     hex_threshold,
     pack_shards,
@@ -318,7 +319,9 @@ def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "lang"))
 
 
-_CTX_WINDOW = 512  # tokens per packed context window
+# tokens per packed context window — hoisted to operators.sampling
+# (shared with q_textlab without a plan-module circular import)
+_CTX_WINDOW = CTX_WINDOW
 
 
 @query(

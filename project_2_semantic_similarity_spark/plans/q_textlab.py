@@ -1716,8 +1716,8 @@ def text_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode_docs(docs, word_ids, unk_id=1)
 
 
-from project_2_semantic_similarity_spark.plans.q_sampling import (  # noqa: E402
-    _CTX_WINDOW)
+from project_2_semantic_similarity_spark.operators.sampling import (  # noqa: E402
+    CTX_WINDOW as _CTX_WINDOW)
 
 
 @query(

@@ -63,14 +63,21 @@ def scratch_root() -> str:
                 # The user explicitly chose this path; some mounts
                 # (ACL-based NFS, chmod-ignoring fuse) legitimately
                 # retain group/other bits — warn, don't refuse.
+                import logging
                 import warnings
 
-                warnings.warn(
+                msg = (
                     f"P2SS_SCRATCH_DIR {base!r} has group/other "
                     f"permission bits 0o{st.st_mode & 0o777:o} that "
                     "chmod could not clear — staged data may be "
-                    "readable by other users on this host",
-                    RuntimeWarning, stacklevel=2)
+                    "readable by other users on this host")
+                warnings.warn(msg, RuntimeWarning, stacklevel=2)
+                # warnings are easy to miss on Spark executors; the
+                # logger line lands in executor/driver logs too
+                # (r10 advice).
+                logging.getLogger(
+                    "project_2_semantic_similarity_spark.scratch"
+                ).warning(msg)
             else:
                 raise RuntimeError(
                     f"scratch root {base!r} has group/other permission "

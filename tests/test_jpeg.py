@@ -201,6 +201,22 @@ def test_progressive_stray_inter_scan_bytes_resynced():
     assert np.array_equal(clean, got)
 
 
+def test_progressive_resync_skip_is_bounded():
+    """The inter-scan resync tolerates crawl junk (bytes) but not a
+    kilobytes-long run of non-marker data — that signature means the
+    entropy decoder desynced, and decoding wrong pixels silently is
+    worse than raising (r10 advice: keep the desync tripwire)."""
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, (24, 40), dtype=np.uint8)
+    payload = encode_jpeg_progressive(img, quality=85)
+    second_sos = payload.index(b"\xFF\xDA", payload.index(
+        b"\xFF\xDA") + 2)
+    junk = bytes([0x13, 0x37, 0x00] * 400)  # 1200 B > 512-byte cap
+    dirty = payload[:second_sos] + junk + payload[second_sos:]
+    with pytest.raises(ValueError, match="resync skipped"):
+        decode_jpeg(dirty)
+
+
 def test_progressive_truncation_rejected():
     img = np.arange(192, dtype=np.uint8).reshape(12, 16)
     payload = encode_jpeg_progressive(img, quality=85)

@@ -381,3 +381,22 @@ def test_bpe_encode_docs_oov_maps_to_unk(spark):
         (2, 0, 7), (2, 1, 8), (2, 2, 1), (2, 3, 9),
         (4, 0, 1),
     ]
+
+
+def test_bpe_encode_docs_null_text_tolerated(spark):
+    """NULL text rows must encode to nothing (not raise inside the
+    Arrow stage) — matching the family's plan-side F.split null
+    tolerance (r10 advice)."""
+    from pyspark.sql import types as ST
+
+    word_ids = {"a": [5]}
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a a")],
+        ST.StructType([
+            ST.StructField("doc_id", ST.LongType()),
+            ST.StructField("text", ST.StringType()),
+        ]))
+    rows = sorted(
+        (r["doc_id"], r["pos"], r["token_id"])
+        for r in T.bpe_encode_docs(docs, word_ids, unk_id=1).collect())
+    assert rows == [(1, 0, 5), (3, 0, 5), (3, 1, 5)]
