@@ -1004,3 +1004,107 @@ def bpe_encode_docs(docs: DataFrame, word_ids: dict[str, list[int]],
             .mapInPandas(encode,
                          schema=f"{doc_col} bigint, pos bigint, "
                                 "token_id bigint"))
+
+
+def bpe_encode_docs_join(docs: DataFrame, vocab: DataFrame,
+                         ids: DataFrame,
+                         unk_id: int = 1,
+                         doc_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Corpus encode for vocabularies BEYOND driver/broadcast reach:
+    same output as :func:`bpe_encode_docs` — one row per
+    (doc_id, pos, token_id) — but the word -> token-sequence map
+    stays a DataFrame and rides a JOIN, never a collect. ``vocab``
+    is (word, tokens array<string>, n_tok); ``ids`` is
+    (token, token_id) — the latter is merge-bounded (single chars +
+    one symbol per learned merge), so it broadcasts at any corpus
+    size, while the former is Heaps'-law-sized (10^8-10^9 distinct
+    words on a 100 TB crawl) and must not.
+
+    Plan: per-word token OFFSETS come from a per-doc running sum
+    over word positions — a window PARTITIONED by doc_id (bounded by
+    document length, embarrassingly parallel across docs; never the
+    global single-partition trap) — then one bounded posexplode of
+    each word's token list and the broadcast id-map join. Word
+    positions come from posexplode BEFORE the empty-token filter;
+    index gaps are harmless because positions only ORDER the running
+    sum. The vocab join is left unhinted: AQE broadcasts it while it
+    fits and shuffle-joins past that, which at 10^9 words is the one
+    shuffle this formulation genuinely needs (regrouping corpus words
+    with their token sequences). Out-of-vocabulary words map to a
+    single ``unk_id`` token, matching the Arrow encoder's serving
+    behavior exactly (twin-pinned hash-equal in tests)."""
+    from pyspark.sql import Window
+
+    unk = F.lit(int(unk_id)).cast("long")
+    words_pos = (docs.select(
+        doc_col,
+        F.posexplode(F.split(F.col(text_col), " "))
+         .alias("widx", "word"))
+        .filter(F.col("word") != ""))
+    j = (words_pos
+         .join(vocab.select("word", "tokens"), "word", "left")
+         # OOV word -> the single-token <unk> sequence; the sentinel
+         # token string is never joined (token_id coalesces below)
+         .withColumn("tokens", F.coalesce(
+             F.col("tokens"), F.array(F.lit("\x00<oov>")))))
+    w = (Window.partitionBy(doc_col).orderBy("widx")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    off = j.select(
+        doc_col,
+        F.coalesce(F.sum(F.size("tokens")).over(w), F.lit(0))
+         .alias("o"),
+        "tokens")
+    tok = off.select(
+        doc_col, "o",
+        F.posexplode("tokens").alias("tidx", "token"))
+    return (tok.join(F.broadcast(ids.select("token", "token_id")),
+                     "token", "left")
+            .select(F.col(doc_col),
+                    (F.col("o") + F.col("tidx")).cast("long")
+                     .alias("pos"),
+                    F.coalesce(F.col("token_id").cast("long"), unk)
+                     .alias("token_id")))
+
+
+def bpe_encode_corpus(docs: DataFrame, vocab: DataFrame,
+                      ids: DataFrame,
+                      unk_id: int = 1,
+                      strategy: str = "auto",
+                      broadcast_vocab_max: int = 4_000_000,
+                      doc_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Strategy-gated corpus encode (the ``dense_vocab_max`` pattern
+    of :func:`doc_similarity_topk`): pick between the zero-shuffle
+    Arrow encoder (:func:`bpe_encode_docs` — the word -> id-sequence
+    map collected and broadcast once) and the windowed-join shape
+    (:func:`bpe_encode_docs_join` — the map stays distributed) by
+    the DISTINCT-WORD count. The broadcast path is strictly faster
+    while the vocabulary fits driver/broadcast reach (every corpus
+    word-set up to a few million entries); past that — Heaps' law
+    puts a 100 TB web crawl at 10^8-10^9 distinct words — the join
+    path is the only shape that works, at the cost of one per-doc
+    window exchange plus the AQE-decided vocab join.
+
+    ``strategy``: 'auto' gates on ``vocab.count() <=
+    broadcast_vocab_max`` (callers localCheckpoint the vocab, so the
+    count is a cheap materialized-scan job); 'broadcast' / 'join'
+    force a path. Both paths are hash-equal on any corpus, including
+    OOV -> ``unk_id`` serving behavior (twin-pinned in
+    tests/test_text.py)."""
+    if strategy not in ("auto", "broadcast", "join"):
+        raise ValueError(f"unknown encode strategy {strategy!r}")
+    if strategy == "auto":
+        strategy = ("broadcast"
+                    if vocab.count() <= broadcast_vocab_max
+                    else "join")
+    if strategy == "join":
+        return bpe_encode_docs_join(docs, vocab, ids, unk_id=unk_id,
+                                    doc_col=doc_col, text_col=text_col)
+    id_of = {r["token"]: r["token_id"] for r in
+             ids.select("token", "token_id").collect()}
+    unk = int(unk_id)
+    word_ids = {r["word"]: [id_of.get(t, unk) for t in r["tokens"]]
+                for r in vocab.select("word", "tokens").collect()}
+    return bpe_encode_docs(docs, word_ids, unk_id=unk,
+                           doc_col=doc_col, text_col=text_col)

@@ -1664,30 +1664,29 @@ def text_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     + 4 reserved specials.
 
     The scale design exploits that each document is ONE ROW before
-    any explode: the word -> id-sequence map (vocabulary-sized — the
-    same fits-in-broadcast contract as every broadcast join in this
-    family) is collected and broadcast once, and the encode itself is
-    a ZERO-SHUFFLE Arrow `mapInPandas` over the documents scan,
-    emitting (doc_id, pos, token_id) directly. The first draft
-    instead attached token arrays to the exploded corpus-word
-    relation and ran a per-doc offset window — semantically
-    identical, but it shuffled the whole 120M-row word relation just
-    to regroup words that were already co-located in their document
-    row (timed out at 2M docs; the Arrow version measures in
-    SCALE.md). The only shuffles left are the vocabulary builds:
-    corpus word counts (map-side combined to |vocab|) and the
-    token-frequency rank (with_global_rank's range machinery), both
-    over localCheckpointed inputs — un-materialized, the rank
-    exchange's double read (boundary sample + shuffle) re-runs the
-    corpus explode and re-expands the fold tree per branch (the
-    first draft burned 30 cores for minutes at 2M docs on exactly
-    that). For vocabularies beyond driver/broadcast reach, the
-    windowed-join formulation in git history is the fallback
-    shape."""
+    any explode, with a STRATEGY GATE on the distinct-word count
+    (operators/text.py bpe_encode_corpus, the dense_vocab_max
+    pattern): while the word -> id-sequence map fits driver/broadcast
+    reach it is collected and broadcast once and the encode is a
+    ZERO-SHUFFLE Arrow `mapInPandas` over the documents scan; past
+    the bound — Heaps' law puts a 100 TB crawl's raw distinct words
+    at 10^8-10^9, far beyond any broadcast — the gate switches to
+    bpe_encode_docs_join, where the map stays a DataFrame and rides
+    an AQE-decided join plus a per-doc offset window (bounded by
+    document length, embarrassingly parallel across docs). Both
+    strategies are twin-pinned hash-equal (tests/test_text.py,
+    including OOV -> <unk>). The remaining shuffles on the broadcast
+    path are the vocabulary builds: corpus word counts (map-side
+    combined to |vocab|) and the token-frequency rank
+    (with_global_rank's range machinery), both over localCheckpointed
+    inputs — un-materialized, the rank exchange's double read
+    (boundary sample + shuffle) re-runs the corpus explode and
+    re-expands the fold tree per branch (the first draft burned 30
+    cores for minutes at 2M docs on exactly that)."""
     from project_2_semantic_similarity_spark.operators.rank import (
         with_global_rank)
     from project_2_semantic_similarity_spark.operators.text import (
-        bpe_word_tokens)
+        bpe_encode_corpus, bpe_word_tokens)
 
     docs = load_table(spark, sf_dir, "documents")
     words = (docs
@@ -1704,16 +1703,10 @@ def text_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         freq, [F.col("freq").desc(), F.col("token").asc()],
         rank_col="rn").select(
         "token", (F.col("rn") + 3).cast("long").alias("token_id"))
-    id_of = {r["token"]: r["token_id"] for r in ids.collect()}
-    word_ids = {r["word"]: [id_of[t] for t in r["tokens"]]
-                for r in vocab.collect()}
-    from project_2_semantic_similarity_spark.operators.text import (
-        bpe_encode_docs)
-
     # unk never fires here (the vocabulary IS this corpus's), but the
-    # operator's OOV -> <unk> path is the real serving behavior and
-    # is unit-tested on a disjoint corpus
-    return bpe_encode_docs(docs, word_ids, unk_id=1)
+    # OOV -> <unk> path is the real serving behavior — driver-oracled
+    # on a held-out corpus in text_bpe_encode_holdout
+    return bpe_encode_corpus(docs, vocab, ids, unk_id=1)
 
 
 from project_2_semantic_similarity_spark.operators.sampling import (  # noqa: E402

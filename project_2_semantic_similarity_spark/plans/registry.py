@@ -52,14 +52,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # change is in fact result-preserving).
 _CHANGED_THIS_ROUND = frozenset(
     {
-        # round 10: degree-relation broadcast hint dropped (AQE now
-        # picks broadcast vs shuffle) — plan-shape change, results
-        # identical; the driver hash is the independent check
-        "graph_triangle_count",
-        # round 10: progressive decoder resyncs past stray inter-scan
-        # bytes instead of raising — result-preserving on well-formed
-        # fixtures; driver hash is the independent check
-        "multimodal_decode_jpeg_progressive",
+        # round 11: corpus encode gained the distinct-word strategy
+        # gate (bpe_encode_corpus) — result-preserving on the auto/
+        # broadcast path these run at sf0.01; the driver hash is the
+        # independent check
+        "text_bpe_encode_ids",
+        "corpus_context_window_ids",
     }
 )
 

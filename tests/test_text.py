@@ -383,6 +383,85 @@ def test_bpe_encode_docs_oov_maps_to_unk(spark):
     ]
 
 
+def _encode_fixture(spark, sf_dir="/root/testdata/sf0.001"):
+    """(docs, vocab, ids) exactly as text_bpe_encode_ids builds them,
+    on the sf0.001 corpus."""
+    from project_2_semantic_similarity_spark.operators.rank import (
+        with_global_rank)
+    from project_2_semantic_similarity_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (docs
+             .select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+             .filter(F.col("word") != "")
+             .groupBy("word").agg(F.count("*").alias("cnt"))
+             ).localCheckpoint()
+    vocab = T.bpe_word_tokens(
+        words.select("word").distinct()).localCheckpoint()
+    freq = (words.join(F.broadcast(vocab), "word")
+            .select(F.explode("tokens").alias("token"), "cnt")
+            .groupBy("token").agg(F.sum("cnt").alias("freq")))
+    ids = with_global_rank(
+        freq, [F.col("freq").desc(), F.col("token").asc()],
+        rank_col="rn").select(
+        "token", (F.col("rn") + 3).cast("long").alias("token_id"))
+    return docs, vocab, ids.localCheckpoint()
+
+
+def test_bpe_encode_corpus_strategies_hash_equal(spark):
+    """TWIN PIN for the strategy gate (r10 verdict #1): the
+    zero-shuffle broadcast encoder and the windowed-join shape must
+    produce the identical (doc_id, pos, token_id) relation on the
+    same corpus — the gate may only ever change the PLAN."""
+    docs, vocab, ids = _encode_fixture(spark)
+    a = sorted(map(tuple, T.bpe_encode_corpus(
+        docs, vocab, ids, strategy="broadcast").collect()))
+    b = sorted(map(tuple, T.bpe_encode_corpus(
+        docs, vocab, ids, strategy="join").collect()))
+    assert len(a) > 1000
+    assert a == b
+
+
+def test_bpe_encode_corpus_auto_gate_forces_join(spark):
+    """broadcast_vocab_max=0 must route auto to the join path — the
+    forced-huge-vocab shape a 10^9-distinct-word crawl takes. The
+    join plan must contain NO Python stage (the Arrow encoder's
+    mapInPandas) and no driver collect of the vocabulary."""
+    docs, vocab, ids = _encode_fixture(spark)
+    out = T.bpe_encode_corpus(docs, vocab, ids, strategy="auto",
+                              broadcast_vocab_max=0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "mapInPandas" not in plan and "MapInPandas" not in plan
+    # and it still matches the broadcast twin
+    a = sorted(map(tuple, T.bpe_encode_corpus(
+        docs, vocab, ids, strategy="broadcast").collect()))
+    assert sorted(map(tuple, out.collect())) == a
+
+
+def test_bpe_encode_join_oov_maps_to_unk(spark):
+    """OOV serving parity between the strategies: a held-out doc
+    containing words the vocabulary never saw encodes the OOV slots
+    to <unk> identically through both shapes."""
+    vocab = T.bpe_word_tokens(
+        spark.createDataFrame([("hello",), ("world",)], ["word"]))
+    toks = {r["word"]: r["tokens"] for r in vocab.collect()}
+    all_toks = sorted({t for ts in toks.values() for t in ts})
+    ids = spark.createDataFrame(
+        [(t, i + 4) for i, t in enumerate(all_toks)],
+        ["token", "token_id"])
+    docs = spark.createDataFrame(
+        [(1, "hello unseen world"), (2, "total mystery")],
+        ["doc_id", "text"])
+    a = sorted(map(tuple, T.bpe_encode_corpus(
+        docs, vocab, ids, unk_id=1, strategy="broadcast").collect()))
+    b = sorted(map(tuple, T.bpe_encode_corpus(
+        docs, vocab, ids, unk_id=1, strategy="join").collect()))
+    assert a == b
+    unk_rows = [r for r in a if r[2] == 1]
+    # 'unseen' -> one <unk>; 'total' + 'mystery' -> one <unk> each
+    assert len(unk_rows) == 3
+
+
 def test_bpe_encode_docs_null_text_tolerated(spark):
     """NULL text rows must encode to nothing (not raise inside the
     Arrow stage) — matching the family's plan-side F.split null
