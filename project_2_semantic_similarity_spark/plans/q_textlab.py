@@ -1795,7 +1795,13 @@ def corpus_context_window_ids(spark: SparkSession,
     corpus tokens by window requires that one shuffle no matter the
     formulation. (window_id, window_pos) is a total order — the
     driver hash is order-insensitive but uniqueness makes the
-    relation a well-defined batch layout."""
+    relation a well-defined batch layout.
+
+    Executor sizing: at the 2M-doc probe this query's offsets-join
+    hash aggregation needed ~1.5 GiB execution memory PER TASK at
+    width 32 (RowBasedKeyValueBatch exhaustion below 48 GiB total in
+    the single-JVM local probe) — on a real cluster that is ordinary
+    per-executor sizing, see SCALE.md 'corpus_context_window_ids'."""
     from project_2_semantic_similarity_spark.operators.rank import (
         with_global_running_sum)
     from project_2_semantic_similarity_spark.operators.text import (

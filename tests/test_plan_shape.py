@@ -690,6 +690,19 @@ def test_tpch_q2_decorrelated_min_and_broadcast_dims(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_tpch_q2_ps_bridge_built_once(spark, sf_dir):
+    """The ps CTE (lineitem-derived partsupp bridge) is consumed
+    twice — the outer join tree and the decorrelated MIN — which
+    statically plans TWO lineitem aggregations. Exchange reuse must
+    collapse them so the bridge is built once (the docstring's
+    claim); without this pin a Spark upgrade could silently double
+    the most expensive aggregation in the query (r10 verdict #7)."""
+    df = e.queries()["sql_api_tpch_q2"](spark, sf_dir)
+    df.collect()  # AQE finalizes the executed plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+
+
 def test_tpch_q20_semi_join_chain_decorrelated(spark, sf_dir):
     """Q20's nested IN chain must plan as semi joins and the
     correlated one-year SUM subquery as a decorrelated aggregate
