@@ -1006,6 +1006,70 @@ def bpe_encode_docs(docs: DataFrame, word_ids: dict[str, list[int]],
                                 "token_id bigint"))
 
 
+def bpe_train_rounds(words: DataFrame,
+                     rounds: int) -> tuple[list[DataFrame], DataFrame]:
+    """The BPE trainer loop (Sennrich et al. 2016 §3.2 learn_bpe),
+    shared by text_bpe_train and the composed
+    corpus_to_training_batches so the two declared stages cannot
+    drift. ``words`` is the corpus word-count relation (word, cnt);
+    returns (one 1-row DataFrame per learned merge — rank assigned by
+    list position — and the FINAL segmentation (word, cnt, syms)),
+    which IS the trained tokenized vocabulary.
+
+    Per round: adjacent pairs via a JVM transform-over-sequence zip +
+    explode, one vocabulary-sized hash agg, argmax as TakeOrdered(1)
+    with the deterministic (count DESC, left, right) tie-break, the
+    winner broadcast back by crossJoin, and the merge applied with
+    the same `aggregate` fold as bpe_segment — parameterized by the
+    winner's COLUMNS, so no Python and no driver round-trip carries
+    data. localCheckpoint per round truncates lineage (expression
+    trees would otherwise nest ``rounds`` folds deep). At 100 TB the
+    corpus is touched ONCE (the word-count agg the caller feeds in);
+    every round after that is vocabulary-sized. Rounds are inherently
+    sequential — that is BPE's definition, not a plan defect."""
+    empty = F.expr("CAST(array() AS ARRAY<STRING>)")
+    seg = words.select(
+        "word", "cnt",
+        F.filter(F.split(F.col("word"), ""),
+                 lambda c: c != "").alias("syms")).localCheckpoint()
+
+    def apply_merge(syms, a, b):
+        def fold(acc, x):
+            return F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == a) & (x == b),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                         F.array(F.concat(a, b))),
+            ).otherwise(F.concat(acc, F.array(x)))
+
+        return F.aggregate(syms, empty, fold)
+
+    learned: list[DataFrame] = []
+    for _ in range(rounds):
+        pairs = (seg.filter(F.size("syms") >= 2)
+                 .select("cnt", F.explode(F.transform(
+                     F.sequence(F.lit(0), F.size("syms") - 2),
+                     lambda i: F.struct(
+                         F.get("syms", i).alias("a"),
+                         F.get("syms", i + 1).alias("b"))))
+                     .alias("pair"))
+                 .select("cnt", "pair.a", "pair.b"))
+        best = (pairs.groupBy("a", "b")
+                .agg(F.sum("cnt").alias("pair_cnt"))
+                .orderBy(F.col("pair_cnt").desc(), F.col("a").asc(),
+                         F.col("b").asc())
+                .limit(1)).localCheckpoint()
+        learned.append(best)
+        seg = (seg.crossJoin(F.broadcast(
+                   best.select(F.col("a").alias("m_a"),
+                               F.col("b").alias("m_b"))))
+               .select("word", "cnt",
+                       apply_merge(F.col("syms"), F.col("m_a"),
+                                   F.col("m_b")).alias("syms"))
+               ).localCheckpoint()
+    return learned, seg
+
+
 def bpe_encode_docs_join(docs: DataFrame, vocab: DataFrame,
                          ids: DataFrame,
                          unk_id: int = 1,

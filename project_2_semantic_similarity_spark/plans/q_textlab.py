@@ -1389,21 +1389,22 @@ def text_bpe_tokenize_10k(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_TRAIN_ROUNDS = 10
 
 
-def _bpe_train_oracle(k: int = _BPE_TRAIN_ROUNDS) -> str:
-    """Unrolled k-round re-derivation of the trainer (the
+def _bpe_train_ctes(k: int = _BPE_TRAIN_ROUNDS) -> str:
+    """Unrolled k-round CTE chain re-deriving the trainer (the
     cluster_kmeans oracle discipline: iterative but deterministic,
-    so each round is its own CTE block). Round r = pair counts over
-    the current segmentation (adjacent-symbol zip, weighted by word
-    count), argmax with the (count DESC, a, b) tie-break, then a
-    bounded RECURSIVE single-replace apply (full rescan per step
-    keeps the shared-space leftmost semantics — ' a a a ' must
-    become ' aa a ', which replace-all misses because consecutive
-    occurrences share the middle space). MATERIALIZED CTEs are
-    load-bearing: inlined, each round re-expands the whole prefix
-    chain and the plan re-opens the parquet scan 3^k times (the
-    first draft died on EMFILE)."""
-    parts = ["""
-WITH RECURSIVE words AS MATERIALIZED (
+    so each round is its own CTE block) — ends at seg{k+1}, the
+    TRAINED segmentation, so composed oracles
+    (corpus_to_training_batches) reuse the chain verbatim. Round r =
+    pair counts over the current segmentation (adjacent-symbol zip,
+    weighted by word count), argmax with the (count DESC, a, b)
+    tie-break, then a bounded RECURSIVE single-replace apply (full
+    rescan per step keeps the shared-space leftmost semantics —
+    ' a a a ' must become ' aa a ', which replace-all misses because
+    consecutive occurrences share the middle space). MATERIALIZED
+    CTEs are load-bearing: inlined, each round re-expands the whole
+    prefix chain and the plan re-opens the parquet scan 3^k times
+    (the first draft died on EMFILE)."""
+    parts = ["""words AS MATERIALIZED (
     SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
     FROM documents,
          unnest(list_filter(string_split(text, ' '), x -> x <> ''))
@@ -1450,11 +1451,15 @@ seg{r + 1} AS MATERIALIZED (
     SELECT a.word, a.cnt, a.s FROM app{r} a, best{r} b
     WHERE strpos(a.s, b.pat) = 0
 )""")
-    parts.append("\n" + "\nUNION ALL\n".join(
-        f"SELECT CAST({r} AS BIGINT) AS rank, a AS left_sym, "
-        f"b AS right_sym, pair_cnt FROM best{r}"
-        for r in range(1, k + 1)))
     return "".join(parts)
+
+
+def _bpe_train_oracle(k: int = _BPE_TRAIN_ROUNDS) -> str:
+    return ("WITH RECURSIVE " + _bpe_train_ctes(k) + "\n"
+            + "\nUNION ALL\n".join(
+                f"SELECT CAST({r} AS BIGINT) AS rank, a AS left_sym, "
+                f"b AS right_sym, pair_cnt FROM best{r}"
+                for r in range(1, k + 1)))
 
 
 @query("text_bpe_train", oracle=_bpe_train_oracle())
@@ -1468,7 +1473,8 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     bpe_word_tokens_arrow == the fold on the same table
     (tests/test_text.py twin).
 
-    Plan (the cluster_kmeans discipline): per round, adjacent pairs
+    Plan (the cluster_kmeans discipline): the shared trainer loop in
+    operators/text.py bpe_train_rounds — per round, adjacent pairs
     via a JVM transform-over-sequence zip + explode, one
     vocabulary-sized hash agg, argmax as TakeOrdered(1), the winner
     broadcast back by crossJoin, and the merge applied with the same
@@ -1480,59 +1486,23 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     that is vocabulary-sized: explode ~avg_word_len x |vocab| pair
     rows, one shuffle, a 1-row broadcast. Rounds are inherently
     sequential — that is BPE's definition, not a plan defect."""
+    from project_2_semantic_similarity_spark.operators.text import (
+        bpe_train_rounds)
+
     docs = load_table(spark, sf_dir, "documents")
     words = (docs
              .select(F.explode(F.split(F.col("text"), " ")).alias("word"))
              .filter(F.col("word") != "")
              .groupBy("word").agg(F.count("*").alias("cnt")))
-    empty = F.expr("CAST(array() AS ARRAY<STRING>)")
-    seg = words.select(
-        "word", "cnt",
-        F.filter(F.split(F.col("word"), ""),
-                 lambda c: c != "").alias("syms")).localCheckpoint()
-
-    def apply_merge(syms, a, b):
-        def fold(acc, x):
-            return F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == a) & (x == b),
-                F.concat(F.slice(acc, 1, F.size(acc) - 1),
-                         F.array(F.concat(a, b))),
-            ).otherwise(F.concat(acc, F.array(x)))
-
-        return F.aggregate(syms, empty, fold)
-
-    learned = []
-    for r in range(1, _BPE_TRAIN_ROUNDS + 1):
-        pairs = (seg.filter(F.size("syms") >= 2)
-                 .select("cnt", F.explode(F.transform(
-                     F.sequence(F.lit(0), F.size("syms") - 2),
-                     lambda i: F.struct(
-                         F.get("syms", i).alias("a"),
-                         F.get("syms", i + 1).alias("b"))))
-                     .alias("pair"))
-                 .select("cnt", "pair.a", "pair.b"))
-        best = (pairs.groupBy("a", "b")
-                .agg(F.sum("cnt").alias("pair_cnt"))
-                .orderBy(F.col("pair_cnt").desc(), F.col("a").asc(),
-                         F.col("b").asc())
-                .limit(1)).localCheckpoint()
-        learned.append(best.select(
+    learned, _ = bpe_train_rounds(words, _BPE_TRAIN_ROUNDS)
+    out = None
+    for r, best in enumerate(learned, start=1):
+        row = best.select(
             F.lit(r).cast("long").alias("rank"),
             F.col("a").alias("left_sym"),
             F.col("b").alias("right_sym"),
-            F.col("pair_cnt").cast("long").alias("pair_cnt")))
-        seg = (seg.crossJoin(F.broadcast(
-                   best.select(F.col("a").alias("m_a"),
-                               F.col("b").alias("m_b"))))
-               .select("word", "cnt",
-                       apply_merge(F.col("syms"), F.col("m_a"),
-                                   F.col("m_b")).alias("syms"))
-               ).localCheckpoint()
-
-    out = learned[0]
-    for nxt in learned[1:]:
-        out = out.unionAll(nxt)
+            F.col("pair_cnt").cast("long").alias("pair_cnt"))
+        out = row if out is None else out.unionAll(row)
     return out
 
 
@@ -1610,13 +1580,19 @@ def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return real.unionAll(specials)
 
 
-@query(
-    "text_bpe_encode_ids",
-    oracle=f"""
-WITH RECURSIVE {_bpe_oracle_ctes()},
+def _encode_ids_tail(words_cte: str = "words") -> str:
+    """The shared encode/pack oracle chain, valid AFTER a
+    ``tokenized`` (word, tokens) CTE exists: token ids by weighted
+    frequency rank, per-doc subword counts + global doc offsets, and
+    the per-doc ordered token stream. Reused VERBATIM by
+    text_bpe_encode_ids, corpus_context_window_ids and
+    corpus_to_training_batches (only the final SELECT differs), so
+    the stage declarations cannot drift. ``words_cte`` must expose
+    (doc_id, word, cnt)."""
+    return f""",
 freq AS (
     SELECT u.tok AS token, CAST(sum(w.cnt) AS BIGINT) AS freq
-    FROM words w JOIN tokenized t USING (word),
+    FROM {words_cte} w JOIN tokenized t USING (word),
          unnest(t.tokens) AS u(tok)
     GROUP BY u.tok
 ),
@@ -1625,6 +1601,18 @@ ids AS (
            CAST(row_number() OVER (ORDER BY freq DESC, token) + 3
                 AS BIGINT) AS token_id
     FROM freq
+),
+nbpe AS (
+    SELECT w.doc_id,
+           CAST(sum(w.cnt * len(t.tokens)) AS BIGINT) AS n_bpe
+    FROM {words_cte} w JOIN tokenized t USING (word)
+    GROUP BY w.doc_id
+),
+offs AS (
+    SELECT doc_id,
+           CAST(sum(n_bpe) OVER (ORDER BY doc_id) - n_bpe AS BIGINT)
+               AS strt
+    FROM nbpe
 ),
 wp AS (
     SELECT doc_id, unnest(l) AS word,
@@ -1650,7 +1638,13 @@ tok AS (
            CAST(o + unnest(range(len(tokens))) AS BIGINT) AS pos,
            unnest(tokens) AS token
     FROM off
-)
+)"""
+
+
+@query(
+    "text_bpe_encode_ids",
+    oracle=f"""
+WITH RECURSIVE {_bpe_oracle_ctes()}{_encode_ids_tail()}
 SELECT t.doc_id, t.pos, v.token_id
 FROM tok t JOIN ids v USING (token)
 """,
@@ -1716,56 +1710,7 @@ from project_2_semantic_similarity_spark.operators.sampling import (  # noqa: E4
 @query(
     "corpus_context_window_ids",
     oracle=f"""
-WITH RECURSIVE {_bpe_oracle_ctes()},
-freq AS (
-    SELECT u.tok AS token, CAST(sum(w.cnt) AS BIGINT) AS freq
-    FROM words w JOIN tokenized t USING (word),
-         unnest(t.tokens) AS u(tok)
-    GROUP BY u.tok
-),
-ids AS (
-    SELECT token,
-           CAST(row_number() OVER (ORDER BY freq DESC, token) + 3
-                AS BIGINT) AS token_id
-    FROM freq
-),
-nbpe AS (
-    SELECT w.doc_id,
-           CAST(sum(w.cnt * len(t.tokens)) AS BIGINT) AS n_bpe
-    FROM words w JOIN tokenized t USING (word)
-    GROUP BY w.doc_id
-),
-offs AS (
-    SELECT doc_id,
-           CAST(sum(n_bpe) OVER (ORDER BY doc_id) - n_bpe AS BIGINT)
-               AS strt
-    FROM nbpe
-),
-wp AS (
-    SELECT doc_id, unnest(l) AS word,
-           unnest(range(len(l))) AS widx
-    FROM (SELECT doc_id,
-                 list_filter(string_split(text, ' '), x -> x <> '') AS l
-          FROM documents)
-),
-j AS (
-    SELECT wp.doc_id, wp.widx, t.tokens, len(t.tokens) AS n_tok
-    FROM wp JOIN tokenized t USING (word)
-),
-off AS (
-    SELECT doc_id, tokens,
-           coalesce(sum(n_tok) OVER (
-               PARTITION BY doc_id ORDER BY widx
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-               0) AS o
-    FROM j
-),
-tok AS (
-    SELECT doc_id,
-           CAST(o + unnest(range(len(tokens))) AS BIGINT) AS pos,
-           unnest(tokens) AS token
-    FROM off
-)
+WITH RECURSIVE {_bpe_oracle_ctes()}{_encode_ids_tail()}
 SELECT CAST((f.strt + t.pos) // {_CTX_WINDOW} AS BIGINT) AS window_id,
        CAST((f.strt + t.pos) % {_CTX_WINDOW} AS BIGINT) AS window_pos,
        v.token_id
@@ -1818,6 +1763,100 @@ def corpus_context_window_ids(spark: SparkSession,
     vocab = bpe_word_tokens(
         words.select("word").distinct()).localCheckpoint()
     nbpe = (words.join(F.broadcast(vocab), "word")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("cnt") * F.col("n_tok")).alias("n_bpe")))
+    offs = with_global_running_sum(
+        nbpe, [F.col("doc_id").asc()], "n_bpe", sum_col="cum").select(
+        "doc_id", (F.col("cum") - F.col("n_bpe")).alias("strt"))
+    gpos = F.col("strt") + F.col("pos")
+    return (enc.join(offs, "doc_id")
+            .select(
+                F.floor(gpos / _CTX_WINDOW).cast("long")
+                 .alias("window_id"),
+                (gpos % _CTX_WINDOW).cast("long").alias("window_pos"),
+                "token_id"))
+
+
+@query(
+    "corpus_to_training_batches",
+    oracle=f"""
+WITH RECURSIVE {_bpe_train_ctes()},
+dwords AS MATERIALIZED (
+    SELECT doc_id, w AS word, CAST(count(*) AS BIGINT) AS cnt
+    FROM documents,
+         unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+             AS t(w)
+    GROUP BY doc_id, w
+),
+tokenized AS MATERIALIZED (
+    SELECT word,
+           list_filter(string_split(trim(s, ' '), ' '), x -> x <> '')
+               AS tokens
+    FROM seg{_BPE_TRAIN_ROUNDS + 1}
+){_encode_ids_tail("dwords")}
+SELECT CAST((f.strt + t.pos) // {_CTX_WINDOW} AS BIGINT) AS window_id,
+       CAST((f.strt + t.pos) % {_CTX_WINDOW} AS BIGINT) AS window_pos,
+       v.token_id
+FROM tok t
+JOIN offs f USING (doc_id)
+JOIN ids v USING (token)
+""",
+)
+def corpus_to_training_batches(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """THE TOKENIZER PIPELINE AS ONE QUERY (r10 verdict #4) — the
+    integration a pretraining-data team runs daily: learn the merge
+    table FROM the corpus (text_bpe_train's 10 argmax rounds),
+    assign token ids by weighted frequency (text_bpe_vocab's order),
+    encode every document (text_bpe_encode_ids's gate), and place
+    every subword id at its (window_id, window_pos) slot in the
+    packed 512-token context windows (corpus_context_window_ids's
+    arithmetic). Unlike those stages — which apply the FIXED
+    32-merge BPE_MERGES table — this pipeline's segmentation is the
+    trainer's own output, so a drift between trainer and applier
+    breaks the hash. The stages share code, not copies: the trainer
+    loop is operators/text.py bpe_train_rounds (text_bpe_train's),
+    the encode is bpe_encode_corpus (text_bpe_encode_ids's gate),
+    and the oracle composes _bpe_train_ctes + _encode_ids_tail
+    VERBATIM, so a stage declaration cannot drift from its
+    standalone query.
+
+    Plan: the corpus parquet is scanned once per stage family — one
+    scan feeds the per-doc word counts (localCheckpointed; the
+    trainer, the id rank, and the doc-offset table all read the
+    checkpoint), one scan feeds the zero-shuffle Arrow encode — and
+    the only data-sized shuffle beyond the word-count agg is the
+    AQE-decided encode⋈offsets join (pinned in
+    tests/test_plan_shape.py). The trainer's per-round work is
+    vocabulary-sized; rounds are sequential by BPE's definition."""
+    from project_2_semantic_similarity_spark.operators.rank import (
+        with_global_rank, with_global_running_sum)
+    from project_2_semantic_similarity_spark.operators.text import (
+        bpe_encode_corpus, bpe_train_rounds)
+
+    docs = load_table(spark, sf_dir, "documents")
+    dwords = (docs
+              .select("doc_id",
+                      F.explode(F.split(F.col("text"), " ")).alias("word"))
+              .filter(F.col("word") != "")
+              .groupBy("doc_id", "word").agg(F.count("*").alias("cnt"))
+              ).localCheckpoint()
+    words = dwords.groupBy("word").agg(F.sum("cnt").alias("cnt"))
+    # the trainer's final segmentation IS the trained tokenized
+    # vocabulary — no re-application pass
+    _, seg = bpe_train_rounds(words, _BPE_TRAIN_ROUNDS)
+    vocab = seg.select(
+        "word", F.col("syms").alias("tokens"),
+        F.size("syms").alias("n_tok")).localCheckpoint()
+    freq = (dwords.join(F.broadcast(vocab), "word")
+            .select(F.explode("tokens").alias("token"), "cnt")
+            .groupBy("token").agg(F.sum("cnt").alias("freq")))
+    ids = with_global_rank(
+        freq, [F.col("freq").desc(), F.col("token").asc()],
+        rank_col="rn").select(
+        "token", (F.col("rn") + 3).cast("long").alias("token_id"))
+    enc = bpe_encode_corpus(docs, vocab, ids, unk_id=1)
+    nbpe = (dwords.join(F.broadcast(vocab), "word")
             .groupBy("doc_id")
             .agg(F.sum(F.col("cnt") * F.col("n_tok")).alias("n_bpe")))
     offs = with_global_running_sum(

@@ -690,7 +690,23 @@ def test_tpch_q2_decorrelated_min_and_broadcast_dims(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_tpch_q2_ps_bridge_built_once(spark, sf_dir):
+def test_training_batches_one_scan_per_stage_family(spark, sf_dir):
+    """The composed tokenizer pipeline must scan the corpus parquet
+    once per stage family: the word-count scan is localCheckpointed
+    (the trainer, id rank, and offsets all read the checkpoint — it
+    never reappears as a parquet scan), so the FINAL plan carries
+    exactly ONE parquet scan (the Arrow encode over documents) and
+    one Python stage; the only data-sized join after encode is
+    encode⋈offsets (AQE-decided, no hint)."""
+    plan = plan_of(spark, "corpus_to_training_batches", sf_dir)
+    scans = [ln for ln in plan.splitlines() if "Scan parquet" in ln]
+    assert len(scans) == 1, scans
+    assert plan.count("MapInPandas") == 1
+    # the encode side must not be re-shuffled before the offsets
+    # join: no Exchange sits between MapInPandas and the join on the
+    # enc branch (broadcast at test scale; hash at 100 TB is the one
+    # shuffle the formulation genuinely needs)
+    assert "SortMergeJoin" not in plan
     """The ps CTE (lineitem-derived partsupp bridge) is consumed
     twice — the outer join tree and the decorrelated MIN — which
     statically plans TWO lineitem aggregations. Exchange reuse must
