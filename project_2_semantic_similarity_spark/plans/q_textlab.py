@@ -1058,14 +1058,16 @@ def corpus_prep_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "quality", "img_brightness"))
 
 
-def _bpe_oracle_ctes() -> str:
+def _bpe_oracle_ctes(docs_rel: str = "documents") -> str:
     """Shared DuckDB re-derivation of the BPE tokenization: the
     merges VALUES table (generated from operators/text.py BPE_MERGES
     — one source of truth), per-doc word counts, and a RECURSIVE CTE
     that applies one leftmost single-replace per step in the
     space-separated encoding (' a b ' -> ' ab '), advancing to the
     next rank only when the current pattern is absent — provably
-    identical to the Spark side's per-merge left-fold."""
+    identical to the Spark side's per-merge left-fold. ``docs_rel``
+    lets callers train the vocabulary on a SUBSET (the holdout
+    query's train split)."""
     from project_2_semantic_similarity_spark.operators.text import (
         BPE_MERGES, bpe_merges_values_sql)
 
@@ -1076,7 +1078,7 @@ merges(rank, pat, rep) AS (
 ),
 words AS (
     SELECT doc_id, w AS word, count(*) AS cnt
-    FROM documents,
+    FROM {docs_rel},
          unnest(list_filter(string_split(text, ' '), x -> x <> ''))
              AS t(w)
     GROUP BY doc_id, w
@@ -1701,6 +1703,105 @@ def text_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     # OOV -> <unk> path is the real serving behavior — driver-oracled
     # on a held-out corpus in text_bpe_encode_holdout
     return bpe_encode_corpus(docs, vocab, ids, unk_id=1)
+
+
+@query(
+    "text_bpe_encode_holdout",
+    oracle=f"""
+WITH RECURSIVE {_bpe_oracle_ctes(
+    "(SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0)")},
+freq AS (
+    SELECT u.tok AS token, CAST(sum(w.cnt) AS BIGINT) AS freq
+    FROM words w JOIN tokenized t USING (word),
+         unnest(t.tokens) AS u(tok)
+    GROUP BY u.tok
+),
+ids AS (
+    SELECT token,
+           CAST(row_number() OVER (ORDER BY freq DESC, token) + 3
+                AS BIGINT) AS token_id
+    FROM freq
+),
+hold AS (
+    SELECT doc_id,
+           text || ' xq' || CAST(doc_id % 7 AS VARCHAR) || 'z' AS text
+    FROM documents WHERE doc_id % 10 = 0
+),
+wp AS (
+    SELECT doc_id, unnest(l) AS word,
+           unnest(range(len(l))) AS widx
+    FROM (SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS l
+          FROM hold)
+),
+j AS (
+    SELECT wp.doc_id, wp.widx,
+           coalesce(t.tokens, [chr(0) || '<oov>']) AS tokens
+    FROM wp LEFT JOIN tokenized t USING (word)
+),
+off AS (
+    SELECT doc_id, tokens,
+           coalesce(sum(len(tokens)) OVER (
+               PARTITION BY doc_id ORDER BY widx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS o
+    FROM j
+),
+tok AS (
+    SELECT doc_id,
+           CAST(o + unnest(range(len(tokens))) AS BIGINT) AS pos,
+           unnest(tokens) AS token
+    FROM off
+)
+SELECT t.doc_id, t.pos,
+       CAST(coalesce(v.token_id, 1) AS BIGINT) AS token_id
+FROM tok t LEFT JOIN ids v USING (token)
+""",
+)
+def text_bpe_encode_holdout(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """OOV SERVING, driver-oracled end-to-end (r10 verdict #5): the
+    vocabulary and token ids are built from the TRAIN split
+    (doc_id % 10 != 0) only, then the HOLDOUT split (doc_id % 10 ==
+    0) — decorated with one engineered OOV word per doc
+    ('xq<doc_id%7>z', plus whatever naturally-unseen words the
+    holdout carries) — is encoded against it. Every
+    vocabulary-absent word must land exactly one <unk> (id 1) at its
+    position; the oracle re-derives those slots independently
+    (LEFT-join token chain + coalesce to 1), so the serving path
+    that text_bpe_encode_ids can never exercise (its vocabulary IS
+    its corpus) gets the same hash gate as everything else.
+
+    Plan: identical shape to text_bpe_encode_ids — the strategy gate
+    picks the zero-shuffle Arrow encode at this vocabulary size; the
+    word/vocab/rank builds run on the train split only."""
+    from project_2_semantic_similarity_spark.operators.rank import (
+        with_global_rank)
+    from project_2_semantic_similarity_spark.operators.text import (
+        bpe_encode_corpus, bpe_word_tokens)
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    hold = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" xq"),
+                 (F.col("doc_id") % 7).cast("string"),
+                 F.lit("z")).alias("text"))
+    words = (train
+             .select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+             .filter(F.col("word") != "")
+             .groupBy("word").agg(F.count("*").alias("cnt"))
+             ).localCheckpoint()
+    vocab = bpe_word_tokens(
+        words.select("word").distinct()).localCheckpoint()
+    freq = (words.join(F.broadcast(vocab), "word")
+            .select(F.explode("tokens").alias("token"), "cnt")
+            .groupBy("token").agg(F.sum("cnt").alias("freq")))
+    ids = with_global_rank(
+        freq, [F.col("freq").desc(), F.col("token").asc()],
+        rank_col="rn").select(
+        "token", (F.col("rn") + 3).cast("long").alias("token_id"))
+    return bpe_encode_corpus(hold, vocab, ids, unk_id=1)
 
 
 from project_2_semantic_similarity_spark.operators.sampling import (  # noqa: E402
