@@ -75,6 +75,30 @@ HEADLINE = [
 WARM_PASSES = 5
 
 
+def _wait_for_quiet(threshold: float = 1.0,
+                    timeout_s: float = 600.0,
+                    poll_s: float = 10.0) -> dict:
+    """Refuse to START timing on a loaded box (r10 verdict #3): every
+    r6-r10 sweep that began at loadavg > 6 manufactured one-shot >25%
+    'regressions' that the round's triage then closed as load noise.
+    Bounded wait: poll the 1-min load average until it drops under
+    ``threshold`` or ``timeout_s`` elapses, then proceed either way —
+    the artifact records what happened, so a still-loaded start is
+    visible instead of silent."""
+    t0 = time.perf_counter()
+    start = [round(x, 2) for x in os.getloadavg()]
+    while os.getloadavg()[0] >= threshold:
+        if time.perf_counter() - t0 >= timeout_s:
+            break
+        time.sleep(poll_s)
+    return {
+        "threshold": threshold,
+        "loadavg_initial": start,
+        "waited_sec": round(time.perf_counter() - t0, 1),
+        "loadavg_after_wait": [round(x, 2) for x in os.getloadavg()],
+    }
+
+
 def _current_round() -> int:
     env = os.environ.get("SPARK_GRAFT_ROUND")
     if env:
@@ -99,7 +123,8 @@ def _current_round() -> int:
     return (max(rounds) + 1) if rounds else 1
 
 
-def registry_sweep(run, qs: dict, repo_root: str) -> dict:
+def registry_sweep(run, qs: dict, repo_root: str,
+                   load_gate: dict | None = None) -> dict:
     """One timed end-to-end pass for EVERY registry query (not just
     the 21 headliners) — the r5 VERDICT's #1 gap: a regression in the
     other 151 queries was invisible to BENCH_r*.json. Writes
@@ -140,13 +165,30 @@ def registry_sweep(run, qs: dict, repo_root: str) -> dict:
                   for n, t in times.items() if pq.get(n, 0) > 0}
         worst = sorted(deltas.items(),
                        key=lambda kv: -kv[1]["delta_pct"])[:10]
+        flags = [{"query": n, **v} for n, v in worst
+                 if v["delta_pct"] > 25 and v["now"] - v["prev"] > 0.25]
+        # Self-triaging artifact (r10 verdict #3): re-time each flag
+        # twice, warm, right here — a one-shot spike that vanishes on
+        # re-run is load/GC noise and the artifact says so itself,
+        # instead of deferring a BENCH_TRIAGE investigation a round.
+        for flag in flags:
+            name = flag["query"]
+            try:
+                retimes = [round(run(name), 3) for _ in range(2)]
+            except Exception:
+                continue
+            best = min(retimes)
+            flag["warm_retime"] = retimes
+            flag["retime_delta_pct"] = round(
+                100 * (best - flag["prev"]) / flag["prev"], 1)
+            flag["load_noise"] = bool(
+                flag["retime_delta_pct"] <= 25
+                or best - flag["prev"] <= 0.25)
         vs_prev = {
             "baseline": os.path.basename(path),
             "common_prev_sec": round(sum(v["prev"] for v in deltas.values()), 3),
             "common_now_sec": round(sum(v["now"] for v in deltas.values()), 3),
-            "regressed_over_25pct": [
-                {"query": n, **v} for n, v in worst
-                if v["delta_pct"] > 25 and v["now"] - v["prev"] > 0.25],
+            "regressed_over_25pct": flags,
             "queries": deltas,
         }
         break
@@ -162,6 +204,7 @@ def registry_sweep(run, qs: dict, repo_root: str) -> dict:
         "vs_prev": vs_prev,
         "loadavg_start": loadavg_start,
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        "load_gate": load_gate,
     }
     path = os.path.join(repo_root, f"BENCH_SWEEP_r{this_round:02d}.json")
     with open(path, "w") as fh:
@@ -303,6 +346,7 @@ def main() -> int:
     # ALL queries with untouched code — concurrent probes on the same
     # box, not plan regressions. Record the 1/5/15-min load averages
     # so a uniform drift can be attributed (or ruled out) next time.
+    load_gate = _wait_for_quiet()
     loadavg_start = [round(x, 2) for x in os.getloadavg()]
 
     import __spark_entry__ as e
@@ -328,7 +372,7 @@ def main() -> int:
     # loadavg 6-8, manufacturing one-shot >25% "regressions" that each
     # round's triage then closed as load noise (BENCH_TRIAGE.md r7/r8).
     # Cold-box single-shot values are what the tripwire wants anyway.
-    sweep_summary = registry_sweep(run, qs, repo_root)
+    sweep_summary = registry_sweep(run, qs, repo_root, load_gate=load_gate)
 
     times: dict[str, float] = {}
     for name in HEADLINE:
@@ -404,6 +448,7 @@ def main() -> int:
         "vs_prev": vs_prev,
         "staging_sec": round(staging_sec, 3),
         "session_startup_sec": round(session_startup, 3),
+        "load_gate": load_gate,
         "loadavg_start": loadavg_start,
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
     }
@@ -428,6 +473,8 @@ def main() -> int:
         "gene_speedup_vs_reference": {
             n: v["speedup"] for n, v in ref.items()},
         "registry_sweep": sweep_summary,
+        "load_gate_waited_sec": load_gate["waited_sec"],
+        "loadavg_at_start": load_gate["loadavg_after_wait"],
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
     }))
     return 0
