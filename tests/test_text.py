@@ -383,6 +383,56 @@ def test_bpe_encode_docs_oov_maps_to_unk(spark):
     ]
 
 
+def test_bpe_train_batched_batch1_is_sequential(spark):
+    """batch=1 must degenerate to exactly the sequential trainer:
+    same pairs, same ranks, same counts."""
+    rows = [("d1", "aaab aab"), ("d2", "abab baba"), ("d3", "aabb cc")]
+    words = (spark.createDataFrame(rows, ["doc_id", "text"])
+             .select(F.explode(F.split("text", " ")).alias("word"))
+             .filter(F.col("word") != "")
+             .groupBy("word").agg(F.count("*").alias("cnt")))
+    seq_bests, _ = T.bpe_train_rounds(words, 5)
+    seq = []
+    for best in seq_bests:
+        r = best.collect()[0]
+        seq.append((r["a"], r["b"], int(r["pair_cnt"])))
+    batched = [p for rnd in T.bpe_train_batched(words, 5, batch=1)
+               for p in rnd]
+    assert batched == seq
+
+
+def test_bpe_train_batched_disjoint_and_wellformed(spark):
+    """A batch's pairs must share no symbol (constituent or output)
+    with each other, the table must be well-formed (the fold ==
+    iterative precondition), and higher batch sizes learn a superset
+    of symbols without ever pairing a symbol twice per round."""
+    rows = [("d1", "the cat sat on the mat"),
+            ("d2", "the rat ate the oat"),
+            ("d3", "stats matter straight")]
+    words = (spark.createDataFrame(rows, ["doc_id", "text"])
+             .select(F.explode(F.split("text", " ")).alias("word"))
+             .filter(F.col("word") != "")
+             .groupBy("word").agg(F.count("*").alias("cnt")))
+    rounds = T.bpe_train_batched(words, 12, batch=4)
+    flat = [p for rnd in rounds for p in rnd]
+    assert 0 < len(flat) <= 12
+    assert all(1 <= len(rnd) <= 4 for rnd in rounds)
+    produced = {chr(c) for c in range(ord("a"), ord("z") + 1)}
+    for a, b, cnt in flat:
+        assert a in produced and b in produced, (a, b)
+        assert cnt > 0
+        produced.add(a + b)
+    # per-round disjointness: no symbol appears twice within a round
+    # (as constituent or output) — the independence precondition
+    for rnd in rounds:
+        used: set[str] = set()
+        for a, b, _ in rnd:
+            assert a not in used and b not in used \
+                and (a + b) not in used, (a, b, used)
+            used.update((a, b, a + b))
+            used.update((a, b, a + b))
+
+
 def _encode_fixture(spark, sf_dir="/root/testdata/sf0.001"):
     """(docs, vocab, ids) exactly as text_bpe_encode_ids builds them,
     on the sf0.001 corpus."""
