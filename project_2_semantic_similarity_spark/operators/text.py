@@ -1071,7 +1071,8 @@ def bpe_train_rounds(words: DataFrame,
 
 
 def bpe_train_batched(words: DataFrame, n_merges: int,
-                      batch: int = 32
+                      batch: int = 32,
+                      max_rounds: int | None = None
                       ) -> list[list[tuple[str, str, int]]]:
     """Parallel-BPE trainer (the standard large-scale compromise,
     cf. SentencePiece/tokenizers' batched learners): per round, take
@@ -1111,7 +1112,8 @@ def bpe_train_batched(words: DataFrame, n_merges: int,
 
     rounds: list[list[tuple[str, str, int]]] = []
     n_learned = 0
-    while n_learned < n_merges:
+    while n_learned < n_merges and (max_rounds is None
+                                    or len(rounds) < max_rounds):
         m = min(batch, n_merges - n_learned)
         pairs = (seg.filter(F.size("syms") >= 2)
                  .select("cnt", F.explode(F.transform(
