@@ -63,6 +63,16 @@ def main() -> int:
     import __spark_entry__ as e
     from project_2_semantic_similarity_spark.session import get_spark
 
+    # Full sweeps record per-query walls the judge reads — apply the
+    # same start gate as bench.py (r10 verdict #3: sweeps started on
+    # a box the previous JVM was still winding down read 2-5x slow).
+    if not filters:
+        import bench
+        gate = bench._wait_for_quiet()
+        print(f"load gate: {gate}")
+    else:
+        gate = None
+
     spark = get_spark("verify_local")
     qs, oracles = e.queries(), e.oracle_sql()
 
@@ -121,7 +131,7 @@ def main() -> int:
                 print("      duck  head:\n", d.head(5).to_string())
     print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
     if not filters:
-        write_artifact(sf_dir, records, failed)
+        write_artifact(sf_dir, records, failed, gate)
     return 1 if failed else 0
 
 
@@ -146,12 +156,14 @@ def current_round() -> int:
     return (max(rounds) + 1) if rounds else 1
 
 
-def write_artifact(sf_dir: str, records: dict, failed: list) -> None:
+def write_artifact(sf_dir: str, records: dict, failed: list,
+                   load_gate: dict | None = None) -> None:
     n = current_round()
     path = f"/root/repo/VERIFY_LOCAL_r{n:02d}.json"
     statuses = [r["status"] for r in records.values()]
     out = {
         "sf_dir": sf_dir,
+        "load_gate": load_gate,
         "total": len(records),
         "pass": statuses.count("pass"),
         "rows_only": statuses.count("rows_only"),
