@@ -136,7 +136,12 @@ def registry_sweep(run, qs: dict, repo_root: str,
     loadavg_start = [round(x, 2) for x in os.getloadavg()]
     times: dict[str, float] = {}
     errs: list[str] = []
-    for name in qs:
+    # FIXED name order (r11): e.queries() rotates with the driver's
+    # verification tiers, so iterating it made each round's sweep run
+    # different names in the cold/warm parts of the session — r10 vs
+    # r11 per-query deltas were dominated by position, not plans.
+    # Sorted order makes sweep walls comparable across rounds.
+    for name in sorted(qs):
         try:
             times[name] = round(run(name), 3)
         except Exception as exc:  # record, keep sweeping
@@ -195,6 +200,7 @@ def registry_sweep(run, qs: dict, repo_root: str,
 
     out = {
         "round": this_round,
+        "order": "sorted-name",
         "sf_dir": os.environ.get("SPARK_GRAFT_SF_DIR",
                                  "/root/testdata/sf0.1"),
         "n_queries": len(times),

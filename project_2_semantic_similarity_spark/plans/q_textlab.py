@@ -2032,6 +2032,130 @@ def corpus_context_window_ids(spark: SparkSession,
 
 
 @query(
+    "corpus_context_window_ids_sep",
+    oracle=f"""
+WITH RECURSIVE {_bpe_oracle_ctes()}{_encode_ids_tail()},
+offs_sep AS (
+    SELECT doc_id,
+           CAST(sum(n_bpe + 1) OVER (ORDER BY doc_id) - (n_bpe + 1)
+                AS BIGINT) AS strt
+    FROM nbpe
+),
+stream AS (
+    SELECT t.doc_id, t.pos, v.token_id
+    FROM tok t JOIN ids v USING (token)
+    UNION ALL
+    SELECT doc_id, n_bpe AS pos, CAST(3 AS BIGINT) AS token_id
+    FROM nbpe
+)
+SELECT CAST((f.strt + u.pos) // {_CTX_WINDOW} AS BIGINT) AS window_id,
+       CAST((f.strt + u.pos) % {_CTX_WINDOW} AS BIGINT) AS window_pos,
+       u.token_id
+FROM stream u JOIN offs_sep f USING (doc_id)
+""",
+)
+def corpus_context_window_ids_sep(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """corpus_context_window_ids with DOCUMENT SEPARATORS — the
+    layout real pretraining loaders consume: each document's subword
+    stream ends with one <eos> (reserved id 3) before the next
+    document begins, so a model can learn document boundaries and a
+    loader can split loss masks on them. Documents with no tokens
+    contribute nothing (no lone separators), matching the plain
+    variant's empty-doc behavior.
+
+    Plan: the zero-shuffle/gated encode relation unioned with one
+    doc-sized separator row per document (built from the same
+    vocabulary-sized subword-count relation as the offsets — no new
+    corpus pass), doc offsets advanced by n_bpe + 1 through the same
+    range running-sum machinery; the one data-sized join stays the
+    AQE-decided stream⋈offsets."""
+    from project_2_semantic_similarity_spark.operators.rank import (
+        with_global_running_sum)
+    from project_2_semantic_similarity_spark.operators.text import (
+        bpe_word_tokens)
+
+    enc = text_bpe_encode_ids(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    words = (docs
+             .select("doc_id",
+                     F.explode(F.split(F.col("text"), " ")).alias("word"))
+             .filter(F.col("word") != "")
+             .groupBy("doc_id", "word").agg(F.count("*").alias("cnt"))
+             ).localCheckpoint()
+    vocab = bpe_word_tokens(
+        words.select("word").distinct()).localCheckpoint()
+    nbpe = (words.join(F.broadcast(vocab), "word")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("cnt") * F.col("n_tok")).alias("n_bpe")))
+    sep = nbpe.select(
+        "doc_id", F.col("n_bpe").cast("long").alias("pos"),
+        F.lit(3).cast("long").alias("token_id"))
+    stream = enc.unionByName(sep)
+    offs = with_global_running_sum(
+        nbpe.withColumn("n_tot", F.col("n_bpe") + 1),
+        [F.col("doc_id").asc()], "n_tot", sum_col="cum").select(
+        "doc_id", (F.col("cum") - F.col("n_tot")).alias("strt"))
+    gpos = F.col("strt") + F.col("pos")
+    return (stream.join(offs, "doc_id")
+            .select(
+                F.floor(gpos / _CTX_WINDOW).cast("long")
+                 .alias("window_id"),
+                (gpos % _CTX_WINDOW).cast("long").alias("window_pos"),
+                "token_id"))
+
+
+@query(
+    "corpus_window_doc_starts",
+    oracle=f"""
+WITH RECURSIVE {_bpe_oracle_ctes()}{_encode_ids_tail()}
+SELECT CAST(strt // {_CTX_WINDOW} AS BIGINT) AS window_id,
+       CAST(strt % {_CTX_WINDOW} AS BIGINT) AS window_pos,
+       doc_id
+FROM offs
+""",
+)
+def corpus_window_doc_starts(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """THE ATTENTION RESET MASK for packed training batches: the
+    (window_id, window_pos) slot where each document's first subword
+    lands in corpus_context_window_ids' coordinate system. Trainers
+    that pack sequences need exactly this relation to build
+    block-diagonal attention masks (and position-id resets) so
+    tokens cannot attend across document boundaries within a window.
+
+    Plan: doc-sized only — the vocabulary-sized subword-count agg +
+    the range running-sum offsets; the corpus-token-sized encode
+    relation is never touched. At 100 TB this emits one row per
+    document from an already-range-partitioned relation."""
+    from project_2_semantic_similarity_spark.operators.rank import (
+        with_global_running_sum)
+    from project_2_semantic_similarity_spark.operators.text import (
+        bpe_word_tokens)
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (docs
+             .select("doc_id",
+                     F.explode(F.split(F.col("text"), " ")).alias("word"))
+             .filter(F.col("word") != "")
+             .groupBy("doc_id", "word").agg(F.count("*").alias("cnt"))
+             ).localCheckpoint()
+    vocab = bpe_word_tokens(
+        words.select("word").distinct()).localCheckpoint()
+    nbpe = (words.join(F.broadcast(vocab), "word")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("cnt") * F.col("n_tok")).alias("n_bpe")))
+    offs = with_global_running_sum(
+        nbpe, [F.col("doc_id").asc()], "n_bpe", sum_col="cum").select(
+        "doc_id", (F.col("cum") - F.col("n_bpe")).alias("strt"))
+    return offs.select(
+        F.floor(F.col("strt") / _CTX_WINDOW).cast("long")
+         .alias("window_id"),
+        (F.col("strt") % _CTX_WINDOW).cast("long").alias("window_pos"),
+        "doc_id")
+
+
+@query(
     "corpus_to_training_batches",
     oracle=f"""
 WITH RECURSIVE {_bpe_train_ctes()},

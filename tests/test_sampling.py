@@ -185,3 +185,40 @@ def test_context_window_view_reconstructs_batches(spark, sf_dir):
     # zero-token docs appear in the packed relation, never the view
     assert set(by_doc) == {d for d, p in packed.items()
                            if p["n_tokens"] > 0}
+
+
+def test_doc_starts_and_separator_stream_compose(spark, sf_dir):
+    """The r11 packing trio must agree with each other: (a) the
+    separator stream carries exactly one <eos> (id 3) per
+    token-bearing doc and tiles global slots contiguously with no
+    hole or collision; (b) each corpus_window_doc_starts slot holds
+    exactly the document's pos-0 token in the PLAIN (no-separator)
+    coordinate system."""
+    from project_2_semantic_similarity_spark.plans import registry
+
+    registry.load_all()
+    W = 512
+    sep = registry.QUERIES["corpus_context_window_ids_sep"](
+        spark, sf_dir).localCheckpoint()
+    n_docs_with_words = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.size(F.filter(F.split("text", " "),
+                                lambda w: w != "")) > 0).count())
+    assert sep.filter(F.col("token_id") == 3).count() == n_docs_with_words
+    total = sep.count()
+    g = sep.select((F.col("window_id") * W
+                    + F.col("window_pos")).alias("g"))
+    assert g.distinct().count() == total
+    assert g.agg(F.max("g")).collect()[0][0] == total - 1
+
+    starts = registry.QUERIES["corpus_window_doc_starts"](spark, sf_dir)
+    assert starts.count() == n_docs_with_words
+    ccwi = registry.QUERIES["corpus_context_window_ids"](spark, sf_dir)
+    first = (registry.QUERIES["text_bpe_encode_ids"](spark, sf_dir)
+             .filter(F.col("pos") == 0)
+             .select("doc_id", F.col("token_id").alias("first_id")))
+    joined = (starts.join(ccwi, ["window_id", "window_pos"])
+              .join(first, "doc_id"))
+    assert joined.count() == n_docs_with_words
+    assert joined.filter(
+        F.col("token_id") != F.col("first_id")).count() == 0

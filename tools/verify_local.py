@@ -83,7 +83,10 @@ def main() -> int:
 
     failed = []
     records: dict[str, dict] = {}
-    for name, fn in qs.items():
+    # fixed name order: e.queries() rotates with the driver tiers,
+    # which put different names in the cold part of the session each
+    # round and made per-query walls incomparable (r11 finding)
+    for name, fn in sorted(qs.items()):
         if filters and not any(f in name for f in filters):
             continue
         t0 = time.time()
@@ -163,6 +166,7 @@ def write_artifact(sf_dir: str, records: dict, failed: list,
     statuses = [r["status"] for r in records.values()]
     out = {
         "sf_dir": sf_dir,
+        "order": "sorted-name",
         "load_gate": load_gate,
         "total": len(records),
         "pass": statuses.count("pass"),
