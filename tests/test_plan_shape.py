@@ -707,6 +707,9 @@ def test_training_batches_one_scan_per_stage_family(spark, sf_dir):
     # enc branch (broadcast at test scale; hash at 100 TB is the one
     # shuffle the formulation genuinely needs)
     assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q2_ps_bridge_built_once(spark, sf_dir):
     """The ps CTE (lineitem-derived partsupp bridge) is consumed
     twice — the outer join tree and the decorrelated MIN — which
     statically plans TWO lineitem aggregations. Exchange reuse must
@@ -717,6 +720,27 @@ def test_training_batches_one_scan_per_stage_family(spark, sf_dir):
     df.collect()  # AQE finalizes the executed plan
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan
+
+
+def test_window_doc_starts_never_touches_encode(spark, sf_dir):
+    """The attention-reset mask is DOC-SIZED by design: its plan must
+    contain no Python stage (the corpus-token-sized Arrow encode
+    never enters) — only the vocabulary-sized subword-count agg and
+    the range running-sum offsets."""
+    plan = plan_of(spark, "corpus_window_doc_starts", sf_dir)
+    assert "MapInPandas" not in plan
+    assert "mapInPandas" not in plan
+
+
+def test_window_ids_sep_one_encode_pass(spark, sf_dir):
+    """The separator variant must not re-encode: exactly one Python
+    stage (the gated Arrow encode), and the separator rows come from
+    the doc-sized count relation, not a second corpus pass — at most
+    one parquet scan in the final plan (checkpoints cover the rest)."""
+    plan = plan_of(spark, "corpus_context_window_ids_sep", sf_dir)
+    assert plan.count("MapInPandas") == 1
+    scans = [ln for ln in plan.splitlines() if "Scan parquet" in ln]
+    assert len(scans) <= 1, scans
 
 
 def test_tpch_q20_semi_join_chain_decorrelated(spark, sf_dir):
