@@ -58,6 +58,14 @@ _CHANGED_THIS_ROUND = frozenset(
         # independent check
         "text_bpe_encode_ids",
         "corpus_context_window_ids",
+        # round 11: trainer loop extracted to the shared
+        # operators/text.py bpe_train_rounds — identical plan
+        # construction, but moved code never escapes re-verification
+        "text_bpe_train",
+        # round 11: inter-scan resync now CAPS skipped bytes (desync
+        # tripwire) — result-preserving on declared fixtures; the
+        # driver hash is the independent check
+        "multimodal_decode_jpeg_progressive",
     }
 )
 
