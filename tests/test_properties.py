@@ -79,3 +79,39 @@ def test_document_order_irrelevant(spark, docs, seed):
           for r in similar_terms(tfidf(df2), q, k=50)
           .orderBy("term").collect()]
     assert r1 == r2
+
+
+# words over a small alphabet so BPE_MERGES actually fire, plus OOV
+# candidates the vocabulary may not contain
+_enc_word = st.text(alphabet="abcde", min_size=1, max_size=8)
+encode_corpus_strategy = st.lists(
+    st.lists(_enc_word, min_size=0, max_size=10),
+    min_size=2, max_size=6)
+
+
+@_SETTINGS
+@given(train=encode_corpus_strategy, serve=encode_corpus_strategy)
+def test_encode_strategy_twins_property(spark, train, serve):
+    """PROPERTY pin for the r11 strategy gate: on ANY corpus pair
+    (vocabulary trained on one, serving encode on the other — so OOV
+    fires arbitrarily), the broadcast and join strategies emit the
+    identical (doc_id, pos, token_id) relation."""
+    from project_2_semantic_similarity_spark.operators.text import (
+        bpe_encode_corpus, bpe_word_tokens)
+
+    train_words = sorted({w for d in train for w in d})
+    if not train_words:
+        train_words = ["a"]
+    vocab = bpe_word_tokens(
+        spark.createDataFrame([(w,) for w in train_words], ["word"]))
+    toks = sorted({t for r in vocab.collect() for t in r["tokens"]})
+    ids = spark.createDataFrame(
+        [(t, i + 4) for i, t in enumerate(toks)], ["token", "token_id"])
+    docs = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(serve)],
+        ["doc_id", "text"])
+    a = sorted(map(tuple, bpe_encode_corpus(
+        docs, vocab, ids, unk_id=1, strategy="broadcast").collect()))
+    b = sorted(map(tuple, bpe_encode_corpus(
+        docs, vocab, ids, unk_id=1, strategy="join").collect()))
+    assert a == b
