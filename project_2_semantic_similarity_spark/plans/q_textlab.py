@@ -1858,6 +1858,87 @@ def text_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode_corpus(docs, vocab, ids, unk_id=1)
 
 
+_VOCAB_CURVE_SIZES = (8, 16, 32, 64)
+
+
+@query(
+    "text_bpe_vocab_coverage",
+    oracle=f"""
+WITH RECURSIVE {_bpe_oracle_ctes()},
+freq AS (
+    SELECT u.tok AS token, CAST(sum(w.cnt) AS BIGINT) AS freq
+    FROM words w JOIN tokenized t USING (word),
+         unnest(t.tokens) AS u(tok)
+    GROUP BY u.tok
+),
+ranked AS (
+    SELECT freq,
+           CAST(row_number() OVER (ORDER BY freq DESC, token)
+                AS BIGINT) AS rn
+    FROM freq
+),
+tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM freq)
+SELECT CAST(k.k AS BIGINT) AS vocab_size,
+       CAST(sum(CASE WHEN r.rn <= k.k THEN r.freq ELSE 0 END)
+            AS BIGINT) AS covered,
+       round(sum(CASE WHEN r.rn <= k.k THEN r.freq ELSE 0 END)
+             * 1.0 / t.total, 6) AS coverage
+FROM ranked r
+CROSS JOIN tot t,
+     unnest({list(_VOCAB_CURVE_SIZES)}) AS k(k)
+GROUP BY k.k, t.total
+""",
+)
+def text_bpe_vocab_coverage(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """VOCABULARY COVERAGE CURVE — the analysis a tokenizer team runs
+    to pick vocabulary size: for each candidate size k, the fraction
+    of all corpus subword occurrences covered by the k most frequent
+    tokens (text_bpe_vocab's (freq DESC, token) order). Everything
+    past the knee of this curve encodes to <unk> or falls back to
+    characters, so the curve IS the truncation-cost function.
+
+    Plan: token-sized end-to-end after the one corpus word-count agg
+    — frequencies from the vocabulary-tokenize + broadcast-join-back
+    plan, the global rank on with_global_rank's range machinery, then
+    a bounded crossJoin against the 4-row size list and one
+    token-sized aggregation. Nothing here grows with corpus size
+    except the first aggregation's input."""
+    from project_2_semantic_similarity_spark.operators.rank import (
+        with_global_rank)
+    from project_2_semantic_similarity_spark.operators.text import (
+        bpe_word_tokens)
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (docs
+             .select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+             .filter(F.col("word") != "")
+             .groupBy("word").agg(F.count("*").alias("cnt"))
+             ).localCheckpoint()
+    vocab = bpe_word_tokens(
+        words.select("word").distinct()).localCheckpoint()
+    freq = (words.join(F.broadcast(vocab), "word")
+            .select(F.explode("tokens").alias("token"), "cnt")
+            .groupBy("token").agg(F.sum("cnt").alias("freq"))
+            ).localCheckpoint()
+    ranked = with_global_rank(
+        freq, [F.col("freq").desc(), F.col("token").asc()],
+        rank_col="rn")
+    sizes = spark.createDataFrame(
+        [(k,) for k in _VOCAB_CURVE_SIZES], ["vocab_size"]) \
+        .select(F.col("vocab_size").cast("long").alias("vocab_size"))
+    tot = freq.agg(F.sum("freq").cast("long").alias("total"))
+    return (ranked.crossJoin(F.broadcast(sizes))
+            .groupBy("vocab_size")
+            .agg(F.sum(F.when(F.col("rn") <= F.col("vocab_size"),
+                              F.col("freq")).otherwise(0))
+                  .cast("long").alias("covered"))
+            .crossJoin(F.broadcast(tot))
+            .select("vocab_size", "covered",
+                    F.round(F.col("covered") / F.col("total"), 6)
+                     .alias("coverage")))
+
+
 @query(
     "text_bpe_encode_holdout",
     oracle=f"""
