@@ -168,8 +168,11 @@ def registry_sweep(run, qs: dict, repo_root: str,
         deltas = {n: {"prev": pq[n], "now": t,
                       "delta_pct": round(100 * (t - pq[n]) / pq[n], 1)}
                   for n, t in times.items() if pq.get(n, 0) > 0}
+        # NO cap (r11 verdict #2): every breaching query gets flagged
+        # and re-timed in-artifact — a top-N slice reads as "covered
+        # everything" when it didn't.
         worst = sorted(deltas.items(),
-                       key=lambda kv: -kv[1]["delta_pct"])[:10]
+                       key=lambda kv: -kv[1]["delta_pct"])
         flags = [{"query": n, **v} for n, v in worst
                  if v["delta_pct"] > 25 and v["now"] - v["prev"] > 0.25]
         # Self-triaging artifact (r10 verdict #3): re-time each flag

@@ -1187,26 +1187,31 @@ def bpe_encode_docs_join(docs: DataFrame, vocab: DataFrame,
         .filter(F.col("word") != ""))
     j = (words_pos
          .join(vocab.select("word", "tokens"), "word", "left")
-         # OOV word -> the single-token <unk> sequence; the sentinel
-         # token string is never joined (token_id coalesces below)
+         # OOV = the vocab join missed — an EXPLICIT boolean, not a
+         # sentinel token string (a corpus token could collide with
+         # any in-band marker); the placeholder array below only
+         # reserves the single <unk> output position
+         .withColumn("is_oov", F.col("tokens").isNull())
          .withColumn("tokens", F.coalesce(
-             F.col("tokens"), F.array(F.lit("\x00<oov>")))))
+             F.col("tokens"), F.array(F.lit("")))))
     w = (Window.partitionBy(doc_col).orderBy("widx")
          .rowsBetween(Window.unboundedPreceding, -1))
     off = j.select(
         doc_col,
         F.coalesce(F.sum(F.size("tokens")).over(w), F.lit(0))
          .alias("o"),
-        "tokens")
+        "tokens", "is_oov")
     tok = off.select(
-        doc_col, "o",
+        doc_col, "o", "is_oov",
         F.posexplode("tokens").alias("tidx", "token"))
     return (tok.join(F.broadcast(ids.select("token", "token_id")),
                      "token", "left")
             .select(F.col(doc_col),
                     (F.col("o") + F.col("tidx")).cast("long")
                      .alias("pos"),
-                    F.coalesce(F.col("token_id").cast("long"), unk)
+                    F.when(F.col("is_oov"), unk)
+                     .otherwise(F.coalesce(
+                         F.col("token_id").cast("long"), unk))
                      .alias("token_id")))
 
 

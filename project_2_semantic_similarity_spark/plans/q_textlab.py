@@ -1144,9 +1144,12 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank order as `aggregate` left-folds — pure JVM column
     expressions, zero Python in the tokenize path. The corpus-scale
     trick: tokenize the DISTINCT-WORD vocabulary (thousands of rows),
-    then broadcast-join subword counts back onto per-doc word
-    counts — BPE cost is paid per vocabulary entry, not per corpus
-    token. Emits per-doc word/subword counts, distinct-subword
+    then join subword counts back onto per-doc word counts — BPE
+    cost is paid per vocabulary entry, not per corpus token. The
+    vocab join is UNHINTED (r11 VERDICT #1): AQE broadcasts it while
+    the vocabulary fits under autoBroadcastJoinThreshold and
+    shuffle-joins past it — a hard hint would die building the
+    broadcast at the 10^8-10^9 distinct words of a web crawl. Emits per-doc word/subword counts, distinct-subword
     cardinality, and the tokens-per-word fertility ratio. The DuckDB
     oracle re-derives the merges with a RECURSIVE single-replace CTE
     that is provably equivalent to the fold (leftmost-first,
@@ -1156,7 +1159,7 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: explode + per-doc word count (one shuffle on
     (doc_id, word)), a vocabulary distinct (second shuffle, output
     vocabulary-sized), the 32-merge fold over the small vocab
-    relation, and one broadcast join back — the corpus text never
+    relation, and one AQE-decided join back — the corpus text never
     moves after the first aggregation."""
     from project_2_semantic_similarity_spark.operators.text import (
         bpe_word_tokens)
@@ -1168,7 +1171,7 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
              .filter(F.col("word") != "")
              .groupBy("doc_id", "word").agg(F.count("*").alias("cnt")))
     vocab = bpe_word_tokens(words.select("word").distinct())
-    joined = words.join(F.broadcast(vocab), "word")
+    joined = words.join(vocab, "word")
     # one aggregation pass: distinct-subword cardinality via
     # array_distinct(flatten(collect_list)) instead of a second
     # explode consumer — keeps the 32-merge fold expression embedded
@@ -1221,8 +1224,8 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     whitespace counts under-count fertility on rare words. Same
     scale-safe scheme as pack_shards (one scalar aggregate broadcast
     back + hash assignment — no global prefix sum), with the token
-    counts coming from the vocabulary-tokenize + broadcast-join plan
-    of text_bpe_tokenize."""
+    counts coming from the vocabulary-tokenize + unhinted-vocab-join
+    plan of text_bpe_tokenize."""
     from project_2_semantic_similarity_spark.operators.cache import (
         keyed_persist)
     from project_2_semantic_similarity_spark.operators.text import (
@@ -1237,7 +1240,7 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = bpe_word_tokens(words.select("word").distinct())
 
     def build_counted() -> DataFrame:
-        return (words.join(F.broadcast(vocab), "word")
+        return (words.join(vocab, "word")
                 .groupBy("doc_id")
                 .agg(F.sum(F.col("cnt") * F.col("n_tok"))
                       .alias("n_bpe_tokens")))
@@ -1358,7 +1361,7 @@ def text_bpe_tokenize_10k(spark: SparkSession, sf_dir: str) -> DataFrame:
     applier (operators/text.py bpe_apply_word, the Sennrich/GPT-2
     inference algorithm) over the distinct-word vocabulary. Python
     touches vocabulary rows only; the corpus-scale plan is unchanged
-    from text_bpe_tokenize (two shuffles + broadcast join back).
+    from text_bpe_tokenize (two shuffles + AQE-decided join back).
     Twin-pinned: applier == fold on the 32-merge table
     (tests/test_text.py), and this query's oracle re-derives the 10k
     table with a skip-to-next-rank recursive CTE, so a rank-order or
@@ -1374,7 +1377,7 @@ def text_bpe_tokenize_10k(spark: SparkSession, sf_dir: str) -> DataFrame:
              .groupBy("doc_id", "word").agg(F.count("*").alias("cnt")))
     vocab = bpe_word_tokens_arrow(words.select("word").distinct(),
                                   large_merges(_BPE_LARGE_N))
-    joined = words.join(F.broadcast(vocab), "word")
+    joined = words.join(vocab, "word")
     per_doc = joined.groupBy("doc_id").agg(
         F.sum("cnt").alias("n_words"),
         F.sum(F.col("cnt") * F.col("n_tok")).alias("n_bpe_tokens"),
@@ -1696,7 +1699,7 @@ def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     trap — so it rides with_global_rank (operators/rank.py: range
     partitions + broadcast per-partition offsets, the
     running_sum_probe-pinned machinery). Token frequencies come from
-    the same vocabulary-tokenize + broadcast-join-back plan as
+    the same vocabulary-tokenize + unhinted-vocab-join plan as
     text_bpe_tokenize: the corpus is touched once; everything after
     is vocabulary- then token-sized. The word counts AND the
     tokenized vocabulary are localCheckpointed before the rank
@@ -1718,7 +1721,7 @@ def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
              ).localCheckpoint()
     vocab = bpe_word_tokens(
         words.select("word").distinct()).localCheckpoint()
-    freq = (words.join(F.broadcast(vocab), "word")
+    freq = (words.join(vocab, "word")
             .select(F.explode("tokens").alias("token"), "cnt")
             .groupBy("token").agg(F.sum("cnt").alias("freq")))
     ranked = with_global_rank(
@@ -1845,7 +1848,7 @@ def text_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
              ).localCheckpoint()
     vocab = bpe_word_tokens(
         words.select("word").distinct()).localCheckpoint()
-    freq = (words.join(F.broadcast(vocab), "word")
+    freq = (words.join(vocab, "word")
             .select(F.explode("tokens").alias("token"), "cnt")
             .groupBy("token").agg(F.sum("cnt").alias("freq")))
     ids = with_global_rank(
@@ -1899,7 +1902,7 @@ def text_bpe_vocab_coverage(spark: SparkSession,
     characters, so the curve IS the truncation-cost function.
 
     Plan: token-sized end-to-end after the one corpus word-count agg
-    — frequencies from the vocabulary-tokenize + broadcast-join-back
+    — frequencies from the vocabulary-tokenize + unhinted-vocab-join
     plan, the global rank on with_global_rank's range machinery, then
     a bounded crossJoin against the 4-row size list and one
     token-sized aggregation. Nothing here grows with corpus size
@@ -1917,7 +1920,7 @@ def text_bpe_vocab_coverage(spark: SparkSession,
              ).localCheckpoint()
     vocab = bpe_word_tokens(
         words.select("word").distinct()).localCheckpoint()
-    freq = (words.join(F.broadcast(vocab), "word")
+    freq = (words.join(vocab, "word")
             .select(F.explode("tokens").alias("token"), "cnt")
             .groupBy("token").agg(F.sum("cnt").alias("freq"))
             ).localCheckpoint()
@@ -2028,7 +2031,7 @@ def text_bpe_encode_holdout(spark: SparkSession,
              ).localCheckpoint()
     vocab = bpe_word_tokens(
         words.select("word").distinct()).localCheckpoint()
-    freq = (words.join(F.broadcast(vocab), "word")
+    freq = (words.join(vocab, "word")
             .select(F.explode("tokens").alias("token"), "cnt")
             .groupBy("token").agg(F.sum("cnt").alias("freq")))
     ids = with_global_rank(
@@ -2097,7 +2100,7 @@ def corpus_context_window_ids(spark: SparkSession,
              ).localCheckpoint()
     vocab = bpe_word_tokens(
         words.select("word").distinct()).localCheckpoint()
-    nbpe = (words.join(F.broadcast(vocab), "word")
+    nbpe = (words.join(vocab, "word")
             .groupBy("doc_id")
             .agg(F.sum(F.col("cnt") * F.col("n_tok")).alias("n_bpe")))
     offs = with_global_running_sum(
@@ -2166,7 +2169,7 @@ def corpus_context_window_ids_sep(spark: SparkSession,
              ).localCheckpoint()
     vocab = bpe_word_tokens(
         words.select("word").distinct()).localCheckpoint()
-    nbpe = (words.join(F.broadcast(vocab), "word")
+    nbpe = (words.join(vocab, "word")
             .groupBy("doc_id")
             .agg(F.sum(F.col("cnt") * F.col("n_tok")).alias("n_bpe")))
     sep = nbpe.select(
@@ -2223,7 +2226,7 @@ def corpus_window_doc_starts(spark: SparkSession,
              ).localCheckpoint()
     vocab = bpe_word_tokens(
         words.select("word").distinct()).localCheckpoint()
-    nbpe = (words.join(F.broadcast(vocab), "word")
+    nbpe = (words.join(vocab, "word")
             .groupBy("doc_id")
             .agg(F.sum(F.col("cnt") * F.col("n_tok")).alias("n_bpe")))
     offs = with_global_running_sum(
@@ -2307,7 +2310,7 @@ def corpus_to_training_batches(spark: SparkSession,
     vocab = seg.select(
         "word", F.col("syms").alias("tokens"),
         F.size("syms").alias("n_tok")).localCheckpoint()
-    freq = (dwords.join(F.broadcast(vocab), "word")
+    freq = (dwords.join(vocab, "word")
             .select(F.explode("tokens").alias("token"), "cnt")
             .groupBy("token").agg(F.sum("cnt").alias("freq")))
     ids = with_global_rank(
@@ -2315,7 +2318,7 @@ def corpus_to_training_batches(spark: SparkSession,
         rank_col="rn").select(
         "token", (F.col("rn") + 3).cast("long").alias("token_id"))
     enc = bpe_encode_corpus(docs, vocab, ids, unk_id=1)
-    nbpe = (dwords.join(F.broadcast(vocab), "word")
+    nbpe = (dwords.join(vocab, "word")
             .groupBy("doc_id")
             .agg(F.sum(F.col("cnt") * F.col("n_tok")).alias("n_bpe")))
     offs = with_global_running_sum(

@@ -52,20 +52,22 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # change is in fact result-preserving).
 _CHANGED_THIS_ROUND = frozenset(
     {
-        # round 11: corpus encode gained the distinct-word strategy
-        # gate (bpe_encode_corpus) — result-preserving on the auto/
-        # broadcast path these run at sf0.01; the driver hash is the
-        # independent check
+        # round 12 (r11 VERDICT #1): the hard F.broadcast(vocab) hint
+        # on the Heaps'-law-sized distinct-word relation was dropped
+        # at all 12 sites — AQE now decides (broadcast under
+        # threshold, shuffle join past it). Result-preserving by
+        # design; the driver hash is the independent check.
+        "text_bpe_tokenize",
+        "text_token_count_bpe",
+        "text_bpe_tokenize_10k",
+        "text_bpe_vocab",
         "text_bpe_encode_ids",
+        "text_bpe_vocab_coverage",
+        "text_bpe_encode_holdout",
         "corpus_context_window_ids",
-        # round 11: trainer loop extracted to the shared
-        # operators/text.py bpe_train_rounds — identical plan
-        # construction, but moved code never escapes re-verification
-        "text_bpe_train",
-        # round 11: inter-scan resync now CAPS skipped bytes (desync
-        # tripwire) — result-preserving on declared fixtures; the
-        # driver hash is the independent check
-        "multimodal_decode_jpeg_progressive",
+        "corpus_context_window_ids_sep",
+        "corpus_window_doc_starts",
+        "corpus_to_training_batches",
     }
 )
 

@@ -22,7 +22,14 @@ def get_spark(app_name: str = "project2_semantic_similarity",
     ``spark.sql.shuffle.partitions`` is set to the core count — at
     cluster scale this would instead be sized so post-shuffle
     partitions land near 128-256 MB; AQE's coalescePartitions then
-    right-sizes small stages automatically.
+    right-sizes small stages automatically. Rule of thumb: partitions
+    ~= shuffle_bytes / 200 MB, and per-task execution memory (heap x
+    spark.memory.fraction / cores) should exceed one partition, else
+    hash aggs/joins spill. The token-sized window-ids family
+    (corpus_context_window_ids & co.) additionally needs
+    ``SPARK_DRIVER_MEM=48g`` at the 2M-doc probe scale — the 404M-row
+    result materializes through the driver-side local runner; see
+    SCALE.md.
 
     ``extra_conf`` overrides/extends the defaults (first builder call
     in the process wins — used by tools/probe_scale.py to enable the

@@ -864,3 +864,31 @@ def test_bpe_vocab_fold_staged_before_rank(spark, sf_dir):
     assert "ExistingRDD" in plan          # checkpointed words+vocab
     assert "lambdafunction" not in plan   # fold ran inside the stage
     assert "FileScan" not in plan         # corpus never re-read
+
+
+def test_no_hard_broadcast_hint_on_vocab_relation(spark, sf_dir):
+    """r11 VERDICT #1: the distinct-word vocabulary is Heaps'-law
+    sized (10^8-10^9 rows on a 100 TB crawl, per the tokenizer-family
+    docstrings' own analysis) — a hard F.broadcast hint bypasses
+    autoBroadcastJoinThreshold entirely, so past broadcast reach the
+    query dies building the broadcast before any strategy gate runs.
+    Source pin: NO tokenizer-family query hints the vocab join (AQE
+    broadcasts under threshold, shuffle-joins past it — the policy
+    the unhinted encode-side joins already follow). Runtime pin: at
+    toy scale AQE still picks the broadcast, so dropping the hint
+    changes nothing where the hint used to be valid."""
+    import project_2_semantic_similarity_spark.plans.q_textlab as q
+
+    with open(q.__file__) as fh:
+        src = fh.read()
+    for hinted in ("join(F.broadcast(vocab)",
+                   "join(F.broadcast(dwords)",
+                   "join(F.broadcast(words)"):
+        assert hinted not in src, f"hard vocab broadcast hint: {hinted}"
+
+    df = e.queries()["text_bpe_tokenize"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -430,7 +430,6 @@ def test_bpe_train_batched_disjoint_and_wellformed(spark):
             assert a not in used and b not in used \
                 and (a + b) not in used, (a, b, used)
             used.update((a, b, a + b))
-            used.update((a, b, a + b))
 
 
 def _encode_fixture(spark, sf_dir="/root/testdata/sf0.001"):
