@@ -1256,3 +1256,96 @@ def bpe_encode_corpus(docs: DataFrame, vocab: DataFrame,
                 for r in vocab.select("word", "tokens").collect()}
     return bpe_encode_docs(docs, word_ids, unk_id=unk,
                            doc_col=doc_col, text_col=text_col)
+
+
+def gpt2_byte_unicode() -> dict[int, str]:
+    """The GPT-2 byte-to-unicode table (Radford et al. 2019,
+    encoder.py bytes_to_unicode — public): an INJECTIVE map from
+    every byte 0-255 to a printable unicode codepoint. Printable
+    bytes (33-126, 161-172, 174-255) map to themselves; the 68
+    others (controls, space, DEL, NBSP range, soft hyphen) map to
+    256+n in byte order. Byte-level BPE runs the ordinary char-level
+    machinery on the MAPPED string — one char per UTF-8 byte — so
+    no input ever needs an <unk>: every byte is in the base
+    alphabet. Single source of truth for the Spark map literal, the
+    deterministic id scheme, and the tests' expectations."""
+    printable = list(range(33, 127)) + list(range(161, 173)) \
+        + list(range(174, 256))
+    out: dict[int, str] = {b: chr(b) for b in printable}
+    n = 0
+    for b in range(256):
+        if b not in out:
+            out[b] = chr(256 + n)
+            n += 1
+    return out
+
+
+def byte_unicode_word(w: "F.Column") -> "F.Column":
+    """string column -> its GPT-2 byte-to-unicode mapped form: one
+    printable unicode CHAR per UTF-8 BYTE (hex-decode the encoded
+    word two nibbles at a time, map through a constant 256-entry map
+    literal). The byte-level segmentation seed is then just the char
+    split of the mapped string, so bpe_segment / bpe_train_rounds /
+    bpe_encode_corpus run UNCHANGED on the byte alphabet. Pure JVM
+    expressions — no Python in the mapping path. (Spark's chr()/
+    char() wrap codepoints mod 256, hence the map literal instead of
+    a codepoint formula.)"""
+    table = gpt2_byte_unicode()
+    m = F.create_map(*[x for b in range(256)
+                       for x in (F.lit(b), F.lit(table[b]))])
+    h = F.hex(F.encode(w, "UTF-8"))
+    n = (F.length(h) / 2).cast("int")
+    return F.when(F.length(w) == 0, F.lit("")).otherwise(
+        F.concat_ws("", F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.element_at(m, F.conv(
+                F.substring(h, i * 2 - 1, F.lit(2)), 16, 10)
+                .cast("int")))))
+
+
+def byte_unicode_docs(docs: DataFrame,
+                      text_col: str = "text") -> DataFrame:
+    """Map every space-separated word of ``text_col`` through the
+    byte-to-unicode table, preserving single-space word boundaries
+    (empty words are dropped, exactly as every downstream word
+    explode drops them). A narrow zero-shuffle projection — the one
+    extra step that turns the whole char-level tokenizer pipeline
+    into its byte-level twin."""
+    mapped = F.concat_ws(" ", F.transform(
+        F.filter(F.split(F.col(text_col), " "),
+                 lambda x: x != ""),
+        byte_unicode_word))
+    return docs.withColumn(text_col, mapped)
+
+
+def byte_symbol_to_byte(token: "F.Column") -> "F.Column":
+    """Inverse of the byte-to-unicode map for a SINGLE mapped char:
+    codepoint (Spark ascii() returns the full first-char codepoint)
+    -> original byte value. Closed-form because the table is three
+    contiguous runs: identity (printables), 256..288 -> 0..32,
+    289..322 -> 127..160, 323 -> 173. Pinned char-by-char against
+    gpt2_byte_unicode() in tests."""
+    cp = F.ascii(token)
+    return (F.when(cp <= 255, cp)
+             .when(cp <= 288, cp - 256)
+             .when(cp <= 322, cp - 289 + 127)
+             .otherwise(F.lit(173)))
+
+
+def byte_bpe_ids(spark, merges: list[tuple[str, str]] | None = None,
+                 n_specials: int = 4) -> DataFrame:
+    """The DETERMINISTIC byte-level id table — the GPT-2 vocabulary
+    concept: every base byte symbol gets id n_specials + byte value
+    (256 rows, present whether or not the corpus ever produced the
+    byte), and every merge output gets id n_specials + 256 + rank-1.
+    Any byte-level segmentation consists only of base symbols and
+    merge outputs, so the id join can NEVER miss — <unk> is
+    unreachable by construction, the property byte-level BPE exists
+    to provide. No corpus dependence, no rank machinery: the table
+    is a 288-row literal."""
+    table = gpt2_byte_unicode()
+    ms = BPE_MERGES if merges is None else merges
+    rows = [(table[b], n_specials + b) for b in range(256)]
+    rows += [(a + b, n_specials + 256 + r)
+             for r, (a, b) in enumerate(ms)]
+    return spark.createDataFrame(rows, "token string, token_id long")

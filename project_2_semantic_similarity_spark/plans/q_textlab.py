@@ -1413,7 +1413,8 @@ seg1 AS MATERIALIZED (
 )"""
 
 
-def _bpe_train_ctes(k: int = _BPE_TRAIN_ROUNDS) -> str:
+def _bpe_train_ctes(k: int = _BPE_TRAIN_ROUNDS,
+                    seed_sql: str | None = None) -> str:
     """Unrolled k-round CTE chain re-deriving the trainer (the
     cluster_kmeans oracle discipline: iterative but deterministic,
     so each round is its own CTE block) — ends at seg{k+1}, the
@@ -1427,8 +1428,11 @@ def _bpe_train_ctes(k: int = _BPE_TRAIN_ROUNDS) -> str:
     consecutive occurrences share the middle space). MATERIALIZED
     CTEs are load-bearing: inlined, each round re-expands the whole
     prefix chain and the plan re-opens the parquet scan 3^k times
-    (the first draft died on EMFILE)."""
-    parts = [_BPE_WORDS_SEG1]
+    (the first draft died on EMFILE). ``seed_sql`` swaps the
+    words+seg1 prefix — the byte-level trainer passes the
+    byte-to-unicode seed; everything from pairs1 on is alphabet-
+    agnostic."""
+    parts = [_BPE_WORDS_SEG1 if seed_sql is None else seed_sql]
     for r in range(1, k + 1):
         parts.append(f""",
 pairs{r} AS (
@@ -1464,8 +1468,9 @@ seg{r + 1} AS MATERIALIZED (
     return "".join(parts)
 
 
-def _bpe_train_oracle(k: int = _BPE_TRAIN_ROUNDS) -> str:
-    return ("WITH RECURSIVE " + _bpe_train_ctes(k) + "\n"
+def _bpe_train_oracle(k: int = _BPE_TRAIN_ROUNDS,
+                      seed_sql: str | None = None) -> str:
+    return ("WITH RECURSIVE " + _bpe_train_ctes(k, seed_sql) + "\n"
             + "\nUNION ALL\n".join(
                 f"SELECT CAST({r} AS BIGINT) AS rank, a AS left_sym, "
                 f"b AS right_sym, pair_cnt FROM best{r}"
@@ -2331,3 +2336,285 @@ def corpus_to_training_batches(spark: SparkSession,
                  .alias("window_id"),
                 (gpos % _CTX_WINDOW).cast("long").alias("window_pos"),
                 "token_id"))
+
+
+# ---------------------------------------------------------------------------
+# Byte-level BPE (r11 VERDICT #5) — the production-tokenizer variant:
+# operate on UTF-8 BYTES via the GPT-2 byte-to-unicode table
+# (operators/text.py gpt2_byte_unicode), so the base alphabet is closed
+# (every byte has a symbol) and <unk> is unreachable by construction.
+# The char-level machinery (bpe_train_rounds, bpe_segment,
+# bpe_encode_corpus) runs UNCHANGED — bytes are just a different
+# initial alphabet, produced by mapping each word's UTF-8 bytes to
+# printable chars before the ordinary char split. Every declared doc
+# is decorated with one engineered NON-ASCII word (' xé<doc_id%7>'),
+# so the multi-byte split path is exercised and oracled at the driver,
+# not only in tests.
+
+_BYTE_DECOR_DOCS = ("(SELECT doc_id, text || ' xé' || "
+                    "CAST(doc_id % 7 AS VARCHAR) AS text FROM documents)")
+
+
+def _byte_cp_case_sql(b: str) -> str:
+    """byte value expression -> GPT-2 mapped codepoint (closed form:
+    printables identity; 0-32 -> 256..288; 127-160 -> 289..322;
+    173 -> 323). Twin of the operators/text.py map literal — pinned
+    equal over all 256 bytes in tests."""
+    return (f"CASE WHEN ({b} BETWEEN 33 AND 126) "
+            f"OR ({b} BETWEEN 161 AND 172) "
+            f"OR ({b} BETWEEN 174 AND 255) THEN {b} "
+            f"WHEN {b} <= 32 THEN 256 + {b} "
+            f"WHEN {b} = 173 THEN 323 "
+            f"ELSE 289 + ({b} - 127) END")
+
+
+def _byte_syms_sql(word: str, sep: str) -> str:
+    """SQL: the GPT-2-mapped byte symbols of ``word``, joined by
+    ``sep`` (' ' for segmentation seeds, '' for mapped words)."""
+    b = (f"CAST('0x' || substr(hex(encode({word})), "
+         f"CAST(i*2+1 AS INT), 2) AS INTEGER)")
+    return (f"array_to_string(list_transform("
+            f"range(CAST(octet_length(encode({word})) AS INT)), "
+            f"i -> chr(CAST({_byte_cp_case_sql(b)} AS INT))), '{sep}')")
+
+
+_BPE_WORDS_SEG1_BYTES = f"""words AS MATERIALIZED (
+    SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
+    FROM {_BYTE_DECOR_DOCS},
+         unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+             AS t(w)
+    GROUP BY w
+),
+seg1 AS MATERIALIZED (
+    SELECT word, cnt,
+           ' ' || {_byte_syms_sql('word', ' ')} || ' ' AS s
+    FROM words
+)"""
+
+
+@query("text_bpe_train_bytes",
+       oracle=_bpe_train_oracle(seed_sql=_BPE_WORDS_SEG1_BYTES))
+def text_bpe_train_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTE-LEVEL BPE TRAINER — text_bpe_train with the byte-split
+    seed: each word's UTF-8 bytes are mapped through the GPT-2
+    byte-to-unicode table (operators/text.py gpt2_byte_unicode) and
+    the UNCHANGED trainer loop (bpe_train_rounds — same argmax, same
+    (count DESC, left, right) tie-break) learns merges over byte
+    symbols. On an all-ASCII corpus the learned table equals the
+    char-level trainer's (printable bytes map to themselves —
+    twin-pinned in tests); on the decorated non-ASCII words it
+    merges MAPPED BYTE symbols ('Ã','©'), which a char-level trainer
+    can never see. The oracle re-derives the full chain from the
+    byte seed (seg1 swapped, rounds verbatim).
+
+    Scale shape unchanged from text_bpe_train: the corpus is touched
+    once (word-count agg); the byte mapping runs on the
+    VOCABULARY-sized relation (injective per byte, so mapping after
+    the count agg is exact); every round after is vocabulary-sized."""
+    from project_2_semantic_similarity_spark.operators.text import (
+        bpe_train_rounds, byte_unicode_word)
+
+    docs = load_table(spark, sf_dir, "documents")
+    dec = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" xé"),
+                 (F.col("doc_id") % 7).cast("string")).alias("text"))
+    words = (dec
+             .select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+             .filter(F.col("word") != "")
+             .groupBy("word").agg(F.count("*").alias("cnt"))
+             .select(byte_unicode_word(F.col("word")).alias("word"),
+                     "cnt"))
+    learned, _ = bpe_train_rounds(words, _BPE_TRAIN_ROUNDS)
+    out = None
+    for r, best in enumerate(learned, start=1):
+        row = best.select(
+            F.lit(r).cast("long").alias("rank"),
+            F.col("a").alias("left_sym"),
+            F.col("b").alias("right_sym"),
+            F.col("pair_cnt").cast("long").alias("pair_cnt"))
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+def _byte_merge_ids_sql() -> str:
+    """VALUES rows (token, token_id) for the 32 static merge outputs
+    under the deterministic byte-level id scheme: 4 specials + 256
+    base bytes, then merges by rank (operators/text.py
+    byte_bpe_ids — one source of truth via BPE_MERGES)."""
+    from project_2_semantic_similarity_spark.operators.text import (
+        BPE_MERGES)
+
+    return ", ".join(f"('{a}{b}', {259 + r})"
+                     for r, (a, b) in enumerate(BPE_MERGES, start=1))
+
+
+@query(
+    "text_bpe_encode_bytes",
+    oracle=f"""
+WITH RECURSIVE mapped AS MATERIALIZED (
+    SELECT doc_id,
+           array_to_string(list_transform(
+               list_filter(string_split(text, ' '), x -> x <> ''),
+               w -> {_byte_syms_sql('w', '')}), ' ') AS text
+    FROM {_BYTE_DECOR_DOCS}
+),
+{_bpe_oracle_ctes("mapped")},
+mids(token, token_id) AS (VALUES {_byte_merge_ids_sql()}),
+wp AS (
+    SELECT doc_id, unnest(l) AS word,
+           unnest(range(len(l))) AS widx
+    FROM (SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS l
+          FROM mapped)
+),
+j AS (
+    SELECT wp.doc_id, wp.widx, t.tokens, len(t.tokens) AS n_tok
+    FROM wp JOIN tokenized t USING (word)
+),
+off AS (
+    SELECT doc_id, tokens,
+           coalesce(sum(n_tok) OVER (
+               PARTITION BY doc_id ORDER BY widx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS o
+    FROM j
+),
+tok AS (
+    SELECT doc_id,
+           CAST(o + unnest(range(len(tokens))) AS BIGINT) AS pos,
+           unnest(tokens) AS token
+    FROM off
+)
+SELECT t.doc_id, t.pos,
+       CAST(coalesce(m.token_id,
+                     4 + CASE WHEN unicode(t.token) <= 255
+                              THEN unicode(t.token)
+                              WHEN unicode(t.token) <= 288
+                              THEN unicode(t.token) - 256
+                              WHEN unicode(t.token) <= 322
+                              THEN unicode(t.token) - 289 + 127
+                              ELSE 173 END) AS BIGINT) AS token_id
+FROM tok t LEFT JOIN mids m USING (token)
+""",
+)
+def text_bpe_encode_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTE-LEVEL CORPUS ENCODE — the no-<unk> twin of
+    text_bpe_encode_ids: words become GPT-2-mapped byte symbols
+    (byte_unicode_docs, a narrow zero-shuffle projection), the
+    static 32-merge table applies over the byte alphabet
+    (bpe_word_tokens unchanged — char split of the mapped word IS
+    the byte split), and ids come from the DETERMINISTIC scheme
+    (byte_bpe_ids: 4 specials + every base byte at 4+b + merge
+    outputs at 260+rank-1). Because every byte symbol has an id
+    whether or not the corpus ever produced it, the id join can
+    never miss — the engineered non-ASCII word (' xé<doc_id%7>',
+    bytes C3 A9 unseen anywhere else) encodes to real byte ids, not
+    <unk>, which is the property byte-level tokenizers exist for
+    (unk_id=1 is passed but unreachable; pinned in tests).
+
+    Plan: identical to text_bpe_encode_ids after the mapping
+    projection — strategy-gated encode (zero-shuffle Arrow under
+    the distinct-word bound, windowed join past it), unhinted
+    vocab joins, vocabulary-sized fold."""
+    from project_2_semantic_similarity_spark.operators.text import (
+        bpe_encode_corpus, bpe_word_tokens, byte_bpe_ids,
+        byte_unicode_docs)
+
+    docs = load_table(spark, sf_dir, "documents")
+    dec = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" xé"),
+                 (F.col("doc_id") % 7).cast("string")).alias("text"))
+    mapped = byte_unicode_docs(dec)
+    words = (mapped
+             .select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+             .filter(F.col("word") != "")
+             .groupBy("word").agg(F.count("*").alias("cnt"))
+             ).localCheckpoint()
+    vocab = bpe_word_tokens(
+        words.select("word").distinct()).localCheckpoint()
+    ids = byte_bpe_ids(spark)
+    return bpe_encode_corpus(mapped, vocab, ids, unk_id=1)
+
+
+@query(
+    "corpus_shuffle_windows",
+    oracle=f"""
+WITH RECURSIVE {_bpe_oracle_ctes()},
+nbpe AS (
+    SELECT w.doc_id,
+           CAST(sum(w.cnt * len(t.tokens)) AS BIGINT) AS n_bpe
+    FROM words w JOIN tokenized t USING (word)
+    GROUP BY w.doc_id
+),
+offs AS (
+    SELECT doc_id, n_bpe,
+           CAST(sum(n_bpe) OVER (ORDER BY doc_id) - n_bpe AS BIGINT)
+               AS strt
+    FROM nbpe
+),
+wins AS (
+    SELECT DISTINCT CAST(unnest(range(strt // {_CTX_WINDOW},
+                                      (strt + n_bpe - 1)
+                                          // {_CTX_WINDOW} + 1))
+                         AS BIGINT) AS window_id
+    FROM offs
+)
+SELECT CAST(row_number() OVER (
+           ORDER BY md5('win_shuffle:' || CAST(window_id AS VARCHAR)),
+                    window_id) - 1 AS BIGINT) AS shuffled_pos,
+       window_id
+FROM wins
+""",
+)
+def corpus_shuffle_windows(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """DETERMINISTIC TRAINING-ORDER SHUFFLE (r11 VERDICT #6) — the
+    last step between corpus_context_window_ids' packed windows and
+    a real loader: a reproducible permutation of the window ids,
+    emitted as (shuffled_pos, window_id). RNG-free md5 rank (the
+    sample_hash_split discipline): order by
+    md5('win_shuffle:' || window_id) — partitioning-immune, identical
+    on any cluster, re-derivable by the oracle as a row_number.
+
+    Scale shape: the window-id SET is derived from the DOC-sized
+    offsets relation (each doc explodes only the windows it spans —
+    bounded by doc_len/512 — then a distinct collapses shared
+    boundary windows), never from the corpus-token-sized encode; the
+    global rank rides with_global_rank's range machinery instead of
+    a single-partition window. At 100 TB: doc-sized explode,
+    window-sized distinct + rank."""
+    from project_2_semantic_similarity_spark.operators.rank import (
+        with_global_rank, with_global_running_sum)
+    from project_2_semantic_similarity_spark.operators.text import (
+        bpe_word_tokens)
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (docs
+             .select("doc_id",
+                     F.explode(F.split(F.col("text"), " ")).alias("word"))
+             .filter(F.col("word") != "")
+             .groupBy("doc_id", "word").agg(F.count("*").alias("cnt"))
+             ).localCheckpoint()
+    vocab = bpe_word_tokens(
+        words.select("word").distinct()).localCheckpoint()
+    nbpe = (words.join(vocab, "word")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("cnt") * F.col("n_tok")).alias("n_bpe")))
+    offs = with_global_running_sum(
+        nbpe, [F.col("doc_id").asc()], "n_bpe", sum_col="cum").select(
+        (F.col("cum") - F.col("n_bpe")).alias("strt"), "n_bpe")
+    wins = (offs.select(F.explode(F.sequence(
+        F.floor(F.col("strt") / _CTX_WINDOW),
+        F.floor((F.col("strt") + F.col("n_bpe") - 1) / _CTX_WINDOW)))
+        .alias("window_id")).distinct())
+    hashed = wins.withColumn(
+        "h", F.md5(F.concat(F.lit("win_shuffle:"),
+                            F.col("window_id").cast("string"))))
+    ranked = with_global_rank(
+        hashed, [F.col("h").asc(), F.col("window_id").asc()],
+        rank_col="rn")
+    return ranked.select(
+        (F.col("rn") - 1).cast("long").alias("shuffled_pos"),
+        F.col("window_id").cast("long").alias("window_id"))

@@ -528,3 +528,114 @@ def test_bpe_encode_docs_null_text_tolerated(spark):
         (r["doc_id"], r["pos"], r["token_id"])
         for r in T.bpe_encode_docs(docs, word_ids, unk_id=1).collect())
     assert rows == [(1, 0, 5), (3, 0, 5), (3, 1, 5)]
+
+
+# --------------------------------------------------------------------------
+# byte-level BPE (r11 VERDICT #5)
+
+
+def test_byte_unicode_map_matches_gpt2_table(spark):
+    """The Spark map literal (byte_unicode_word) and the closed-form
+    inverse (byte_symbol_to_byte) must both agree with the reference
+    Python table over ALL 256 bytes — this is the single pin that
+    keeps the operator, the id scheme, and the DuckDB oracle CASE
+    (q_textlab._byte_cp_case_sql, hash-verified at the driver) on the
+    same alphabet."""
+    table = T.gpt2_byte_unicode()
+    assert len(table) == 256 and len(set(table.values())) == 256
+    # forward: a word carrying every byte value, in latin-1 order —
+    # its UTF-8 bytes are NOT 0..255, so map per single-byte word
+    rows = [(bytes([b]).decode("latin-1"),) for b in range(256)]
+    df = spark.createDataFrame(rows, ["w"])
+    got = df.select("w", T.byte_unicode_word(F.col("w")).alias("m")).collect()
+    for r in got:
+        want = "".join(table[x] for x in r.w.encode("utf-8"))
+        assert r.m == want, (r.w, r.m, want)
+    # inverse: every mapped char round-trips to its byte
+    inv_rows = [(table[b], b) for b in range(256)]
+    idf = spark.createDataFrame(inv_rows, ["c", "b"])
+    back = idf.select("b", T.byte_symbol_to_byte(F.col("c")).alias("ib")).collect()
+    assert all(r.b == r.ib for r in back)
+
+
+def test_byte_bpe_ids_closed_and_unique(spark):
+    """The deterministic id table covers every base byte and every
+    merge output with UNIQUE ids — the closure property that makes
+    <unk> unreachable."""
+    ids = T.byte_bpe_ids(spark).collect()
+    assert len(ids) == 256 + len(T.BPE_MERGES)
+    assert len({r.token for r in ids}) == len(ids)
+    assert len({r.token_id for r in ids}) == len(ids)
+    by_tok = {r.token: r.token_id for r in ids}
+    table = T.gpt2_byte_unicode()
+    assert by_tok[table[0]] == 4 and by_tok[table[255]] == 4 + 255
+    a, b = T.BPE_MERGES[0]
+    assert by_tok[a + b] == 260
+
+
+def test_byte_trainer_is_char_trainer_on_ascii(spark):
+    """On an all-printable-ASCII corpus the byte seed IS the char
+    seed (printable bytes map to themselves), so the two trainers
+    must learn the identical merge table; on a non-ASCII corpus the
+    byte trainer merges MAPPED BYTE symbols the char trainer can
+    never see."""
+    corpus = [("data table data table fast scan",),
+              ("the window the window the key",),
+              ("query value query value query",)]
+    docs = spark.createDataFrame(corpus, ["text"])
+    words = (docs.select(F.explode(F.split("text", " ")).alias("word"))
+             .filter(F.col("word") != "")
+             .groupBy("word").agg(F.count("*").alias("cnt")))
+    bwords = words.select(T.byte_unicode_word(F.col("word")).alias("word"),
+                          "cnt")
+    chars, _ = T.bpe_train_rounds(words, 4)
+    bytes_, _ = T.bpe_train_rounds(bwords, 4)
+    cm = [tuple(r[0]) for r in (b.select("a", "b").collect() for b in chars)]
+    bm = [tuple(r[0]) for r in (b.select("a", "b").collect() for b in bytes_)]
+    assert cm == bm
+    # non-ASCII: 'ééé' dominates — byte trainer's first merge is the
+    # mapped byte pair (Ã©-type symbols), never the raw char
+    ndocs = spark.createDataFrame([("ééé ééé ééé",)], ["text"])
+    nwords = (ndocs.select(F.explode(F.split("text", " ")).alias("word"))
+              .groupBy("word").agg(F.count("*").alias("cnt"))
+              .select(T.byte_unicode_word(F.col("word")).alias("word"),
+                      "cnt"))
+    learned, _ = T.bpe_train_rounds(nwords, 1)
+    a, b = learned[0].select("a", "b").collect()[0]
+    tbl = T.gpt2_byte_unicode()
+    eb = "é".encode("utf-8")
+    assert {a, b} <= {tbl[eb[0]], tbl[eb[1]], tbl[eb[0]] + tbl[eb[1]]}
+
+
+def test_byte_encode_never_emits_unk(spark, sf_dir):
+    """The defining property: every token id in the byte-level encode
+    is >= 4 (a real base-byte or merge id) — unk (1) and the other
+    specials are unreachable even for the engineered non-ASCII OOV
+    word each doc carries."""
+    import __spark_entry__ as e
+
+    out = e.queries()["text_bpe_encode_bytes"](spark, sf_dir)
+    assert out.filter(F.col("token_id") < 4).count() == 0
+    # the non-ASCII word's bytes (C3 A9) actually appear as ids
+    tbl = T.gpt2_byte_unicode()
+    c3 = 4 + 0xC3
+    assert out.filter(F.col("token_id") == c3).count() > 0
+    assert tbl[0xC3] == "Ã"
+
+
+def test_shuffle_windows_is_permutation(spark, sf_dir):
+    """corpus_shuffle_windows must emit a bijection: shuffled_pos is
+    exactly 0..n-1, window_id is exactly the window-id set of
+    corpus_context_window_ids, and the mapping is deterministic
+    (same result on re-run)."""
+    import __spark_entry__ as e
+
+    out = e.queries()["corpus_shuffle_windows"](spark, sf_dir).collect()
+    n = len(out)
+    assert sorted(r.shuffled_pos for r in out) == list(range(n))
+    wids = {r.window_id for r in out}
+    ref = (e.queries()["corpus_context_window_ids"](spark, sf_dir)
+           .select("window_id").distinct().collect())
+    assert wids == {r.window_id for r in ref}
+    again = e.queries()["corpus_shuffle_windows"](spark, sf_dir).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
