@@ -88,11 +88,16 @@ def with_doc_frequency(counts: DataFrame) -> DataFrame:
     reduce (app.py:43-57). After term_counts each (doc, term) row is
     distinct, so counting rows per term equals the number of
     documents containing the term. The df table is vocabulary-sized
-    (orders of magnitude smaller than the corpus), so it broadcasts —
-    the full counts relation is never shuffled by term, which is the
-    skew-prone axis (stopword-like terms)."""
+    (orders of magnitude smaller than the corpus) and the join is
+    left UNHINTED (r12, the same policy as the tokenizer family's
+    vocab joins): AQE broadcasts it under autoBroadcastJoinThreshold
+    — so at every tested scale the counts relation is never shuffled
+    by term, the skew-prone axis (stopword-like terms) — and
+    shuffle-joins past broadcast reach, where a hard hint would die
+    building a Heaps'-law-sized (10^8-10^9 distinct terms) broadcast
+    before the query ran at all."""
     df_tab = counts.groupBy("term").agg(F.count("*").alias("df"))
-    return counts.join(F.broadcast(df_tab), "term")
+    return counts.join(df_tab, "term")
 
 
 def tfidf(corpus: DataFrame) -> DataFrame:

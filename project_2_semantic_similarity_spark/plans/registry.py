@@ -68,6 +68,15 @@ _CHANGED_THIS_ROUND = frozenset(
         "corpus_context_window_ids_sep",
         "corpus_window_doc_starts",
         "corpus_to_training_batches",
+        # round 12: with_doc_frequency's term-df join was also
+        # unhinted (same policy). NOT listed here: every consumer of
+        # the changed build (the shared docsim_weights keyed_persist
+        # slot) is either the flagship (always slot 0) or r6-tier
+        # (text_tfidf, text_doc_similarity, text_doc_similarity_ann,
+        # text_df_idf), all re-verified THIS round by the oldest-
+        # first drain — adding text_keywords (r11, same slot, its own
+        # logic untouched) would push the window past 50 and leave an
+        # r6 name undrained (r11 task #4 trade, made explicitly).
     }
 )
 

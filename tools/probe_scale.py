@@ -533,6 +533,70 @@ def main() -> None:
                 F.col("run") != F.col("id") + 1).count()
             assert bad == 0, f"{bad} wrong prefix sums"
             cnt = summed.count()
+        elif name == "batched_pipeline_probe":
+            # r11 VERDICT #7: the composed pipeline with the BATCHED
+            # trainer at realistic merge count — train 1k merges
+            # (batch 32), re-segment the vocabulary with the Arrow
+            # applier, rank ids, encode, window-pack. Reports each
+            # phase's wall so the declare/don't-declare decision in
+            # SCALE.md rests on measurement.
+            from project_2_semantic_similarity_spark.operators.rank \
+                import with_global_rank, with_global_running_sum
+            from project_2_semantic_similarity_spark.operators.text \
+                import (bpe_encode_corpus, bpe_train_batched,
+                        bpe_word_tokens_arrow)
+
+            docs = (spark.read
+                    .parquet(f"{out}/documents.parquet")
+                    .select("doc_id", "text"))
+            dwords = (docs.select(
+                "doc_id",
+                F.explode(F.split(F.col("text"), " ")).alias("word"))
+                .filter(F.col("word") != "")
+                .groupBy("doc_id", "word")
+                .agg(F.count("*").alias("cnt"))).localCheckpoint()
+            words = dwords.groupBy("word").agg(
+                F.sum("cnt").alias("cnt"))
+            tt = time.time()
+            rounds = bpe_train_batched(words, 1000, batch=32)
+            flat = [(a, b) for rnd in rounds for a, b, _ in rnd]
+            t_train = time.time() - tt
+            tt = time.time()
+            vocab = bpe_word_tokens_arrow(
+                dwords.select("word").distinct(), flat
+            ).localCheckpoint()
+            t_seg = time.time() - tt
+            freq = (dwords.join(vocab, "word")
+                    .select(F.explode("tokens").alias("token"), "cnt")
+                    .groupBy("token").agg(F.sum("cnt").alias("freq")))
+            ids = with_global_rank(
+                freq, [F.col("freq").desc(), F.col("token").asc()],
+                rank_col="rn").select(
+                "token", (F.col("rn") + 3).cast("long")
+                .alias("token_id"))
+            tt = time.time()
+            enc = bpe_encode_corpus(docs, vocab, ids, unk_id=1)
+            nbpe = (dwords.join(vocab, "word")
+                    .groupBy("doc_id")
+                    .agg(F.sum(F.col("cnt") * F.col("n_tok"))
+                          .alias("n_bpe")))
+            offs = with_global_running_sum(
+                nbpe, [F.col("doc_id").asc()], "n_bpe",
+                sum_col="cum").select(
+                "doc_id", (F.col("cum") - F.col("n_bpe"))
+                .alias("strt"))
+            gpos = F.col("strt") + F.col("pos")
+            cnt = (enc.join(offs, "doc_id")
+                   .select(F.floor(gpos / 512).cast("long")
+                           .alias("window_id"),
+                           (gpos % 512).cast("long")
+                           .alias("window_pos"),
+                           "token_id")).count()
+            t_pack = time.time() - tt
+            print(f"  train_batched 1k merges: {t_train:.1f}s "
+                  f"({len(flat)} learned / {len(rounds)} rounds); "
+                  f"arrow re-segment: {t_seg:.1f}s; "
+                  f"encode+pack: {t_pack:.1f}s", flush=True)
         else:
             cnt = QUERIES[name](spark, out).count()
         wall = time.time() - t
