@@ -620,8 +620,11 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the co-occurrence self-join keys on doc_id, so the
     blow-up is Σ (distinct terms per doc)² — bounded by document
-    length, never vocab or corpus size; the df relation is
-    vocab-sized and broadcasts; the corpus count rides a broadcast
+    length, never vocab or corpus size; the df joins are UNHINTED
+    (r12 — the raw-term df relation is Heaps'-law-sized at web
+    scale, the exact class the tokenizer family's vocab joins
+    stopped hinting): AQE broadcasts it at every tested scale and
+    shuffle-joins past threshold; the corpus count rides a broadcast
     1-row aggregate (the flagship's N discipline, operators/text.py).
     Output cardinality is min(Σ doc_vocab², vocab²) — at web scale
     the n_co gate prunes the heavy tail map-side before the final
@@ -648,10 +651,10 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         co
-        .join(F.broadcast(tf.withColumnsRenamed(
-            {"term": "term_a", "df": "dfa"})), "term_a")
-        .join(F.broadcast(tf.withColumnsRenamed(
-            {"term": "term_b", "df": "dfb"})), "term_b")
+        .join(tf.withColumnsRenamed(
+            {"term": "term_a", "df": "dfa"}), "term_a")
+        .join(tf.withColumnsRenamed(
+            {"term": "term_b", "df": "dfb"}), "term_b")
         .crossJoin(F.broadcast(n))
         .select(
             "term_a", "term_b",

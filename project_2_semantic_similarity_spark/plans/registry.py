@@ -77,6 +77,12 @@ _CHANGED_THIS_ROUND = frozenset(
         # first drain — adding text_keywords (r11, same slot, its own
         # logic untouched) would push the window past 50 and leave an
         # r6 name undrained (r11 task #4 trade, made explicitly).
+        # round 12: the PMI per-term df hint dropped too (the one
+        # other Heaps'-law-class hint the repo-wide audit found —
+        # entity-dimension hints are a pinned design, see SCALE.md).
+        # Listed, accepting that ONE r6 name rides to r13: scale
+        # correctness outranks completing the drain by exactly 35.
+        "text_cooccurrence_pmi",
     }
 )
 

@@ -879,12 +879,17 @@ def test_no_hard_broadcast_hint_on_vocab_relation(spark, sf_dir):
     changes nothing where the hint used to be valid."""
     import project_2_semantic_similarity_spark.plans.q_textlab as q
 
+    import project_2_semantic_similarity_spark.plans.q_text as qt
+
     with open(q.__file__) as fh:
         src = fh.read()
     for hinted in ("join(F.broadcast(vocab)",
                    "join(F.broadcast(dwords)",
                    "join(F.broadcast(words)"):
         assert hinted not in src, f"hard vocab broadcast hint: {hinted}"
+    # q_text: the PMI per-term df table is the same Heaps'-law class
+    with open(qt.__file__) as fh:
+        assert "join(F.broadcast(tf" not in fh.read()
 
     df = e.queries()["text_bpe_tokenize"](spark, sf_dir)
     df.collect()
@@ -892,3 +897,44 @@ def test_no_hard_broadcast_hint_on_vocab_relation(spark, sf_dir):
     assert "isFinalPlan=true" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_shuffle_windows_rank_rides_range_machinery(spark, sf_dir):
+    """The permutation's global rank must ride with_global_rank's
+    range partitioning (__grk_pid in every row_number window spec),
+    never a single-partition data-sized window; the window-id set
+    comes from checkpointed doc-sized relations (no parquet re-scan,
+    no cartesian)."""
+    plan = plan_of(spark, "corpus_shuffle_windows", sf_dir)
+    assert "__grk_pid" in plan
+    rn_specs = [ln for ln in plan.splitlines()
+                if "row_number() windowspecdefinition" in ln]
+    assert rn_specs and all("__grk_pid" in ln for ln in rn_specs)
+    assert "Scan parquet" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_byte_encode_is_single_arrow_stage(spark, sf_dir):
+    """Byte-level encode keeps text_bpe_encode_ids' plan contract:
+    exactly ONE Python stage (the gated Arrow encode over the mapped
+    docs) and ONE parquet scan — the byte mapping is a narrow
+    projection on that scan, not an extra pass, and the deterministic
+    id table joins nothing at this strategy (collected into the
+    broadcast word->ids map)."""
+    plan = plan_of(spark, "text_bpe_encode_bytes", sf_dir)
+    assert plan.count("MapInPandas") == 1
+    scans = [ln for ln in plan.splitlines() if "Scan parquet" in ln]
+    assert len(scans) == 1, scans
+    assert "SortMergeJoin" not in plan
+
+
+def test_byte_trainer_plan_reads_checkpoints_only(spark, sf_dir):
+    """The byte trainer's returned merge table is a union of
+    checkpointed 1-row argmax relations: the corpus parquet must not
+    reappear in the final plan (the byte mapping ran inside the
+    vocabulary-sized pre-trainer stage), and no fold lambda leaks
+    into the output plan."""
+    plan = plan_of(spark, "text_bpe_train_bytes", sf_dir)
+    assert "FileScan" not in plan and "Scan parquet" not in plan
+    assert "lambdafunction" not in plan
+    assert plan.count("ExistingRDD") >= 10

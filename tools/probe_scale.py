@@ -597,6 +597,41 @@ def main() -> None:
                   f"({len(flat)} learned / {len(rounds)} rounds); "
                   f"arrow re-segment: {t_seg:.1f}s; "
                   f"encode+pack: {t_pack:.1f}s", flush=True)
+        elif name == "byte_encode_probe":
+            # r12: byte-level encode at corpus scale — the question
+            # is the mapping projection's cost (hex + 256-entry map
+            # literal per UTF-8 byte, ~7 chars/word x 120M tokens)
+            # on top of the plain encode's measured 26.6 s.
+            from project_2_semantic_similarity_spark.operators.rank \
+                import with_global_rank
+            from project_2_semantic_similarity_spark.operators.text \
+                import (bpe_encode_corpus, bpe_word_tokens,
+                        byte_bpe_ids, byte_unicode_docs)
+
+            docs = (spark.read
+                    .parquet(f"{out}/documents.parquet")
+                    .select("doc_id", "text"))
+            mapped = byte_unicode_docs(docs)
+            tt = time.time()
+            words = (mapped.select(
+                F.explode(F.split(F.col("text"), " ")).alias("word"))
+                .filter(F.col("word") != "")
+                .groupBy("word").agg(F.count("*").alias("cnt"))
+            ).localCheckpoint()
+            t_words = time.time() - tt
+            tt = time.time()
+            vocab = bpe_word_tokens(
+                words.select("word").distinct()).localCheckpoint()
+            t_vocab = time.time() - tt
+            ids = byte_bpe_ids(spark)
+            tt = time.time()
+            cnt = bpe_encode_corpus(mapped, vocab, ids,
+                                    unk_id=1).count()
+            t_enc = time.time() - tt
+            print(f"  mapped word-count agg: {t_words:.1f}s; "
+                  f"vocab fold: {t_vocab:.1f}s; "
+                  f"gated encode (incl. mapping projection): "
+                  f"{t_enc:.1f}s", flush=True)
         else:
             cnt = QUERIES[name](spark, out).count()
         wall = time.time() - t
