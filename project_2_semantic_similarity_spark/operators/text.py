@@ -1354,3 +1354,137 @@ def byte_bpe_ids(spark, merges: list[tuple[str, str]] | None = None,
     rows += [(a + b, n_specials + 256 + r)
              for r, (a, b) in enumerate(ms)]
     return spark.createDataFrame(rows, "token string, token_id long")
+
+
+def byte_unicode_docs_marked(docs: DataFrame,
+                             text_col: str = "text") -> DataFrame:
+    """:func:`byte_unicode_docs` with the GPT-2 SPACE MARKER: every
+    word after the first carries a leading mapped-space symbol
+    ('Ġ' = chr(288), the byte-32 image), exactly how production
+    byte-level tokenizers keep whitespace IN the token stream
+    (Radford et al. 2019 pre-tokenization keeps the leading space on
+    each word). With the marker present, the flat encoded id stream
+    is fully invertible: decode = concat tokens, inverse-map each
+    char to its byte, UTF-8 decode — spaces come back because they
+    were never dropped. Same narrow zero-shuffle projection; the
+    marker rides the index-aware `transform` lambda."""
+    marker = gpt2_byte_unicode()[32]
+    mapped = F.concat_ws(" ", F.transform(
+        F.filter(F.split(F.col(text_col), " "),
+                 lambda x: x != ""),
+        lambda w, i: F.when(i == 0, byte_unicode_word(w))
+                      .otherwise(F.concat(F.lit(marker),
+                                          byte_unicode_word(w)))))
+    return docs.withColumn(text_col, mapped)
+
+
+def bpe_decode_ids(stream: DataFrame, ids: DataFrame,
+                   doc_col: str = "doc_id") -> DataFrame:
+    """DECODE — the inverse of the byte-level corpus encode: the
+    flat (doc_id, pos, token_id) stream back to one text row per
+    document, (doc_id, decoded_text, n_ids). Pure JVM expressions
+    end to end (no Python in the decode path):
+
+      id -> token symbol via the merge-bounded ``ids`` table (288 +
+      |merges| rows at ANY corpus size — a legal broadcast, unlike
+      the Heaps'-law word relation), then ONE hash aggregation by
+      doc_id collecting (pos, token) structs, array_sort for stream
+      order (bounded by document length — never a global sort),
+      concat, inverse byte map per char (byte_symbol_to_byte's
+      closed form), hex -> unhex -> UTF-8 decode.
+
+    One shuffle total (the per-doc agg); collect_list is bounded by
+    a single document's token count, the same per-doc bound every
+    window/pack step in the family already carries."""
+    tok = stream.join(F.broadcast(ids.select("token", "token_id")),
+                      "token_id")
+    per_doc = tok.groupBy(doc_col).agg(
+        F.array_sort(F.collect_list(F.struct("pos", "token")))
+         .alias("st"),
+        F.count("*").cast("long").alias("n_ids"))
+    joined = F.concat_ws(
+        "", F.transform(F.col("st"), lambda s: s["token"]))
+    chars = F.filter(F.split(joined, ""), lambda c: c != "")
+    hexs = F.concat_ws("", F.transform(
+        chars,
+        lambda c: F.lpad(F.conv(byte_symbol_to_byte(c).cast("string"),
+                                10, 16), 2, "0")))
+    return per_doc.select(
+        doc_col,
+        F.decode(F.unhex(hexs), "UTF-8").alias("decoded_text"),
+        "n_ids")
+
+
+def wordpiece_merge_outputs(
+        merges: list[tuple[str, str]] | None = None) -> list[str]:
+    """The greedy matcher's token inventory: every merge OUTPUT
+    string, longest first (ties lexicographic — unreachable, two
+    same-length matches at one position would be the same string;
+    kept for a stable literal). Single chars are an IMPLICIT
+    fallback, so the inventory is merge-bounded and corpus-free —
+    the same property that makes byte_bpe_ids a literal."""
+    ms = BPE_MERGES if merges is None else merges
+    return sorted({a + b for a, b in ms}, key=lambda t: (-len(t), t))
+
+
+def wordpiece_apply_word(w: str, outs: list[str]) -> list[str]:
+    """Greedy longest-match-first segmentation of one word — the
+    WordPiece/SentencePiece INFERENCE algorithm (Devlin et al. 2019
+    §4.1 tokenization; public). ``outs`` must be longest-first
+    (:func:`wordpiece_merge_outputs`); any position with no
+    multi-char match falls back to the single char, so segmentation
+    never fails and never needs <unk>."""
+    out: list[str] = []
+    i, n = 0, len(w)
+    while i < n:
+        for t in outs:
+            if w.startswith(t, i):
+                out.append(t)
+                i += len(t)
+                break
+        else:
+            out.append(w[i])
+            i += 1
+    return out
+
+
+def wordpiece_word_tokens(vocab: DataFrame,
+                          merges: list[tuple[str, str]] | None = None,
+                          word_col: str = "word") -> DataFrame:
+    """Greedy longest-match tokenization of a DISTINCT-word relation
+    — same output schema as :func:`bpe_word_tokens` (word, tokens,
+    n_tok) so the corpus join-back machinery is shared verbatim.
+    Arrow `mapInPandas` with an intra-batch memo, the
+    :func:`bpe_word_tokens_arrow` contract: Python cost per
+    VOCABULARY entry, never per corpus token; the broadcast is the
+    merge-output list (KBs), never data. Greedy longest-match is a
+    DIFFERENT algorithm than rank-ordered merge application — the
+    two demonstrably split some words differently (pinned in
+    tests) — and is what BERT-family tokenizers run at inference."""
+    outs = wordpiece_merge_outputs(merges)
+    bc = vocab.sparkSession.sparkContext.broadcast(outs)
+
+    def tokenize(batches):
+        import pandas as pd
+
+        ts = bc.value
+        memo: dict[str, list[str]] = {}
+
+        def tok(w: str) -> list[str]:
+            t = memo.get(w)
+            if t is None:
+                t = wordpiece_apply_word(w, ts)
+                memo[w] = t
+            return t
+
+        for pdf in batches:
+            toks = [tok(w) for w in pdf[word_col]]
+            yield pd.DataFrame({
+                word_col: pdf[word_col],
+                "tokens": toks,
+                "n_tok": [len(t) for t in toks],
+            })
+
+    return vocab.select(word_col).mapInPandas(
+        tokenize,
+        schema=f"{word_col} string, tokens array<string>, n_tok int")

@@ -2618,3 +2618,177 @@ def corpus_shuffle_windows(spark: SparkSession,
     return ranked.select(
         (F.col("rn") - 1).cast("long").alias("shuffled_pos"),
         F.col("window_id").cast("long").alias("window_id"))
+
+
+def _wordpiece_case_sql() -> str:
+    """Greedy longest-match as ONE static CASE chain over the
+    merge-output inventory (longest first — operators/text.py
+    wordpiece_merge_outputs, single source of truth). No correlated
+    subquery: the inventory is merge-bounded and known at SQL-gen
+    time, so 'the longest token matching at this position' compiles
+    to 32 ordered WHENs with the single-char fallback as ELSE."""
+    from project_2_semantic_similarity_spark.operators.text import (
+        wordpiece_merge_outputs)
+
+    whens = " ".join(
+        f"WHEN substr(rest, 1, {len(t)}) = '{t}' THEN '{t}'"
+        for t in wordpiece_merge_outputs())
+    return f"CASE {whens} ELSE substr(rest, 1, 1) END"
+
+
+@query(
+    "text_wordpiece_tokenize",
+    oracle=f"""
+WITH RECURSIVE
+words AS (
+    SELECT doc_id, w AS word, count(*) AS cnt
+    FROM documents,
+         unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+             AS t(w)
+    GROUP BY doc_id, w
+),
+dw AS (SELECT DISTINCT word FROM words),
+seg AS (
+    SELECT word, word AS rest, CAST([] AS VARCHAR[]) AS toks FROM dw
+    UNION ALL
+    SELECT word, substr(rest, length(best) + 1),
+           list_append(toks, best)
+    FROM (SELECT word, rest, toks, {_wordpiece_case_sql()} AS best
+          FROM seg WHERE rest <> '')
+),
+tokenized AS (SELECT word, toks AS tokens FROM seg WHERE rest = ''),
+sums AS (
+    SELECT w.doc_id,
+           CAST(sum(w.cnt) AS BIGINT) AS n_words,
+           CAST(sum(w.cnt * len(t.tokens)) AS BIGINT) AS n_wp_tokens
+    FROM words w JOIN tokenized t USING (word)
+    GROUP BY w.doc_id
+),
+dcounts AS (
+    SELECT doc_id, CAST(count(DISTINCT u.x) AS BIGINT)
+               AS n_distinct_tokens
+    FROM words w
+    JOIN tokenized t USING (word), unnest(t.tokens) AS u(x)
+    GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_words, s.n_wp_tokens, d.n_distinct_tokens,
+       round(s.n_wp_tokens * 1.0 / s.n_words, 6) AS tokens_per_word
+FROM sums s JOIN dcounts d USING (doc_id)
+""",
+)
+def text_wordpiece_tokenize(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """GREEDY LONGEST-MATCH tokenization — the OTHER subword
+    algorithm family (WordPiece/SentencePiece inference, BERT-style)
+    beside rank-ordered BPE merge application: at each position take
+    the longest merge-output token that matches, falling back to the
+    single char (so segmentation never fails — the inventory is
+    merge-bounded + implicit chars, corpus-free). Demonstrably a
+    DIFFERENT segmentation than text_bpe_tokenize on some words
+    (pinned in tests): greedy grabs the longest surface string even
+    when the merge order could never have built it there.
+
+    Scale shape is text_bpe_tokenize's verbatim: one shuffle to
+    per-doc word counts, a vocabulary distinct, the greedy matcher
+    as an Arrow mapInPandas over the DISTINCT-WORD relation
+    (operators/text.py wordpiece_word_tokens — Python cost per
+    vocabulary entry, never per corpus token; broadcast payload is
+    the 32-string inventory), and one AQE-decided unhinted join
+    back. The DuckDB oracle re-derives greedy matching as a
+    recursive CTE whose step is a static longest-first CASE chain —
+    provably the same decision procedure."""
+    from project_2_semantic_similarity_spark.operators.text import (
+        wordpiece_word_tokens)
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (docs
+             .select("doc_id",
+                     F.explode(F.split(F.col("text"), " ")).alias("word"))
+             .filter(F.col("word") != "")
+             .groupBy("doc_id", "word").agg(F.count("*").alias("cnt")))
+    vocab = wordpiece_word_tokens(words.select("word").distinct())
+    joined = words.join(vocab, "word")
+    per_doc = joined.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_words"),
+        F.sum(F.col("cnt") * F.col("n_tok")).alias("n_wp_tokens"),
+        F.size(F.array_distinct(F.flatten(F.collect_list("tokens"))))
+         .alias("n_distinct_tokens"))
+    return per_doc.select(
+        "doc_id", "n_words", "n_wp_tokens",
+        F.col("n_distinct_tokens").cast("long")
+         .alias("n_distinct_tokens"),
+        F.round(F.col("n_wp_tokens") / F.col("n_words"), 6)
+         .alias("tokens_per_word"))
+
+
+@query(
+    "text_bpe_decode",
+    oracle=f"""
+WITH RECURSIVE mapped AS MATERIALIZED (
+    SELECT doc_id,
+           substr(array_to_string(list_transform(
+               list_filter(string_split(text, ' '), x -> x <> ''),
+               w -> chr(288) || {_byte_syms_sql('w', '')}), ' '), 2)
+               AS text
+    FROM {_BYTE_DECOR_DOCS}
+),
+{_bpe_oracle_ctes("mapped")},
+nbpe AS (
+    SELECT w.doc_id, CAST(sum(w.cnt * len(t.tokens)) AS BIGINT)
+               AS n_ids
+    FROM words w JOIN tokenized t USING (word)
+    GROUP BY w.doc_id
+)
+SELECT d.doc_id,
+       array_to_string(list_filter(string_split(d.text, ' '),
+                                   x -> x <> ''), ' ') AS decoded_text,
+       n.n_ids
+FROM {_BYTE_DECOR_DOCS} d JOIN nbpe n USING (doc_id)
+""",
+)
+def text_bpe_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECODE / DETOKENIZE — the tokenizer API's missing inverse:
+    encode the corpus byte-level WITH the GPT-2 space marker
+    (operators/text.py byte_unicode_docs_marked — every non-first
+    word carries a leading 'Ġ' = mapped byte 32, so whitespace
+    lives IN the id stream like production byte-level tokenizers),
+    then decode the flat (doc_id, pos, token_id) stream back to
+    text with pure JVM expressions (bpe_decode_ids: broadcast the
+    merge-bounded id table, ONE per-doc hash agg, array_sort by
+    pos, concat, closed-form inverse byte map, unhex, UTF-8).
+
+    The oracle is the ROUNDTRIP IDENTITY: the decoded text must
+    hash-equal the single-space-normalized source (computed by the
+    oracle WITHOUT running encode/decode), and n_ids must equal the
+    independently re-derived token count — so a bug anywhere in the
+    encode -> id -> decode chain (segmentation, id scheme, stream
+    order, the byte map or its closed-form inverse, multi-byte
+    UTF-8 reassembly — the ' xé<doc_id%7>' decoration exercises
+    2-byte sequences) breaks the hash. Decode cannot cheat by
+    copying the input: it only sees the id stream (corruption test
+    pinned in tests/test_text.py).
+
+    At 100 TB: encode is the strategy-gated zero-shuffle/windowed
+    plan unchanged; decode adds exactly one doc_id shuffle with
+    per-doc-bounded state — the id->token broadcast is 288+32 rows
+    at ANY corpus size (merge-bounded, never Heaps'-law-sized)."""
+    from project_2_semantic_similarity_spark.operators.text import (
+        bpe_decode_ids, bpe_encode_corpus, bpe_word_tokens,
+        byte_bpe_ids, byte_unicode_docs_marked)
+
+    docs = load_table(spark, sf_dir, "documents")
+    dec = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" xé"),
+                 (F.col("doc_id") % 7).cast("string")).alias("text"))
+    marked = byte_unicode_docs_marked(dec)
+    words = (marked
+             .select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+             .filter(F.col("word") != "")
+             .groupBy("word").agg(F.count("*").alias("cnt"))
+             ).localCheckpoint()
+    vocab = bpe_word_tokens(
+        words.select("word").distinct()).localCheckpoint()
+    ids = byte_bpe_ids(spark)
+    stream = bpe_encode_corpus(marked, vocab, ids, unk_id=1)
+    return bpe_decode_ids(stream, ids)

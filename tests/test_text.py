@@ -639,3 +639,89 @@ def test_shuffle_windows_is_permutation(spark, sf_dir):
     assert wids == {r.window_id for r in ref}
     again = e.queries()["corpus_shuffle_windows"](spark, sf_dir).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_bpe_decode_roundtrips_marked_stream(spark):
+    """encode(marked) -> flat id stream -> decode must reproduce the
+    single-space-normalized source exactly — including a tab INSIDE
+    a word (mapped byte, not a separator), runs of spaces (collapsed
+    by normalization on both sides), and multi-byte UTF-8 (é, ß) —
+    and n_ids must equal the stream length."""
+    rows = [
+        (0, "the fast  query"),            # double space collapses
+        (1, " leading and trailing "),     # trimmed empties
+        (2, "tab\tinside word"),           # tab is word-internal
+        (3, "café straße"),                # 2-byte UTF-8 sequences
+        (4, "one"),                        # single word: no marker
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    marked = T.byte_unicode_docs_marked(docs)
+    words = (marked.select(
+        F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word").agg(F.count("*").alias("cnt")))
+    vocab = T.bpe_word_tokens(words.select("word").distinct())
+    ids = T.byte_bpe_ids(spark)
+    stream = T.bpe_encode_corpus(marked, vocab, ids, unk_id=1)
+    got = {r.doc_id: (r.decoded_text, r.n_ids)
+           for r in T.bpe_decode_ids(stream, ids).collect()}
+    n_by_doc = {r.doc_id: r.n for r in stream.groupBy("doc_id")
+                .agg(F.count("*").alias("n")).collect()}
+    for doc_id, text in rows:
+        want = " ".join(w for w in text.split(" ") if w)
+        assert got[doc_id][0] == want, (doc_id, got[doc_id][0], want)
+        assert got[doc_id][1] == n_by_doc[doc_id]
+
+
+def test_bpe_decode_consumes_the_stream(spark):
+    """Decode must derive the text from the id stream, not copy any
+    input: corrupting ONE id changes the decoded text."""
+    docs = spark.createDataFrame([(0, "the fast query")],
+                                 ["doc_id", "text"])
+    marked = T.byte_unicode_docs_marked(docs)
+    words = (marked.select(
+        F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word").agg(F.count("*").alias("cnt")))
+    vocab = T.bpe_word_tokens(words.select("word").distinct())
+    ids = T.byte_bpe_ids(spark)
+    stream = T.bpe_encode_corpus(marked, vocab, ids, unk_id=1)
+    corrupted = stream.withColumn(
+        "token_id",
+        F.when(F.col("pos") == 0, F.lit(4 + ord("z")).cast("long"))
+         .otherwise(F.col("token_id")))
+    out = T.bpe_decode_ids(corrupted, ids).collect()[0]
+    assert out.decoded_text != "the fast query"
+    assert out.decoded_text.startswith("z")
+
+
+def test_wordpiece_matches_python_golden(spark):
+    """The Arrow greedy matcher equals the pure-Python reference on
+    a mixed fixture (merge outputs, novel chars, whole-inventory
+    words)."""
+    fixture = ["stable", "database", "querying", "zzz", "the",
+               "windowswindow", "x", "fastest", "valuetable"]
+    outs = T.wordpiece_merge_outputs()
+    df = spark.createDataFrame([(w,) for w in fixture], ["word"])
+    got = {r.word: (list(r.tokens), r.n_tok)
+           for r in T.wordpiece_word_tokens(df).collect()}
+    for w in fixture:
+        want = T.wordpiece_apply_word(w, outs)
+        assert got[w] == (want, len(want)), (w, got[w], want)
+        assert "".join(want) == w  # lossless segmentation
+
+
+def test_wordpiece_differs_from_bpe_merge_order():
+    """Greedy longest-match is a genuinely different algorithm than
+    rank-ordered merge application: 'stable' greedy-splits as
+    ['st','a','b','l','e'] (grabs the 'st' surface pair; 'table' is
+    no longer reachable) while BPE builds ['s','table'] (merges
+    construct 'table' before any 'st' pair exists)."""
+    ranks = {p: i for i, p in enumerate(T.BPE_MERGES)}
+    outs = T.wordpiece_merge_outputs()
+    assert T.bpe_apply_word("stable", ranks) == ["s", "table"]
+    assert T.wordpiece_apply_word("stable", outs) == \
+        ["st", "a", "b", "l", "e"]
+    # and the inventory is longest-first with implicit-char fallback
+    assert outs == sorted(outs, key=lambda t: (-len(t), t))
+    assert T.wordpiece_apply_word("qqq", outs) == ["q", "q", "q"]
