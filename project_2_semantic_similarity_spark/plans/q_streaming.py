@@ -547,3 +547,45 @@ def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     mat = S.run_to_memory(counts, "stream_topk", "complete")
     return (mat.select("user_id", F.col("n").cast("bigint").alias("n"))
             .orderBy(F.col("n").desc(), "user_id").limit(10))
+
+
+def _byte_encode_oracle() -> str:
+    """text_bpe_encode_bytes' oracle VERBATIM (registered by
+    q_textlab before this module in load_all; imported explicitly so
+    standalone imports work too) — stream/batch equivalence IS the
+    streaming correctness contract, so the streaming encode answers
+    to the exact SQL the batch encode answers to."""
+    from project_2_semantic_similarity_spark.plans import (  # noqa: F401
+        q_textlab)
+    from project_2_semantic_similarity_spark.plans.registry import (
+        ORACLES)
+
+    return ORACLES["text_bpe_encode_bytes"]
+
+
+@query("stream_bpe_encode", oracle=_byte_encode_oracle())
+def stream_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE SERVING TOKENIZER ON A STREAM — byte-level BPE encode of
+    a streaming document source, replayed availableNow and required
+    to hash-equal the BATCH byte-level encode (the oracle is
+    text_bpe_encode_bytes' SQL verbatim, decoration included).
+
+    The whole stage is STATELESS (streaming/ops.py
+    bpe_encode_stream): one Arrow mapInPandas whose inputs are all
+    constants — the GPT-2 byte table, the 32 merge ranks, the closed
+    deterministic id scheme — so there is no corpus-derived
+    vocabulary, no state store, no watermark and no shuffle. That is
+    the only shape a tokenizer can take on an unbounded stream, and
+    byte-level BPE is exactly the variant that makes it possible:
+    char-level would need the corpus vocabulary (Heaps'-law-sized,
+    unknowable mid-stream); the byte alphabet is closed up front.
+    At scale this plan runs unchanged against a Kafka source with
+    per-micro-batch parallelism = source partitions."""
+    docs = S.read_documents_stream(
+        spark, S.stage_documents_dir(sf_dir))
+    dec = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" xé"),
+                 (F.col("doc_id") % 7).cast("string")).alias("text"))
+    return S.run_to_memory(
+        S.bpe_encode_stream(dec), "stream_bpe_encode", "append")

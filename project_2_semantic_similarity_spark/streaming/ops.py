@@ -413,3 +413,102 @@ def bitmap_distinct_daily(events: DataFrame) -> DataFrame:
         .select(F.date_format("w.start", "yyyy-MM-dd").alias("day"),
                 "word", "mask")
     )
+
+
+def stage_documents_dir(sf_dir: str) -> str:
+    """Stage documents.parquet into a /tmp directory for the file
+    streaming source (same hardlink + content-fingerprint contract
+    as stage_events_dir)."""
+    from project_2_semantic_similarity_spark.sources.tables import (
+        source_fingerprint)
+
+    tag = (sf_dir.strip("/").replace("/", "_")
+           + "_" + source_fingerprint(sf_dir, "documents"))
+    d = scratch_path(f"stream_{tag}", "documents")
+    os.makedirs(d, exist_ok=True)
+    dst = f"{d}/documents.parquet"
+    if not os.path.exists(dst):
+        try:
+            os.link(f"{sf_dir}/documents.parquet", dst)
+        except OSError:
+            import shutil
+            shutil.copyfile(f"{sf_dir}/documents.parquet", dst)
+    return d
+
+
+def read_documents_stream(spark: SparkSession, path: str,
+                          **options: str) -> DataFrame:
+    """Streaming scan of a documents directory (file source needs an
+    explicit schema)."""
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    reader = spark.readStream.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.parquet(path)
+
+
+def bpe_encode_stream(docs: DataFrame,
+                      doc_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """THE SERVING TOKENIZER ON A STREAM — byte-level BPE encode of
+    a document stream as one STATELESS Arrow `mapInPandas` stage:
+    per document, split on spaces, map each word's UTF-8 bytes
+    through the GPT-2 byte-to-unicode table, apply the static merge
+    ranks (bpe_apply_word, intra-batch memo), and emit the flat
+    (doc_id, pos, token_id) rows under the deterministic byte id
+    scheme (byte_bpe_ids' arithmetic: 4+byte for base symbols,
+    260+rank-1 for merge outputs — closed, so <unk> is unreachable).
+
+    Everything the stage needs is a CONSTANT (the 256-entry byte
+    table, 32 merge ranks, the id dict) — no corpus-derived
+    vocabulary, no state store, no shuffle, no watermark: the one
+    shape a tokenizer can take on an unbounded stream. Batch/stream
+    equivalence is the correctness contract: the oracle is
+    text_bpe_encode_bytes' oracle verbatim, so the streaming replay
+    must hash-equal the batch byte-level encode."""
+    from project_2_semantic_similarity_spark.operators.text import (
+        BPE_MERGES, bpe_apply_word, gpt2_byte_unicode)
+
+    table = gpt2_byte_unicode()
+    ranks = {p: i for i, p in enumerate(BPE_MERGES)}
+    mids = {a + b: 260 + r for r, (a, b) in enumerate(BPE_MERGES)}
+    inv = {c: b for b, c in table.items()}
+
+    def encode(batches):
+        import pandas as pd
+
+        memo: dict[str, list[int]] = {}
+
+        def word_ids(w: str) -> list[int]:
+            got = memo.get(w)
+            if got is None:
+                syms = "".join(table[x] for x in w.encode("utf-8"))
+                toks = bpe_apply_word(syms, ranks)
+                got = [mids[t] if len(t) > 1 else 4 + inv[t]
+                       for t in toks]
+                memo[w] = got
+            return got
+
+        for pdf in batches:
+            doc_ids, poss, tids = [], [], []
+            for did, text in zip(pdf[doc_col], pdf[text_col]):
+                pos = 0
+                for w in (text or "").split(" "):
+                    if not w:
+                        continue
+                    for tid in word_ids(w):
+                        doc_ids.append(did)
+                        poss.append(pos)
+                        tids.append(tid)
+                        pos += 1
+            yield pd.DataFrame({doc_col: doc_ids, "pos": poss,
+                                "token_id": tids})
+
+    return docs.select(doc_col, text_col).mapInPandas(
+        encode, schema=f"{doc_col} long, pos long, token_id long")

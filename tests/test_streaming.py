@@ -406,3 +406,32 @@ def test_bitmap_distinct_state_merges_across_batches(spark, sf_dir):
                                      "yyyy-MM-dd").alias("day"))
               .agg(F.countDistinct("user_id").alias("n")).collect()}
     assert got == expect
+
+
+def test_bpe_encode_stream_is_batch_encode_twin(spark):
+    """The stateless streaming tokenizer (constants-only mapInPandas)
+    must produce exactly the batch encode's rows on the same docs —
+    mapInPandas runs identically on a batch frame, so the twin pin
+    needs no staging: same fixture through both paths, row-set
+    equal. Covers multi-byte UTF-8 and the empty-word filter."""
+    from project_2_semantic_similarity_spark.operators import text as T
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(0, "the fast  query"), (1, "café straße"), (2, "one")],
+        ["doc_id", "text"])
+    got = sorted(
+        (r.doc_id, r.pos, r.token_id)
+        for r in S.bpe_encode_stream(docs).collect())
+    mapped = T.byte_unicode_docs(docs)
+    words = (mapped.select(
+        F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word").agg(F.count("*").alias("cnt")))
+    vocab = T.bpe_word_tokens(words.select("word").distinct())
+    ids = T.byte_bpe_ids(spark)
+    want = sorted(
+        (r.doc_id, r.pos, r.token_id)
+        for r in T.bpe_encode_corpus(mapped, vocab, ids,
+                                     unk_id=1).collect())
+    assert got == want and len(got) > 0
