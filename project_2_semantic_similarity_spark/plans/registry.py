@@ -81,10 +81,10 @@ _CHANGED_THIS_ROUND = frozenset(
         # other Heaps'-law-class hint the repo-wide audit found —
         # entity-dimension hints are a pinned design, see SCALE.md).
         # Listed, accepting that a FEW r6 names ride to r13: this
-        # round declares 5 new names (train/encode_bytes,
-        # shuffle_windows, bpe_decode, wordpiece — all tier-1 as
-        # never-driver-verified), so ~3 of the 35-name r6 tier fall
-        # past the ~50-name window. Scale correctness + genuinely
+        # round declares 6 new names (train/encode_bytes,
+        # shuffle_windows, bpe_decode, wordpiece, stream_bpe_encode —
+        # all tier-1 as never-driver-verified), so ~4 of the 35-name
+        # r6 tier fall past the ~50-name window. Scale correctness + genuinely
         # new surface outrank completing the drain by exactly 35;
         # every r6 name stays green in all three local SF sweeps.
         "text_cooccurrence_pmi",

@@ -938,3 +938,46 @@ def test_byte_trainer_plan_reads_checkpoints_only(spark, sf_dir):
     assert "FileScan" not in plan and "Scan parquet" not in plan
     assert "lambdafunction" not in plan
     assert plan.count("ExistingRDD") >= 10
+
+
+def test_bpe_decode_one_scan_one_arrow_one_docid_exchange(spark, sf_dir):
+    """Decode keeps the encode family's plan contract and adds
+    exactly one shuffle: ONE parquet scan (the Ġ-marked projection
+    rides it), ONE Python stage (the gated Arrow encode — decode
+    itself is pure JVM), the id->token join a BROADCAST (the table
+    is merge-bounded at any corpus size), and the per-doc collect
+    agg as the single added exchange. No sort-merge join, no global
+    sort."""
+    plan = plan_of(spark, "text_bpe_decode", sf_dir)
+    assert plan.count("MapInPandas") == 1
+    scans = [ln for ln in plan.splitlines() if "Scan parquet" in ln]
+    assert len(scans) == 1, scans
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "collect_list" in plan
+    # global sort would be a Sort outside the agg; array_sort is an
+    # expression, not an operator
+    assert not any(ln.strip().startswith("+- Sort ")
+                   or ln.strip().startswith(":- Sort ")
+                   for ln in plan.splitlines())
+
+
+def test_wordpiece_is_vocab_sized_arrow_unhinted_join(spark, sf_dir):
+    """The greedy matcher must run over the DISTINCT-word relation
+    (one MapInPandas, input side vocabulary-sized), with the join
+    back to per-doc counts UNHINTED — AQE picks broadcast at toy
+    scale (runtime pin), and the source audit keeps the hint out."""
+    import project_2_semantic_similarity_spark.plans.q_textlab as q
+
+    with open(q.__file__) as fh:
+        assert "wordpiece_word_tokens(F.broadcast" not in fh.read()
+    df = e.queries()["text_wordpiece_tokenize"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    # the executed AQE string repeats nodes in the Initial Plan
+    # section — pin the Final Plan only
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("MapInPandas") == 1
+    assert "BroadcastHashJoin" in final
+    assert "SortMergeJoin" not in final
