@@ -632,6 +632,80 @@ def main() -> None:
                   f"vocab fold: {t_vocab:.1f}s; "
                   f"gated encode (incl. mapping projection): "
                   f"{t_enc:.1f}s", flush=True)
+        elif name == "decode_roundtrip_probe":
+            # r12: encode(marked) -> decode at corpus scale, with the
+            # roundtrip SELF-CHECKED while timing (decoded text must
+            # equal the single-space-normalized source on every doc —
+            # a distributed anti-join count, not a collect).
+            from project_2_semantic_similarity_spark.operators.text \
+                import (bpe_decode_ids, bpe_encode_corpus,
+                        bpe_word_tokens, byte_bpe_ids,
+                        byte_unicode_docs_marked)
+
+            docs = (spark.read
+                    .parquet(f"{out}/documents.parquet")
+                    .select("doc_id", "text"))
+            marked = byte_unicode_docs_marked(docs)
+            words = (marked.select(
+                F.explode(F.split(F.col("text"), " ")).alias("word"))
+                .filter(F.col("word") != "")
+                .groupBy("word").agg(F.count("*").alias("cnt"))
+            ).localCheckpoint()
+            vocab = bpe_word_tokens(
+                words.select("word").distinct()).localCheckpoint()
+            ids = byte_bpe_ids(spark)
+            tt = time.time()
+            stream = bpe_encode_corpus(marked, vocab, ids, unk_id=1)
+            decoded = bpe_decode_ids(stream, ids).localCheckpoint()
+            t_dec = time.time() - tt
+            norm = docs.select(
+                "doc_id",
+                F.concat_ws(" ", F.filter(
+                    F.split(F.col("text"), " "),
+                    lambda x: x != "")).alias("want"))
+            bad = (decoded.join(norm, "doc_id")
+                   .filter(F.col("decoded_text") != F.col("want"))
+                   .count())
+            assert bad == 0, f"{bad} docs failed the roundtrip"
+            cnt = decoded.count()
+            print(f"  encode+decode wall: {t_dec:.1f}s; "
+                  f"roundtrip exact on all {cnt} docs", flush=True)
+        elif name == "wordpiece_probe":
+            # r12: greedy longest-match over the distinct-word
+            # relation + unhinted join-back — the cost model says
+            # Python per VOCABULARY entry, so the wall should track
+            # the word-count agg, not the corpus size.
+            from project_2_semantic_similarity_spark.operators.text \
+                import wordpiece_word_tokens
+
+            docs = (spark.read
+                    .parquet(f"{out}/documents.parquet")
+                    .select("doc_id", "text"))
+            dwords = (docs.select(
+                "doc_id",
+                F.explode(F.split(F.col("text"), " ")).alias("word"))
+                .filter(F.col("word") != "")
+                .groupBy("doc_id", "word")
+                .agg(F.count("*").alias("cnt")))
+            vocab = wordpiece_word_tokens(
+                dwords.select("word").distinct())
+            cnt = (dwords.join(vocab, "word")
+                   .groupBy("doc_id")
+                   .agg(F.sum(F.col("cnt") * F.col("n_tok"))
+                         .alias("n_wp"))).count()
+        elif name == "stream_encode_probe":
+            # r12: the stateless serving tokenizer's throughput —
+            # the identical mapInPandas stage runs on batch and
+            # stream (twin-pinned in tests), so the batch frame
+            # times the per-micro-batch cost without file-staging
+            # noise.
+            from project_2_semantic_similarity_spark.streaming.ops \
+                import bpe_encode_stream
+
+            docs = (spark.read
+                    .parquet(f"{out}/documents.parquet")
+                    .select("doc_id", "text"))
+            cnt = bpe_encode_stream(docs).count()
         else:
             cnt = QUERIES[name](spark, out).count()
         wall = time.time() - t
