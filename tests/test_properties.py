@@ -115,3 +115,45 @@ def test_encode_strategy_twins_property(spark, train, serve):
     b = sorted(map(tuple, bpe_encode_corpus(
         docs, vocab, ids, unk_id=1, strategy="join").collect()))
     assert a == b
+
+
+# arbitrary unicode text (hypothesis excludes surrogates by default);
+# newlines/tabs are word-INTERNAL bytes here (only ' ' separates),
+# and multi-byte UTF-8 up to 4 bytes (astral plane) must survive the
+# byte map -> segment -> id -> decode chain byte-for-byte
+unicode_docs_strategy = st.lists(
+    st.text(min_size=0, max_size=40),
+    min_size=1, max_size=5,
+)
+
+
+@_SETTINGS
+@given(docs=unicode_docs_strategy)
+def test_bpe_decode_roundtrip_property(spark, docs):
+    """encode(Ġ-marked byte-level) -> decode is the IDENTITY on
+    single-space-normalized text for ARBITRARY unicode input — the
+    closed byte alphabet means no corpus can fall outside the
+    tokenizer, and decode must reassemble multi-byte UTF-8 exactly."""
+    from project_2_semantic_similarity_spark.operators.text import (
+        bpe_decode_ids, bpe_encode_corpus, bpe_word_tokens,
+        byte_bpe_ids, byte_unicode_docs_marked)
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    marked = byte_unicode_docs_marked(df)
+    words = (marked.select(
+        F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word").agg(F.count("*").alias("cnt")))
+    vocab = bpe_word_tokens(words.select("word").distinct())
+    ids = byte_bpe_ids(spark)
+    stream = bpe_encode_corpus(marked, vocab, ids, unk_id=1)
+    got = {r.doc_id: r.decoded_text
+           for r in bpe_decode_ids(stream, ids).collect()}
+    for i, t in rows:
+        want = " ".join(w for w in t.split(" ") if w)
+        if want == "":
+            # no words -> no id rows -> no decode row, by contract
+            assert i not in got
+        else:
+            assert got[i] == want, (repr(t), repr(got[i]), repr(want))
