@@ -147,6 +147,7 @@ def load_all() -> None:
     import project_2_semantic_similarity_spark.plans.q_dedup  # noqa: F401
     import project_2_semantic_similarity_spark.plans.q_functions  # noqa: F401
     import project_2_semantic_similarity_spark.plans.q_knn  # noqa: F401
+    import project_2_semantic_similarity_spark.plans.q_quality  # noqa: F401
     import project_2_semantic_similarity_spark.plans.q_textlab  # noqa: F401
     import project_2_semantic_similarity_spark.plans.q_relational  # noqa: F401
     import project_2_semantic_similarity_spark.plans.q_sampling  # noqa: F401
