@@ -1263,3 +1263,139 @@ def text_dup_chunk_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / F.col("ln").cast("double"), 6)
             .alias("dup_fraction"))
     )
+
+
+_RUNS_W = 8
+
+
+@query(
+    "dedup_substring_runs",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\\s+'),
+                       t -> t <> '') AS toks
+    FROM documents
+),
+sized AS (
+    SELECT doc_id, toks, len(toks) AS n_tokens
+    FROM tok WHERE len(toks) >= {_RUNS_W}
+),
+win AS (
+    SELECT doc_id, n_tokens, t.n AS pos,
+           md5(array_to_string(
+               toks[t.n + 1 : t.n + {_RUNS_W}], ' ')) AS h
+    FROM sized,
+         UNNEST(range(n_tokens - {_RUNS_W} + 1)) AS t(n)
+),
+shared AS (
+    SELECT h FROM win GROUP BY h
+    HAVING count(DISTINCT doc_id) >= 2
+),
+dup AS (
+    SELECT w.doc_id, w.n_tokens, w.pos
+    FROM win w JOIN shared s USING (h)
+),
+isl AS (
+    SELECT doc_id, n_tokens, pos,
+           CASE WHEN pos - lag(pos) OVER (
+                    PARTITION BY doc_id ORDER BY pos) > {_RUNS_W}
+                THEN 1 ELSE 0 END AS newi
+    FROM dup
+),
+runs AS (
+    SELECT doc_id, n_tokens, island,
+           min(pos) AS s, max(pos) AS e, count(*) AS n_pos
+    FROM (SELECT doc_id, n_tokens, pos,
+                 sum(newi) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS island
+          FROM isl)
+    GROUP BY doc_id, n_tokens, island
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(sum(n_pos) AS BIGINT) AS n_dup_kgrams,
+       CAST(count(*) AS BIGINT) AS n_runs,
+       CAST(sum(e - s + {_RUNS_W}) AS BIGINT) AS covered_tokens,
+       CAST(max(e - s + {_RUNS_W}) AS BIGINT) AS longest_run,
+       round(sum(e - s + {_RUNS_W})
+             / CAST(n_tokens AS DOUBLE), 6) AS covered_frac
+FROM runs
+GROUP BY doc_id, n_tokens
+""",
+)
+def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL duplicated-substring runs per document — the removal
+    view of exact-substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better": drop the repeated
+    SPAN, keep the novel remainder). dedup_passage answers "which
+    passages repeat"; this answers the question the cleaner actually
+    asks per document: WHERE are the repeated spans, how long is the
+    longest, and what fraction of the doc's tokens do they cover.
+
+    Shape: the same {W}-token rolling md5 windows as dedup_passage
+    (suffix-array's fixed-length approximation); a window is
+    duplicated when its hash occurs in ≥ 2 distinct docs; per doc the
+    duplicated window STARTS are coalesced gaps-and-islands style
+    (new island when the gap exceeds W — i.e. when the covered
+    [pos, pos+W-1] intervals stop overlapping or touching), so
+    sum(e − s + W) over islands is the EXACT union token coverage.
+
+    Scale: two hash aggregations on uniform md5 keys (window counts,
+    then per-doc islands) plus one per-doc window function over ONLY
+    the duplicated positions — after the ≥2-docs filter that relation
+    is the duplicated mass, typically orders of magnitude smaller
+    than the window explode; no pairwise stage, no driver contact.
+    The per-doc window partitions by doc_id (bounded by doc length).
+    Docs with no duplicated window emit nothing (the cleaner's
+    no-op set)."""
+    from pyspark.sql import Window
+    from project_2_semantic_similarity_spark.operators.similarity import (
+        _spread)
+
+    w = _RUNS_W
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split("text", r"\s+"),
+                 lambda t: t != F.lit("")).alias("toks"))
+    sized = (toks.withColumn("n_tokens", F.size("toks"))
+             .filter(F.col("n_tokens") >= w))
+    win = sized.select(
+        "doc_id", "n_tokens",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n_tokens") - w),
+                lambda i: F.md5(F.concat_ws(
+                    " ", F.slice("toks", i + 1, w)))))
+        .alias("pos", "h"))
+    shared = (win.groupBy("h")
+              .agg(F.countDistinct("doc_id").alias("dc"))
+              .filter(F.col("dc") >= 2)
+              .select("h"))
+    dup = win.join(shared, "h").select("doc_id", "n_tokens", "pos")
+    byday = Window.partitionBy("doc_id").orderBy("pos")
+    isl = (dup
+           .withColumn(
+               "newi",
+               F.when(F.col("pos") - F.lag("pos").over(byday) > w, 1)
+                .otherwise(0))
+           .withColumn("island", F.sum("newi").over(
+               byday.rowsBetween(Window.unboundedPreceding, 0))))
+    runs = (isl.groupBy("doc_id", "n_tokens", "island")
+            .agg(F.min("pos").alias("s"), F.max("pos").alias("e"),
+                 F.count("*").alias("n_pos")))
+    return (runs.groupBy("doc_id", "n_tokens")
+            .agg(F.sum("n_pos").cast("bigint").alias("n_dup_kgrams"),
+                 F.count("*").cast("bigint").alias("n_runs"),
+                 F.sum(F.col("e") - F.col("s") + w).cast("bigint")
+                  .alias("covered_tokens"),
+                 F.max(F.col("e") - F.col("s") + w).cast("bigint")
+                  .alias("longest_run"))
+            .select("doc_id",
+                    F.col("n_tokens").cast("bigint").alias("n_tokens"),
+                    "n_dup_kgrams", "n_runs", "covered_tokens",
+                    "longest_run",
+                    F.round(F.col("covered_tokens")
+                            / F.col("n_tokens").cast("double"), 6)
+                     .alias("covered_frac")))

@@ -2078,3 +2078,162 @@ def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(exact["qid"].alias("query_id"))
         .agg(F.count("a_vec").cast("bigint").alias("n_hits"),
              F.round(F.count("a_vec") / 10.0, 2).alias("recall_at_10")))
+
+
+_SEMDEDUP_TAU = 0.35
+_SEMDEDUP_K = 8
+_SEMDEDUP_ITERS = 5
+
+
+def _semdedup_oracle(k: int = _SEMDEDUP_K,
+                     iters: int = _SEMDEDUP_ITERS,
+                     tau: float = _SEMDEDUP_TAU) -> str:
+    """SemDeDup re-derived end-to-end: the unrolled deterministic
+    Lloyd chain (the cluster_kmeans oracle), then the within-cluster
+    pairwise drop rule — a vector is dropped when some same-cluster
+    vector exceeds the cosine threshold AND sits farther from the
+    centroid (the paper's keep-lowest-centroid-similarity rule),
+    ties broken by lower vec_id."""
+    return f"""
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+),
+init AS (
+    SELECT emb,
+           CAST(row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+               AS INT) AS label
+    FROM e
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+    LIMIT {k}
+),
+cent0 AS (SELECT label, emb AS cvec FROM init){_lloyd_iteration_ctes("e", iters)},
+assigned AS (
+    SELECT vec_id, emb, label, round(ccos, 6) AS ccos FROM (
+        SELECT e.vec_id, e.emb, c.label,
+               list_cosine_similarity(e.emb, c.cvec) AS ccos,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.emb, c.cvec) DESC,
+                            c.label) AS rn
+        FROM e CROSS JOIN cent{iters} c
+    ) WHERE rn = 1
+),
+dropped AS (
+    SELECT DISTINCT a.vec_id
+    FROM assigned a JOIN assigned b
+      ON a.label = b.label AND a.vec_id <> b.vec_id
+     AND list_cosine_similarity(a.emb, b.emb) >= {tau}
+     AND (b.ccos < a.ccos
+          OR (b.ccos = a.ccos AND b.vec_id < a.vec_id))
+)
+SELECT a.vec_id, CAST(a.label AS INT) AS list_id, a.ccos,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT)
+           AS keep
+FROM assigned a LEFT JOIN dropped d USING (vec_id)
+"""
+
+
+@query("dedup_semdedup", oracle=_semdedup_oracle())
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication"): k-means
+    the embedding space, then WITHIN each cluster drop every vector
+    that has a semantic duplicate (cosine ≥ τ) closer to the
+    centroid — the paper keeps the lowest-centroid-similarity member
+    of each duplicate group, preserving the cluster's "edge"
+    examples. Emits the full assignment with a keep flag (the
+    training-set filter is `keep = 1`).
+
+    Determinism: the clustering is the md5-seeded Lloyd loop of
+    cluster_kmeans (operators/similarity.py kmeans_train), so the
+    whole pipeline — init draw, 5 iterations, assignment, pairwise
+    drop — is re-derived by the oracle with zero RNG; the drop rule
+    compares ROUND-6 centroid cosines with a vec_id tie-break, so
+    engine float-ulps cannot flip it.
+
+    Scale (the paper's own recipe): pairwise comparison happens ONLY
+    within a cluster — k scales ∝ corpus size (SemDeDup used 50k
+    clusters for LAION), bounding cluster size and making the
+    quadratic term per-cluster-local; the assignment pass is the
+    one data-sized job (broadcast k×dim codebook, no shuffle);
+    the pair join shuffles on list_id exactly once. Our declared
+    k=8 is the toy-SF setting of the same plan; the codebook fit
+    additionally hash-samples at scale (kmeans_codebook
+    fit_sample_max)."""
+    from project_2_semantic_similarity_spark.functions.vectors import (
+        cosine_similarity)
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned = S.kmeans_train(e, k=_SEMDEDUP_K, iters=_SEMDEDUP_ITERS)
+    emb = e.select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("emb"))
+    a = assigned.join(emb, "vec_id")
+    b = a.select(F.col("vec_id").alias("b_vec"),
+                 F.col("list_id").alias("b_list"),
+                 F.col("ccos").alias("b_ccos"),
+                 F.col("emb").alias("b_emb"))
+    dropped = (a.join(
+        b,
+        (F.col("list_id") == F.col("b_list"))
+        & (F.col("vec_id") != F.col("b_vec"))
+        & (cosine_similarity("emb", "b_emb") >= F.lit(_SEMDEDUP_TAU))
+        & ((F.col("b_ccos") < F.col("ccos"))
+           | ((F.col("b_ccos") == F.col("ccos"))
+              & (F.col("b_vec") < F.col("vec_id")))),
+        "left_semi")
+        .select("vec_id"))
+    return (a.select("vec_id", "list_id", "ccos")
+            .join(dropped.withColumn("__d", F.lit(1)), "vec_id", "left")
+            .select("vec_id", "list_id", "ccos",
+                    F.when(F.col("__d").isNull(), 1).otherwise(0)
+                     .cast("int").alias("keep")))
+
+
+_RANGE_TAU = 0.25
+
+
+@query(
+    "knn_range_search",
+    oracle=f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+    FROM embeddings WHERE vec_id % 100 = 0
+)
+SELECT q.query_id, e.vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6)
+           AS cosine
+FROM embeddings e CROSS JOIN q
+WHERE e.vec_id <> q.query_id
+  AND list_cosine_similarity(e.embedding::DOUBLE[], q.qv)
+      >= {_RANGE_TAU}
+""",
+)
+def knn_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE similarity search — all corpus vectors within a cosine
+    RADIUS of each query (cos ≥ τ), the fixed-threshold complement
+    of top-k retrieval (recall sets, duplicate candidate pulls,
+    "everything this similar" audits). Query set: every 100th
+    vec_id (the deterministic multi-query discipline of
+    knn_batch_topk).
+
+    Scale shape: the query block is broadcast (bounded query set —
+    one scan of the corpus, no shuffle at all: the output is a
+    filter, not an agg). A corpus-sized query set instead wants the
+    LSH candidate path (dedup_embedding_cosine_lsh) — same
+    threshold semantics, bucket-local candidates; this op is the
+    serving-side primitive. The cosine stays in whole-stage codegen
+    (functions/vectors.py zip_with/aggregate fold)."""
+    from project_2_semantic_similarity_spark.functions.vectors import (
+        cosine_similarity)
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = (e.filter(F.col("vec_id") % 100 == 0)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qv")))
+    return (e.crossJoin(F.broadcast(q))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .withColumn("cosine", cosine_similarity("embedding", "qv"))
+            .filter(F.col("cosine") >= _RANGE_TAU)
+            .select("query_id", "vec_id",
+                    F.round("cosine", 6).alias("cosine")))

@@ -4560,3 +4560,73 @@ def sql_api_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_Q11_SQL)
+
+
+def _manifest_pruned_paths(spark: SparkSession, table_dir: str,
+                           lo: str, hi: str) -> tuple[list[str], int]:
+    """File-skipping via an explicit min/max MANIFEST (the
+    Iceberg/Delta mechanism): one stats pass builds a per-file
+    (path, min, max, rows) relation; the planner-side prune keeps
+    only files whose [min, max] intersects the predicate range.
+    Returns (kept paths, total files). The manifest is FILE-COUNT
+    sized (a 100 TB table at 256 MB/file is ~400k rows — driver-
+    trivial); in a real lake the writer emits it transactionally at
+    write time instead of this read-side stats pass."""
+    manifest = (spark.read.parquet(table_dir)
+                .groupBy(F.input_file_name().alias("path"))
+                .agg(F.min("l_shipdate").alias("lo"),
+                     F.max("l_shipdate").alias("hi")))
+    rows = manifest.collect()
+    keep = [r.path for r in rows
+            if r.lo is not None and str(r.lo) < hi and str(r.hi) >= lo]
+    return keep, len(rows)
+
+
+@query(
+    "scan_manifest_pruned",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(l_quantity) AS BIGINT) AS total_qty,
+       round(sum(l_extendedprice), 2) AS total_price
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-05-01'
+  AND l_shipdate < TIMESTAMP '1996-06-01'
+GROUP BY l_returnflag
+""",
+)
+def scan_manifest_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANIFEST-pruned scan — file skipping by explicit per-file
+    min/max statistics, the table-format layer (Iceberg manifests /
+    Delta add-file stats) that works even when the layout gives the
+    planner nothing: no partition directories (sink_partitioned)
+    and no sorted row groups (sink_sorted_ranged) are needed on the
+    READ path, because the file list itself is filtered before the
+    scan is planned. A range-clustered copy of lineitem is written,
+    its manifest built, and a one-month query reads ONLY the files
+    whose stats ranges intersect — the pruning (files_read ≪
+    files_total) is pinned in tests/test_relational_round12.py;
+    the emitted result is the data answer, oracle-checked against
+    the plain filtered table.
+
+    At 100 TB: the manifest is ~400k rows per table (file-count
+    sized, never data sized), the prune is a driver-side filter on
+    it, and the scan touches 1/84th of the files for a one-month
+    predicate over seven years — the same arithmetic that lets lake
+    formats answer time-ranged queries without a full listing, let
+    alone a full scan."""
+    out = _tmp(sf_dir, "lineitem_manifested")
+    li = load_table(spark, sf_dir, "lineitem")
+    (li.repartitionByRange(16, "l_shipdate")
+       .write.mode("overwrite").parquet(out))
+    lo, hi = "1996-05-01", "1996-06-01"
+    keep, _total = _manifest_pruned_paths(spark, out, lo, hi)
+    pruned = spark.read.parquet(*keep)
+    return (pruned
+            .filter((F.col("l_shipdate") >= lo)
+                    & (F.col("l_shipdate") < hi))
+            .groupBy("l_returnflag")
+            .agg(F.count("*").alias("n"),
+                 F.sum("l_quantity").cast("bigint").alias("total_qty"),
+                 F.round(F.sum("l_extendedprice"), 2)
+                  .alias("total_price")))
