@@ -1488,3 +1488,89 @@ def wordpiece_word_tokens(vocab: DataFrame,
     return vocab.select(word_col).mapInPandas(
         tokenize,
         schema=f"{word_col} string, tokens array<string>, n_tok int")
+
+
+# ------------------------------------------- Unigram-LM tokenization
+#
+# The THIRD subword algorithm family (Kudo 2018, SentencePiece):
+# segmentation chosen by a unigram language model — min total piece
+# cost, not merge order (BPE) or greedy surface length (WordPiece).
+# Costs here are INTEGER micro-nats (-floor(1e6·ln p)), which makes
+# the DP's comparisons exact in both engines: float score ties can
+# never flip between Spark and a SQL oracle because there are no
+# float scores. Ties are broken by (total cost, token count,
+# separator-joined path string) — a total order both engines can
+# evaluate identically (the path strings of two distinct states at
+# one DP position have equal length when cost and count tie, so the
+# lexicographic compare is decided inside the shared prefix and is
+# stable under appending a common suffix: prefix-optimality holds
+# and plain left-to-right DP is exact).
+
+
+def unigram_viterbi_word(w: str, costs: dict[str, int],
+                         unk_cost: int) -> tuple[list[str], int]:
+    """Min-cost segmentation of one word under integer piece costs
+    with a single-char fallback at ``unk_cost`` for characters
+    outside the piece inventory. Returns (tokens, total_cost)."""
+    n = len(w)
+    max_len = max((len(p) for p in costs), default=1)
+    best: list[tuple[int, int, str] | None] = [None] * (n + 1)
+    best[0] = (0, 0, "")
+    for i in range(n):
+        st = best[i]
+        if st is None:
+            continue
+        c0, k0, p0 = st
+        hi = min(max_len, n - i)
+        for ln in range(1, hi + 1):
+            piece = w[i:i + ln]
+            c = costs.get(piece)
+            if c is None:
+                if ln != 1:
+                    continue
+                c = unk_cost
+            cand = (c0 + c, k0 + 1, p0 + "\x1f" + piece)
+            j = i + ln
+            if best[j] is None or cand < best[j]:
+                best[j] = cand
+    cost, _k, path = best[n]  # type: ignore[misc]
+    return path.split("\x1f")[1:], cost
+
+
+def unigram_word_tokens(vocab: DataFrame, costs: dict[str, int],
+                        unk_cost: int,
+                        word_col: str = "word") -> DataFrame:
+    """Viterbi-tokenize a DISTINCT-word relation under broadcast
+    integer piece costs — the bpe_word_tokens_arrow contract (Python
+    cost per VOCABULARY entry, never per corpus token; broadcast
+    payload is the piece-cost dict, merge-bounded + alphabet-bounded,
+    KBs). Output schema (word, tokens, n_tok, w_cost) so the corpus
+    join-back machinery is shared with the BPE/WordPiece appliers."""
+    bc = vocab.sparkSession.sparkContext.broadcast((costs, unk_cost))
+
+    def tokenize(batches):
+        import pandas as pd
+
+        cs, cu = bc.value
+        memo: dict[str, tuple[list[str], int]] = {}
+
+        def tok(w: str) -> tuple[list[str], int]:
+            t = memo.get(w)
+            if t is None:
+                t = unigram_viterbi_word(w, cs, cu)
+                memo[w] = t
+            return t
+
+        for pdf in batches:
+            segs = [tok(w) for w in pdf[word_col]]
+            yield pd.DataFrame({
+                word_col: pdf[word_col],
+                "tokens": [s[0] for s in segs],
+                "n_tok": [len(s[0]) for s in segs],
+                "w_cost": [s[1] for s in segs],
+            })
+
+    return vocab.select(word_col).mapInPandas(
+        tokenize,
+        schema=(f"{word_col} string, tokens array<string>, "
+                "n_tok int, w_cost long"))

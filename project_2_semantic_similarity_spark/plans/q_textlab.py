@@ -2792,3 +2792,145 @@ def text_bpe_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = byte_bpe_ids(spark)
     stream = bpe_encode_corpus(marked, vocab, ids, unk_id=1)
     return bpe_decode_ids(stream, ids)
+
+
+@query(
+    "text_unigram_tokenize",
+    oracle=f"""
+WITH RECURSIVE {_bpe_oracle_ctes()},
+freq AS (
+    SELECT u.x AS piece, CAST(sum(w.cnt) AS BIGINT) AS f
+    FROM words w JOIN tokenized t USING (word),
+         unnest(t.tokens) AS u(x)
+    GROUP BY u.x
+),
+tot AS (SELECT CAST(sum(f) AS DOUBLE) AS total FROM freq),
+cost AS (
+    SELECT piece,
+           CAST(-floor(1000000.0 * ln(f / total)) AS BIGINT) AS c
+    FROM freq, tot
+),
+unkc AS (SELECT max(c) + 1000000 AS cu FROM cost),
+chars AS (
+    SELECT DISTINCT substr(word, CAST(i + 1 AS INT), 1) AS ch
+    FROM vocab, unnest(range(length(word))) AS r(i)
+),
+pieces AS (
+    SELECT piece, c FROM cost
+    UNION ALL
+    SELECT ch, cu FROM chars, unkc
+    WHERE ch NOT IN (SELECT piece FROM cost)
+),
+paths AS (
+    SELECT word, word AS rest, CAST(0 AS BIGINT) AS tc,
+           0 AS ntok, '' AS path
+    FROM vocab
+    UNION ALL
+    SELECT p.word, substr(p.rest, length(pc.piece) + 1),
+           p.tc + pc.c, p.ntok + 1, p.path || chr(31) || pc.piece
+    FROM paths p JOIN pieces pc
+      ON substr(p.rest, 1, length(pc.piece)) = pc.piece
+    WHERE p.rest <> ''
+),
+best AS (
+    SELECT word, tc, ntok, path,
+           row_number() OVER (PARTITION BY word
+                              ORDER BY tc, ntok, path) AS rn
+    FROM paths WHERE rest = ''
+),
+seg AS (
+    SELECT word, tc, ntok,
+           list_filter(string_split(path, chr(31)), x -> x <> '')
+               AS tokens
+    FROM best WHERE rn = 1
+),
+sums AS (
+    SELECT w.doc_id,
+           CAST(sum(w.cnt) AS BIGINT) AS n_words,
+           CAST(sum(w.cnt * s.ntok) AS BIGINT) AS n_uni_tokens,
+           CAST(sum(w.cnt * s.tc) AS BIGINT) AS nll_micro_nats
+    FROM words w JOIN seg s USING (word)
+    GROUP BY w.doc_id
+),
+dcounts AS (
+    SELECT doc_id, CAST(count(DISTINCT u.x) AS BIGINT)
+               AS n_distinct_tokens
+    FROM words w JOIN seg s USING (word), unnest(s.tokens) AS u(x)
+    GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_words, s.n_uni_tokens, d.n_distinct_tokens,
+       round(s.n_uni_tokens * 1.0 / s.n_words, 6) AS tokens_per_word,
+       s.nll_micro_nats
+FROM sums s JOIN dcounts d USING (doc_id)
+""",
+)
+def text_unigram_tokenize(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """UNIGRAM-LM tokenization (Kudo 2018, the SentencePiece
+    algorithm) — the THIRD subword family beside rank-ordered BPE
+    and greedy WordPiece: each word takes the segmentation with the
+    best total unigram score over a piece inventory. The model here
+    is one EM half-step of Kudo's trainer: the BPE seed segmentation
+    estimates piece frequencies (the M-step over a fixed
+    segmentation), then every word is Viterbi-RE-segmented under
+    those probabilities (the E-step) — which is exactly the
+    inference pass a trained SentencePiece model runs. Per-doc
+    output adds nll_micro_nats, the document's total unigram
+    negative log-likelihood — a quality signal for free.
+
+    Determinism across engines is bought by INTEGER costs:
+    -floor(1e6·ln p) micro-nats, so the DP compares integers and
+    ties break by (cost, token count, path string) — a total order
+    with no float ambiguity (the 1e6·ln grid margin is pinned in
+    tests). Scale shape is the tokenizer family's standard: one
+    shuffle to per-doc word counts, piece costs from a
+    merge+alphabet-BOUNDED relation (collected + broadcast — never
+    Heaps'-law-sized, unlike the word vocabulary), the Viterbi DP as
+    an Arrow mapInPandas over DISTINCT words
+    (operators/text.py unigram_word_tokens), one unhinted
+    AQE-decided join back. The oracle re-derives the DP by
+    exhaustive path enumeration + the same total order — exact
+    because the pieces and costs are identical relations."""
+    import math
+
+    from project_2_semantic_similarity_spark.operators.text import (
+        bpe_word_tokens, unigram_word_tokens)
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (docs
+             .select("doc_id",
+                     F.explode(F.split(F.col("text"), " ")).alias("word"))
+             .filter(F.col("word") != "")
+             .groupBy("doc_id", "word").agg(F.count("*").alias("cnt"))
+             ).localCheckpoint()
+    dw = words.select("word").distinct()
+    seed = bpe_word_tokens(dw)
+    pf = (words.join(seed, "word")
+          .select(F.explode("tokens").alias("piece"), "cnt")
+          .groupBy("piece").agg(F.sum("cnt").alias("f")))
+    # piece inventory is merge-bounded + alphabet-bounded (≤ 32 merge
+    # outputs + single chars) — a BOUNDED collect, the byte_bpe_ids
+    # discipline, never the Heaps'-law word vocabulary
+    rows = pf.collect()
+    total = float(sum(r.f for r in rows))
+    costs = {r.piece: int(-math.floor(1e6 * math.log(r.f / total)))
+             for r in rows}
+    unk_cost = max(costs.values()) + 1_000_000
+    uni = unigram_word_tokens(dw, costs, unk_cost)
+    per_doc = (words.join(uni, "word")
+               .groupBy("doc_id")
+               .agg(F.sum("cnt").alias("n_words"),
+                    F.sum(F.col("cnt") * F.col("n_tok"))
+                     .alias("n_uni_tokens"),
+                    F.sum(F.col("cnt") * F.col("w_cost"))
+                     .alias("nll_micro_nats"),
+                    F.size(F.array_distinct(
+                        F.flatten(F.collect_list("tokens"))))
+                     .alias("n_distinct_tokens")))
+    return per_doc.select(
+        "doc_id", "n_words", "n_uni_tokens",
+        F.col("n_distinct_tokens").cast("long")
+         .alias("n_distinct_tokens"),
+        F.round(F.col("n_uni_tokens") / F.col("n_words"), 6)
+         .alias("tokens_per_word"),
+        "nll_micro_nats")

@@ -171,3 +171,100 @@ def test_manifest_prunes_files_and_preserves_answer(spark, sf_dir):
         .collect())}
     got = {r.l_returnflag: (r.n, r.total_qty) for r in out}
     assert got == full
+
+
+# ------------------------------------------------ unigram tokenizer
+
+def test_unigram_viterbi_min_cost_and_tiebreak():
+    from project_2_semantic_similarity_spark.operators.text import (
+        unigram_viterbi_word)
+
+    costs = {"a": 10, "b": 10, "ab": 15, "ba": 15, "aba": 40}
+    # 'ab' (15) beats 'a'+'b' (20)
+    assert unigram_viterbi_word("ab", costs, 999)[0] == ["ab"]
+    # 'ab'+'a' == 'a'+'ba' == 25: fewer-token tie impossible (both
+    # 2) -> path-string tiebreak picks '\x1fa\x1fba' < '\x1fab\x1fa'
+    toks, c = unigram_viterbi_word("aba", costs, 999)
+    assert c == 25 and toks == ["a", "ba"]
+    # unk chars take the fallback cost
+    toks, c = unigram_viterbi_word("axb", costs, 999)
+    assert toks == ["a", "x", "b"] and c == 10 + 999 + 10
+
+
+def test_unigram_viterbi_exhaustive_equivalence():
+    """DP == brute-force enumeration under the same total order, on
+    every word over a tiny alphabet."""
+    import itertools
+
+    from project_2_semantic_similarity_spark.operators.text import (
+        unigram_viterbi_word)
+
+    costs = {"a": 7, "b": 9, "c": 30, "ab": 11, "bc": 12, "abc": 25,
+             "aa": 13}
+    unk = 100
+
+    def brute(w):
+        best = None
+        n = len(w)
+        for cuts in itertools.product([0, 1], repeat=max(n - 1, 0)):
+            pos = [0] + [i + 1 for i, c in enumerate(cuts) if c] + [n]
+            toks = [w[pos[i]:pos[i + 1]] for i in range(len(pos) - 1)]
+            if any(t not in costs and len(t) > 1 for t in toks):
+                continue
+            tc = sum(costs.get(t, unk) for t in toks)
+            key = (tc, len(toks), "".join("\x1f" + t for t in toks))
+            if best is None or key < best:
+                best = key
+        return best
+
+    for n in range(1, 7):
+        for w in ("".join(p) for p in
+                  itertools.product("abcx", repeat=n)):
+            got_toks, got_c = unigram_viterbi_word(w, costs, unk)
+            exp = brute(w)
+            key = (got_c, len(got_toks),
+                   "".join("\x1f" + t for t in got_toks))
+            assert key == exp, (w, key, exp)
+
+
+def test_unigram_cost_grid_margin(spark, sf_dir):
+    """The -floor(1e6·ln p) integer costs are safe across engines
+    only if no 1e6·ln(f/total) lands within float-disagreement
+    distance of an integer grid line. Pin a generous margin."""
+    import math
+
+    from project_2_semantic_similarity_spark.operators.text import (
+        bpe_word_tokens)
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = (docs.select(F.explode(F.split("text", " ")).alias("word"))
+             .filter(F.col("word") != "")
+             .groupBy("word").agg(F.count("*").alias("cnt")))
+    seed = bpe_word_tokens(words.select("word").distinct())
+    pf = (words.join(seed, "word")
+          .select(F.explode("tokens").alias("piece"), "cnt")
+          .groupBy("piece").agg(F.sum("cnt").alias("f")).collect())
+    total = float(sum(r.f for r in pf))
+    for r in pf:
+        x = 1e6 * math.log(r.f / total)
+        assert abs(x - round(x)) > 1e-4, (r.piece, x)
+
+
+def test_unigram_query_runs_and_differs_from_bpe(spark, sf_dir):
+    from project_2_semantic_similarity_spark.plans.q_textlab import (
+        text_bpe_tokenize, text_unigram_tokenize)
+
+    uni = {r.doc_id: r for r in
+           text_unigram_tokenize(spark, sf_dir).collect()}
+    bpe = {r.doc_id: r.n_bpe_tokens for r in
+           text_bpe_tokenize(spark, sf_dir).collect()}
+    assert set(uni) == set(bpe)
+    for d, r in uni.items():
+        assert r.n_words <= r.n_uni_tokens
+        # unigram never segments WORSE than all-singles, and its
+        # min-cost objective can only tie or beat the BPE token
+        # count when pieces score by their own seed frequencies —
+        # not a theorem, so pin the weaker direction: within 2x
+        assert r.n_uni_tokens <= 2 * bpe[d]
+        assert r.nll_micro_nats > 0
