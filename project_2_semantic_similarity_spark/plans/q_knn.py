@@ -2237,3 +2237,171 @@ def knn_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("cosine") >= _RANGE_TAU)
             .select("query_id", "vec_id",
                     F.round("cosine", 6).alias("cosine")))
+
+
+# --------------------------------------------------- PCA (power iteration)
+
+# Iteration count sized to the measured spectrum: the synthetic
+# embeddings are near-isotropic (λ2/λ1 ≈ 0.93 at sf0.001), so power
+# iteration needs ~40 steps for >0.98 alignment with the true top
+# component. Each step costs one matvec over the d²-bounded collected
+# matrix (driver) / one 15-line CTE (oracle) — iteration count is
+# free at any corpus scale because nothing data-sized is touched.
+_PCA_ITERS = 40
+
+
+def _pca_matvec_sql(tag: str, prev: str) -> str:
+    """One power-iteration step as SQL: w = C·v over the mirrored
+    covariance relation, then L2-normalize and RE-QUANTIZE to the
+    1e-6 grid (floor(x+0.5) — the embedding_quantize rounding) so the
+    next step's input is bit-identical in both engines.
+
+    MATERIALIZED is load-bearing: each step references the previous
+    one twice (matvec + norm), so DuckDB's default CTE inlining would
+    duplicate the whole upstream tree per reference — 2^iters copies
+    of the base scan (found at 40 iters as fd exhaustion)."""
+    return f"""
+w{tag} AS MATERIALIZED (
+    SELECT c.i, sum(c.cv * v.v) AS w
+    FROM cov c JOIN {prev} v ON v.i = c.j
+    GROUP BY c.i
+),
+n{tag} AS (SELECT sqrt(sum(w * w)) AS nr FROM w{tag}),
+v{tag} AS MATERIALIZED (
+    SELECT i, floor(1000000.0 * w / nr + 0.5) / 1000000.0 AS v
+    FROM w{tag}, n{tag}
+)"""
+
+
+@query(
+    "embedding_pca_power",
+    oracle=f"""
+WITH cnt AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings
+),
+sums AS (
+    SELECT i.n AS i, sum(CAST(embedding[i.n + 1] AS DOUBLE)) AS si
+    FROM embeddings, unnest(range({_DIM})) AS i(n)
+    GROUP BY i.n
+),
+xx AS (
+    SELECT i.n AS i, j.n AS j,
+           sum(CAST(embedding[i.n + 1] AS DOUBLE)
+               * CAST(embedding[j.n + 1] AS DOUBLE)) AS sxx
+    FROM embeddings,
+         unnest(range({_DIM})) AS i(n),
+         unnest(range({_DIM})) AS j(n)
+    WHERE i.n <= j.n
+    GROUP BY i.n, j.n
+),
+cov_ut AS (
+    SELECT x.i, x.j,
+           round((x.sxx - a.si * b.si / c.n) / c.n, 6) AS cv
+    FROM xx x JOIN sums a ON a.i = x.i JOIN sums b ON b.i = x.j,
+         cnt c
+),
+cov AS MATERIALIZED (
+    SELECT i, j, cv FROM cov_ut
+    UNION ALL
+    SELECT j AS i, i AS j, cv FROM cov_ut WHERE i <> j
+),
+v0 AS (
+    SELECT i.n AS i,
+           floor(1000000.0 / sqrt({_DIM}) + 0.5) / 1000000.0 AS v
+    FROM unnest(range({_DIM})) AS i(n)
+),
+{",".join(_pca_matvec_sql(str(k), f"v{k - 1}")
+          for k in range(1, _PCA_ITERS + 1))},
+sgn AS (
+    SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS s
+    FROM (SELECT v, row_number() OVER (ORDER BY abs(v) DESC, i) AS rn
+          FROM v{_PCA_ITERS})
+    WHERE rn = 1
+),
+ray AS (
+    SELECT sum(a.v * c.cv * b.v) AS lam
+    FROM cov c JOIN v{_PCA_ITERS} a ON a.i = c.i
+               JOIN v{_PCA_ITERS} b ON b.i = c.j
+)
+SELECT CAST(v.i AS BIGINT) AS dim_idx,
+       round(g.s * v.v, 6) AS loading,
+       round(r.lam, 6) AS eigenvalue
+FROM v{_PCA_ITERS} v, sgn g, ray r
+""",
+)
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by POWER
+    ITERATION over the distributed covariance matrix — the whitening/
+    decorrelation primitive an embedding pipeline runs before
+    IVF/PQ codebook training (and the PCA step of the published
+    SemDeDup/SSL-curation recipes). Mean-centered covariance, then
+    {_PCA_ITERS} matvec+normalize steps from the deterministic
+    all-ones/√d start, sign-fixed so the largest-|loading| component
+    is positive (ties by lowest index); emits per-dim loadings and
+    the Rayleigh-quotient eigenvalue.
+
+    Determinism discipline: C is rounded to 1e-6 in BOTH engines
+    before iterating, and the iterate is RE-QUANTIZED to the 1e-6
+    grid (floor(x+0.5), the embedding_quantize rounding) after every
+    normalize — so each step's input is bit-identical across engines
+    and only a ~1e-10-probability knife-edge could diverge (margins
+    probed in tests).
+
+    100 TB shape: the embedding_gram two-phase reduction — one Arrow
+    pass computes per-batch d×d outer-product partials + per-dim sums
+    + count with BLAS, ONE hash agg sums them; shuffled volume is
+    d²·n_partitions, independent of corpus rows. The iteration then
+    runs on the d²-BOUNDED (scale-free) collected matrix — the
+    cluster_kmeans k-sized-collect discipline; nothing data-sized
+    ever reaches the driver."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings")
+    dim = _DIM
+
+    def partials(batches):
+        iu = np.triu_indices(dim)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray([np.asarray(v, dtype=np.float64)
+                            for v in pdf["embedding"]])
+            g = x.T @ x
+            s = x.sum(axis=0)
+            yield pd.DataFrame({
+                "i": np.concatenate([iu[0], np.arange(dim),
+                                     [-1]]).astype("int64"),
+                "j": np.concatenate([iu[1], np.full(dim, -1),
+                                     [-1]]).astype("int64"),
+                "p": np.concatenate([g[iu], s, [float(len(pdf))]]),
+            })
+
+    agg = (e.select("embedding")
+           .mapInPandas(partials, "i long, j long, p double")
+           .groupBy("i", "j").agg(F.sum("p").alias("p"))
+           .collect())  # d²-bounded: 2080 + 64 + 1 rows at d=64
+    n = next(r.p for r in agg if r.i == -1)
+    si = np.zeros(dim)
+    sxx = np.zeros((dim, dim))
+    for r in agg:
+        if r.i >= 0 and r.j >= 0:
+            sxx[r.i, r.j] = sxx[r.j, r.i] = r.p
+        elif r.i >= 0:
+            si[r.i] = r.p
+    cov = np.round((sxx - np.outer(si, si) / n) / n, 6)
+
+    def quant(v: np.ndarray) -> np.ndarray:
+        return np.floor(1e6 * v + 0.5) / 1e6
+
+    v = quant(np.full(dim, 1.0 / np.sqrt(dim)))
+    for _ in range(_PCA_ITERS):
+        w = cov @ v
+        v = quant(w / np.sqrt(float(np.dot(w, w))))
+    order = np.lexsort((np.arange(dim), -np.abs(v)))
+    if v[order[0]] < 0:
+        v = -v
+    lam = round(float(v @ cov @ v), 6)
+    rows = [(int(i), round(float(v[i]), 6), lam) for i in range(dim)]
+    return spark.createDataFrame(
+        rows, "dim_idx long, loading double, eigenvalue double")

@@ -470,3 +470,95 @@ def corpus_context_window_view(spark: SparkSession,
         (gs - F.col("strt")).cast("long").alias("doc_slice_start"),
         (ge - gs).cast("long").alias("slice_len"),
         (gs - F.col("w") * W).cast("long").alias("window_offset"))
+
+
+# --------------------------------------------------- epoch mixing
+
+# Weight exponent for the epoch mix: per-source target token share
+# ∝ tokens^α (α < 1 flattens the head — the multilingual-sampling
+# exponent of mC4/XLM-R, applied per SOURCE the way the LLaMA mix
+# table up-samples small high-value sources to >1 epoch).
+EPOCH_MIX_ALPHA = 0.5
+
+
+@query(
+    "corpus_epoch_mix",
+    oracle=f"""
+WITH counted AS (
+    SELECT doc_id, source,
+           CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                t -> t <> '')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+per_src AS (
+    SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tok_s
+    FROM counted GROUP BY source
+),
+w AS (
+    SELECT source, tok_s,
+           pow(CAST(tok_s AS DOUBLE), {EPOCH_MIX_ALPHA}) AS w
+    FROM per_src
+),
+tot AS (
+    SELECT sum(w) AS sw, CAST(sum(tok_s) AS DOUBLE) AS t FROM w
+),
+rates AS (
+    SELECT source, (t.t * w.w / t.sw) / tok_s AS rpt
+    FROM w CROSS JOIN tot t
+)
+SELECT c.doc_id, c.source, c.n_tokens,
+       round(r.rpt, 6) AS repeat_factor,
+       CAST(floor(r.rpt)
+            + CASE WHEN CAST('0x' || substr(md5('epoch:'
+                        || CAST(c.doc_id AS VARCHAR)), 1, 4) AS INTEGER)
+                        / 65536.0
+                   < r.rpt - floor(r.rpt)
+                   THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+FROM counted c JOIN rates r USING (source)
+""",
+)
+def corpus_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget EPOCH mixing — the missing half of the data-mix
+    surface: where sample_temperature SUBSAMPLES (rates capped at 1),
+    this emits per-document REPEAT factors the way the published
+    LLaMA mix runs small high-value sources for >1 epoch. Per-source
+    target token share ∝ tokens^α at constant total budget (the
+    grand token total), so head sources get repeat < 1 (subsample)
+    and tail sources repeat > 1 (epochs); per doc,
+    n_copies = floor(repeat) + Bernoulli(frac(repeat)) decided by the
+    portable-md5 uniform — RNG-free, partitioning-immune, exactly
+    reproducible across engines (the sample_hash_split discipline;
+    the expected emitted token total equals the budget per source).
+
+    100 TB shape: one map-side-combinable hash agg to per-source
+    token totals (source is a BOUNDED entity dimension), a 1-row
+    grand-total broadcast, and an AQE-decided join of the bounded
+    rate relation back onto a narrow per-doc map — the corpus never
+    shuffles and nothing data-sized is collected."""
+    from project_2_semantic_similarity_spark.functions import (
+        text_analysis as TA)
+    from project_2_semantic_similarity_spark.operators.sampling import (
+        _bucket)
+
+    d = load_table(spark, sf_dir, "documents")
+    counted = d.select("doc_id", "source",
+                       TA.n_tokens(F.col("text")).alias("n_tokens"))
+    per_src = counted.groupBy("source").agg(
+        F.sum("n_tokens").alias("tok_s"))
+    w = per_src.withColumn(
+        "w", F.pow(F.col("tok_s").cast("double"),
+                   F.lit(EPOCH_MIX_ALPHA)))
+    tot = w.agg(F.sum("w").alias("sw"),
+                F.sum("tok_s").cast("double").alias("t"))
+    rates = (w.crossJoin(F.broadcast(tot))
+             .select("source",
+                     (F.col("t") * F.col("w") / F.col("sw")
+                      / F.col("tok_s")).alias("rpt")))
+    u = (F.conv(_bucket(F.col("doc_id"), "epoch"), 16, 10)
+         .cast("long") / F.lit(65536.0))
+    return (counted.join(rates, "source")
+            .select("doc_id", "source", "n_tokens",
+                    F.round("rpt", 6).alias("repeat_factor"),
+                    (F.floor("rpt")
+                     + F.when(u < F.col("rpt") - F.floor("rpt"), 1)
+                        .otherwise(0)).cast("long").alias("n_copies")))

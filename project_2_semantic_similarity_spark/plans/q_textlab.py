@@ -2934,3 +2934,235 @@ def text_unigram_tokenize(spark: SparkSession,
         F.round(F.col("n_uni_tokens") / F.col("n_words"), 6)
          .alias("tokens_per_word"),
         "nll_micro_nats")
+
+
+# ------------------------------------------- Unigram-LM TRAINING (EM)
+
+# The SentencePiece trainer knobs (Kudo 2018 §4; kudo/sentencepiece
+# unigram_model_trainer.cc): the seed inventory is the SEED_K most
+# frequent substrings (the --seed_sentencepiece_size knob — the cap
+# is WHY the trainer scales: the substring relation is Heaps'-law ×
+# fan-out, the kept seed is a constant), pieces longer than
+# SEED_MAX_LEN never enter, and pruning keeps the VOCAB_K best
+# multi-char pieces (single characters are never pruned, Kudo's
+# coverage guarantee). Module constants so the Spark plan, the
+# DuckDB oracle and the tests read the same numbers.
+UNI_SEED_MAX_LEN = 4
+UNI_SEED_K = 48
+UNI_VOCAB_K = 24
+
+
+def _uni_paths_sql(tag: str, cost_rel: str) -> str:
+    """One exhaustive-enumeration Viterbi re-derivation (the
+    text_unigram_tokenize oracle's paths/best/seg chain) over a given
+    piece-cost relation — emitted twice by the trainer oracle, once
+    per EM round."""
+    return f"""
+paths{tag} AS (
+    SELECT word, word AS rest, CAST(0 AS BIGINT) AS tc,
+           0 AS ntok, '' AS path
+    FROM vocab
+    UNION ALL
+    SELECT p.word, substr(p.rest, length(c.piece) + 1),
+           p.tc + c.c, p.ntok + 1, p.path || chr(31) || c.piece
+    FROM paths{tag} p JOIN {cost_rel} c
+      ON substr(p.rest, 1, length(c.piece)) = c.piece
+    WHERE p.rest <> ''
+),
+best{tag} AS (
+    SELECT word, path,
+           row_number() OVER (PARTITION BY word
+                              ORDER BY tc, ntok, path) AS rn
+    FROM paths{tag} WHERE rest = ''
+),
+seg{tag} AS (
+    SELECT word,
+           list_filter(string_split(path, chr(31)), x -> x <> '')
+               AS tokens
+    FROM best{tag} WHERE rn = 1
+)"""
+
+
+@query(
+    "text_unigram_train",
+    oracle=f"""
+WITH RECURSIVE
+words AS (
+    SELECT doc_id, w AS word, count(*) AS cnt
+    FROM documents,
+         unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+             AS t(w)
+    GROUP BY doc_id, w
+),
+vocab AS (SELECT DISTINCT word FROM words),
+wf AS (
+    SELECT word, CAST(sum(cnt) AS BIGINT) AS wf
+    FROM words GROUP BY word
+),
+subs AS (
+    SELECT substr(w.word, CAST(s.s AS INT), CAST(l.pl AS INT)) AS piece,
+           w.wf
+    FROM wf w,
+         unnest(range(1, least({UNI_SEED_MAX_LEN},
+                                length(w.word)) + 1)) AS l(pl),
+         unnest(range(1, length(w.word) - CAST(l.pl AS INT) + 2)) AS s(s)
+),
+seedf AS (
+    SELECT piece, CAST(sum(wf) AS BIGINT) AS f
+    FROM subs GROUP BY piece
+),
+chars AS (SELECT piece, f FROM seedf WHERE length(piece) = 1),
+seed1 AS (
+    SELECT piece, f FROM chars
+    UNION ALL
+    SELECT piece, f FROM (
+        SELECT piece, f,
+               row_number() OVER (ORDER BY f DESC, piece) AS rn
+        FROM seedf WHERE length(piece) > 1)
+    WHERE rn <= {UNI_SEED_K}
+),
+tot1 AS (SELECT CAST(sum(f) AS DOUBLE) AS t FROM seed1),
+cost1 AS (
+    SELECT piece,
+           CAST(-floor(1000000.0 * ln(f / t)) AS BIGINT) AS c
+    FROM seed1, tot1
+),
+{_uni_paths_sql('1', 'cost1')},
+f2 AS (
+    SELECT u.x AS piece, CAST(sum(w.wf) AS BIGINT) AS f2
+    FROM wf w JOIN seg1 s USING (word), unnest(s.tokens) AS u(x)
+    GROUP BY u.x
+),
+kept AS (
+    SELECT c.piece, coalesce(f.f2, 0) + 1 AS fs, 1 AS is_char
+    FROM chars c LEFT JOIN f2 f USING (piece)
+    UNION ALL
+    SELECT piece, f2 + 1 AS fs, 0 AS is_char FROM (
+        SELECT piece, f2,
+               row_number() OVER (ORDER BY f2 DESC, piece) AS rn
+        FROM f2 WHERE length(piece) > 1)
+    WHERE rn <= {UNI_VOCAB_K}
+),
+tot2 AS (SELECT CAST(sum(fs) AS DOUBLE) AS t FROM kept),
+cost2 AS (
+    SELECT piece, is_char,
+           CAST(-floor(1000000.0 * ln(fs / t)) AS BIGINT) AS c
+    FROM kept, tot2
+),
+{_uni_paths_sql('2', 'cost2')},
+ff AS (
+    SELECT u.x AS piece, CAST(sum(w.wf) AS BIGINT) AS f
+    FROM wf w JOIN seg2 s USING (word), unnest(s.tokens) AS u(x)
+    GROUP BY u.x
+)
+SELECT k.piece, CAST(k.is_char AS INT) AS is_char,
+       coalesce(ff.f, 0) AS freq,
+       k.c AS cost_micro_nats,
+       CAST(row_number() OVER (ORDER BY coalesce(ff.f, 0) DESC,
+                               k.piece) AS BIGINT) AS vocab_rank
+FROM cost2 k LEFT JOIN ff USING (piece)
+""",
+)
+def text_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNIGRAM-LM tokenizer TRAINING (Kudo 2018 §4, the SentencePiece
+    EM trainer) — completes the subword family: where
+    text_unigram_tokenize runs inference under a fixed model, this
+    trains one: seed the piece inventory with the UNI_SEED_K most
+    frequent substrings (+ every single character), run one full EM
+    round (E: Viterbi-segment every word under current costs, M:
+    recount piece frequencies from the chosen segmentations), prune
+    to the UNI_VOCAB_K best multi-char pieces (characters are never
+    pruned — Kudo's coverage guarantee), and emit the final vocab
+    with add-one-smoothed integer micro-nat costs and a second
+    E-step's usage counts.
+
+    Determinism: integer micro-nat costs (-floor(1e6·ln p)) make both
+    Viterbi passes exact in both engines (the text_unigram_tokenize
+    discipline); tie-breaks are (cost, token count, path), a total
+    order; top-K boundaries order by (freq DESC, piece) — total.
+
+    100 TB shape: the substring relation is Heaps'-law-sized × ~20
+    fan-out, so the seed selection runs DISTRIBUTED as
+    orderBy+limit (TakeOrderedAndProject — per-partition top-K then
+    a K-row merge on the driver, never a single-partition window),
+    and only the K-bounded winners are ever collected (the
+    --seed_sentencepiece_size discipline; the collect is O(K), not
+    O(vocabulary)). Both E-steps are one Arrow mapInPandas over
+    DISTINCT words each; both M-step recounts are map-side-combinable
+    hash aggs; the output is VOCAB_K-bounded, so its rank window is
+    over a constant-size relation."""
+    import math
+
+    from project_2_semantic_similarity_spark.operators.text import (
+        unigram_word_tokens)
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (docs
+             .select("doc_id",
+                     F.explode(F.split(F.col("text"), " ")).alias("word"))
+             .filter(F.col("word") != "")
+             .groupBy("doc_id", "word").agg(F.count("*").alias("cnt")))
+    wf = (words.groupBy("word").agg(F.sum("cnt").alias("wf"))
+          ).localCheckpoint()
+    dw = wf.select("word")
+
+    # seed inventory: every substring occurrence up to UNI_SEED_MAX_LEN,
+    # weighted by corpus word frequency (matches the oracle's double
+    # unnest — repeated substrings inside one word count per occurrence)
+    subs = wf.select(
+        "wf",
+        F.explode(F.expr(
+            f"flatten(transform("
+            f"  sequence(1, least({UNI_SEED_MAX_LEN}, length(word))),"
+            f"  pl -> transform(sequence(1, length(word) - pl + 1),"
+            f"        st -> substring(word, st, pl))))")).alias("piece"))
+    seedf = subs.groupBy("piece").agg(F.sum("wf").alias("f"))
+    chars_rows = seedf.filter(F.length("piece") == 1).collect()
+    top_multi = (seedf.filter(F.length("piece") > 1)
+                 .orderBy(F.desc("f"), F.asc("piece"))
+                 .limit(UNI_SEED_K).collect())
+
+    def micro_nat_costs(pairs):  # [(piece, freq)] -> integer costs
+        total = float(sum(f for _, f in pairs))
+        return {p: int(-math.floor(1e6 * math.log(f / total)))
+                for p, f in pairs}
+
+    seed_pairs = ([(r.piece, r.f) for r in chars_rows]
+                  + [(r.piece, r.f) for r in top_multi])
+    costs1 = micro_nat_costs(seed_pairs)
+    unk1 = max(costs1.values()) + 1_000_000
+
+    # EM round: E-step Viterbi under seed costs, M-step recount
+    seg1 = unigram_word_tokens(dw, costs1, unk1)
+    f2 = (wf.join(seg1, "word")
+          .select("wf", F.explode("tokens").alias("piece"))
+          .groupBy("piece").agg(F.sum("wf").alias("f2"))
+          ).localCheckpoint()
+    kept_multi = (f2.filter(F.length("piece") > 1)
+                  .orderBy(F.desc("f2"), F.asc("piece"))
+                  .limit(UNI_VOCAB_K).collect())
+    char_f2 = {r.piece: r.f2 for r in
+               f2.filter(F.length("piece") == 1).collect()}
+    kept_pairs = ([(r.piece, char_f2.get(r.piece, 0) + 1, 1)
+                   for r in chars_rows]
+                  + [(r.piece, r.f2 + 1, 0) for r in kept_multi])
+    costs2 = micro_nat_costs([(p, fs) for p, fs, _ in kept_pairs])
+    unk2 = max(costs2.values()) + 1_000_000
+
+    # final E-step under the pruned model: usage counts for the report
+    seg2 = unigram_word_tokens(dw, costs2, unk2)
+    ff = (wf.join(seg2, "word")
+          .select("wf", F.explode("tokens").alias("piece"))
+          .groupBy("piece").agg(F.sum("wf").alias("f")))
+    out = spark.createDataFrame(
+        [(p, ic, costs2[p]) for p, _fs, ic in kept_pairs],
+        "piece string, is_char int, cost_micro_nats long")
+    # VOCAB_K-bounded relation: the global window is over ≤ K + |alphabet|
+    # rows by construction, never data-sized
+    w = Window.orderBy(F.desc("freq"), F.asc("piece"))
+    return (out.join(ff, "piece", "left")
+            .select("piece", "is_char",
+                    F.coalesce(F.col("f"), F.lit(0)).cast("long")
+                     .alias("freq"),
+                    "cost_micro_nats")
+            .withColumn("vocab_rank", F.row_number().over(w).cast("long")))
