@@ -604,3 +604,222 @@ def corpus_prep_fineweb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (gop.select("doc_id", "n_words")
             .join(exact_winners, "doc_id", "left_semi")
             .join(near_losers, "doc_id", "left_anti"))
+
+
+# ---------------------------------------------------------------- c4
+
+# The published C4 cleaning constants (Raffel et al. 2020 §2.2).
+C4_MIN_LINE_WORDS = 5
+C4_MIN_SENTENCES = 3
+# Stand-in slice of the "List of Dirty, Naughty, Obscene..." word
+# list the paper filters with (the list itself is a third-party
+# artifact; the match mechanics are what the engine implements).
+C4_BADWORDS = ("porn", "xxx", "nsfw")
+
+_C4_BAD_SQL = ", ".join(f"'{w}'" for w in C4_BADWORDS)
+
+
+def _c4_keep_col():
+    """The conjunctive C4 page keep (spans do not gate it — the
+    paper dedups spans but never drops a page for them)."""
+    return F.when(
+        (F.col("n_sentences") >= C4_MIN_SENTENCES)
+        & (F.col("has_lorem") == 0) & (F.col("has_brace") == 0)
+        & (F.col("has_badword") == 0) & (F.col("is_en") == 1),
+        1).otherwise(0)
+
+
+def _c4_feat(docs: DataFrame) -> DataFrame:
+    """Per-page C4 feature frame (doc_id, line counts, kept-line
+    sentences, page flags) — one STATELESS narrow Column map shared
+    by the batch query, the streaming twin and the fixture tests."""
+    ls = F.filter(F.split(F.col("text"), "\n"),
+                  lambda l: F.trim(l) != F.lit(""))
+    kept = F.filter(ls, lambda l: (
+        F.trim(l).rlike('[.!?"]$')
+        & (F.size(F.filter(F.split(F.trim(l), r"\s+"),
+                           lambda w: w != F.lit("")))
+           >= C4_MIN_LINE_WORDS)
+        & ~F.array_contains(F.split(F.lower(l), r"\s+"), "javascript")))
+    sents = F.filter(
+        F.transform(
+            F.regexp_extract_all(F.concat_ws(" ", kept),
+                                 F.lit('[^.!?]*[.!?]+'), F.lit(0)),
+            lambda s: F.trim(F.regexp_replace(F.lower(s),
+                                              F.lit(r"\s+"),
+                                              F.lit(" ")))),
+        lambda s: s != F.lit(""))
+    lt = F.lower(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(ls).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        sents.alias("sents"),
+        F.when(lt.contains("lorem ipsum"), 1).otherwise(0)
+         .alias("has_lorem"),
+        F.when(lt.contains("{"), 1).otherwise(0).alias("has_brace"),
+        F.when(F.size(F.filter(
+            F.split(lt, r"\s+"),
+            lambda w: w.isin(*C4_BADWORDS))) > 0, 1).otherwise(0)
+         .alias("has_badword"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_en"),
+    )
+
+
+def c4_page_flags(docs: DataFrame) -> DataFrame:
+    """The STATELESS subset of the C4 pipeline — every per-page rule
+    and the conjunctive keep, no corpus-wide span state. This is the
+    plan the streaming twin runs (a pure projection: no watermark, no
+    state store, no shuffle)."""
+    return (_c4_feat(docs)
+            .select("doc_id", "n_lines", "n_kept_lines",
+                    F.size("sents").cast("long").alias("n_sentences"),
+                    "has_lorem", "has_brace", "has_badword", "is_en")
+            .withColumn("keep", _c4_keep_col()))
+
+
+def c4_page_features(docs: DataFrame) -> DataFrame:
+    """The FULL C4 page pipeline over any (doc_id, lang, text) frame
+    — line filtering (terminal punctuation, ≥5 words, no
+    'javascript'), sentence extraction over the KEPT lines, page
+    flags (lorem ipsum, curly brace, bad words, language), corpus-wide
+    three-sentence-span duplicate counting, and the conjunctive keep.
+    Split out from the declared query so tests can drive punctuated
+    fixtures through the identical plan."""
+    # sents reused by two branches (spans + count) — pin the exchange
+    feat = _c4_feat(docs).localCheckpoint()
+    spans = (feat
+             .select("doc_id", "sents",
+                     F.explode(F.when(
+                         F.size("sents") >= 3,
+                         F.sequence(F.lit(0), F.size("sents") - 3))
+                         .otherwise(F.array().cast("array<int>")))
+                      .alias("pos"))
+             .select("doc_id", "pos",
+                     F.md5(F.concat_ws(
+                         "\x1f",
+                         F.element_at("sents", F.col("pos") + 1),
+                         F.element_at("sents", F.col("pos") + 2),
+                         F.element_at("sents", F.col("pos") + 3)))
+                      .alias("sk")))
+    w = Window.partitionBy("sk").orderBy("doc_id", "pos")
+    dups = (spans.withColumn("rn", F.row_number().over(w))
+            .groupBy("doc_id")
+            .agg(F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+                  .cast("long").alias("n_dup")))
+    out = (feat.join(dups, "doc_id", "left")
+           .select("doc_id", "n_lines", "n_kept_lines",
+                   F.size("sents").cast("long").alias("n_sentences"),
+                   F.coalesce(F.col("n_dup"), F.lit(0)).cast("long")
+                    .alias("n_dup_spans"),
+                   "has_lorem", "has_brace", "has_badword", "is_en"))
+    return out.withColumn("keep", _c4_keep_col())
+
+
+# Shared oracle CTE prefix (lines → line filter → page features):
+# the batch oracle appends the span-dedup stage; the streaming twin's
+# oracle selects the stateless flags directly — stream/batch
+# equivalence by SHARED TEXT (the SURVEY §5 twin discipline).
+_C4_FEAT_SQL = f"""
+lines AS (
+    SELECT doc_id, lang, text, lower(text) AS lt,
+           list_filter(string_split(text, chr(10)),
+                       l -> trim(l) <> '') AS ls
+    FROM documents
+),
+flt AS (
+    SELECT doc_id, lang, lt,
+           CAST(len(ls) AS BIGINT) AS n_lines,
+           list_filter(ls, l ->
+               regexp_matches(trim(l), '[.!?"]$')
+               AND len(list_filter(string_split_regex(trim(l), '\\s+'),
+                                   w -> w <> '')) >= {C4_MIN_LINE_WORDS}
+               AND NOT list_contains(
+                       string_split_regex(lower(l), '\\s+'),
+                       'javascript')) AS kept
+    FROM lines
+),
+feat AS MATERIALIZED (
+    SELECT doc_id, n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept_lines,
+           list_filter(list_transform(
+               -- array_to_string([]) is NULL in DuckDB; Spark's
+               -- concat_ws gives '' — coalesce for parity
+               regexp_extract_all(coalesce(array_to_string(kept, ' '),
+                                           ''),
+                                  '[^.!?]*[.!?]+'),
+               s -> trim(regexp_replace(lower(s), '\\s+', ' ', 'g'))),
+               s -> s <> '') AS sents,
+           CASE WHEN contains(lt, 'lorem ipsum') THEN 1 ELSE 0 END
+               AS has_lorem,
+           CASE WHEN contains(lt, '{{') THEN 1 ELSE 0 END AS has_brace,
+           CASE WHEN len(list_filter(string_split_regex(lt, '\\s+'),
+                                     w -> w IN ({_C4_BAD_SQL}))) > 0
+                THEN 1 ELSE 0 END AS has_badword,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en
+    FROM flt
+)"""
+
+# The keep rule as SQL — shared by both oracles verbatim.
+_C4_KEEP_SQL = f"""CASE WHEN len(f.sents) >= {C4_MIN_SENTENCES}
+                 AND f.has_lorem = 0 AND f.has_brace = 0
+                 AND f.has_badword = 0 AND f.is_en = 1
+            THEN 1 ELSE 0 END AS keep"""
+
+
+@query(
+    "text_c4_filters",
+    oracle=f"""
+WITH {_C4_FEAT_SQL},
+spans AS (
+    SELECT doc_id, CAST(i.n AS BIGINT) AS pos,
+           md5(sents[CAST(i.n + 1 AS INT)] || chr(31)
+               || sents[CAST(i.n + 2 AS INT)] || chr(31)
+               || sents[CAST(i.n + 3 AS INT)]) AS sk
+    FROM feat, unnest(range(greatest(len(sents) - 2, 0))) AS i(n)
+),
+marked AS (
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY sk
+                              ORDER BY doc_id, pos) AS rn
+    FROM spans
+),
+dups AS (
+    SELECT doc_id,
+           CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dup
+    FROM marked GROUP BY doc_id
+)
+SELECT f.doc_id, f.n_lines, f.n_kept_lines,
+       CAST(len(f.sents) AS BIGINT) AS n_sentences,
+       coalesce(d.n_dup, 0) AS n_dup_spans,
+       f.has_lorem, f.has_brace, f.has_badword, f.is_en,
+       {_C4_KEEP_SQL}
+FROM feat f LEFT JOIN dups d USING (doc_id)
+""",
+)
+def text_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning recipe (Raffel et al. 2020 §2.2, the corpus
+    behind T5) — the remaining canonical published pipeline beside
+    Gopher/CCNet/FineWeb: per-LINE retention (ends in terminal
+    punctuation, ≥5 words, no 'javascript'), page rules (≥3
+    sentences over the kept lines, no 'lorem ipsum', no '{{', no
+    listed bad word, English page — the stored lang label stands in
+    for the paper's langdetect ≥ 0.99), and the corpus-wide
+    THREE-SENTENCE-SPAN duplicate count (the paper removes all but
+    the first occurrence; this emits the per-page duplicate-span
+    count plus the conjunctive keep).
+
+    Corpus note: the synthetic documents have no sentence
+    punctuation, so every page fails the line filter here (n_kept
+    = 0) and the differential check exercises the full machinery on
+    the degenerate path; the punctuated-path behavior is pinned by
+    tests/test_c4.py fixtures through the IDENTICAL plan
+    (c4_page_features — the multimodal-codec fixture discipline).
+
+    100 TB shape: everything except the span count is a narrow
+    codegen'd Column map (higher-order array functions — no UDF, no
+    shuffle); the span stage shuffles md5 span keys once (uniform
+    keys, no skew) for a partitioned — never global — first-occurrence
+    window, exactly the dedup_passage shape."""
+    d = load_table(spark, sf_dir, "documents")
+    return c4_page_features(d.select("doc_id", "lang", "text"))

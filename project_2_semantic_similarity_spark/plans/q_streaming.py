@@ -589,3 +589,45 @@ def stream_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.col("doc_id") % 7).cast("string")).alias("text"))
     return S.run_to_memory(
         S.bpe_encode_stream(dec), "stream_bpe_encode", "append")
+
+
+def _c4_flags_oracle() -> str:
+    from project_2_semantic_similarity_spark.plans.q_quality import (
+        _C4_FEAT_SQL, _C4_KEEP_SQL)
+
+    return f"""
+WITH {_C4_FEAT_SQL}
+SELECT f.doc_id, f.n_lines, f.n_kept_lines,
+       CAST(len(f.sents) AS BIGINT) AS n_sentences,
+       f.has_lorem, f.has_brace, f.has_badword, f.is_en,
+       {_C4_KEEP_SQL}
+FROM feat f
+"""
+
+
+@query("stream_c4_filters", oracle=_c4_flags_oracle())
+def stream_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY FILTERING ON A STREAM — the C4 page rules applied to a
+    streaming document source, replayed availableNow and required to
+    hash-equal the batch rule evaluation (the oracle SELECTs from the
+    SAME _C4_FEAT_SQL CTE text the batch text_c4_filters oracle
+    extends — stream/batch equivalence by shared text, the
+    stream_bpe_encode discipline).
+
+    The plan is the STATELESS subset (q_quality.c4_page_flags): every
+    per-page rule is a pure projection, so there is no watermark, no
+    state store and no shuffle — the only part of C4 that is NOT
+    stream-expressible is the corpus-wide three-sentence-span dedup
+    (cross-document state over an unbounded corpus; the batch query
+    carries it), and the paper's keep rule never depended on it. At
+    scale this runs against a Kafka source with per-micro-batch
+    parallelism = source partitions, exactly like the streaming
+    tokenizer."""
+    from project_2_semantic_similarity_spark.plans.q_quality import (
+        c4_page_flags)
+
+    docs = S.read_documents_stream(
+        spark, S.stage_documents_dir(sf_dir))
+    return S.run_to_memory(
+        c4_page_flags(docs.select("doc_id", "lang", "text")),
+        "stream_c4_filters", "append")
