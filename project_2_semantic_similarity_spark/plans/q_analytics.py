@@ -1466,3 +1466,90 @@ def events_dau_mau_stickiness(spark: SparkSession,
                     "dau", "mau",
                     F.round(F.col("dau") / F.col("mau").cast("double"),
                             6).alias("stickiness")))
+
+
+@query(
+    "win_interpolate_linear",
+    oracle="""
+WITH t AS (
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           event_type,
+           epoch_us(ts) AS tu,
+           CASE WHEN event_type <> 'view' THEN value END AS mv
+    FROM events
+),
+ctx AS (
+    SELECT user_id, event_id, ts_s, event_type, tu,
+           last_value(mv IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY tu, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS pv,
+           last_value(CASE WHEN mv IS NOT NULL THEN tu END
+                      IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY tu, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS pt,
+           first_value(mv IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY tu, event_id
+                     ROWS BETWEEN CURRENT ROW
+                              AND UNBOUNDED FOLLOWING) AS nv,
+           first_value(CASE WHEN mv IS NOT NULL THEN tu END
+                       IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY tu, event_id
+                     ROWS BETWEEN CURRENT ROW
+                              AND UNBOUNDED FOLLOWING) AS nt
+    FROM t
+)
+SELECT user_id, event_id, ts_s AS ts, event_type,
+       round(CASE
+           WHEN pv IS NULL OR nv IS NULL THEN NULL
+           WHEN nt = pt THEN pv
+           ELSE pv + (nv - pv) * (CAST(tu - pt AS DOUBLE)
+                                  / CAST(nt - pt AS DOUBLE))
+       END, 6) AS value_interp
+FROM ctx
+""",
+)
+def win_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-WEIGHTED LINEAR INTERPOLATION between measurements — the
+    complement to win_locf_gapfill's step fill, and the other gapfill
+    every sensor/metrics store ships (timescaledb's `interpolate`):
+    'view' events carry no measurement; each row takes
+    prev + (next−prev)·(t−t₀)/(t₁−t₀) between its nearest real
+    measurements in the SAME user's (ts, event_id) order. Strictly
+    interior by contract: rows before the first or after the last
+    measurement stay NULL (no fabrication — LOCF is the op that
+    extends). Measured rows interpolate to exactly their own value
+    (prev = next = self).
+
+    Times enter as INTEGER epoch microseconds on both engines
+    (unix_micros / epoch_us — the parquet ns column truncates to µs
+    identically), so the fraction is a ratio of exact integers and
+    the float arithmetic is written in the identical order in both
+    engines before the single round.
+
+    Scale: two frames over ONE hash-partitioned per-user sort (Spark
+    evaluates both directions over the same window exchange); no
+    self-join, no gap materialization — the win_locf_gapfill shape."""
+    ev = load_table(spark, sf_dir, "events")
+    tu = F.unix_micros(F.col("ts"))
+    mv = F.when(F.col("event_type") != "view", F.col("value"))
+    wb = (Window.partitionBy("user_id").orderBy(tu, "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wf = (Window.partitionBy("user_id").orderBy(tu, "event_id")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    pv = F.last(mv, ignorenulls=True).over(wb)
+    pt = F.last(F.when(mv.isNotNull(), tu), ignorenulls=True).over(wb)
+    nv = F.first(mv, ignorenulls=True).over(wf)
+    nt = F.first(F.when(mv.isNotNull(), tu), ignorenulls=True).over(wf)
+    interp = (F.when(pv.isNull() | nv.isNull(), F.lit(None))
+              .when(nt == pt, pv)
+              .otherwise(pv + (nv - pv)
+                         * ((tu - pt).cast("double")
+                            / (nt - pt).cast("double"))))
+    return ev.select(
+        "user_id", "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "event_type",
+        F.round(interp, 6).alias("value_interp"))
