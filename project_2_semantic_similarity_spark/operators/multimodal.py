@@ -18,6 +18,7 @@ executor memory is bounded by batch size, not partition size — set
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -857,6 +858,9 @@ def decode_image(payloads: DataFrame) -> DataFrame:
                     w, h, px = decode_jpeg(payload)
                     if px.shape[2] == 1:
                         px = np.repeat(px, 3, axis=2)
+                elif media_type == GIF_MEDIA_TYPE:
+                    w, h, pal, idx = decode_gif(payload)
+                    px = pal[idx]
                 else:
                     raise NotImplementedError(
                         f"no codec for {media_type} in this environment")
@@ -911,6 +915,9 @@ def phash_image(payloads: DataFrame, grid: int = 8) -> DataFrame:
                     w, h, px = decode_jpeg(payload)
                     if px.shape[2] == 1:
                         px = np.repeat(px, 3, axis=2)
+                elif media_type == GIF_MEDIA_TYPE:
+                    w, h, pal, idx = decode_gif(payload)
+                    px = pal[idx]
                 else:
                     raise NotImplementedError(
                         f"no codec for {media_type} in this environment")
@@ -968,6 +975,9 @@ def thumbnail_image(payloads: DataFrame, grid: int = 2) -> DataFrame:
                     w, h, px = decode_jpeg(payload)
                     if px.shape[2] == 1:
                         px = np.repeat(px, 3, axis=2)
+                elif media_type == GIF_MEDIA_TYPE:
+                    w, h, pal, idx = decode_gif(payload)
+                    px = pal[idx]
                 else:
                     raise NotImplementedError(
                         f"no codec for {media_type} in this environment")
@@ -1319,3 +1329,232 @@ def decode_media(payloads: DataFrame) -> DataFrame:
             })
 
     return payloads.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
+
+
+# ------------------------------------------------------------- GIF codec
+#
+# GIF89a (CompuServe spec, 1990-07-31): logical screen descriptor +
+# global color table + image descriptor + LZW-compressed index
+# stream in ≤255-byte sub-blocks. The LZW variant is the spec's:
+# variable code width starting at min_code_size+1, LSB-first bit
+# packing, CLEAR = 2^mcs, EOI = CLEAR+1, decoder table one entry
+# behind the encoder (the encoder bumps width at next_code ==
+# 2^width + 1, the decoder at table_len == 2^width — the same
+# instant, verified in tests by roundtrip at every width boundary).
+
+GIF_MEDIA_TYPE = "image/gif"
+
+
+def _lzw_encode_gif(seq: np.ndarray, mcs: int) -> bytes:
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = nacc = 0
+    width = mcs + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, nacc
+        acc |= code << nacc
+        nacc += width
+        while nacc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    table = {bytes([i]): i for i in range(1 << mcs)}
+    next_code = eoi + 1
+    emit(clear)
+
+    # Width is driven by an exact mirror of the DECODER's table
+    # growth (one entry per data code from the second on, bump at
+    # table_len == 2^width): deriving it from the encoder's own add
+    # timing desyncs the EOI read when the last data code lands
+    # exactly on a width boundary (found by roundtrip fuzzing).
+    n_emitted = 0
+    dec_len = (1 << mcs) + 2
+
+    def emit_data(code: int) -> None:
+        nonlocal n_emitted, dec_len, width
+        emit(code)
+        n_emitted += 1
+        if n_emitted >= 2 and dec_len < 4096:
+            dec_len += 1
+            if dec_len == (1 << width) and width < 12:
+                width += 1
+
+    cur = bytes([int(seq[0])])
+    for p in seq[1:]:
+        nxt = cur + bytes([int(p)])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit_data(table[cur])
+        if next_code < 4096:
+            table[nxt] = next_code
+            next_code += 1
+        cur = bytes([int(p)])
+    emit_data(table[cur])
+    emit(eoi)
+    if nacc:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode_gif(data: bytes, mcs: int) -> bytes:
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    pos = 0
+    width = mcs + 1
+    nbits = len(data) * 8
+
+    def read() -> int:
+        nonlocal pos
+        if pos + width > nbits:
+            raise ValueError("LZW stream truncated")
+        v = 0
+        for k in range(width):
+            v |= ((data[(pos + k) >> 3] >> ((pos + k) & 7)) & 1) << k
+        pos += width
+        return v
+
+    out = bytearray()
+    table: list[bytes] = []
+    prev = -1
+    while True:
+        c = read()
+        if c == clear:
+            table = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+            width = mcs + 1
+            prev = -1
+            continue
+        if c == eoi:
+            break
+        if prev < 0:
+            entry = table[c]
+        elif c < len(table):
+            entry = table[c]
+        elif c == len(table):  # the KwKwK case
+            entry = table[prev] + table[prev][:1]
+        else:
+            raise ValueError(f"LZW code {c} beyond table")
+        out += entry
+        if prev >= 0 and len(table) < 4096:
+            table.append(table[prev] + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = c
+    return bytes(out)
+
+
+def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """A real GIF89a file: palette image (h, w) of color indices +
+    (n, 3) palette. n must be a power of two in [2, 256]."""
+    h, w = indices.shape
+    n = len(palette)
+    depth = (n - 1).bit_length()
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    # packed: GCT present | color resolution | GCT size
+    out += bytes([0x80 | ((depth - 1) << 4) | (depth - 1), 0, 0])
+    out += palette.astype(np.uint8).tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    mcs = max(depth, 2)  # spec: LZW min code size >= 2
+    out.append(mcs)
+    bits = _lzw_encode_gif(indices.ravel(), mcs)
+    for i in range(0, len(bits), 255):
+        chunk = bits[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> tuple[int, int, np.ndarray, np.ndarray]:
+    """Parse a GIF87a/89a file: screen descriptor, color tables,
+    extension-block skip, sub-block reassembly, variable-width LZW.
+    Returns (w, h, palette (n,3), indices (h,w)). Interlaced images
+    raise NotImplementedError (declared unsupported path, like
+    arithmetic-coded JPEG)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF file")
+    sw, sh = struct.unpack("<HH", payload[6:10])
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = np.frombuffer(payload[pos:pos + 3 * n],
+                            np.uint8).reshape(n, 3)
+        pos += 3 * n
+    while True:
+        b0 = payload[pos]
+        if b0 == 0x21:  # extension: introducer, label, sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += payload[pos] + 1
+            pos += 1
+        elif b0 == 0x2C:
+            break
+        elif b0 == 0x3B:
+            raise ValueError("GIF trailer before any image")
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+    _l, _t, iw, ih = struct.unpack("<HHHH", payload[pos + 1:pos + 9])
+    ipacked = payload[pos + 9]
+    pos += 10
+    if ipacked & 0x40:
+        raise NotImplementedError("interlaced GIF not supported")
+    if ipacked & 0x80:
+        n = 2 << (ipacked & 7)
+        ct = np.frombuffer(payload[pos:pos + 3 * n],
+                           np.uint8).reshape(n, 3)
+        pos += 3 * n
+    else:
+        ct = gct
+    if ct is None:
+        raise ValueError("GIF image without a color table")
+    mcs = payload[pos]
+    pos += 1
+    data = bytearray()
+    while payload[pos] != 0:
+        ln = payload[pos]
+        data += payload[pos + 1:pos + 1 + ln]
+        pos += ln + 1
+    idx = np.frombuffer(_lzw_decode_gif(bytes(data), mcs), np.uint8)
+    if len(idx) != iw * ih:
+        raise ValueError(
+            f"LZW yielded {len(idx)} indices for {iw}x{ih}")
+    return iw, ih, ct, idx.reshape(ih, iw)
+
+
+def attach_gif_payload(docs: DataFrame) -> DataFrame:
+    """In-engine LZW-compressed image fixture: a real GIF89a file per
+    document (width 4 + id%5, height 3 + id%4, 8-color palette
+    palette[c] = ((31·id + 17c) % 256, (73·id + 41c) % 256,
+    (11·id + 59c) % 256), index (y,x) = (id + 7x + 13y) % 8) —
+    arithmetic a SQL oracle reproduces without touching LZW, while
+    the Spark side round-trips genuine variable-width LZW streams
+    (the image sizes cross the 16- and 32-entry width boundaries, so
+    the spec's width-bump synchronization is exercised on the real
+    corpus, not just in unit tests)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                w, h = 4 + doc_id % 5, 3 + doc_id % 4
+                ys = np.arange(h, dtype=np.int64)[:, None]
+                xs = np.arange(w, dtype=np.int64)[None, :]
+                idx = (doc_id + 7 * xs + 13 * ys) % 8
+                cs = np.arange(8, dtype=np.int64)
+                pal = np.stack([(31 * doc_id + 17 * cs) % 256,
+                                (73 * doc_id + 41 * cs) % 256,
+                                (11 * doc_id + 59 * cs) % 256],
+                               axis=1)
+                payloads.append(encode_gif(idx, pal))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": payloads,
+                "media_type": GIF_MEDIA_TYPE,
+            })
+
+    return _spread_ids(docs).mapInPandas(
+        gen, schema="doc_id bigint, payload binary, media_type string")

@@ -2405,3 +2405,66 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [(int(i), round(float(v[i]), 6), lam) for i in range(dim)]
     return spark.createDataFrame(
         rows, "dim_idx long, loading double, eigenvalue double")
+
+
+@query(
+    "multimodal_decode_gif",
+    oracle="""
+WITH dims AS (
+    SELECT doc_id,
+           4 + doc_id % 5 AS w,
+           3 + doc_id % 4 AS h
+    FROM documents
+),
+px AS (
+    SELECT d.doc_id, d.w, d.h,
+           (d.doc_id + 7 * x.i + 13 * y.i) % 8 AS idx
+    FROM dims d
+    CROSS JOIN range(8) x(i)
+    CROSS JOIN range(6) y(i)
+    WHERE x.i < d.w AND y.i < d.h
+)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       round(avg(CAST((31 * doc_id + 17 * idx) % 256 AS DOUBLE)), 6)
+           AS mean_r,
+       round(avg(CAST((73 * doc_id + 41 * idx) % 256 AS DOUBLE)), 6)
+           AS mean_g,
+       round(avg(CAST((11 * doc_id + 59 * idx) % 256 AS DOUBLE)), 6)
+           AS mean_b
+FROM px
+GROUP BY doc_id, w, h
+""",
+)
+def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FOURTH image codec, second compressed one: each document
+    carries a genuine GIF89a file — logical screen descriptor,
+    global color table, extension-block walk, ≤255-byte sub-block
+    reassembly, and the spec's variable-width LSB-first LZW
+    (operators/multimodal.py decode_gif / _lzw_decode_gif, written
+    from the GIF89a specification) — generated in-engine from doc_id
+    arithmetic by a real LZW ENCODER whose width schedule mirrors the
+    decoder's table growth exactly (the EOI width-boundary desync is
+    the classic GIF trap; pinned by roundtrip fuzzing through the
+    width-12 and 4096-entry-saturation paths). The image sizes cross
+    the 16- and 32-entry width boundaries, so variable-width reads
+    are exercised on every corpus row, not just in unit tests. The
+    oracle reproduces the palette/index arithmetic directly in SQL —
+    it never touches LZW — so any decoder bug (bit order, KwKwK
+    case, bump timing, sub-block seams) breaks the hash.
+
+    At 100 TB: identical shape to the other codecs — one narrow
+    Arrow-batched mapInPandas over the binary column, zero shuffle,
+    pixels never leave the executor."""
+    from project_2_semantic_similarity_spark.operators.multimodal import (
+        attach_gif_payload, decode_image)
+
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_image(attach_gif_payload(docs))
+    return decoded.select(
+        "doc_id", "width", "height", "n_pixels",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"))

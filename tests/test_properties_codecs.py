@@ -240,3 +240,67 @@ def test_png_subbyte_gray_expansion_exact(depth):
     _, _, out = decode_png(payload)
     scale = 255 // maxv
     assert np.array_equal(out[0, :, 0], np.array(vals) * scale)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    depth=st.sampled_from([1, 2, 3, 4, 6, 8]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_gif_roundtrip_property(h, w, depth, seed):
+    from project_2_semantic_similarity_spark.operators.multimodal import (
+        decode_gif, encode_gif)
+
+    rng = np.random.default_rng(seed)
+    n = 1 << depth
+    idx = rng.integers(0, n, (h, w), dtype=np.uint8)
+    pal = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+    w2, h2, pal2, idx2 = decode_gif(encode_gif(idx, pal))
+    assert (w2, h2) == (w, h)
+    assert np.array_equal(pal2, pal)
+    assert np.array_equal(idx2, idx)
+
+
+def test_gif_lzw_width_boundary_and_saturation():
+    """The classic GIF traps, pinned deterministically: (1) a stream
+    whose LAST data code lands exactly on a width-bump boundary (the
+    EOI desync an encoder-side add-timing width schedule produces);
+    (2) repetitive input saturating the 4096-entry table at width
+    12; (3) the KwKwK immediate-reuse code."""
+    from project_2_semantic_similarity_spark.operators.multimodal import (
+        decode_gif, encode_gif)
+
+    pal2 = np.array([[0, 0, 0], [255, 255, 255]], np.uint8)
+    # sweep lengths around every early width boundary so SOME length
+    # puts the final code exactly on a bump
+    for n_px in range(2, 70):
+        idx = (np.arange(n_px, dtype=np.int64) % 2).astype(
+            np.uint8).reshape(1, n_px)
+        assert np.array_equal(decode_gif(encode_gif(idx, pal2))[3],
+                              idx), n_px
+    # KwKwK: 'aaaa...' forces the decoder's c == len(table) case
+    idx = np.zeros((1, 50), np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(idx, pal2))[3], idx)
+    # saturation: 600x600 structured 2-color image exceeds 4096
+    # entries; width pegs at 12 and both sides stop growing
+    big = np.fromfunction(lambda y, x: ((x * y) // 7) % 2,
+                          (600, 600)).astype(np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(big, pal2))[3], big)
+
+
+def test_gif_declared_unsupported_paths():
+    from project_2_semantic_similarity_spark.operators.multimodal import (
+        decode_gif, encode_gif)
+    import pytest as _pytest
+
+    pal = np.arange(6, dtype=np.uint8).reshape(2, 3)
+    payload = bytearray(encode_gif(np.zeros((2, 3), np.uint8), pal))
+    # flip the interlace bit in the image descriptor packed byte
+    pos = payload.index(0x2C, 13)
+    payload[pos + 9] |= 0x40
+    with _pytest.raises(NotImplementedError):
+        decode_gif(bytes(payload))
+    with _pytest.raises(ValueError):
+        decode_gif(b"NOTGIF" + bytes(payload[6:]))
