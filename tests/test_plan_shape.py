@@ -981,3 +981,105 @@ def test_wordpiece_is_vocab_sized_arrow_unhinted_join(spark, sf_dir):
     assert final.count("MapInPandas") == 1
     assert "BroadcastHashJoin" in final
     assert "SortMergeJoin" not in final
+
+
+def test_unigram_train_seed_topk_is_take_ordered(spark, sf_dir):
+    """The trainer's seed selection runs over the Heaps'-law-sized ×
+    fan-out substring relation, so it must plan as
+    TakeOrderedAndProject (per-partition top-K + K-row driver merge),
+    NEVER a single-partition global window; the two E-steps are two
+    Arrow stages over distinct words; the output-rank window is over
+    the VOCAB_K-bounded collected relation only (no data-sized
+    window partitioning)."""
+    from project_2_semantic_similarity_spark.plans.q_textlab import (
+        text_unigram_train)
+
+    df = text_unigram_train(spark, sf_dir)
+    df.collect()  # AQE finalizes (both join sides are K-bounded)
+    plan = df._jdf.queryExecution().executedPlan().toString() \
+        .split("== Initial Plan ==")[0]
+    # the final plan holds the LAST E-step (one Arrow stage) plus the
+    # bounded createDataFrame⋈recount join; earlier stages ran at
+    # build time through TakeOrderedAndProject collects
+    assert "MapInPandas" in plan
+    # the output join is between two ≤(K+alphabet)-row relations —
+    # AQE must resolve it to a broadcast, never a corpus exchange
+    assert "SortMergeJoin" not in plan
+
+
+def test_pca_power_single_arrow_stage_no_shuffle_of_vectors(
+        spark, sf_dir):
+    """embedding_pca_power's distributed portion is ONE Arrow
+    mapInPandas over the embeddings scan followed by a d²-bounded
+    hash agg — vectors never shuffle (the shuffled rows are the d²
+    partials), and the returned result is a local relation (the
+    iteration ran on the collected d² matrix)."""
+    from project_2_semantic_similarity_spark.plans.q_knn import (
+        embedding_pca_power)
+
+    df = embedding_pca_power(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the RESULT is driver-built 64 rows: a LocalTableScan/parallelize
+    assert "Scan parquet" not in plan
+    assert "Exchange" not in plan
+
+
+def test_epoch_mix_corpus_never_shuffles(spark, sf_dir):
+    """corpus_epoch_mix: the per-source rate relation is the BOUNDED
+    entity dimension — its join back over the corpus must be a
+    broadcast hash join (AQE under threshold), and the corpus side
+    must carry no Exchange besides the tiny rate aggregation."""
+    from project_2_semantic_similarity_spark.plans.q_sampling import (
+        corpus_epoch_mix)
+
+    df = corpus_epoch_mix(spark, sf_dir)
+    df.collect()  # let AQE finalize
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_c4_span_stage_is_partitioned_window_single_shuffle(
+        spark, sf_dir):
+    """text_c4_filters: the span-dedup window must be PARTITIONED by
+    span key (never a no-partition global window), and the rule
+    columns stay codegen'd (no PythonUDF / BatchEvalPython in the
+    plan)."""
+    from project_2_semantic_similarity_spark.plans.q_quality import (
+        text_c4_filters)
+
+    df = text_c4_filters(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "PythonUDF" not in plan
+    import re as _re
+    for m in _re.finditer(r"Window \[", plan):
+        seg = plan[m.start():plan.index("\n", m.start())]
+        assert "partitionBy" not in seg or "sk" in seg
+
+
+def test_interpolate_two_frames_one_sort(spark, sf_dir):
+    """win_interpolate_linear: both direction frames must ride ONE
+    per-user sort — a single Exchange hashpartitioning(user_id) and
+    no self-join."""
+    from project_2_semantic_similarity_spark.plans.q_analytics import (
+        win_interpolate_linear)
+
+    df = win_interpolate_linear(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_gif_decode_zero_shuffle(spark, sf_dir):
+    """multimodal_decode_gif: decode is narrow — payload generation
+    and decode are Arrow stages over one scan, with no Exchange
+    anywhere (pixels never shuffle)."""
+    from project_2_semantic_similarity_spark.plans.q_knn import (
+        multimodal_decode_gif)
+
+    df = multimodal_decode_gif(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert "Exchange" not in plan or plan.count(
+        "Exchange hashpartitioning") == 0
