@@ -663,3 +663,108 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
                           / (F.col("dfa") * F.col("dfb"))
                           .cast("double")), 6).alias("pmi"))
     )
+
+
+# ------------------------------------------------- inverted index sink
+
+# Term-hash bucket count for the materialized inverted index — the
+# text twin of sink_ivf_partitioned's inverted lists. Portable
+# bucketing (md5 prefix, not an engine hash) so the oracle computes
+# the identical bucket for the query term.
+_POSTINGS_BUCKETS = 16
+_POSTINGS_K = 10
+
+
+def _term_bucket_sql(term_expr: str) -> str:
+    return (f"CAST('0x' || substr(md5({term_expr}), 1, 4) AS INTEGER)"
+            f" % {_POSTINGS_BUCKETS}")
+
+
+@query(
+    "sink_inverted_postings",
+    oracle=f"""
+WITH postings AS (
+    SELECT w AS term, doc_id, CAST(count(*) AS BIGINT) AS tf
+    FROM documents,
+         unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+             AS t(w)
+    GROUP BY w, doc_id
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+hits AS (
+    SELECT doc_id, tf,
+           CAST(count(*) OVER () AS BIGINT) AS df
+    FROM postings WHERE term = '{FLAGSHIP_QUERY_TERM}'
+)
+SELECT doc_id, tf, df,
+       round(tf * log10(n.n_docs / df), 6) AS score
+FROM hits, n
+ORDER BY tf * log10(n.n_docs / df) DESC, doc_id
+LIMIT {_POSTINGS_K}
+""",
+)
+def sink_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An INVERTED INDEX MATERIALIZED — the text-retrieval twin of
+    sink_ivf_partitioned: the postings relation (term, doc_id, tf) is
+    written ``partitionBy(bucket)`` with a PORTABLE md5 term bucket
+    (every posting of one term lives in exactly one of the
+    {_POSTINGS_BUCKETS} directories), and the serve path re-reads it
+    with the query term's bucket as a STATIC partition filter — the
+    literal is computed from the constant term before planning, so
+    the scan touches 1/{_POSTINGS_BUCKETS} of the files on disk with
+    no driver round-trip and no DPP machinery needed. Scoring is the
+    reference's own tf·log10(N/df) (app.py:33-36,58) over the pruned
+    bucket; df comes from the bucket itself (all of a term's postings
+    are co-located — the property the layout exists to provide).
+
+    At 100 TB: the postings build is one exploded hash agg (uniform
+    term-doc keys), the write is one shuffle into the bucketed
+    layout, and EVERY subsequent term query is a one-bucket scan —
+    the parquet-native serving story for BM25/tf-idf retrieval,
+    exactly as sink_ivf_partitioned is for ANN."""
+    import hashlib
+
+    from project_2_semantic_similarity_spark.scratch import scratch_path
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings = (docs
+                .select("doc_id",
+                        F.explode(F.split(F.col("text"), " "))
+                         .alias("term"))
+                .filter(F.col("term") != "")
+                .groupBy("term", "doc_id")
+                .agg(F.count("*").alias("tf"))
+                .withColumn(
+                    "bucket",
+                    (F.conv(F.substring(F.md5(F.col("term")), 1, 4),
+                            16, 10).cast("int")
+                     % _POSTINGS_BUCKETS)))
+    out = scratch_path(
+        f"{sf_dir.strip('/').replace('/', '_')}_postings_layout")
+    (postings.write.mode("overwrite")
+     .partitionBy("bucket").parquet(out))
+
+    qbucket = int(hashlib.md5(
+        FLAGSHIP_QUERY_TERM.encode()).hexdigest()[:4], 16) \
+        % _POSTINGS_BUCKETS
+    idx = spark.read.parquet(out)
+    n_docs = docs.count()  # scalar: corpus size for the idf
+    hits = (idx.filter((F.col("bucket") == qbucket)
+                       & (F.col("term") == FLAGSHIP_QUERY_TERM))
+            .select("doc_id", "tf"))
+    # df as a distributed partial count + 1-row broadcast — never a
+    # single-partition window over the hits (a stopword's postings
+    # are corpus-scale)
+    df_rel = hits.agg(F.count("*").alias("df"))
+    scored = hits.crossJoin(F.broadcast(df_rel))
+    return (scored
+            .select("doc_id", "tf", "df",
+                    F.round(F.col("tf")
+                            * F.log10(F.lit(float(n_docs))
+                                      / F.col("df")), 6)
+                     .alias("score"))
+            .orderBy(F.desc(F.col("tf")
+                            * F.log10(F.lit(float(n_docs))
+                                      / F.col("df"))),
+                     F.asc("doc_id"))
+            .limit(_POSTINGS_K))

@@ -1083,3 +1083,42 @@ def test_gif_decode_zero_shuffle(spark, sf_dir):
     assert plan.count("Scan parquet") == 1
     assert "Exchange" not in plan or plan.count(
         "Exchange hashpartitioning") == 0
+
+
+def test_inverted_postings_serve_prunes_to_one_bucket(spark, sf_dir):
+    """sink_inverted_postings: the serve scan must carry the query
+    term's bucket as a STATIC PartitionFilter (literal known before
+    planning — no DPP machinery), so files_read < files_total and
+    only 1/_POSTINGS_BUCKETS directories are touched."""
+    import glob as _glob
+    import hashlib as _hashlib
+
+    from project_2_semantic_similarity_spark.plans.q_text import (
+        _POSTINGS_BUCKETS, FLAGSHIP_QUERY_TERM, sink_inverted_postings)
+    from project_2_semantic_similarity_spark.scratch import scratch_path
+
+    df = sink_inverted_postings(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*bucket", plan), plan
+    # the layout on disk really is one directory per bucket, and the
+    # query term's postings live in exactly one of them
+    out = scratch_path(
+        f"{sf_dir.strip('/').replace('/', '_')}_postings_layout")
+    dirs = sorted(_glob.glob(f"{out}/bucket=*"))
+    assert 2 <= len(dirs) <= _POSTINGS_BUCKETS
+    qb = int(_hashlib.md5(FLAGSHIP_QUERY_TERM.encode())
+             .hexdigest()[:4], 16) % _POSTINGS_BUCKETS
+    assert any(d.endswith(f"bucket={qb}") for d in dirs)
+    rows = df.collect()
+    assert 0 < len(rows) <= 10
+    # serve result equals the layout-free computation
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from pyspark.sql import functions as F
+    postings = (docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.col("t") == FLAGSHIP_QUERY_TERM)
+        .groupBy("doc_id").agg(F.count("*").alias("tf")))
+    want = {r.doc_id: r.tf for r in postings.collect()}
+    for r in rows:
+        assert want[r.doc_id] == r.tf
+        assert r.df == len(want)
