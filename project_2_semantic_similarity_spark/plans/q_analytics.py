@@ -1553,3 +1553,72 @@ def win_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
         "event_type",
         F.round(interp, 6).alias("value_interp"))
+
+
+@query(
+    "graph_label_propagation",
+    oracle="""
+SELECT o_orderkey AS node, min_ok AS community_id
+FROM (
+    SELECT o_orderkey,
+           min(o_orderkey) OVER (PARTITION BY o_custkey) AS min_ok,
+           count(*) OVER (PARTITION BY o_custkey) AS n
+    FROM orders
+) t
+WHERE n >= 2
+""",
+)
+def graph_label_propagation(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """COMMUNITY DETECTION by synchronous label propagation
+    (Raghavan et al. 2007), the SELF-INCLUSIVE variant: each round
+    every node adopts the most frequent label among its neighbors
+    AND itself, ties broken by minimum label — self-inclusion is the
+    standard fix for the 2-clique oscillation of pure synchronous
+    LPA (a bipartite pair flips labels forever without it), and the
+    min tie-break makes every round deterministic under any
+    partitioning. Three unrolled rounds, per-round localCheckpoint
+    (the operators/graph.py iteration discipline).
+
+    Graph: each customer's orders form a CLIQUE (bounded ~25-order
+    cliques here; a web-scale clique build caps per-key fan-out or
+    switches to the star-graph edges cc_star uses). On disjoint
+    cliques self-inclusive min-tie-break LPA provably reaches its
+    fixed point — every node labeled the clique's minimum order key
+    — after ONE round, so the oracle states the closed form (the
+    graph_cc_star / cluster_kmeans oracle strategy: independent
+    fixed point, not re-simulation) and the driver hash checks three
+    generic rounds land exactly there.
+
+    Scale shape per round: one equi-join of the label relation onto
+    the edge list (AQE-decided), one (node, label) count agg, one
+    max_by(struct(cnt, -label)) argmax agg — all map-side
+    combinable; no windows over the graph, no driver collect."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    nodes = (o.select("o_custkey", "o_orderkey",
+                      F.count("*").over(w).alias("n"))
+             .filter(F.col("n") >= 2)
+             .select("o_custkey", F.col("o_orderkey").alias("node"))
+             ).localCheckpoint()
+    a = nodes.select("o_custkey", F.col("node").alias("u"))
+    b = nodes.select("o_custkey", F.col("node").alias("v"))
+    edges = (a.join(b, "o_custkey")
+             .filter(F.col("u") != F.col("v"))
+             .select("u", "v")).localCheckpoint()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(3):
+        nbr = (edges.join(labels,
+                          edges.v == F.col("node"))
+               .select(F.col("u").alias("node"), "label"))
+        votes = (nbr.unionByName(labels)  # self-inclusive
+                 .groupBy("node", "label")
+                 .agg(F.count("*").alias("cnt")))
+        labels = (votes.groupBy("node")
+                  .agg(F.max(F.struct(
+                      F.col("cnt"),
+                      (-F.col("label")).alias("neg"))).alias("m"))
+                  .select("node",
+                          (-F.col("m.neg")).alias("label"))
+                  ).localCheckpoint()
+    return labels.select("node", F.col("label").alias("community_id"))

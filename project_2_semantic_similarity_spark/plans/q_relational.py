@@ -4630,3 +4630,125 @@ def scan_manifest_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("l_quantity").cast("bigint").alias("total_qty"),
                  F.round(F.sum("l_extendedprice"), 2)
                   .alias("total_price")))
+
+
+@query(
+    "scan_xml",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+""",
+)
+def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML round-trip through Spark 4's NATIVE xml data source (the
+    spark-xml package folded into core in 4.0 — no external jar, so
+    this closes the source-format gap the way scan_avro could not:
+    spark-avro stayed a separate module and is absent from the
+    container). Explicit schema + rowTag, never schema inference in
+    a production path; the oracle is the table passthrough
+    (roundtrip-identity, the scan-family contract)."""
+    out = _tmp(sf_dir, "nation_xml")
+    (load_table(spark, sf_dir, "nation")
+     .select("n_nationkey", "n_name", "n_regionkey")
+     .write.mode("overwrite").format("xml")
+     .option("rowTag", "nation").save(out))
+    schema = T.StructType([
+        T.StructField("n_nationkey", T.IntegerType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.IntegerType()),
+    ])
+    return (spark.read.schema(schema).format("xml")
+            .option("rowTag", "nation").load(out))
+
+
+@query(
+    "fn_json_variant",
+    oracle="""
+SELECT c_custkey,
+       CAST(json_extract(j, '$.cust.name') ->> '$' AS VARCHAR) AS name,
+       CAST(json_extract(j, '$.cust.nation') AS INTEGER) AS nation,
+       round(CAST(json_extract(j, '$.bal') AS DOUBLE), 2) AS bal,
+       CAST(json_array_length(json_extract(j, '$.tags')) AS INT)
+           AS n_tags
+FROM (
+    SELECT c_custkey,
+           json_object('cust',
+                       json_object('name', c_name,
+                                   'nation', c_nationkey),
+                       'bal', round(c_acctbal, 2),
+                       'tags', json_array(c_mktsegment,
+                                          CAST(c_custkey % 3
+                                               AS VARCHAR))) AS j
+    FROM customer
+)
+""",
+)
+def fn_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's VARIANT type end-to-end: build a nested JSON
+    document per customer, PARSE_JSON it into a Variant column (the
+    open-format semi-structured encoding new in Spark 4 — binary,
+    shreddable, order-preserving), then extract typed paths with
+    try_variant_get ($.cust.name as string, $.cust.nation as long,
+    $.bal as double) and take the array cardinality off the variant.
+    This is the engine's answer for schema-on-read semi-structured
+    columns at scale: variant extraction is codegen'd JVM-side —
+    no per-row Python, no from_json full-schema materialization —
+    and the binary encoding pushes through shuffles unchanged.
+    The oracle runs the same paths with DuckDB's JSON operators on
+    the identical document."""
+    c = load_table(spark, sf_dir, "customer")
+    doc = F.concat(
+        F.lit('{"cust": {"name": "'), F.col("c_name"),
+        F.lit('", "nation": '), F.col("c_nationkey").cast("string"),
+        F.lit('}, "bal": '), F.round("c_acctbal", 2).cast("string"),
+        F.lit(', "tags": ["'), F.col("c_mktsegment"),
+        F.lit('", "'), (F.col("c_custkey") % 3).cast("string"),
+        F.lit('"]}'))
+    v = c.select("c_custkey", F.parse_json(doc).alias("v"))
+    return v.select(
+        "c_custkey",
+        F.try_variant_get("v", "$.cust.name", "string").alias("name"),
+        F.try_variant_get("v", "$.cust.nation", "int").alias("nation"),
+        F.round(F.try_variant_get("v", "$.bal", "double"), 2)
+         .alias("bal"),
+        F.size(F.try_variant_get("v", "$.tags", "array<string>"))
+         .alias("n_tags"))
+
+
+@query(
+    "join_lateral",
+    oracle="""
+SELECT c.c_custkey, o.o_orderkey,
+       round(o.o_totalprice, 2) AS price
+FROM customer c
+JOIN LATERAL (
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_custkey = c.c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) o ON true
+""",
+)
+def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORRELATED LATERAL JOIN (SQL:1999 LATERAL, first-class in
+    Spark 4): each customer's top-2 orders by price, expressed as a
+    correlated derived table with ORDER BY + LIMIT — the SQL-surface
+    twin of topk_per_group's DataFrame formulation. Catalyst
+    DECORRELATES the lateral subquery into a ranked window over one
+    orders shuffle (never a per-row re-execution — the same rewrite
+    the scalar-subquery family pins), so the plan a user writes
+    row-at-a-time executes set-at-a-time. o_totalprice is 2-decimal
+    at source, so round() is an identity, not a float-sum hazard;
+    ties break on o_orderkey in both engines."""
+    load_table(spark, sf_dir, "customer") \
+        .createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders") \
+        .createOrReplaceTempView("orders")
+    return spark.sql("""
+SELECT c.c_custkey, o.o_orderkey,
+       round(o.o_totalprice, 2) AS price
+FROM customer c
+JOIN LATERAL (
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_custkey = c.c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) o
+""")
