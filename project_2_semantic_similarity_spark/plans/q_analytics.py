@@ -1622,3 +1622,90 @@ def graph_label_propagation(spark: SparkSession,
                           (-F.col("m.neg")).alias("label"))
                   ).localCheckpoint()
     return labels.select("node", F.col("label").alias("community_id"))
+
+
+@query(
+    "events_changepoint_cusum",
+    oracle="""
+WITH RECURSIVE daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+m AS (
+    SELECT event_type, sum(cnt) / CAST(count(*) AS DOUBLE) AS mu
+    FROM daily GROUP BY event_type
+),
+ranked AS (
+    SELECT d.event_type, d.day, d.cnt, m.mu,
+           row_number() OVER (PARTITION BY d.event_type
+                              ORDER BY d.day) AS r
+    FROM daily d JOIN m USING (event_type)
+),
+cusum AS (
+    SELECT event_type, day, cnt, mu, r,
+           greatest(0.0, cnt - mu) AS s
+    FROM ranked WHERE r = 1
+    UNION ALL
+    SELECT x.event_type, x.day, x.cnt, x.mu, x.r,
+           greatest(0.0, c.s + (x.cnt - x.mu))
+    FROM ranked x JOIN cusum c
+      ON x.event_type = c.event_type AND x.r = c.r + 1
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, cnt,
+       round(s, 6) AS cusum,
+       CASE WHEN s > 2.0 * mu THEN 1 ELSE 0 END AS breach
+FROM cusum
+""",
+)
+def events_changepoint_cusum(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """CHANGEPOINT DETECTION by one-sided CUSUM (Page 1954): per
+    event type, S_t = max(0, S_{t-1} + (x_t − μ)) over the daily
+    count series, breach flagged when the cumulative drift exceeds
+    2μ — the classic upward-shift detector every metrics pipeline
+    runs beside the z-score point detector (events_anomaly_zscore
+    finds SPIKES; CUSUM finds sustained small shifts a z-score never
+    trips on). A LINEAR RECURRENCE with a clamp, so no window frame
+    expresses it: implemented as the win_ema fold (higher-order
+    aggregate() over the sorted per-type day sequence), the clamp
+    and add written in the IDENTICAL order in both engines so IEEE
+    doubles match bit-for-bit before rounding.
+
+    Scale: daily pre-agg is map-side combinable (state bounded by
+    |event types| × calendar, not event volume); μ is a bounded
+    per-type aggregate joined back AQE-decided; the fold is O(days)
+    per type. Multi-year horizons chunk by month and carry (S, μ)
+    through scans — the recurrence composes."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type",
+                        F.col("ts").cast("date").alias("day"))
+             .agg(F.count("*").alias("cnt")))
+    m = daily.groupBy("event_type").agg(
+        (F.sum("cnt") / F.count("*").cast("double")).alias("mu"))
+    packed = (daily.join(m, "event_type")
+              .groupBy("event_type", "mu")
+              .agg(F.sort_array(F.collect_list(
+                  F.struct("day", "cnt"))).alias("seq")))
+    folded = packed.withColumn(
+        "ss",
+        F.aggregate(
+            "seq",
+            F.expr("CAST(array() AS ARRAY<DOUBLE>)"),
+            lambda acc, x: F.concat(acc, F.array(
+                F.when(F.size(acc) == 0,
+                       F.greatest(F.lit(0.0),
+                                  x["cnt"] - F.col("mu")))
+                .otherwise(F.greatest(
+                    F.lit(0.0),
+                    F.element_at(acc, -1)
+                    + (x["cnt"] - F.col("mu"))))))))
+    z = F.posexplode(F.arrays_zip("seq", "ss"))
+    return (folded.select("event_type", "mu", z.alias("pos", "z"))
+            .select("event_type",
+                    F.date_format("z.seq.day", "yyyy-MM-dd")
+                     .alias("day"),
+                    F.col("z.seq.cnt").alias("cnt"),
+                    F.round("z.ss", 6).alias("cusum"),
+                    F.when(F.col("z.ss") > 2.0 * F.col("mu"), 1)
+                     .otherwise(0).alias("breach")))

@@ -94,3 +94,37 @@ def test_join_lateral_decorrelates_to_window(spark, sf_dir):
             o.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= 2).collect()}
     assert got == want
+
+
+def test_cusum_matches_python_recurrence(spark, sf_dir):
+    from project_2_semantic_similarity_spark.plans.q_analytics import (
+        events_changepoint_cusum)
+
+    rows = events_changepoint_cusum(spark, sf_dir).collect()
+    assert rows
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .select("event_type", F.col("ts").cast("date").alias("day"))
+          .collect())
+    daily: dict[tuple, int] = {}
+    for r in ev:
+        daily[(r.event_type, r.day)] = daily.get(
+            (r.event_type, r.day), 0) + 1
+    by_type: dict[str, list] = {}
+    for (t, d), c in daily.items():
+        by_type.setdefault(t, []).append((d, c))
+    expect = {}
+    for t, seq in by_type.items():
+        seq.sort()
+        mu = sum(c for _, c in seq) / float(len(seq))
+        s = 0.0
+        for d, c in seq:
+            s = max(0.0, s + (c - mu))
+            expect[(t, d.strftime("%Y-%m-%d"))] = (
+                c, round(s, 6), int(s > 2.0 * mu))
+    got = {(r.event_type, r.day): (r.cnt, r.cusum, r.breach)
+           for r in rows}
+    assert got == expect
+    # the detector is one-sided: never negative, and a breach only
+    # with a positive drift
+    assert all(r.cusum >= 0 for r in rows)
+    assert all(r.cusum > 0 for r in rows if r.breach)
