@@ -4752,3 +4752,45 @@ JOIN LATERAL (
     ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
 ) o
 """)
+
+
+@query(
+    "fn_sql_udf",
+    oracle="""
+SELECT l_returnflag,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS rev_e4,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+WHERE l_quantity < 25
+GROUP BY l_returnflag
+""",
+)
+def fn_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-language UDFs (CREATE FUNCTION ... RETURN <expr>, new in
+    Spark 4.0): the discounted-revenue expression packaged as a named
+    temporary SQL function and used inside an aggregate. The
+    load-bearing property is that a SQL UDF is INLINED by Catalyst —
+    the plan is identical to writing the expression in place (still
+    whole-stage codegen, still pushdown-eligible), unlike a Python
+    UDF which would pin a BatchEvalPython stage into the hot path.
+    Revenue is summed in exact integer 1e-4 units (the
+    join_bloom_prefilter discipline) so engines agree bit-for-bit."""
+    load_table(spark, sf_dir, "lineitem") \
+        .createOrReplaceTempView("lineitem")
+    spark.sql("""
+CREATE OR REPLACE TEMPORARY FUNCTION rev_e4_units(p DOUBLE, d DOUBLE)
+RETURNS BIGINT
+RETURN CAST(round(p * 100) AS BIGINT)
+       * (100 - CAST(round(d * 100) AS BIGINT))
+""")
+    return spark.sql("""
+SELECT l_returnflag,
+       CAST(sum(rev_e4_units(l_extendedprice, l_discount))
+            AS BIGINT) AS rev_e4,
+       count(*) AS n
+FROM lineitem
+WHERE l_quantity < 25
+GROUP BY l_returnflag
+""")

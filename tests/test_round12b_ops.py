@@ -128,3 +128,19 @@ def test_cusum_matches_python_recurrence(spark, sf_dir):
     # with a positive drift
     assert all(r.cusum >= 0 for r in rows)
     assert all(r.cusum > 0 for r in rows if r.breach)
+
+
+def test_sql_udf_is_inlined_not_python(spark, sf_dir):
+    """The SQL UDF must be INLINED by Catalyst — identical plan to
+    writing the expression in place: whole-stage codegen, no Python
+    stage, and the quantity filter still pushed to the scan."""
+    import re
+
+    from project_2_semantic_similarity_spark.plans.q_relational import (
+        fn_sql_udf)
+
+    df = fn_sql_udf(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    assert "WholeStageCodegen" in plan
+    assert re.search(r"PushedFilters: \[[^\]]*l_quantity", plan)
