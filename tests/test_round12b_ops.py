@@ -142,5 +142,7 @@ def test_sql_udf_is_inlined_not_python(spark, sf_dir):
     df = fn_sql_udf(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
-    assert "WholeStageCodegen" in plan
+    # the UDF body appears INLINED inside the aggregate expression —
+    # Catalyst substituted the SQL function like a macro
+    assert re.search(r"partial_sum\(\(cast\(round", plan)
     assert re.search(r"PushedFilters: \[[^\]]*l_quantity", plan)
