@@ -1122,3 +1122,20 @@ def test_inverted_postings_serve_prunes_to_one_bucket(spark, sf_dir):
     for r in rows:
         assert want[r.doc_id] == r.tf
         assert r.df == len(want)
+
+
+def test_lpa_rounds_read_checkpoints_no_cartesian(spark, sf_dir):
+    """graph_label_propagation: each round's vote join is an
+    equi-join on node id (never a cartesian / nested-loop over the
+    graph), and the final plan reads the per-round localCheckpoint
+    (lineage truncated — the plan does not re-derive three rounds of
+    joins from the parquet scan)."""
+    from project_2_semantic_similarity_spark.plans.q_analytics import (
+        graph_label_propagation)
+
+    df = graph_label_propagation(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Scan ExistingRDD" in plan       # checkpointed final round
+    assert "Scan parquet" not in plan       # lineage truncated
