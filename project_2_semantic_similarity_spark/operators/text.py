@@ -100,6 +100,39 @@ def with_doc_frequency(counts: DataFrame) -> DataFrame:
     return counts.join(df_tab, "term")
 
 
+def vocab_join(left: DataFrame, vocab: DataFrame,
+               on: str = "word",
+               broadcast_vocab_max: int = 4_000_000) -> DataFrame:
+    """Join a corpus-derived relation against the distinct-word
+    vocabulary with a MEASURED-count broadcast gate — the r12-verdict
+    refinement of the r11 unhinting. The tension: a hard
+    ``F.broadcast`` hint dies building a Heaps'-law-sized (10^8-10^9
+    distinct words on a 100 TB crawl) broadcast before any strategy
+    gate runs, but a bare unhinted join over ``localCheckpoint``ed
+    leaves plans as SortMergeJoin — LogicalRDD carries no size
+    stats, so the static planner can't broadcast no matter how small
+    the vocab is, and AQE only converts AFTER both sides' shuffle
+    map stages have been paid (measured 1.5-2x on the sf0.1
+    encode/pack family, BENCH_TRIAGE r13).
+
+    Resolution: the same measured-probe discipline as the flagship's
+    ``broadcast_df_max`` (``similar_terms``) and the encode strategy
+    gate (``bpe_encode_corpus``): a LIMIT-bounded count — scans at
+    most ``broadcast_vocab_max + 1`` rows of the (checkpointed,
+    materialized) vocab — picks the hinted broadcast under the bound
+    and the unhinted AQE-decided join past it. Callers MUST pass a
+    localCheckpointed (or otherwise materialized) vocab: on a lazy
+    vocab the probe would re-run the corpus distinct, adding a full
+    corpus pass. Sites that leave the vocab lazy keep the bare
+    unhinted join instead (text_bpe_tokenize et al., where AQE's
+    post-shuffle conversion is paid once, not multiplied through the
+    rank machinery's double read)."""
+    n = vocab.limit(broadcast_vocab_max + 1).count()
+    if n <= broadcast_vocab_max:
+        return left.join(F.broadcast(vocab), on)
+    return left.join(vocab, on)
+
+
 def tfidf(corpus: DataFrame) -> DataFrame:
     """Full TF-IDF pipeline: (doc_id, text) -> (doc_id, term, tfidf).
 

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from project_2_semantic_similarity_spark.functions import text_analysis as TA
+from project_2_semantic_similarity_spark.operators.text import vocab_join
 from project_2_semantic_similarity_spark.plans.registry import query
 from project_2_semantic_similarity_spark.sources import load_table
 
@@ -1240,6 +1241,9 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = bpe_word_tokens(words.select("word").distinct())
 
     def build_counted() -> DataFrame:
+        # vocab is LAZY here (single consumer behind keyed_persist) —
+        # a vocab_join probe would re-run the corpus distinct, so the
+        # join stays bare-unhinted (AQE decides, paid once)
         return (words.join(vocab, "word")
                 .groupBy("doc_id")
                 .agg(F.sum(F.col("cnt") * F.col("n_tok"))
@@ -1704,7 +1708,9 @@ def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     trap — so it rides with_global_rank (operators/rank.py: range
     partitions + broadcast per-partition offsets, the
     running_sum_probe-pinned machinery). Token frequencies come from
-    the same vocabulary-tokenize + unhinted-vocab-join plan as
+    the same vocabulary-tokenize + gated-vocab-join plan
+    (operators/text.py vocab_join: measured-count broadcast under
+    the bound, AQE-decided past it) as
     text_bpe_tokenize: the corpus is touched once; everything after
     is vocabulary- then token-sized. The word counts AND the
     tokenized vocabulary are localCheckpointed before the rank
@@ -1726,7 +1732,7 @@ def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
              ).localCheckpoint()
     vocab = bpe_word_tokens(
         words.select("word").distinct()).localCheckpoint()
-    freq = (words.join(vocab, "word")
+    freq = (vocab_join(words, vocab)
             .select(F.explode("tokens").alias("token"), "cnt")
             .groupBy("token").agg(F.sum("cnt").alias("freq")))
     ranked = with_global_rank(
@@ -1853,7 +1859,7 @@ def text_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
              ).localCheckpoint()
     vocab = bpe_word_tokens(
         words.select("word").distinct()).localCheckpoint()
-    freq = (words.join(vocab, "word")
+    freq = (vocab_join(words, vocab)
             .select(F.explode("tokens").alias("token"), "cnt")
             .groupBy("token").agg(F.sum("cnt").alias("freq")))
     ids = with_global_rank(
@@ -1907,7 +1913,7 @@ def text_bpe_vocab_coverage(spark: SparkSession,
     characters, so the curve IS the truncation-cost function.
 
     Plan: token-sized end-to-end after the one corpus word-count agg
-    — frequencies from the vocabulary-tokenize + unhinted-vocab-join
+    — frequencies from the vocabulary-tokenize + gated-vocab-join
     plan, the global rank on with_global_rank's range machinery, then
     a bounded crossJoin against the 4-row size list and one
     token-sized aggregation. Nothing here grows with corpus size
@@ -1925,7 +1931,7 @@ def text_bpe_vocab_coverage(spark: SparkSession,
              ).localCheckpoint()
     vocab = bpe_word_tokens(
         words.select("word").distinct()).localCheckpoint()
-    freq = (words.join(vocab, "word")
+    freq = (vocab_join(words, vocab)
             .select(F.explode("tokens").alias("token"), "cnt")
             .groupBy("token").agg(F.sum("cnt").alias("freq"))
             ).localCheckpoint()
@@ -2036,7 +2042,7 @@ def text_bpe_encode_holdout(spark: SparkSession,
              ).localCheckpoint()
     vocab = bpe_word_tokens(
         words.select("word").distinct()).localCheckpoint()
-    freq = (words.join(vocab, "word")
+    freq = (vocab_join(words, vocab)
             .select(F.explode("tokens").alias("token"), "cnt")
             .groupBy("token").agg(F.sum("cnt").alias("freq")))
     ids = with_global_rank(
@@ -2105,7 +2111,7 @@ def corpus_context_window_ids(spark: SparkSession,
              ).localCheckpoint()
     vocab = bpe_word_tokens(
         words.select("word").distinct()).localCheckpoint()
-    nbpe = (words.join(vocab, "word")
+    nbpe = (vocab_join(words, vocab)
             .groupBy("doc_id")
             .agg(F.sum(F.col("cnt") * F.col("n_tok")).alias("n_bpe")))
     offs = with_global_running_sum(
@@ -2174,7 +2180,7 @@ def corpus_context_window_ids_sep(spark: SparkSession,
              ).localCheckpoint()
     vocab = bpe_word_tokens(
         words.select("word").distinct()).localCheckpoint()
-    nbpe = (words.join(vocab, "word")
+    nbpe = (vocab_join(words, vocab)
             .groupBy("doc_id")
             .agg(F.sum(F.col("cnt") * F.col("n_tok")).alias("n_bpe")))
     sep = nbpe.select(
@@ -2231,7 +2237,7 @@ def corpus_window_doc_starts(spark: SparkSession,
              ).localCheckpoint()
     vocab = bpe_word_tokens(
         words.select("word").distinct()).localCheckpoint()
-    nbpe = (words.join(vocab, "word")
+    nbpe = (vocab_join(words, vocab)
             .groupBy("doc_id")
             .agg(F.sum(F.col("cnt") * F.col("n_tok")).alias("n_bpe")))
     offs = with_global_running_sum(
@@ -2315,7 +2321,7 @@ def corpus_to_training_batches(spark: SparkSession,
     vocab = seg.select(
         "word", F.col("syms").alias("tokens"),
         F.size("syms").alias("n_tok")).localCheckpoint()
-    freq = (dwords.join(vocab, "word")
+    freq = (vocab_join(dwords, vocab)
             .select(F.explode("tokens").alias("token"), "cnt")
             .groupBy("token").agg(F.sum("cnt").alias("freq")))
     ids = with_global_rank(
@@ -2323,7 +2329,7 @@ def corpus_to_training_batches(spark: SparkSession,
         rank_col="rn").select(
         "token", (F.col("rn") + 3).cast("long").alias("token_id"))
     enc = bpe_encode_corpus(docs, vocab, ids, unk_id=1)
-    nbpe = (dwords.join(vocab, "word")
+    nbpe = (vocab_join(dwords, vocab)
             .groupBy("doc_id")
             .agg(F.sum(F.col("cnt") * F.col("n_tok")).alias("n_bpe")))
     offs = with_global_running_sum(
@@ -2599,7 +2605,7 @@ def corpus_shuffle_windows(spark: SparkSession,
              ).localCheckpoint()
     vocab = bpe_word_tokens(
         words.select("word").distinct()).localCheckpoint()
-    nbpe = (words.join(vocab, "word")
+    nbpe = (vocab_join(words, vocab)
             .groupBy("doc_id")
             .agg(F.sum(F.col("cnt") * F.col("n_tok")).alias("n_bpe")))
     offs = with_global_running_sum(

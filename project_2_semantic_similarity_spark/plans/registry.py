@@ -52,14 +52,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # change is in fact result-preserving).
 _CHANGED_THIS_ROUND = frozenset(
     {
-        # round 12 (r11 VERDICT #1): the hard F.broadcast(vocab) hint
-        # on the Heaps'-law-sized distinct-word relation was dropped
-        # at all 12 sites — AQE now decides (broadcast under
-        # threshold, shuffle join past it). Result-preserving by
-        # design; the driver hash is the independent check.
-        "text_bpe_tokenize",
-        "text_token_count_bpe",
-        "text_bpe_tokenize_10k",
+        # round 13 (r12 VERDICT #1): the checkpointed-vocab join
+        # sites moved from bare-unhinted to the MEASURED-count gate
+        # (operators/text.py vocab_join — LIMIT-bounded probe picks
+        # the static broadcast under the bound, AQE-decided past
+        # it), recovering the sf0.1 regression the r12 unhinting
+        # introduced. Result-preserving by design (join strategy
+        # only); the driver hash is the independent check.
         "text_bpe_vocab",
         "text_bpe_encode_ids",
         "text_bpe_vocab_coverage",
@@ -68,26 +67,7 @@ _CHANGED_THIS_ROUND = frozenset(
         "corpus_context_window_ids_sep",
         "corpus_window_doc_starts",
         "corpus_to_training_batches",
-        # round 12: with_doc_frequency's term-df join was also
-        # unhinted (same policy). NOT listed here: every consumer of
-        # the changed build (the shared docsim_weights keyed_persist
-        # slot) is either the flagship (always slot 0) or r6-tier
-        # (text_tfidf, text_doc_similarity, text_doc_similarity_ann,
-        # text_df_idf), all re-verified THIS round by the oldest-
-        # first drain — adding text_keywords (r11, same slot, its own
-        # logic untouched) would push the window past 50 and leave an
-        # r6 name undrained (r11 task #4 trade, made explicitly).
-        # round 12: the PMI per-term df hint dropped too (the one
-        # other Heaps'-law-class hint the repo-wide audit found —
-        # entity-dimension hints are a pinned design, see SCALE.md).
-        # Listed, accepting that a FEW r6 names ride to r13: this
-        # round declares 6 new names (train/encode_bytes,
-        # shuffle_windows, bpe_decode, wordpiece, stream_bpe_encode —
-        # all tier-1 as never-driver-verified), so ~4 of the 35-name
-        # r6 tier fall past the ~50-name window. Scale correctness + genuinely
-        # new surface outrank completing the drain by exactly 35;
-        # every r6 name stays green in all three local SF sweeps.
-        "text_cooccurrence_pmi",
+        "corpus_shuffle_windows",
     }
 )
 

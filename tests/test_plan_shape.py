@@ -877,9 +877,11 @@ def test_no_hard_broadcast_hint_on_vocab_relation(spark, sf_dir):
     the unhinted encode-side joins already follow). Runtime pin: at
     toy scale AQE still picks the broadcast, so dropping the hint
     changes nothing where the hint used to be valid."""
-    import project_2_semantic_similarity_spark.plans.q_textlab as q
+    import inspect
 
+    import project_2_semantic_similarity_spark.operators.text as ot
     import project_2_semantic_similarity_spark.plans.q_text as qt
+    import project_2_semantic_similarity_spark.plans.q_textlab as q
 
     with open(q.__file__) as fh:
         src = fh.read()
@@ -890,6 +892,14 @@ def test_no_hard_broadcast_hint_on_vocab_relation(spark, sf_dir):
     # q_text: the PMI per-term df table is the same Heaps'-law class
     with open(qt.__file__) as fh:
         assert "join(F.broadcast(tf" not in fh.read()
+    # r13 refinement: checkpointed-vocab sites route through the
+    # MEASURED-count gate (vocab_join) — the hint comes back only
+    # under a LIMIT-bounded probe, never unconditionally. Pin the
+    # probe so a future edit can't quietly turn the gate into a
+    # hard hint again.
+    gate_src = inspect.getsource(ot.vocab_join)
+    assert "limit(broadcast_vocab_max + 1).count()" in gate_src
+    assert "vocab_join(" in src  # the sites actually use it
 
     df = e.queries()["text_bpe_tokenize"](spark, sf_dir)
     df.collect()
@@ -897,6 +907,32 @@ def test_no_hard_broadcast_hint_on_vocab_relation(spark, sf_dir):
     assert "isFinalPlan=true" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+    # gated site, runtime pin: under the probe bound the gate must
+    # yield a STATIC broadcast join over the checkpointed leaves —
+    # not AQE's shuffle-then-convert (both map stages paid first;
+    # the 1.5-2x sf0.1 regression BENCH_TRIAGE r13 bisected). Build
+    # the exact site shape: two LogicalRDD (localCheckpoint) inputs,
+    # whose unknown size stats are why the unhinted static plan was
+    # SMJ in the first place.
+    from pyspark.sql import functions as F
+
+    from project_2_semantic_similarity_spark.operators.text import (
+        bpe_word_tokens, vocab_join)
+    from project_2_semantic_similarity_spark.sources import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    words = (docs.select(F.explode(F.split("text", " ")).alias("word"))
+             .filter(F.col("word") != "")
+             .groupBy("word").agg(F.count("*").alias("cnt"))
+             ).localCheckpoint()
+    vocab = bpe_word_tokens(words.select("word").distinct()
+                            ).localCheckpoint()
+    jplan = (vocab_join(words, vocab)
+             ._jdf.queryExecution().executedPlan().toString())
+    # unexecuted plan (isFinalPlan=false): a BroadcastHashJoin HERE
+    # is the static planner's decision, not an AQE conversion
+    assert "BroadcastHashJoin" in jplan
+    assert "SortMergeJoin" not in jplan
 
 
 def test_shuffle_windows_rank_rides_range_machinery(spark, sf_dir):
