@@ -136,17 +136,32 @@ def registry_sweep(run, qs: dict, repo_root: str,
     loadavg_start = [round(x, 2) for x in os.getloadavg()]
     times: dict[str, float] = {}
     errs: list[str] = []
+    # Per-phase load accounting (r12 verdict #5): the r12 artifact
+    # gated once at start (passed at 0.94) then ran the whole sweep
+    # at sustained ~3.4, so its 119 one-shot flags couldn't separate
+    # real from environmental. Record the loadavg every 50 names so
+    # the artifact shows the load UNDER WHICH each segment ran.
+    # (Caveat the trace honestly: during a sweep the loadavg includes
+    # the bench's own executor threads — the cross-round COMPARISON
+    # of traces, not the absolute level, is the signal.)
+    load_trace: list[dict] = []
     # FIXED name order (r11): e.queries() rotates with the driver's
     # verification tiers, so iterating it made each round's sweep run
     # different names in the cold/warm parts of the session — r10 vs
     # r11 per-query deltas were dominated by position, not plans.
     # Sorted order makes sweep walls comparable across rounds.
-    for name in sorted(qs):
+    for i, name in enumerate(sorted(qs)):
+        if i % 50 == 0:
+            load_trace.append({"at_query": i,
+                               "loadavg":
+                                   [round(x, 2) for x in os.getloadavg()]})
         try:
             times[name] = round(run(name), 3)
         except Exception as exc:  # record, keep sweeping
             errs.append(name)
             print(f"sweep error {name}: {exc!r}", file=sys.stderr)
+    load_trace.append({"at_query": len(qs),
+                       "loadavg": [round(x, 2) for x in os.getloadavg()]})
     total = round(sum(times.values()), 3)
 
     vs_prev = None
@@ -213,6 +228,7 @@ def registry_sweep(run, qs: dict, repo_root: str,
         "vs_prev": vs_prev,
         "loadavg_start": loadavg_start,
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        "loadavg_trace": load_trace,
         "load_gate": load_gate,
     }
     path = os.path.join(repo_root, f"BENCH_SWEEP_r{this_round:02d}.json")
@@ -397,6 +413,12 @@ def main() -> int:
 
     clear_slots()
     spark.stop()
+    # Re-gate between phases (r12 verdict #5): the start-of-run gate
+    # says nothing about the box by the time the sweep ends — r12's
+    # headline phase ran at sustained ~3.4 after a 0.94-gated start.
+    # The old session is stopped, so a high loadavg HERE is either
+    # JVM teardown or foreign load; wait it out (bounded) and record.
+    headline_gate = _wait_for_quiet(timeout_s=300.0)
     spark = get_spark("bench_headline")
     restage_sec = stage(spark, sf_dir)
 
@@ -482,7 +504,9 @@ def main() -> int:
         "headline_restage_sec": round(restage_sec, 3),
         "session_startup_sec": round(session_startup, 3),
         "load_gate": load_gate,
+        "headline_gate": headline_gate,
         "loadavg_start": loadavg_start,
+        "loadavg_headline_start": headline_gate["loadavg_after_wait"],
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
     }
     with open(os.path.join(repo_root, "BENCH_DETAIL.json"), "w") as fh:
@@ -508,6 +532,8 @@ def main() -> int:
         "registry_sweep": sweep_summary,
         "load_gate_waited_sec": load_gate["waited_sec"],
         "loadavg_at_start": load_gate["loadavg_after_wait"],
+        "headline_gate_waited_sec": headline_gate["waited_sec"],
+        "loadavg_at_headline": headline_gate["loadavg_after_wait"],
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
     }))
     return 0
