@@ -1428,6 +1428,14 @@ def _lzw_decode_gif(data: bytes, mcs: int) -> bytes:
         if c == eoi:
             break
         if prev < 0:
+            # first code after CLEAR (or stream start): must be a
+            # root entry — an out-of-range code here is a malformed
+            # stream, not the KwKwK case (r12 ADVICE: was a raw
+            # IndexError)
+            if not table or c >= len(table):
+                raise ValueError(
+                    f"LZW code {c} before/after CLEAR with no "
+                    "matching table entry")
             entry = table[c]
         elif c < len(table):
             entry = table[c]
@@ -1473,23 +1481,37 @@ def decode_gif(payload: bytes) -> tuple[int, int, np.ndarray, np.ndarray]:
     Returns (w, h, palette (n,3), indices (h,w)). Interlaced images
     raise NotImplementedError (declared unsupported path, like
     arithmetic-coded JPEG)."""
+    def need(upto: int, what: str) -> None:
+        # every payload[pos...] read is length-guarded (r12 ADVICE:
+        # truncated/malformed files raised raw IndexError/
+        # struct.error instead of the LZW path's ValueError contract)
+        if upto > len(payload):
+            raise ValueError(
+                f"GIF truncated in {what} "
+                f"(need {upto} bytes, have {len(payload)})")
+
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF file")
+    need(13, "logical screen descriptor")
     sw, sh = struct.unpack("<HH", payload[6:10])
     packed = payload[10]
     pos = 13
     gct = None
     if packed & 0x80:
         n = 2 << (packed & 7)
+        need(pos + 3 * n, "global color table")
         gct = np.frombuffer(payload[pos:pos + 3 * n],
                             np.uint8).reshape(n, 3)
         pos += 3 * n
     while True:
+        need(pos + 1, "block introducer")
         b0 = payload[pos]
         if b0 == 0x21:  # extension: introducer, label, sub-blocks
             pos += 2
+            need(pos + 1, "extension sub-block length")
             while payload[pos] != 0:
                 pos += payload[pos] + 1
+                need(pos + 1, "extension sub-block")
             pos += 1
         elif b0 == 0x2C:
             break
@@ -1497,6 +1519,7 @@ def decode_gif(payload: bytes) -> tuple[int, int, np.ndarray, np.ndarray]:
             raise ValueError("GIF trailer before any image")
         else:
             raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+    need(pos + 10, "image descriptor")
     _l, _t, iw, ih = struct.unpack("<HHHH", payload[pos + 1:pos + 9])
     ipacked = payload[pos + 9]
     pos += 10
@@ -1504,6 +1527,7 @@ def decode_gif(payload: bytes) -> tuple[int, int, np.ndarray, np.ndarray]:
         raise NotImplementedError("interlaced GIF not supported")
     if ipacked & 0x80:
         n = 2 << (ipacked & 7)
+        need(pos + 3 * n, "local color table")
         ct = np.frombuffer(payload[pos:pos + 3 * n],
                            np.uint8).reshape(n, 3)
         pos += 3 * n
@@ -1511,13 +1535,17 @@ def decode_gif(payload: bytes) -> tuple[int, int, np.ndarray, np.ndarray]:
         ct = gct
     if ct is None:
         raise ValueError("GIF image without a color table")
+    need(pos + 1, "LZW minimum code size")
     mcs = payload[pos]
     pos += 1
     data = bytearray()
+    need(pos + 1, "image sub-block length")
     while payload[pos] != 0:
         ln = payload[pos]
+        need(pos + 1 + ln, "image sub-block")
         data += payload[pos + 1:pos + 1 + ln]
         pos += ln + 1
+        need(pos + 1, "image sub-block length")
     idx = np.frombuffer(_lzw_decode_gif(bytes(data), mcs), np.uint8)
     if len(idx) != iw * ih:
         raise ValueError(

@@ -883,6 +883,70 @@ def cosine_pairs_lsh(embeddings: DataFrame, min_cosine: float,
         .agg(F.max("cosine").alias("cosine")))
 
 
+def cosine_range_search(embeddings: DataFrame, queries: DataFrame,
+                        min_cosine: float,
+                        broadcast_q_max: int | None = 100_000,
+                        dim: int = 64, n_planes: int = 4,
+                        n_tables: int = 24, seed: int = 42,
+                        id_col: str = "vec_id",
+                        q_id_col: str = "query_id",
+                        vec_col: str = "embedding",
+                        q_vec_col: str = "qv",
+                        plane_family: str = "rademacher") -> DataFrame:
+    """Fixed-radius similarity search — every corpus vector with
+    cosine ≥ ``min_cosine`` to each query — with a MEASURED-count
+    gate on the query-block broadcast (the flagship's
+    ``broadcast_df_max`` discipline, operators/text.py
+    similar_terms; r12 verdict #3 closed the ungated form).
+
+    Under ``broadcast_q_max`` (LIMIT-bounded probe — scans at most
+    bound+1 query rows) the query block broadcasts and the search is
+    EXACT: one corpus scan, the cosine in whole-stage codegen, no
+    shuffle (the output is a filter, not an agg). Past the bound —
+    a query set that scales WITH the corpus, where the broadcast
+    itself becomes the bottleneck at 100× — the plan switches to
+    multi-table sign-LSH candidates: both sides bucketed by the SAME
+    md5-derived hyperplanes (so the candidate equi-join on
+    (table_id, bucket) is bucket-local, never all-pairs), distinct
+    candidate pairs, exact cosine re-check. The LSH path has zero
+    false positives (exact filter) and recall bounded by the
+    Charikar curve 1−(1−p^b)^L — declared APPROXIMATE, the same
+    contract as cosine_pairs_lsh / dedup_embedding_cosine_lsh.
+    ``broadcast_q_max=None`` forces the LSH path (plan-shape tests).
+    """
+    ex = embeddings.select(F.col(id_col).alias("__cid"),
+                           F.col(vec_col).alias("__cv"))
+    if broadcast_q_max is not None and (
+            queries.limit(broadcast_q_max + 1).count()
+            <= broadcast_q_max):
+        return (ex.crossJoin(F.broadcast(queries))
+                .filter(F.col("__cid") != F.col(q_id_col))
+                .withColumn("cosine",
+                            cosine_similarity("__cv", q_vec_col))
+                .filter(F.col("cosine") >= F.lit(min_cosine))
+                .select(q_id_col, F.col("__cid").alias(id_col),
+                        "cosine"))
+    ctab = lsh_bucket_tables(ex, dim, n_planes, n_tables, seed,
+                             "__cv", plane_family) \
+        .select("__cid", "table_id", "bucket")
+    qtab = lsh_bucket_tables(
+        queries.select(F.col(q_id_col).alias("__qid"),
+                       F.col(q_vec_col).alias("__qv")),
+        dim, n_planes, n_tables, seed, "__qv", plane_family) \
+        .select("__qid", "table_id", "bucket")
+    cand = (ctab.join(qtab, ["table_id", "bucket"])
+            .filter(F.col("__cid") != F.col("__qid"))
+            .select("__cid", "__qid")
+            .distinct())  # a pair may collide in several tables
+    qv = queries.select(F.col(q_id_col).alias("__qid"),
+                        F.col(q_vec_col).alias("__qv"))
+    return (cand.join(ex, "__cid").join(qv, "__qid")
+            .withColumn("cosine", cosine_similarity("__cv", "__qv"))
+            .filter(F.col("cosine") >= F.lit(min_cosine))
+            .select(F.col("__qid").alias(q_id_col),
+                    F.col("__cid").alias(id_col), "cosine"))
+
+
 def nearest_centroid_per_label(embeddings: DataFrame,
                                label_col: str = "label",
                                vec_col: str = "embedding") -> DataFrame:

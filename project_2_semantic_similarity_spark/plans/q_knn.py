@@ -2081,8 +2081,24 @@ def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SEMDEDUP_TAU = 0.35
-_SEMDEDUP_K = 8
+_SEMDEDUP_K = 8          # floor — the toy-SF setting
 _SEMDEDUP_ITERS = 5
+# k scales WITH the corpus (r12 verdict #4): k = max(floor,
+# ceil(n / target)) bounds the EXPECTED cluster size — and with it
+# the per-cluster quadratic pair term — at any corpus scale, the
+# paper's own recipe (SemDeDup used 50k clusters for LAION ≈ this
+# target). 640 keeps k at the floor through sf0.1 (5,000 vectors),
+# so every tested oracle is unchanged, and puts a 2M-vector corpus
+# at k=3125 (SCALE.md probe).
+_SEMDEDUP_TARGET_CLUSTER = 640
+
+
+def _semdedup_k(n: int) -> int:
+    """k = max(floor, ceil(n / target)) — mirrored by the oracle's
+    init LIMIT greatest(...) expression; tested directly so the two
+    formulas can't drift."""
+    return max(_SEMDEDUP_K,
+               -(-n // _SEMDEDUP_TARGET_CLUSTER))
 
 
 def _semdedup_oracle(k: int = _SEMDEDUP_K,
@@ -2105,7 +2121,9 @@ init AS (
                AS INT) AS label
     FROM e
     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-    LIMIT {k}
+    LIMIT greatest({k}, CAST(ceil(
+        (SELECT count(*) FROM e) / {_SEMDEDUP_TARGET_CLUSTER}.0)
+        AS BIGINT))
 ),
 cent0 AS (SELECT label, emb AS cvec FROM init){_lloyd_iteration_ctes("e", iters)},
 assigned AS (
@@ -2157,15 +2175,23 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters for LAION), bounding cluster size and making the
     quadratic term per-cluster-local; the assignment pass is the
     one data-sized job (broadcast k×dim codebook, no shuffle);
-    the pair join shuffles on list_id exactly once. Our declared
-    k=8 is the toy-SF setting of the same plan; the codebook fit
-    additionally hash-samples at scale (kmeans_codebook
-    fit_sample_max)."""
+    the pair join shuffles on list_id exactly once. k is DERIVED
+    from a measured count, k = max(8, ceil(n / 640)) in BOTH
+    engines (r12 verdict #4 — the fixed k=8 made the per-cluster
+    term grow ∝ corpus²/8): the floor keeps every tested SF's
+    oracle unchanged; at 2M vectors k=3125 and expected cluster
+    size stays ~640 (SCALE.md probe)."""
     from project_2_semantic_similarity_spark.functions.vectors import (
         cosine_similarity)
 
     e = load_table(spark, sf_dir, "embeddings")
-    assigned = S.kmeans_train(e, k=_SEMDEDUP_K, iters=_SEMDEDUP_ITERS)
+    # k from a measured count (r12 verdict #4, the corpus_pack_shards
+    # discipline): parquet count() is a metadata-cheap job, and the
+    # resulting k bounds expected cluster size — and the per-cluster
+    # quadratic pair volume — at 100×. The oracle derives the same k
+    # from ceil(count/target) in its init LIMIT.
+    assigned = S.kmeans_train(e, k=_semdedup_k(e.count()),
+                              iters=_SEMDEDUP_ITERS)
     emb = e.select("vec_id",
                    F.col("embedding").cast("array<double>").alias("emb"))
     a = assigned.join(emb, "vec_id")
@@ -2217,26 +2243,29 @@ def knn_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_id (the deterministic multi-query discipline of
     knn_batch_topk).
 
-    Scale shape: the query block is broadcast (bounded query set —
-    one scan of the corpus, no shuffle at all: the output is a
-    filter, not an agg). A corpus-sized query set instead wants the
-    LSH candidate path (dedup_embedding_cosine_lsh) — same
-    threshold semantics, bucket-local candidates; this op is the
-    serving-side primitive. The cosine stays in whole-stage codegen
-    (functions/vectors.py zip_with/aggregate fold)."""
-    from project_2_semantic_similarity_spark.functions.vectors import (
-        cosine_similarity)
+    Scale shape (r12 verdict #3): the query-block broadcast is
+    GATED on a measured LIMIT-bounded count
+    (operators/similarity.py cosine_range_search — the flagship's
+    broadcast_df_max discipline). Under the bound: one corpus scan,
+    cosine in whole-stage codegen, no shuffle. Past the bound — the
+    query set here scales WITH the corpus (every 100th vec), so at
+    100× the ungated broadcast itself was the bottleneck — the plan
+    switches to the multi-table sign-LSH candidate path
+    (bucket-local equi-join, exact re-check; declared approximate
+    with Charikar-curve recall, the dedup_embedding_cosine_lsh
+    contract). Both paths plan-pinned in tests/test_plan_shape.py;
+    at every tested SF the query count sits under the bound, so the
+    declared results stay exact and fully oracled."""
+    from project_2_semantic_similarity_spark.operators.similarity import (
+        cosine_range_search)
 
     e = load_table(spark, sf_dir, "embeddings")
     q = (e.filter(F.col("vec_id") % 100 == 0)
          .select(F.col("vec_id").alias("query_id"),
                  F.col("embedding").alias("qv")))
-    return (e.crossJoin(F.broadcast(q))
-            .filter(F.col("vec_id") != F.col("query_id"))
-            .withColumn("cosine", cosine_similarity("embedding", "qv"))
-            .filter(F.col("cosine") >= _RANGE_TAU)
-            .select("query_id", "vec_id",
-                    F.round("cosine", 6).alias("cosine")))
+    out = cosine_range_search(e, q, _RANGE_TAU)
+    return out.select("query_id", "vec_id",
+                      F.round("cosine", 6).alias("cosine"))
 
 
 # --------------------------------------------------- PCA (power iteration)
@@ -2296,7 +2325,8 @@ xx AS (
 ),
 cov_ut AS (
     SELECT x.i, x.j,
-           round((x.sxx - a.si * b.si / c.n) / c.n, 6) AS cv
+           floor(1000000.0 * ((x.sxx - a.si * b.si / c.n) / c.n)
+                 + 0.5) / 1000000.0 AS cv
     FROM xx x JOIN sums a ON a.i = x.i JOIN sums b ON b.i = x.j,
          cnt c
 ),
@@ -2325,7 +2355,7 @@ ray AS (
 )
 SELECT CAST(v.i AS BIGINT) AS dim_idx,
        round(g.s * v.v, 6) AS loading,
-       round(r.lam, 6) AS eigenvalue
+       floor(1000000.0 * r.lam + 0.5) / 1000000.0 AS eigenvalue
 FROM v{_PCA_ITERS} v, sgn g, ray r
 """,
 )
@@ -2389,10 +2419,14 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             sxx[r.i, r.j] = sxx[r.j, r.i] = r.p
         elif r.i >= 0:
             si[r.i] = r.p
-    cov = np.round((sxx - np.outer(si, si) / n) / n, 6)
-
     def quant(v: np.ndarray) -> np.ndarray:
         return np.floor(1e6 * v + 0.5) / 1e6
+
+    # quantize C with the SAME floor(1e6·x + 0.5) rule as every
+    # other value in the iteration (r12 ADVICE: np.round is
+    # half-to-even, DuckDB round() half-away-from-zero — the one
+    # off-grid knife edge in the 'identical rounding' discipline)
+    cov = quant((sxx - np.outer(si, si) / n) / n)
 
     v = quant(np.full(dim, 1.0 / np.sqrt(dim)))
     for _ in range(_PCA_ITERS):
@@ -2401,7 +2435,8 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     order = np.lexsort((np.arange(dim), -np.abs(v)))
     if v[order[0]] < 0:
         v = -v
-    lam = round(float(v @ cov @ v), 6)
+    # the Rayleigh quotient is off-grid too — same shared rule
+    lam = float(quant(np.array([float(v @ cov @ v)]))[0])
     rows = [(int(i), round(float(v[i]), 6), lam) for i in range(dim)]
     return spark.createDataFrame(
         rows, "dim_idx long, loading double, eigenvalue double")

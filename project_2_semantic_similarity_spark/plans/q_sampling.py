@@ -512,7 +512,7 @@ SELECT c.doc_id, c.source, c.n_tokens,
             + CASE WHEN CAST('0x' || substr(md5('epoch:'
                         || CAST(c.doc_id AS VARCHAR)), 1, 4) AS INTEGER)
                         / 65536.0
-                   < r.rpt - floor(r.rpt)
+                   < round(r.rpt, 6) - floor(r.rpt)
                    THEN 1 ELSE 0 END AS BIGINT) AS n_copies
 FROM counted c JOIN rates r USING (source)
 """,
@@ -556,9 +556,21 @@ def corpus_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                       / F.col("tok_s")).alias("rpt")))
     u = (F.conv(_bucket(F.col("doc_id"), "epoch"), 16, 10)
          .cast("long") / F.lit(65536.0))
+    # Bernoulli threshold on the 1e-6-QUANTIZED repeat factor (r12
+    # ADVICE): rpt involves pow() and float sums that can differ by
+    # ulps between engines; comparing u against round(rpt,6)-floor(rpt)
+    # puts the threshold on the same grid the emitted repeat_factor
+    # already uses, so only a doc whose md5 uniform lands within 1e-6
+    # of the quantized threshold could ever flip — and u's grid
+    # (k/65536) never coincides with the 1e-6 grid at the margins
+    # test_epoch_mix_md5_margin pins. (The floor(rpt) knife edge
+    # self-heals: if engines disagree at an integer boundary, the
+    # quantized frac becomes 1.0 on the low side — u < 1.0 always —
+    # and 0.0 on the high side — u < 0.0 never — yielding the same
+    # n_copies either way.)
     return (counted.join(rates, "source")
             .select("doc_id", "source", "n_tokens",
                     F.round("rpt", 6).alias("repeat_factor"),
                     (F.floor("rpt")
-                     + F.when(u < F.col("rpt") - F.floor("rpt"), 1)
+                     + F.when(u < F.round("rpt", 6) - F.floor("rpt"), 1)
                         .otherwise(0)).cast("long").alias("n_copies")))

@@ -690,16 +690,24 @@ WITH postings AS (
              AS t(w)
     GROUP BY w, doc_id
 ),
+doclen AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS doc_len
+    FROM documents,
+         unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+             AS t(w)
+    GROUP BY doc_id
+),
 n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
 hits AS (
-    SELECT doc_id, tf,
+    SELECT p.doc_id, p.tf, d.doc_len,
            CAST(count(*) OVER () AS BIGINT) AS df
-    FROM postings WHERE term = '{FLAGSHIP_QUERY_TERM}'
+    FROM postings p JOIN doclen d USING (doc_id)
+    WHERE p.term = '{FLAGSHIP_QUERY_TERM}'
 )
-SELECT doc_id, tf, df,
-       round(tf * log10(n.n_docs / df), 6) AS score
+SELECT doc_id, tf, doc_len, df,
+       round((tf * 1.0 / doc_len) * log10(n.n_docs / df), 6) AS score
 FROM hits, n
-ORDER BY tf * log10(n.n_docs / df) DESC, doc_id
+ORDER BY (tf * 1.0 / doc_len) * log10(n.n_docs / df) DESC, doc_id
 LIMIT {_POSTINGS_K}
 """,
 )
@@ -713,9 +721,14 @@ def sink_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal is computed from the constant term before planning, so
     the scan touches 1/{_POSTINGS_BUCKETS} of the files on disk with
     no driver round-trip and no DPP machinery needed. Scoring is the
-    reference's own tf·log10(N/df) (app.py:33-36,58) over the pruned
-    bucket; df comes from the bucket itself (all of a term's postings
-    are co-located — the property the layout exists to provide).
+    reference's own (tf/doc_len)·log10(N/df) (app.py:33-36,58 — TF
+    normalized by document length; r12 ADVICE caught the unnormalized
+    form) over the pruned bucket; doc_len is DENORMALIZED INTO the
+    postings layout at build time so the serve path can score the
+    reference's formula from the one pruned bucket without a
+    corpus-side join, and df comes from the bucket itself (all of a
+    term's postings are co-located — the property the layout exists
+    to provide).
 
     At 100 TB: the postings build is one exploded hash agg (uniform
     term-doc keys), the write is one shuffle into the bucketed
@@ -727,13 +740,20 @@ def sink_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from project_2_semantic_similarity_spark.scratch import scratch_path
 
     docs = load_table(spark, sf_dir, "documents")
-    postings = (docs
-                .select("doc_id",
-                        F.explode(F.split(F.col("text"), " "))
-                         .alias("term"))
-                .filter(F.col("term") != "")
+    words = (docs
+             .select("doc_id",
+                     F.explode(F.split(F.col("text"), " "))
+                      .alias("term"))
+             .filter(F.col("term") != ""))
+    # doc_len denormalized into every posting row: the serve path
+    # reads ONE bucket and must score (tf/doc_len)·log10(N/df)
+    # (app.py:58) without joining a corpus-sized doc-length relation
+    doclen = words.groupBy("doc_id").agg(
+        F.count("*").alias("doc_len"))
+    postings = (words
                 .groupBy("term", "doc_id")
                 .agg(F.count("*").alias("tf"))
+                .join(doclen, "doc_id")
                 .withColumn(
                     "bucket",
                     (F.conv(F.substring(F.md5(F.col("term")), 1, 4),
@@ -751,20 +771,16 @@ def sink_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = docs.count()  # scalar: corpus size for the idf
     hits = (idx.filter((F.col("bucket") == qbucket)
                        & (F.col("term") == FLAGSHIP_QUERY_TERM))
-            .select("doc_id", "tf"))
+            .select("doc_id", "tf", "doc_len"))
     # df as a distributed partial count + 1-row broadcast — never a
     # single-partition window over the hits (a stopword's postings
     # are corpus-scale)
     df_rel = hits.agg(F.count("*").alias("df"))
     scored = hits.crossJoin(F.broadcast(df_rel))
+    score = ((F.col("tf") * F.lit(1.0) / F.col("doc_len"))
+             * F.log10(F.lit(float(n_docs)) / F.col("df")))
     return (scored
-            .select("doc_id", "tf", "df",
-                    F.round(F.col("tf")
-                            * F.log10(F.lit(float(n_docs))
-                                      / F.col("df")), 6)
-                     .alias("score"))
-            .orderBy(F.desc(F.col("tf")
-                            * F.log10(F.lit(float(n_docs))
-                                      / F.col("df"))),
-                     F.asc("doc_id"))
+            .select("doc_id", "tf", "doc_len", "df",
+                    F.round(score, 6).alias("score"))
+            .orderBy(F.desc(score), F.asc("doc_id"))
             .limit(_POSTINGS_K))

@@ -68,6 +68,18 @@ _CHANGED_THIS_ROUND = frozenset(
         "corpus_window_doc_starts",
         "corpus_to_training_batches",
         "corpus_shuffle_windows",
+        # round 13 (r12 verdict #3/#4 + ADVICE): scale-parameter and
+        # rounding-discipline fixes — range search's gated broadcast
+        # with the LSH fallback, semdedup's count-derived k (floor
+        # keeps tested SFs identical), pca's shared floor(1e6x+.5)
+        # quantization for cov + eigenvalue, the postings sink's
+        # doc_len-normalized reference scoring (schema + values
+        # change), and epoch mix's quantized Bernoulli threshold.
+        "knn_range_search",
+        "dedup_semdedup",
+        "embedding_pca_power",
+        "sink_inverted_postings",
+        "corpus_epoch_mix",
     }
 )
 

@@ -1085,3 +1085,36 @@ def test_png_adam7_and_subbyte_gray():
                + chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="inflated size|trailing"):
         decode_png(payload)
+
+
+def test_semdedup_k_scales_with_corpus(spark, sf_dir):
+    """r12 verdict #4: k must grow ∝ corpus so the per-cluster
+    quadratic pair term stays bounded. The floor keeps every tested
+    SF's oracle unchanged (all test corpora sit under floor×target
+    vectors); past that the DuckDB oracle's
+    `LIMIT greatest(8, ceil(n/640))` derives the same k — both
+    formulas pinned here against a shared reference."""
+    import math
+
+    from project_2_semantic_similarity_spark.plans.q_knn import (
+        _SEMDEDUP_K, _SEMDEDUP_TARGET_CLUSTER, _semdedup_k)
+    from project_2_semantic_similarity_spark.sources import load_table
+
+    for n in (1, 500, 5_000, 5_120, 5_121, 64_000, 2_000_000):
+        want = max(_SEMDEDUP_K,
+                   math.ceil(n / _SEMDEDUP_TARGET_CLUSTER))
+        assert _semdedup_k(n) == want, n
+        # the oracle's greatest(floor, ceil(n/target)) — evaluated by
+        # DuckDB itself so the SQL expression can't drift from the
+        # Python formula
+        import duckdb
+        got = duckdb.sql(
+            f"SELECT greatest({_SEMDEDUP_K}, CAST(ceil("
+            f"{n} / {_SEMDEDUP_TARGET_CLUSTER}.0) AS BIGINT))"
+        ).fetchone()[0]
+        assert got == want, n
+
+    # at the tested SFs the corpus sits under floor×target, so the
+    # declared query still trains exactly _SEMDEDUP_K clusters
+    n_sf = load_table(spark, sf_dir, "embeddings").count()
+    assert _semdedup_k(n_sf) == _SEMDEDUP_K

@@ -1088,10 +1088,18 @@ def test_c4_span_stage_is_partitioned_window_single_shuffle(
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "PythonUDF" not in plan
+    # Window node format: `Window [funcs], [partitionSpec], [order]`
+    # — parse the SECOND bracket (r12 ADVICE: the old
+    # "'partitionBy' not in seg" check was vacuous, the literal
+    # never appears in executedPlan strings) and require a
+    # non-empty partition spec referencing the span key sk.
     import re as _re
-    for m in _re.finditer(r"Window \[", plan):
-        seg = plan[m.start():plan.index("\n", m.start())]
-        assert "partitionBy" not in seg or "sk" in seg
+    win_nodes = _re.findall(
+        r"Window \[.*?\], \[([^\]]*)\], \[", plan)
+    assert win_nodes, "no Window node found in the c4 plan"
+    for spec in win_nodes:
+        assert spec.strip(), "no-partition global window in c4 plan"
+        assert _re.search(r"\bsk#\d+", spec), spec
 
 
 def test_interpolate_two_frames_one_sort(spark, sf_dir):
@@ -1175,3 +1183,42 @@ def test_lpa_rounds_read_checkpoints_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Scan ExistingRDD" in plan       # checkpointed final round
     assert "Scan parquet" not in plan       # lineage truncated
+
+
+def test_range_search_broadcast_gate(spark, sf_dir):
+    """knn_range_search (r12 verdict #3): under the measured bound
+    the query block is a broadcast nested-loop (one corpus scan, no
+    shuffle); PAST the bound there must be NO broadcast of the
+    query relation and NO cartesian — the plan switches to the
+    sign-LSH candidate equi-join on (table_id, bucket)."""
+    from pyspark.sql import functions as F
+
+    from project_2_semantic_similarity_spark.operators.similarity import (
+        cosine_range_search)
+    from project_2_semantic_similarity_spark.sources import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = (e.filter(F.col("vec_id") % 100 == 0)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qv")))
+
+    under = cosine_range_search(e, q, 0.25, broadcast_q_max=100_000)
+    p_under = under._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in p_under
+
+    over = cosine_range_search(e, q, 0.25, broadcast_q_max=None)
+    p_over = over._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in p_over
+    assert "CartesianProduct" not in p_over
+    # candidate generation is the bucket-local equi-join
+    assert "table_id" in p_over and "bucket" in p_over
+
+    # the LSH path keeps exact PRECISION (no false positives): every
+    # returned pair satisfies the threshold re-check, and the pair
+    # set is a subset of the exact path's
+    exact = {(r.query_id, r.vec_id, round(r.cosine, 6))
+             for r in under.collect()}
+    approx = {(r.query_id, r.vec_id, round(r.cosine, 6))
+              for r in over.collect()}
+    assert approx <= exact
+    assert len(approx) > 0  # non-degenerate recall at test scale

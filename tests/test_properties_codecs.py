@@ -304,3 +304,52 @@ def test_gif_declared_unsupported_paths():
         decode_gif(bytes(payload))
     with _pytest.raises(ValueError):
         decode_gif(b"NOTGIF" + bytes(payload[6:]))
+
+
+def test_gif_truncation_raises_valueerror_never_indexerror():
+    """r12 ADVICE: every truncation point in the GIF walk must raise
+    the ValueError contract of the LZW path (or the declared
+    NotImplementedError), never a raw IndexError/struct.error —
+    exhaustively, by decoding every strict prefix of a real file."""
+    import numpy as np
+    import pytest
+
+    from project_2_semantic_similarity_spark.operators.multimodal import (
+        decode_gif, encode_gif)
+
+    cs = np.arange(8, dtype=np.int64)
+    pal = np.stack([(17 * cs) % 256, (41 * cs) % 256,
+                    (59 * cs) % 256], axis=1)
+    idx = (7 * np.arange(5)[None, :] + 13 * np.arange(4)[:, None]) % 8
+    payload = encode_gif(idx.astype(np.uint8), pal)
+    # sanity: the full file decodes
+    assert np.array_equal(decode_gif(payload)[3], idx)
+    for cut in range(len(payload)):
+        # a prefix either still decodes to the right pixels (cuts
+        # past the data terminator only drop the trailer) or raises
+        # the declared error types — never IndexError/struct.error
+        try:
+            out = decode_gif(payload[:cut])
+        except (ValueError, NotImplementedError):
+            continue
+        assert np.array_equal(out[3], idx), cut
+
+    # post-CLEAR out-of-range first code: craft an LZW stream whose
+    # first code after CLEAR points past the root table
+    from project_2_semantic_similarity_spark.operators.multimodal import (
+        _lzw_decode_gif)
+    mcs = 3
+    bits = 0
+    acc = 0
+    stream = bytearray()
+    for code in (1 << mcs, (1 << mcs) + 3):  # CLEAR, then code 11
+        acc |= code << bits
+        bits += mcs + 1
+        while bits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+    if bits:
+        stream.append(acc & 0xFF)
+    with pytest.raises(ValueError):
+        _lzw_decode_gif(bytes(stream), mcs)
