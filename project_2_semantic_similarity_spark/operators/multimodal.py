@@ -1452,9 +1452,23 @@ def _lzw_decode_gif(data: bytes, mcs: int) -> bytes:
     return bytes(out)
 
 
-def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
+def _gif_interlace_order(h: int) -> list[int]:
+    """The GIF89a 4-pass interlace row sequence (spec appendix E):
+    pass 1 rows 0,8,16..., pass 2 rows 4,12..., pass 3 rows 2,6...,
+    pass 4 rows 1,3,... — the order image rows are STORED in the LZW
+    stream when the image descriptor's interlace flag is set."""
+    order: list[int] = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        order.extend(range(start, h, step))
+    return order
+
+
+def encode_gif(indices: np.ndarray, palette: np.ndarray,
+               interlace: bool = False) -> bytes:
     """A real GIF89a file: palette image (h, w) of color indices +
-    (n, 3) palette. n must be a power of two in [2, 256]."""
+    (n, 3) palette. n must be a power of two in [2, 256].
+    ``interlace=True`` stores rows in the spec's 4-pass order and
+    sets the image descriptor's interlace flag."""
     h, w = indices.shape
     n = len(palette)
     depth = (n - 1).bit_length()
@@ -1463,10 +1477,13 @@ def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
     # packed: GCT present | color resolution | GCT size
     out += bytes([0x80 | ((depth - 1) << 4) | (depth - 1), 0, 0])
     out += palette.astype(np.uint8).tobytes()
-    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out += (b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+            + (b"\x40" if interlace else b"\x00"))
     mcs = max(depth, 2)  # spec: LZW min code size >= 2
     out.append(mcs)
-    bits = _lzw_encode_gif(indices.ravel(), mcs)
+    body = (indices[_gif_interlace_order(h), :] if interlace
+            else indices)
+    bits = _lzw_encode_gif(body.ravel(), mcs)
     for i in range(0, len(bits), 255):
         chunk = bits[i:i + 255]
         out.append(len(chunk))
@@ -1477,10 +1494,10 @@ def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
 
 def decode_gif(payload: bytes) -> tuple[int, int, np.ndarray, np.ndarray]:
     """Parse a GIF87a/89a file: screen descriptor, color tables,
-    extension-block skip, sub-block reassembly, variable-width LZW.
-    Returns (w, h, palette (n,3), indices (h,w)). Interlaced images
-    raise NotImplementedError (declared unsupported path, like
-    arithmetic-coded JPEG)."""
+    extension-block skip, sub-block reassembly, variable-width LZW,
+    4-pass interlace (spec appendix E — the de-interlace is a row
+    permutation applied after the LZW stream decodes). Returns
+    (w, h, palette (n,3), indices (h,w))."""
     def need(upto: int, what: str) -> None:
         # every payload[pos...] read is length-guarded (r12 ADVICE:
         # truncated/malformed files raised raw IndexError/
@@ -1523,8 +1540,6 @@ def decode_gif(payload: bytes) -> tuple[int, int, np.ndarray, np.ndarray]:
     _l, _t, iw, ih = struct.unpack("<HHHH", payload[pos + 1:pos + 9])
     ipacked = payload[pos + 9]
     pos += 10
-    if ipacked & 0x40:
-        raise NotImplementedError("interlaced GIF not supported")
     if ipacked & 0x80:
         n = 2 << (ipacked & 7)
         need(pos + 3 * n, "local color table")
@@ -1550,7 +1565,15 @@ def decode_gif(payload: bytes) -> tuple[int, int, np.ndarray, np.ndarray]:
     if len(idx) != iw * ih:
         raise ValueError(
             f"LZW yielded {len(idx)} indices for {iw}x{ih}")
-    return iw, ih, ct, idx.reshape(ih, iw)
+    img = idx.reshape(ih, iw)
+    if ipacked & 0x40:
+        # de-interlace (r12 verdict #6 closed the one declared hole
+        # in the codec family): stored row k is DISPLAY row
+        # order[k] — invert the 4-pass permutation
+        out_img = np.empty_like(img)
+        out_img[_gif_interlace_order(ih), :] = img
+        img = out_img
+    return iw, ih, ct, img
 
 
 def attach_gif_payload(docs: DataFrame) -> DataFrame:
@@ -1562,7 +1585,10 @@ def attach_gif_payload(docs: DataFrame) -> DataFrame:
     the Spark side round-trips genuine variable-width LZW streams
     (the image sizes cross the 16- and 32-entry width boundaries, so
     the spec's width-bump synchronization is exercised on the real
-    corpus, not just in unit tests)."""
+    corpus, not just in unit tests). Odd doc_ids serialize
+    INTERLACED (r12 verdict #6): same pixels through the 4-pass row
+    permutation, so the one pixel-arithmetic oracle covers both
+    storage orders and a de-interlace bug breaks the hash."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1577,7 +1603,8 @@ def attach_gif_payload(docs: DataFrame) -> DataFrame:
                                 (73 * doc_id + 41 * cs) % 256,
                                 (11 * doc_id + 59 * cs) % 256],
                                axis=1)
-                payloads.append(encode_gif(idx, pal))
+                payloads.append(encode_gif(idx, pal,
+                                           interlace=bool(doc_id % 2)))
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "payload": payloads,

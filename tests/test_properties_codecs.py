@@ -290,18 +290,32 @@ def test_gif_lzw_width_boundary_and_saturation():
     assert np.array_equal(decode_gif(encode_gif(big, pal2))[3], big)
 
 
-def test_gif_declared_unsupported_paths():
+def test_gif_interlaced_decodes_to_same_pixels():
+    """r12 verdict #6: interlaced GIFs (the one formerly-declared
+    hole in the codec family) decode to the SAME pixels as the
+    sequential serialization of the same image — heights spanning
+    all four pass patterns, including h < 8 where late passes start
+    mid-sequence and h=1/2 where early passes are empty."""
     from project_2_semantic_similarity_spark.operators.multimodal import (
-        decode_gif, encode_gif)
+        _gif_interlace_order, decode_gif, encode_gif)
     import pytest as _pytest
 
-    pal = np.arange(6, dtype=np.uint8).reshape(2, 3)
-    payload = bytearray(encode_gif(np.zeros((2, 3), np.uint8), pal))
-    # flip the interlace bit in the image descriptor packed byte
-    pos = payload.index(0x2C, 13)
-    payload[pos + 9] |= 0x40
-    with _pytest.raises(NotImplementedError):
-        decode_gif(bytes(payload))
+    for h in (1, 2, 3, 4, 5, 7, 8, 9, 16, 23):
+        w = 5
+        idx = ((7 * np.arange(w)[None, :]
+                + 13 * np.arange(h)[:, None]) % 8).astype(np.uint8)
+        cs = np.arange(8, dtype=np.int64)
+        pal = np.stack([(17 * cs) % 256, (41 * cs) % 256,
+                        (59 * cs) % 256], axis=1)
+        seq = decode_gif(encode_gif(idx, pal, interlace=False))
+        itl = decode_gif(encode_gif(idx, pal, interlace=True))
+        assert np.array_equal(seq[3], idx)
+        assert np.array_equal(itl[3], idx)
+        # the permutation really is a permutation (bijective on rows)
+        assert sorted(_gif_interlace_order(h)) == list(range(h))
+
+    pal2 = np.arange(6, dtype=np.uint8).reshape(2, 3)
+    payload = bytearray(encode_gif(np.zeros((2, 3), np.uint8), pal2))
     with _pytest.raises(ValueError):
         decode_gif(b"NOTGIF" + bytes(payload[6:]))
 
