@@ -4,6 +4,17 @@ Runs every ``__spark_entry__.queries()`` entry at a given sf dir,
 executes the matching ``oracle_sql()`` in DuckDB over the same parquet
 files, and compares row count + schema + order-insensitive value hash.
 
+The DuckDB oracle runs in its OWN PROCESS with an explicit memory and
+thread budget (r12 verdict #8): inside a 301-query single-process
+sweep the brute-force differential oracles (doc-similarity is O(pairs)
+SQL by design) competed with the in-process Spark JVM's heap/page
+cache, inflating VERIFY walls 2.4x over the engine-side sweep and
+making the artifact unreadable as an engine signal. Isolation also
+means an oracle OOM/crash records as that query's "duckdb error"
+instead of killing the sweep. Per-query walls are now recorded SPLIT
+(`spark_sec` / `oracle_sec`) so the artifact itself shows which side
+any wall lives on.
+
 With no name filter (a full sweep), also writes
 ``VERIFY_LOCAL_r{N}.json`` to the repo root — per-query status, rows
 and wall seconds for the WHOLE registry, so the judge sees every
@@ -19,19 +30,25 @@ from __future__ import annotations
 import glob
 import hashlib
 import json
+import multiprocessing as mp
 import os
 import re
 import sys
 import time
 import traceback
 
-import duckdb
 import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
 TABLES = ("region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings")
+
+# The oracle process budget: enough for the brute-force O(pairs)
+# doc-similarity CTEs at sf0.1, small enough to leave the Spark JVM's
+# heap and the page cache alone on a 128 GiB box.
+ORACLE_MEMORY = os.environ.get("P2SS_ORACLE_MEM", "32GB")
+ORACLE_THREADS = int(os.environ.get("P2SS_ORACLE_THREADS", "8"))
 
 
 def norm_cell(v):
@@ -56,6 +73,84 @@ def frame_fingerprint(df: pd.DataFrame) -> tuple[int, list[str], str]:
     return len(df), cols, h
 
 
+def _oracle_worker(conn, sf_dir: str) -> None:
+    """The oracle subprocess loop: ("run", name, sql) -> ("ok",
+    (n, cols, hash)) or ("err", traceback); ("head",) -> the last
+    result's sorted 5-row head (failure diagnostics, computed only
+    on demand); None -> exit."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"SET memory_limit='{ORACLE_MEMORY}'")
+    con.execute(f"SET threads={ORACLE_THREADS}")
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    last: pd.DataFrame | None = None
+    while True:
+        msg = conn.recv()
+        if msg is None:
+            conn.close()
+            return
+        if msg[0] == "head":
+            if last is None:
+                conn.send("<no result>")
+            else:
+                d = last.sort_values(sorted(last.columns)) \
+                    .reset_index(drop=True)
+                conn.send(d.head(5).to_string())
+            continue
+        _, name, sql = msg
+        try:
+            last = con.execute(sql).fetchdf()
+            conn.send(("ok", frame_fingerprint(last)))
+        except Exception:
+            last = None
+            conn.send(("err", traceback.format_exc()))
+
+
+class OracleProc:
+    """Owner of the oracle subprocess; restarts it after a crash so
+    one oracle OOM doesn't take down the rest of the sweep."""
+
+    def __init__(self, sf_dir: str):
+        self.sf_dir = sf_dir
+        self._start()
+
+    def _start(self) -> None:
+        ctx = mp.get_context("spawn")  # never fork the JVM-attached parent
+        self.conn, child = ctx.Pipe()
+        self.proc = ctx.Process(target=_oracle_worker,
+                                args=(child, self.sf_dir), daemon=True)
+        self.proc.start()
+        child.close()
+
+    def run(self, name: str, sql: str):
+        try:
+            self.conn.send(("run", name, sql))
+            return self.conn.recv()
+        except (EOFError, BrokenPipeError, OSError):
+            code = self.proc.exitcode
+            self.proc.join(timeout=5)
+            self._start()
+            return ("err", f"oracle process died (exitcode={code})")
+
+    def head(self) -> str:
+        try:
+            self.conn.send(("head",))
+            return self.conn.recv()
+        except (EOFError, BrokenPipeError, OSError):
+            self._start()
+            return "<oracle process died fetching head>"
+
+    def close(self) -> None:
+        try:
+            self.conn.send(None)
+        except (BrokenPipeError, OSError):
+            pass
+        self.proc.join(timeout=10)
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     filters = sys.argv[2:]
@@ -75,11 +170,7 @@ def main() -> int:
 
     spark = get_spark("verify_local")
     qs, oracles = e.queries(), e.oracle_sql()
-
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = OracleProc(sf_dir)
 
     failed = []
     records: dict[str, dict] = {}
@@ -100,39 +191,45 @@ def main() -> int:
                              "sec": round(time.time() - t0, 3)}
             continue
         s_n, s_cols, s_h = frame_fingerprint(sdf)
+        t_spark = time.time() - t0
         if name not in oracles:
             status = "ROWS-ONLY" if s_n >= 0 else "??"
-            print(f"{status:9s} {name}: rows={s_n} ({time.time()-t0:.1f}s)")
+            print(f"{status:9s} {name}: rows={s_n} ({t_spark:.1f}s)")
             records[name] = {"status": "rows_only", "rows": s_n,
-                             "sec": round(time.time() - t0, 3)}
+                             "sec": round(t_spark, 3),
+                             "spark_sec": round(t_spark, 3)}
             continue
-        try:
-            odf = con.execute(oracles[name]).fetchdf()
-        except Exception:
-            print(f"FAIL  {name}: duckdb error")
-            traceback.print_exc()
+        t1 = time.time()
+        verdict = oracle.run(name, oracles[name])
+        t_oracle = time.time() - t1
+        if verdict[0] == "err":
+            print(f"FAIL  {name}: duckdb error\n{verdict[1]}")
             failed.append(name)
             records[name] = {"status": "err", "err": "duckdb error",
-                             "sec": round(time.time() - t0, 3)}
+                             "sec": round(time.time() - t0, 3),
+                             "spark_sec": round(t_spark, 3),
+                             "oracle_sec": round(t_oracle, 3)}
             continue
-        o_n, o_cols, o_h = frame_fingerprint(odf)
+        o_n, o_cols, o_h = verdict[1]
         ok = (s_n, s_cols, s_h) == (o_n, o_cols, o_h)
         tag = "OK   " if ok else "FAIL "
         print(f"{tag} {name}: spark(n={s_n},h={s_h}) duck(n={o_n},h={o_h}) "
               f"({time.time()-t0:.1f}s)")
         records[name] = {"status": "pass" if ok else "fail",
                          "rows": s_n, "hash": s_h,
-                         "sec": round(time.time() - t0, 3)}
+                         "sec": round(time.time() - t0, 3),
+                         "spark_sec": round(t_spark, 3),
+                         "oracle_sec": round(t_oracle, 3)}
         if not ok:
             failed.append(name)
             if s_cols != o_cols:
                 print(f"      cols spark={s_cols} duck={o_cols}")
             if s_n == o_n and s_cols == o_cols:
                 m = sdf.sort_values(sorted(sdf.columns)).reset_index(drop=True)
-                d = odf.sort_values(sorted(odf.columns)).reset_index(drop=True)
                 print("      spark head:\n", m.head(5).to_string())
-                print("      duck  head:\n", d.head(5).to_string())
+                print("      duck  head:\n", oracle.head())
     print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
+    oracle.close()
     if not filters:
         write_artifact(sf_dir, records, failed, gate)
     return 1 if failed else 0
@@ -168,18 +265,26 @@ def write_artifact(sf_dir: str, records: dict, failed: list,
         "sf_dir": sf_dir,
         "order": "sorted-name",
         "load_gate": load_gate,
+        "oracle_isolation": {"memory_limit": ORACLE_MEMORY,
+                             "threads": ORACLE_THREADS,
+                             "process": "spawned, restart-on-crash"},
         "total": len(records),
         "pass": statuses.count("pass"),
         "rows_only": statuses.count("rows_only"),
         "fail": statuses.count("fail") + statuses.count("err"),
         "failed_names": failed,
         "total_sec": round(sum(r["sec"] for r in records.values()), 1),
+        "spark_sec": round(sum(r.get("spark_sec", 0)
+                               for r in records.values()), 1),
+        "oracle_sec": round(sum(r.get("oracle_sec", 0)
+                                for r in records.values()), 1),
         "queries": records,
     }
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
     print(f"wrote {path}: {out['pass']} pass / "
-          f"{out['rows_only']} rows-only / {out['fail']} fail")
+          f"{out['rows_only']} rows-only / {out['fail']} fail "
+          f"(spark {out['spark_sec']}s / oracle {out['oracle_sec']}s)")
 
 
 if __name__ == "__main__":
