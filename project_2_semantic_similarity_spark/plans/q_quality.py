@@ -678,6 +678,28 @@ def c4_page_flags(docs: DataFrame) -> DataFrame:
             .withColumn("keep", _c4_keep_col()))
 
 
+def c4_spans(feat: DataFrame) -> DataFrame:
+    """Every 3-sentence span of a C4 feature frame as
+    (doc_id, pos, sk) with the md5 span key — the exploded relation
+    BOTH the batch window dedup and the streaming TTL'd
+    first-occurrence state consume (shared text, so the stream twin
+    can't drift from the batch span definition)."""
+    return (feat
+            .select("doc_id", "sents",
+                    F.explode(F.when(
+                        F.size("sents") >= 3,
+                        F.sequence(F.lit(0), F.size("sents") - 3))
+                        .otherwise(F.array().cast("array<int>")))
+                     .alias("pos"))
+            .select("doc_id", F.col("pos").cast("long").alias("pos"),
+                    F.md5(F.concat_ws(
+                        "\x1f",
+                        F.element_at("sents", F.col("pos") + 1),
+                        F.element_at("sents", F.col("pos") + 2),
+                        F.element_at("sents", F.col("pos") + 3)))
+                     .alias("sk")))
+
+
 def c4_page_features(docs: DataFrame) -> DataFrame:
     """The FULL C4 page pipeline over any (doc_id, lang, text) frame
     — line filtering (terminal punctuation, ≥5 words, no
@@ -688,20 +710,7 @@ def c4_page_features(docs: DataFrame) -> DataFrame:
     fixtures through the identical plan."""
     # sents reused by two branches (spans + count) — pin the exchange
     feat = _c4_feat(docs).localCheckpoint()
-    spans = (feat
-             .select("doc_id", "sents",
-                     F.explode(F.when(
-                         F.size("sents") >= 3,
-                         F.sequence(F.lit(0), F.size("sents") - 3))
-                         .otherwise(F.array().cast("array<int>")))
-                      .alias("pos"))
-             .select("doc_id", "pos",
-                     F.md5(F.concat_ws(
-                         "\x1f",
-                         F.element_at("sents", F.col("pos") + 1),
-                         F.element_at("sents", F.col("pos") + 2),
-                         F.element_at("sents", F.col("pos") + 3)))
-                      .alias("sk")))
+    spans = c4_spans(feat)
     w = Window.partitionBy("sk").orderBy("doc_id", "pos")
     dups = (spans.withColumn("rn", F.row_number().over(w))
             .groupBy("doc_id")

@@ -336,6 +336,76 @@ def custom_state_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def _span_mark_fn(key, pdfs, state, ttl_minutes=None):
+    """The span first-occurrence state transition — module-level so
+    tests drive the EXACT production fn through fake state objects
+    (tests/test_streaming.py), not a re-derivation of its rule."""
+    import pandas as pd
+    if state.hasTimedOut:
+        # idle-key expiry: drop the first-seen record; nothing to
+        # emit for a timeout callback
+        state.remove()
+        return
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    if not len(pdf):
+        return
+    pdf = pdf.sort_values(["doc_id", "pos"]).reset_index(drop=True)
+    dup = [True] * len(pdf)
+    if not state.exists:
+        dup[0] = False
+    state.update((True,))
+    if ttl_minutes is not None:
+        state.setTimeoutDuration(ttl_minutes * 60 * 1000)
+    yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                        "pos": pdf["pos"],
+                        "is_dup": dup})
+
+
+def span_mark_stream(spans: DataFrame,
+                     ttl_minutes: int | None = None) -> DataFrame:
+    """TTL'd FIRST-OCCURRENCE state on span keys — the streaming
+    approximation of C4's corpus-wide three-sentence-span dedup (r12
+    verdict #9: the exact batch stage needs unbounded cross-document
+    state; what production systems ship is a bounded-state
+    first-seen filter with expiry).
+
+    Semantics: per span key ``sk``, the first occurrence EVER SEEN
+    (within the TTL window) is marked ``is_dup=false``; every later
+    occurrence is a duplicate. Within one micro-batch a key's rows
+    are sorted by (doc_id, pos) before marking, so single-batch
+    replay reproduces the batch window's (doc_id, pos)-first rule
+    EXACTLY (the oracle relies on this); across micro-batches the
+    rule degrades to first-ARRIVAL-wins, and with ``ttl_minutes``
+    set a key idle past the TTL is forgotten (its next occurrence
+    re-admits as non-dup) — the two declared approximations that
+    bound state size at O(live span keys), the property that makes
+    the operator shippable against an unbounded stream. State per
+    key is one boolean; executor memory scales with distinct live
+    spans, never with stream length.
+
+    ``ttl_minutes=None`` (default) disables the timeout machinery:
+    a bounded availableNow REPLAY must terminate when the data is
+    exhausted, but pending processing-time timeouts make the
+    micro-batch engine spin empty batches until the TTL fires
+    (observed: 23 empty epochs in 2 minutes before the 60-min TTL
+    would have released the query). Deployments on a continuous
+    trigger set a TTL; replays and tests leave it None — the expiry
+    path itself is exercised in tests/test_streaming.py via direct
+    invocations of the state fn."""
+    import functools
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return spans.groupBy("sk").applyInPandasWithState(
+        functools.partial(_span_mark_fn, ttl_minutes=ttl_minutes),
+        outputStructType="doc_id bigint, pos bigint, is_dup boolean",
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=(GroupStateTimeout.NoTimeout if ttl_minutes is None
+                     else GroupStateTimeout.ProcessingTimeTimeout),
+    )
+
+
 def ema_state(events: DataFrame, alpha: float = 0.25) -> DataFrame:
     """Per-user exponential moving average maintained in the state
     store — the streaming twin of win_ema's batch fold: state is ONE

@@ -435,3 +435,94 @@ def test_bpe_encode_stream_is_batch_encode_twin(spark):
         for r in T.bpe_encode_corpus(mapped, vocab, ids,
                                      unk_id=1).collect())
     assert got == want and len(got) > 0
+
+
+def test_span_dedup_stream_matches_batch_rule(spark, sf_dir):
+    """stream_c4_filters_spans (r12 verdict #9): on in-window
+    single-batch replay the TTL'd first-occurrence state reproduces
+    the batch window rule exactly — per-doc span/dup counts equal
+    the (doc_id, pos)-first row_number derivation over the SAME
+    c4_spans relation."""
+    from pyspark.sql import Window
+
+    from project_2_semantic_similarity_spark.plans.q_quality import (
+        _c4_feat, c4_spans)
+
+    got = {r.doc_id: (r.n_spans, r.n_dup_spans) for r in
+           e.queries()["stream_c4_filters_spans"](spark, sf_dir)
+           .collect()}
+    punct = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        F.concat(F.regexp_replace(
+            F.col("text"),
+            r"(\S+ \S+ \S+ \S+ \S+) ", r"$1. "), F.lit("."))
+         .alias("text"))
+    spans = c4_spans(_c4_feat(punct))
+    w = Window.partitionBy("sk").orderBy("doc_id", "pos")
+    want = {r.doc_id: (r.n, r.n_dup) for r in
+            spans.withColumn("rn", F.row_number().over(w))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+                  .alias("n_dup")).collect()}
+    assert got == want
+    assert sum(n for n, _ in got.values()) > 0
+
+
+def test_span_state_first_arrival_and_ttl_expiry():
+    """The state fn's multi-batch semantics, driven directly: batch 2
+    occurrences of a key seen in batch 1 are ALL duplicates
+    (first-ARRIVAL-wins — the declared cross-batch approximation),
+    and an expired key re-admits its next occurrence as non-dup."""
+    import pandas as pd
+
+    from project_2_semantic_similarity_spark.streaming.ops import (
+        _span_mark_fn)
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+            self.hasTimedOut = False
+            self.timeout_ms = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def remove(self):
+            self._v = None
+
+        def setTimeoutDuration(self, ms):
+            self.timeout_ms = ms
+
+    def run_batch(state, rows, **kw):
+        pdfs = [pd.DataFrame(rows, columns=["doc_id", "pos"])]
+        out = list(_span_mark_fn(("sk0",), iter(pdfs), state, **kw))
+        if not out:
+            return [], []
+        return list(out[0]["doc_id"]), list(out[0]["is_dup"])
+
+    st = FakeState()
+    docs1, dup1 = run_batch(st, [(7, 0), (3, 2), (3, 0)])
+    assert docs1 == [3, 3, 7]          # sorted by (doc_id, pos)
+    assert dup1 == [False, True, True]  # (3,0) is the batch-rule first
+    _, dup2 = run_batch(st, [(9, 1)])
+    assert dup2 == [True]              # first-arrival-wins across batches
+    # TTL expiry: the timeout callback must clear the first-seen
+    # record and emit nothing
+    st.hasTimedOut = True
+    assert run_batch(st, []) == ([], [])
+    assert not st.exists
+    st.hasTimedOut = False
+    _, dup3 = run_batch(st, [(11, 0)])
+    assert dup3 == [False]             # re-admitted after expiry
+    # the production TTL knob actually arms the timeout
+    run_batch(st, [(12, 0)], ttl_minutes=30)
+    assert st.timeout_ms == 30 * 60 * 1000
