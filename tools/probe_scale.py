@@ -706,6 +706,40 @@ def main() -> None:
                     .parquet(f"{out}/documents.parquet")
                     .select("doc_id", "text"))
             cnt = bpe_encode_stream(docs).count()
+        elif name == "semdedup_probe":
+            # r13 (r12 verdict #4): the count-derived k must bound
+            # the per-cluster quadratic pair term at probe scale.
+            # Reports k, the cluster-size distribution, and the
+            # candidate pair volume sum(c·(c−1)) vs the fixed-k=8
+            # counterfactual n²/8-ish volume the old constant gave.
+            from project_2_semantic_similarity_spark.operators import (
+                similarity as SIM)
+            from project_2_semantic_similarity_spark.plans.q_knn import (
+                _SEMDEDUP_ITERS, _semdedup_k)
+
+            e = spark.read.parquet(f"{out}/embeddings.parquet")
+            n_vec = e.count()
+            kk = _semdedup_k(n_vec)
+            tt = time.time()
+            assigned = SIM.kmeans_train(
+                e, k=kk, iters=_SEMDEDUP_ITERS).localCheckpoint()
+            t_fit = time.time() - tt
+            sizes = assigned.groupBy("list_id").count()
+            st = sizes.agg(
+                F.count("*").alias("nonempty"),
+                F.max("count").alias("mx"),
+                F.avg("count").alias("avg"),
+                F.sum(F.col("count") * (F.col("count") - 1))
+                 .alias("pairs")).collect()[0]
+            fixed8 = 8 * (n_vec / 8) * (n_vec / 8 - 1)
+            print(f"  k={kk} fit+assign={t_fit:.1f}s "
+                  f"nonempty_clusters={st.nonempty} "
+                  f"max_cluster={st.mx} avg={st.avg:.0f} "
+                  f"pair_volume={st.pairs:.3e} "
+                  f"(fixed-k8 counterfactual {fixed8:.3e}, "
+                  f"{fixed8 / max(st.pairs, 1):.0f}x reduction)",
+                  flush=True)
+            cnt = n_vec
         else:
             cnt = QUERIES[name](spark, out).count()
         wall = time.time() - t
