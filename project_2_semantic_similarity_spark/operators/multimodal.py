@@ -861,6 +861,9 @@ def decode_image(payloads: DataFrame) -> DataFrame:
                 elif media_type == GIF_MEDIA_TYPE:
                     w, h, pal, idx = decode_gif(payload)
                     px = pal[idx]
+                elif media_type == BMP_MEDIA_TYPE:
+                    w, h, pal, idx = decode_bmp(payload)
+                    px = pal[idx]
                 else:
                     raise NotImplementedError(
                         f"no codec for {media_type} in this environment")
@@ -917,6 +920,9 @@ def phash_image(payloads: DataFrame, grid: int = 8) -> DataFrame:
                         px = np.repeat(px, 3, axis=2)
                 elif media_type == GIF_MEDIA_TYPE:
                     w, h, pal, idx = decode_gif(payload)
+                    px = pal[idx]
+                elif media_type == BMP_MEDIA_TYPE:
+                    w, h, pal, idx = decode_bmp(payload)
                     px = pal[idx]
                 else:
                     raise NotImplementedError(
@@ -977,6 +983,9 @@ def thumbnail_image(payloads: DataFrame, grid: int = 2) -> DataFrame:
                         px = np.repeat(px, 3, axis=2)
                 elif media_type == GIF_MEDIA_TYPE:
                     w, h, pal, idx = decode_gif(payload)
+                    px = pal[idx]
+                elif media_type == BMP_MEDIA_TYPE:
+                    w, h, pal, idx = decode_bmp(payload)
                     px = pal[idx]
                 else:
                     raise NotImplementedError(
@@ -1609,6 +1618,209 @@ def attach_gif_payload(docs: DataFrame) -> DataFrame:
                 "doc_id": pdf["doc_id"],
                 "payload": payloads,
                 "media_type": GIF_MEDIA_TYPE,
+            })
+
+    return _spread_ids(docs).mapInPandas(
+        gen, schema="doc_id bigint, payload binary, media_type string")
+
+
+# ------------------------------------------------------------- BMP (RLE8)
+
+BMP_MEDIA_TYPE = "image/bmp"
+
+
+def _bmp_rle8_encode_row(row: np.ndarray) -> bytes:
+    """One raster row as BI_RLE8: maximal runs ≥3 become encoded
+    pairs (count, index); literal stretches ≥3 become absolute mode
+    (0, n, bytes..., word-align pad); shorter leftovers are emitted
+    as length-1/2 encoded runs. Terminated by the caller (EOL/EOB)."""
+    out = bytearray()
+    vals = row.tolist()
+    i, n = 0, len(vals)
+    lit: list[int] = []
+
+    def flush_literal() -> None:
+        j = 0
+        while len(lit) - j >= 3:
+            take = min(255, len(lit) - j)
+            if take < 3:
+                break
+            out.append(0)
+            out.append(take)
+            out.extend(lit[j:j + take])
+            if take % 2:
+                out.append(0)  # absolute mode is word-aligned
+            j += take
+        for v in lit[j:]:
+            out.append(1)
+            out.append(v)
+        lit.clear()
+
+    while i < n:
+        j = i
+        while j < n and vals[j] == vals[i] and j - i < 255:
+            j += 1
+        run = j - i
+        if run >= 3:
+            flush_literal()
+            out.append(run)
+            out.append(vals[i])
+        else:
+            lit.extend(vals[i:j])
+            if len(lit) >= 255:
+                flush_literal()
+        i = j
+    flush_literal()
+    return bytes(out)
+
+
+def encode_bmp(indices: np.ndarray, palette: np.ndarray,
+               rle: bool = False) -> bytes:
+    """A real 8-bit paletted BMP file (BITMAPFILEHEADER +
+    BITMAPINFOHEADER + 256-entry BGRA palette + pixel data):
+    uncompressed (BI_RGB, rows bottom-up, 4-byte padded) or
+    BI_RLE8 (encoded runs / absolute mode / EOL / EOB)."""
+    h, w = indices.shape
+    pal = np.zeros((256, 3), np.uint8)
+    pal[:len(palette)] = palette.astype(np.uint8)
+    pal_bytes = bytearray()
+    for r, g, b in pal.tolist():
+        pal_bytes += bytes([b, g, r, 0])  # BGRA quads
+    if rle:
+        data = bytearray()
+        for y in range(h - 1, -1, -1):  # bottom-up storage order
+            data += _bmp_rle8_encode_row(indices[y])
+            data += b"\x00\x00" if y > 0 else b"\x00\x01"  # EOL / EOB
+    else:
+        pad = (-w) % 4
+        data = bytearray()
+        for y in range(h - 1, -1, -1):
+            data += indices[y].astype(np.uint8).tobytes()
+            data += b"\x00" * pad
+    offset = 14 + 40 + 256 * 4
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8,
+                       1 if rle else 0, len(data), 2835, 2835, 256, 0)
+    head = (b"BM" + struct.pack("<IHHI", offset + len(data), 0, 0,
+                                offset))
+    return bytes(head + info + pal_bytes + data)
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, np.ndarray, np.ndarray]:
+    """Parse an 8-bit paletted BMP: both BI_RGB (uncompressed,
+    4-byte row padding) and BI_RLE8 (encoded runs, absolute mode
+    with word alignment, EOL / EOB / delta escapes), bottom-up or
+    top-down (negative height). Returns (w, h, palette (256,3) RGB,
+    indices (h,w)). Truncated/malformed payloads raise ValueError
+    (the decode_gif contract)."""
+    def need(upto: int, what: str) -> None:
+        if upto > len(payload):
+            raise ValueError(
+                f"BMP truncated in {what} "
+                f"(need {upto} bytes, have {len(payload)})")
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP file")
+    need(14 + 40, "headers")
+    offset = struct.unpack("<I", payload[10:14])[0]
+    (hdr_size, w, h_signed, _planes, bpp, comp, _img_size,
+     _xppm, _yppm, used, _imp) = struct.unpack(
+        "<IiiHHIIiiII", payload[14:54])
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    if bpp != 8:
+        raise ValueError(f"only 8-bit BMP supported, got {bpp}")
+    if comp not in (0, 1):
+        raise ValueError(f"unsupported BMP compression {comp}")
+    top_down = h_signed < 0
+    h = -h_signed if top_down else h_signed
+    n_pal = used or 256
+    pal_at = 14 + hdr_size
+    need(pal_at + 4 * n_pal, "palette")
+    quads = np.frombuffer(payload[pal_at:pal_at + 4 * n_pal],
+                          np.uint8).reshape(n_pal, 4)
+    pal = np.zeros((256, 3), np.uint8)
+    pal[:n_pal] = quads[:, [2, 1, 0]]  # BGRA -> RGB
+    img = np.zeros((h, w), np.uint8)
+    if comp == 0:
+        stride = w + ((-w) % 4)
+        need(offset + stride * h, "pixel data")
+        rows = np.frombuffer(payload[offset:offset + stride * h],
+                             np.uint8).reshape(h, stride)[:, :w]
+        img = rows if top_down else rows[::-1]
+        return w, h, pal, np.ascontiguousarray(img)
+    # BI_RLE8: stored bottom-up unless top-down flagged
+    pos = offset
+    x, y = 0, 0  # y in STORAGE order (0 = first stored row)
+    done = False
+    while not done:
+        need(pos + 2, "RLE8 stream")
+        c, v = payload[pos], payload[pos + 1]
+        pos += 2
+        if c > 0:  # encoded run
+            if y >= h or x + c > w:
+                raise ValueError("RLE8 run overflows the raster")
+            row = (y if top_down else h - 1 - y)
+            img[row, x:x + c] = v
+            x += c
+        elif v == 0:  # EOL
+            x, y = 0, y + 1
+        elif v == 1:  # EOB
+            done = True
+        elif v == 2:  # delta
+            need(pos + 2, "RLE8 delta")
+            x += payload[pos]
+            y += payload[pos + 1]
+            pos += 2
+            if x > w or y > h:
+                raise ValueError("RLE8 delta leaves the raster")
+        else:  # absolute mode, word-aligned
+            n_abs = v
+            span = n_abs + (n_abs % 2)
+            need(pos + span, "RLE8 absolute run")
+            if y >= h or x + n_abs > w:
+                raise ValueError("RLE8 absolute run overflows")
+            row = (y if top_down else h - 1 - y)
+            img[row, x:x + n_abs] = np.frombuffer(
+                payload[pos:pos + n_abs], np.uint8)
+            x += n_abs
+            pos += span
+    return w, h, pal, img
+
+
+def attach_bmp_payload(docs: DataFrame) -> DataFrame:
+    """In-engine BMP fixture: a real 8-bit paletted BMP per document
+    (width 5 + id%6, height 3 + id%5, 8-color palette
+    palette[c] = ((23·id + 29c) % 256, (53·id + 31c) % 256,
+    (17·id + 43c) % 256)). Pixel rows ALTERNATE texture so both RLE8
+    paths run on every image: even (y+id) rows are run-friendly
+    (idx = (2·id + 3·(x//3) + 7y) % 8 — runs of 3) and odd rows are
+    literal (idx = (2·id + 5x + 7y) % 8 — no repeats → absolute
+    mode). Even doc_ids serialize UNCOMPRESSED (BI_RGB, bottom-up,
+    padded rows), odd doc_ids BI_RLE8 — one arithmetic oracle pins
+    both container paths, the GIF interlace discipline."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                w, h = 5 + doc_id % 6, 3 + doc_id % 5
+                ys = np.arange(h, dtype=np.int64)[:, None]
+                xs = np.arange(w, dtype=np.int64)[None, :]
+                runs = (2 * doc_id + 3 * (xs // 3) + 7 * ys) % 8
+                lits = (2 * doc_id + 5 * xs + 7 * ys) % 8
+                odd_row = (ys + doc_id) % 2 == 1
+                idx = np.where(odd_row, lits, runs).astype(np.uint8)
+                cs = np.arange(8, dtype=np.int64)
+                pal = np.stack([(23 * doc_id + 29 * cs) % 256,
+                                (53 * doc_id + 31 * cs) % 256,
+                                (17 * doc_id + 43 * cs) % 256],
+                               axis=1)
+                payloads.append(encode_bmp(idx, pal,
+                                           rle=bool(doc_id % 2)))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": payloads,
+                "media_type": BMP_MEDIA_TYPE,
             })
 
     return _spread_ids(docs).mapInPandas(

@@ -1709,3 +1709,134 @@ def events_changepoint_cusum(spark: SparkSession,
                     F.round("z.ss", 6).alias("cusum"),
                     F.when(F.col("z.ss") > 2.0 * F.col("mu"), 1)
                      .otherwise(0).alias("breach")))
+
+
+@query(
+    "events_time_weighted_avg",
+    oracle="""
+WITH clean AS (
+    SELECT user_id, event_id, value, epoch_us(ts) AS us, ts
+    FROM events
+    WHERE value IS NOT NULL AND NOT isnan(value)
+),
+stepped AS (
+    SELECT user_id, value, us,
+           lead(us) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS nxt
+    FROM clean
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(sum(nxt - us) AS BIGINT) AS span_us,
+       round(sum(value * (nxt - us)) / sum(nxt - us), 6)
+           AS time_weighted_avg
+FROM stepped
+WHERE nxt IS NOT NULL
+GROUP BY user_id
+HAVING sum(nxt - us) > 0
+""",
+)
+def events_time_weighted_avg(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """TIME-WEIGHTED AVERAGE per user — the hypertable analytics
+    primitive (TimescaleDB's time_weight with LOCF semantics) that
+    plain avg() gets wrong on irregular telemetry: each observation
+    holds until the next one, so its weight is the INTERVAL it was
+    current for, not 1. Implemented as one lead() window per user +
+    one hash agg: Σ value·Δt / Σ Δt over the user's ordered
+    timeline. Intervals are exact integer MICROSECONDS (unix_micros
+    — both engines read the same parquet timestamps, so the weights
+    are bit-identical; the only float is the weighted sum itself,
+    6-dp-rounded). NaN/null observations are scrubbed before the
+    step function forms, the fn_null hygiene rule. Single-event and
+    zero-span users are excluded (no interval to weight).
+
+    At 100 TB: one shuffle on user_id shared by the window and the
+    agg (Catalyst reuses the partitioning), map-side combinable
+    final agg — costs what any per-user window costs, with no
+    driver scalar."""
+    ev = load_table(spark, sf_dir, "events")
+    clean = (ev.filter(F.col("value").isNotNull() & ~F.isnan("value"))
+             .select("user_id", "event_id", "value", "ts",
+                     F.unix_micros("ts").alias("us")))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = (clean.withColumn("nxt", F.lead("us").over(w))
+               .filter(F.col("nxt").isNotNull())
+               .select("user_id", "value",
+                       (F.col("nxt") - F.col("us")).alias("dt")))
+    return (stepped.groupBy("user_id")
+            .agg(F.count("*").cast("bigint").alias("n_intervals"),
+                 F.sum("dt").cast("bigint").alias("span_us"),
+                 F.round(F.try_divide(F.sum(F.col("value")
+                                            * F.col("dt")),
+                                      F.sum("dt")), 6)
+                  .alias("time_weighted_avg"))
+            .filter(F.col("span_us") > 0))
+
+
+# OTel exponential-histogram scale: base = 2^(1/2^_EXPHIST_SCALE).
+# Scale 2 → base 2^0.25 ≈ 1.19 (16 buckets per decade-ish) — fine
+# enough to be useful, coarse enough that 2-decimal fixture values
+# sit ≥1e-3 relative from every irrational bucket boundary (the only
+# exact boundaries are integer powers of two, where IEEE log2 is
+# exact in both engines), so a last-ulp libm difference can't flip a
+# floor.
+_EXPHIST_SCALE = 2
+
+
+@query(
+    "events_histogram_exponential",
+    oracle=f"""
+WITH pos AS (
+    SELECT event_type, value FROM events
+    WHERE value IS NOT NULL AND NOT isnan(value) AND value > 0
+),
+bucketed AS (
+    SELECT event_type,
+           CAST(floor(log2(value) * {2 ** _EXPHIST_SCALE})
+                AS BIGINT) AS bucket_idx,
+           value
+    FROM pos
+)
+SELECT event_type, bucket_idx,
+       round(pow(2.0, bucket_idx / {2 ** _EXPHIST_SCALE}.0), 6)
+           AS bucket_lo,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS sum_value
+FROM bucketed
+GROUP BY event_type, bucket_idx
+""",
+)
+def events_histogram_exponential(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """EXPONENTIAL-BUCKET VALUE HISTOGRAM — the OpenTelemetry
+    exponential histogram's bucket function (scale 2: index =
+    floor(log2(v)·4), base 2^(1/4)): relative-error-bounded
+    value distributions with O(log range) buckets, the sketch every
+    metrics backend aggregates latencies into. Pure projection +
+    one map-side-combinable hash agg — mergeable across shards by
+    construction (bucket counts add), which is the whole point of
+    the representation at 100 TB.
+
+    Cross-engine float discipline: bucket boundaries 2^(k/4) are
+    irrational except at integer powers of two (where IEEE log2 is
+    exact), and the 2-decimal fixture values sit ≥1e-3 relative
+    from every irrational boundary, so a last-ulp libm difference
+    between engines cannot flip a floor (the knife-edge analysis
+    the _EXPHIST_SCALE comment records). sum_value rounds at 2dp
+    on the 0.01 input grid."""
+    ev = load_table(spark, sf_dir, "events")
+    pos = ev.filter(F.col("value").isNotNull()
+                    & ~F.isnan("value") & (F.col("value") > 0))
+    m = 2 ** _EXPHIST_SCALE
+    idx = F.floor(F.log2("value") * m).cast("bigint")
+    return (pos.select("event_type", idx.alias("bucket_idx"), "value")
+            .groupBy("event_type", "bucket_idx")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select("event_type", "bucket_idx",
+                    F.round(F.pow(F.lit(2.0),
+                                  F.col("bucket_idx")
+                                  / F.lit(float(m))), 6)
+                     .alias("bucket_lo"),
+                    "n", "sum_value"))

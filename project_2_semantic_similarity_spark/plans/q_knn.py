@@ -2503,3 +2503,66 @@ def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_r", 6).alias("mean_r"),
         F.round("mean_g", 6).alias("mean_g"),
         F.round("mean_b", 6).alias("mean_b"))
+
+
+@query(
+    "multimodal_decode_bmp",
+    oracle="""
+WITH dims AS (
+    SELECT doc_id,
+           5 + doc_id % 6 AS w,
+           3 + doc_id % 5 AS h
+    FROM documents
+),
+px AS (
+    SELECT d.doc_id, d.w, d.h,
+           CASE WHEN (y.i + d.doc_id) % 2 = 1
+                THEN (2 * d.doc_id + 5 * x.i + 7 * y.i) % 8
+                ELSE (2 * d.doc_id + 3 * (x.i // 3) + 7 * y.i) % 8
+           END AS idx
+    FROM dims d
+    CROSS JOIN range(10) x(i)
+    CROSS JOIN range(7) y(i)
+    WHERE x.i < d.w AND y.i < d.h
+)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       round(avg(CAST((23 * doc_id + 29 * idx) % 256 AS DOUBLE)), 6)
+           AS mean_r,
+       round(avg(CAST((53 * doc_id + 31 * idx) % 256 AS DOUBLE)), 6)
+           AS mean_g,
+       round(avg(CAST((17 * doc_id + 43 * idx) % 256 AS DOUBLE)), 6)
+           AS mean_b
+FROM px
+GROUP BY doc_id, w, h
+""",
+)
+def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFTH image codec (r13): each document carries a genuine
+    8-bit paletted BMP — BITMAPFILEHEADER/INFOHEADER parse, BGRA
+    palette, and BOTH pixel layouts the format ships: even doc_ids
+    uncompressed BI_RGB (bottom-up rows, 4-byte stride padding) and
+    odd doc_ids BI_RLE8 (encoded runs, word-aligned absolute mode,
+    EOL/EOB escapes; delta escape handled in the decoder)
+    (operators/multimodal.py decode_bmp / encode_bmp, written from
+    the BITMAPINFOHEADER spec). Pixel rows alternate run-friendly
+    and literal textures so every image exercises BOTH RLE8 modes,
+    and the oracle reproduces the palette/index arithmetic in SQL —
+    it never touches RLE — so a run/alignment/bottom-up bug breaks
+    the hash (the decode_gif discipline).
+
+    At 100 TB: identical shape to the other codecs — one narrow
+    Arrow-batched mapInPandas over the binary column, zero shuffle,
+    pixels never leave the executor."""
+    from project_2_semantic_similarity_spark.operators.multimodal import (
+        attach_bmp_payload, decode_image)
+
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_image(attach_bmp_payload(docs))
+    return decoded.select(
+        "doc_id", "width", "height", "n_pixels",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"))

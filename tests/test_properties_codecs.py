@@ -367,3 +367,48 @@ def test_gif_truncation_raises_valueerror_never_indexerror():
         stream.append(acc & 0xFF)
     with pytest.raises(ValueError):
         _lzw_decode_gif(bytes(stream), mcs)
+
+
+def test_bmp_roundtrip_both_layouts_and_truncation():
+    """r13 BMP codec: uncompressed and RLE8 serializations of the
+    same pixels decode identically (runs, absolute mode, EOL/EOB,
+    bottom-up rows), and every strict prefix either decodes to the
+    right pixels or raises ValueError — never IndexError/
+    struct.error (the decode_gif contract)."""
+    import pytest
+
+    from project_2_semantic_similarity_spark.operators.multimodal import (
+        decode_bmp, encode_bmp)
+
+    for did in (0, 1, 2, 5, 7, 11):
+        w, h = 5 + did % 6, 3 + did % 5
+        ys = np.arange(h, dtype=np.int64)[:, None]
+        xs = np.arange(w, dtype=np.int64)[None, :]
+        runs = (2 * did + 3 * (xs // 3) + 7 * ys) % 8
+        lits = (2 * did + 5 * xs + 7 * ys) % 8
+        idx = np.where((ys + did) % 2 == 1, lits, runs).astype(np.uint8)
+        cs = np.arange(8, dtype=np.int64)
+        pal = np.stack([(23 * did + 29 * cs) % 256,
+                        (53 * did + 31 * cs) % 256,
+                        (17 * did + 43 * cs) % 256], axis=1)
+        flat = decode_bmp(encode_bmp(idx, pal, rle=False))
+        rle = decode_bmp(encode_bmp(idx, pal, rle=True))
+        assert np.array_equal(flat[3], idx)
+        assert np.array_equal(rle[3], idx)
+        assert np.array_equal(flat[2][:8], pal)
+        assert np.array_equal(rle[2], flat[2])
+
+    payload = encode_bmp(idx, pal, rle=True)
+    for cut in range(len(payload)):
+        with pytest.raises(ValueError):
+            decode_bmp(payload[:cut])
+
+    # delta escape: jump over a gap (gap pixels stay index 0)
+    body = bytes([3, 5, 0, 2, 2, 1, 2, 6, 0, 0, 0, 1])
+    hdr = encode_bmp(np.zeros((2, 8), np.uint8), pal, rle=True)
+    offset = 14 + 40 + 256 * 4
+    crafted = hdr[:offset] + body
+    w2, h2, _, img = decode_bmp(crafted)
+    # bottom row (storage row 0): 3x index5, skip (2,1) -> row 1
+    assert list(img[1][:3]) == [5, 5, 5]
+    assert list(img[0][5:7]) == [6, 6]
