@@ -2080,6 +2080,97 @@ def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.count("a_vec") / 10.0, 2).alias("recall_at_10")))
 
 
+_MRL_DIMS = 16  # the truncated prefix a Matryoshka index serves
+
+
+@query(
+    "knn_matryoshka_recall",
+    oracle=f"""
+WITH base AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           (embedding::DOUBLE[])[1:{_MRL_DIMS}] AS tv
+    FROM embeddings
+),
+exact AS (
+    SELECT q.vec_id AS qid, e.vec_id,
+           row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(e.v, q.v) DESC,
+                        e.vec_id) AS r
+    FROM base e JOIN base q ON q.vec_id < 10 AND e.vec_id <> q.vec_id
+    QUALIFY r <= 3
+),
+trunc AS (
+    SELECT q.vec_id AS qid, e.vec_id,
+           row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(e.tv, q.tv) DESC,
+                        e.vec_id) AS r
+    FROM base e JOIN base q ON q.vec_id < 10 AND e.vec_id <> q.vec_id
+    QUALIFY r <= 3
+)
+SELECT x.qid AS query_id,
+       CAST(count(t.vec_id) AS BIGINT) AS n_hits,
+       round(count(t.vec_id) / 3.0, 2) AS recall_at_3
+FROM exact x
+LEFT JOIN trunc t ON t.qid = x.qid AND t.vec_id = x.vec_id
+GROUP BY x.qid
+""",
+)
+def knn_matryoshka_recall(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """MATRYOSHKA TRUNCATION recall (r13) — the measurement behind
+    serving MRL-style embeddings at a fraction of the dimension
+    (Kusupati et al. 2022): top-3 neighbors under the FIRST-16-DIM
+    prefix cosine vs top-3 under the full 64-dim cosine, recall@3
+    per query for the 10-query panel (the knn_recall_eval harness
+    shape with the quantized leg swapped for dimension truncation).
+    Cosine over the truncated prefix is self-normalizing, so no
+    renormalize step is needed — the truncated leg is literally
+    `slice + the same cosine`, which is why MRL serving is a
+    storage/bandwidth knob and not a new index algorithm.
+
+    Scale: the exact leg's cost is the point of the comparison (it
+    IS ground truth); both legs batch the panel in one broadcast
+    pass, rank-windowed per query, ties at the k boundary broken on
+    vec_id in both engines."""
+    from pyspark.sql import Window
+
+    from project_2_semantic_similarity_spark.functions import (
+        cosine_similarity)
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.slice(F.col("embedding").cast("array<double>"),
+                1, _MRL_DIMS).alias("tv"))
+
+    def topk(vec_col):
+        qs = (base.filter(F.col("vec_id") < 10)
+              .select(F.col("vec_id").alias("qid"),
+                      F.col(vec_col).alias("qv")))
+        w = Window.partitionBy("qid").orderBy(
+            F.col("cos").desc(), F.col("vec_id").asc())
+        return (base.crossJoin(F.broadcast(qs))
+                .filter(F.col("vec_id") != F.col("qid"))
+                .select("qid", "vec_id",
+                        cosine_similarity(vec_col, "qv").alias("cos"))
+                .withColumn("r", F.row_number().over(w))
+                .filter(F.col("r") <= 3)
+                .select("qid", "vec_id"))
+
+    exact = topk("v")
+    trunc = topk("tv").withColumnRenamed("vec_id", "t_vec")
+    return (exact.join(
+        trunc,
+        (exact["qid"] == trunc["qid"])
+        & (exact["vec_id"] == trunc["t_vec"]), "left")
+        .groupBy(exact["qid"].alias("query_id"))
+        .agg(F.count("t_vec").cast("bigint").alias("n_hits"),
+             F.round(F.count("t_vec") / 3.0, 2).alias("recall_at_3")))
+
+
 _SEMDEDUP_TAU = 0.35
 _SEMDEDUP_K = 8          # floor — the toy-SF setting
 _SEMDEDUP_ITERS = 5

@@ -212,6 +212,47 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_histogram_exponential",
+    oracle="""
+WITH pos AS (
+    SELECT event_type, value FROM events
+    WHERE value IS NOT NULL AND NOT isnan(value) AND value > 0
+)
+SELECT event_type,
+       CAST(floor(log2(value) * 4) AS BIGINT) AS bucket_idx,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS sum_value
+FROM pos
+GROUP BY event_type, bucket_idx
+""",
+)
+def stream_histogram_exponential(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """STREAMING exponential histogram (r13) — the batch
+    events_histogram_exponential's twin, and the demonstration of
+    WHY the representation matters: bucket counts are mergeable by
+    addition, so the identical floor(log2·4) projection + grouped
+    count runs incrementally per micro-batch with state = one
+    counter per live (type, bucket) — the histogram any metrics
+    backend maintains over a latency stream. Complete-mode replay
+    must equal the batch GROUP BY (the stream_bitmap_distinct
+    discipline). The bucket-boundary knife-edge analysis lives with
+    the batch twin's _EXPHIST_SCALE constant."""
+    ev = S.read_events_stream(spark, S.stage_events_dir(sf_dir))
+    pos = ev.filter(F.col("value").isNotNull()
+                    & ~F.isnan("value") & (F.col("value") > 0))
+    hist = (pos.select(
+        "event_type",
+        F.floor(F.log2("value") * 4).cast("bigint")
+         .alias("bucket_idx"), "value")
+        .groupBy("event_type", "bucket_idx")
+        .agg(F.count("*").cast("bigint").alias("n"),
+             F.round(F.sum("value"), 2).alias("sum_value")))
+    return S.run_to_memory(hist, "stream_histogram_exponential",
+                           "complete")
+
+
+@query(
     "stream_c4_filters_spans",
     oracle="""
 WITH punct AS (
