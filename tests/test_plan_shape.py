@@ -1222,3 +1222,36 @@ def test_range_search_broadcast_gate(spark, sf_dir):
               for r in over.collect()}
     assert approx <= exact
     assert len(approx) > 0  # non-degenerate recall at test scale
+
+
+def test_time_weighted_avg_single_exchange(spark, sf_dir):
+    """events_time_weighted_avg: the lead() window and the per-user
+    agg must SHARE one user_id exchange (Catalyst partitioning
+    reuse) — a second exchange means the agg lost the window's
+    partitioning."""
+    plan = plan_of(spark, "events_time_weighted_avg", sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
+
+
+def test_exponential_histogram_is_pure_agg(spark, sf_dir):
+    """events_histogram_exponential: projection + one partial+final
+    hash agg pair — no window, no join, no Python (the mergeable-
+    sketch property depends on it being a plain grouped count)."""
+    plan = plan_of(spark, "events_histogram_exponential", sf_dir)
+    assert "HashAggregate" in plan
+    assert "partial_count" in plan  # map-side combine
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_bmp_decode_zero_shuffle(spark, sf_dir):
+    """multimodal_decode_bmp: one scan, Arrow stages, no DATA
+    shuffle — the only allowed exchange is _spread_ids' round-robin
+    of narrow doc_id rows BEFORE payloads exist (pixels never
+    shuffle; the gif pin's rule)."""
+    plan = plan_of(spark, "multimodal_decode_bmp", sf_dir)
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert plan.count("MapInPandas") >= 1
