@@ -83,12 +83,11 @@ _CHANGED_THIS_ROUND = frozenset(
     }
 )
 # r13 window composition (r12 verdict #7, checked programmatically):
-# flagship + 14 changed + 1 new (stream_c4_filters_spans) + the FULL
-# 28-name r6 tier + 6 of the 46-name r7 tier = 50. Draining every
-# pre-r8 name this round is arithmetically impossible (74 old + 16
+# flagship + 6 never-verified new names + 14 changed + the FULL
+# 28-name r6 tier + 1 of the 46-name r7 tier = 50. Draining every
+# pre-r8 name this round is arithmetically impossible (74 old + 21
 # priority > 50); the oldest tier (r6) drains COMPLETELY, r7 becomes
-# the oldest and fits inside r14's window even alongside a normal
-# changed-set.
+# the oldest and drains across r14-r15 alongside normal changed-sets.
 
 
 def _verified_rounds() -> dict[str, int]:
