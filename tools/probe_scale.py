@@ -740,6 +740,31 @@ def main() -> None:
                   f"{fixed8 / max(st.pairs, 1):.0f}x reduction)",
                   flush=True)
             cnt = n_vec
+        elif name == "range_search_probe":
+            # r13: the gated fallback path of knn_range_search at
+            # scale — every-100th-vec query block (n/100 queries
+            # SCALES WITH the corpus, the reason the r12 broadcast
+            # was a scale killer) through the sign-LSH candidate
+            # path with scale-appropriate params (12 planes → 4096
+            # buckets, 8 tables). The broadcast-NLJ counterfactual
+            # at this size is n²/100 ≈ 4e10 interpreted cosine
+            # folds; the LSH path's work is the candidate volume
+            # it reports.
+            from project_2_semantic_similarity_spark.operators.similarity \
+                import cosine_range_search
+
+            e = spark.read.parquet(f"{out}/embeddings.parquet")
+            q = (e.filter(F.col("vec_id") % 100 == 0)
+                 .select(F.col("vec_id").alias("query_id"),
+                         F.col("embedding").alias("qv")))
+            n_q = q.count()
+            res = cosine_range_search(
+                e, q, 0.8, broadcast_q_max=None,
+                n_planes=12, n_tables=8)
+            cnt = res.count()
+            print(f"  {n_q} queries x {e.count()} corpus, tau=0.8: "
+                  f"{cnt} in-radius pairs via LSH candidates",
+                  flush=True)
         else:
             cnt = QUERIES[name](spark, out).count()
         wall = time.time() - t
