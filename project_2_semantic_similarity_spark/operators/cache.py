@@ -78,6 +78,30 @@ def keyed_persist(slot: str, key: Hashable,
     return df
 
 
+_VALUES: dict[str, tuple[tuple[Hashable, str | None], object]] = {}
+
+
+def keyed_value(slot: str, key: Hashable, builder: Callable[[], object]):
+    """Plain-value twin of ``keyed_persist`` for MEASURED PROBE
+    results (a LIMIT-bounded count, a sampled size estimate): the
+    probe job runs once per (slot, key, session) and the scalar is
+    memoized, so strategy gates that re-plan per execution (bench
+    cold+warm passes, plan-shape tests) stop paying the probe scan
+    each time (r13 verdict #6). Same replacement policy as
+    keyed_persist — one entry per slot, applicationId folded into
+    the identity so a recreated session re-measures."""
+    hit = _VALUES.get(slot)
+    if hit is not None and key is not None:
+        stored_key, stored_app = hit[0]
+        cur_app = _app_id()
+        if stored_key == key and (cur_app is None
+                                  or stored_app == cur_app):
+            return hit[1]
+    val = builder()
+    _VALUES[slot] = ((key, _app_id()), val)
+    return val
+
+
 def checkpoint_parquet(df: DataFrame, path: str) -> DataFrame:
     """Materialize ``df`` to parquet and continue the pipeline from
     the READ — the scratch-bounding stage boundary for multi-stage
@@ -114,3 +138,4 @@ def clear_slots() -> None:
         except Exception:
             pass  # session already stopped
     _SLOTS.clear()
+    _VALUES.clear()

@@ -892,7 +892,8 @@ def cosine_range_search(embeddings: DataFrame, queries: DataFrame,
                         q_id_col: str = "query_id",
                         vec_col: str = "embedding",
                         q_vec_col: str = "qv",
-                        plane_family: str = "rademacher") -> DataFrame:
+                        plane_family: str = "rademacher",
+                        q_count: int | None = None) -> DataFrame:
     """Fixed-radius similarity search — every corpus vector with
     cosine ≥ ``min_cosine`` to each query — with a MEASURED-count
     gate on the query-block broadcast (the flagship's
@@ -913,11 +914,22 @@ def cosine_range_search(embeddings: DataFrame, queries: DataFrame,
     Charikar curve 1−(1−p^b)^L — declared APPROXIMATE, the same
     contract as cosine_pairs_lsh / dedup_embedding_cosine_lsh.
     ``broadcast_q_max=None`` forces the LSH path (plan-shape tests).
+
+    PROBE COST (caller contract, r13 ADVICE): without ``q_count``,
+    every plan CONSTRUCTION runs the LIMIT-bounded count on
+    ``queries`` — when that relation is a lazy corpus-derived filter
+    (knn_range_search's every-100th-vec predicate), each build pays
+    an extra corpus scan job, repeated across bench cold+warm passes
+    and plan-shape tests. Callers with a stable query relation should
+    measure ``queries.limit(broadcast_q_max + 1).count()`` ONCE per
+    source snapshot (``operators.cache.keyed_value``) and pass it as
+    ``q_count``; the gate then plans without any probe job.
     """
     ex = embeddings.select(F.col(id_col).alias("__cid"),
                            F.col(vec_col).alias("__cv"))
     if broadcast_q_max is not None and (
-            queries.limit(broadcast_q_max + 1).count()
+            (q_count if q_count is not None
+             else queries.limit(broadcast_q_max + 1).count())
             <= broadcast_q_max):
         return (ex.crossJoin(F.broadcast(queries))
                 .filter(F.col("__cid") != F.col(q_id_col))

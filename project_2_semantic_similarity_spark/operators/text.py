@@ -102,7 +102,8 @@ def with_doc_frequency(counts: DataFrame) -> DataFrame:
 
 def vocab_join(left: DataFrame, vocab: DataFrame,
                on: str = "word",
-               broadcast_vocab_max: int = 4_000_000) -> DataFrame:
+               broadcast_vocab_max: int = 4_000_000,
+               broadcast_bytes_max: int = 256 * 1024 * 1024) -> DataFrame:
     """Join a corpus-derived relation against the distinct-word
     vocabulary with a MEASURED-count broadcast gate — the r12-verdict
     refinement of the r11 unhinting. The tension: a hard
@@ -126,10 +127,24 @@ def vocab_join(left: DataFrame, vocab: DataFrame,
     corpus pass. Sites that leave the vocab lazy keep the bare
     unhinted join instead (text_bpe_tokenize et al., where AQE's
     post-shuffle conversion is paid once, not multiplied through the
-    rank machinery's double read)."""
+    rank machinery's double read).
+
+    The gate is row-count AND size (r13 ADVICE): vocab rows carry
+    token string ARRAYS, so a near-bound vocab forced through
+    F.broadcast could be hundreds of MB per executor — the same
+    broadcast-pressure class the r11/r12 unhinting addressed. A
+    second bounded probe (1024-row sample, JSON octet length as a
+    uniform over-estimate of row bytes) extrapolates relation size;
+    past ``broadcast_bytes_max`` the join stays unhinted even under
+    the row bound."""
     n = vocab.limit(broadcast_vocab_max + 1).count()
     if n <= broadcast_vocab_max:
-        return left.join(F.broadcast(vocab), on)
+        avg = (vocab.limit(1024)
+               .select(F.avg(F.octet_length(
+                   F.to_json(F.struct(*vocab.columns)))))
+               .first()[0])
+        if avg is None or n * float(avg) <= broadcast_bytes_max:
+            return left.join(F.broadcast(vocab), on)
     return left.join(vocab, on)
 
 

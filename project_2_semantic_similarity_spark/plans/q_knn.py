@@ -2346,15 +2346,30 @@ def knn_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     with Charikar-curve recall, the dedup_embedding_cosine_lsh
     contract). Both paths plan-pinned in tests/test_plan_shape.py;
     at every tested SF the query count sits under the bound, so the
-    declared results stay exact and fully oracled."""
+    declared results stay exact and fully oracled.
+
+    The gate's LIMIT-bounded count is memoized per source snapshot
+    (keyed_value, r13 verdict #6): the query relation here is a lazy
+    corpus filter, so the un-memoized probe re-scanned the corpus on
+    EVERY plan build (bench cold+warm passes each paid it)."""
+    from project_2_semantic_similarity_spark.operators.cache import (
+        keyed_value)
     from project_2_semantic_similarity_spark.operators.similarity import (
         cosine_range_search)
+    from project_2_semantic_similarity_spark.sources.tables import (
+        source_fingerprint)
 
     e = load_table(spark, sf_dir, "embeddings")
     q = (e.filter(F.col("vec_id") % 100 == 0)
          .select(F.col("vec_id").alias("query_id"),
                  F.col("embedding").alias("qv")))
-    out = cosine_range_search(e, q, _RANGE_TAU)
+    bound = 100_000  # cosine_range_search's broadcast_q_max default
+    n_q = keyed_value(
+        "range_search_qcount",
+        (sf_dir, source_fingerprint(sf_dir, "embeddings")),
+        lambda: q.limit(bound + 1).count())
+    out = cosine_range_search(e, q, _RANGE_TAU, broadcast_q_max=bound,
+                              q_count=n_q)
     return out.select("query_id", "vec_id",
                       F.round("cosine", 6).alias("cosine"))
 

@@ -21,8 +21,15 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from project_2_semantic_similarity_spark.plans.q_analytics import (
+    _EXPHIST_SCALE)
 from project_2_semantic_similarity_spark.plans.registry import query
 from project_2_semantic_similarity_spark.streaming import ops as S
+
+# bucket multiplier 2^scale, shared with the batch twin
+# events_histogram_exponential (r13 ADVICE: a hardcoded 4 here would
+# silently desynchronize the two queries if the scale ever changed)
+_EXPHIST_M = 2 ** _EXPHIST_SCALE
 
 
 @query(
@@ -213,13 +220,13 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stream_histogram_exponential",
-    oracle="""
+    oracle=f"""
 WITH pos AS (
     SELECT event_type, value FROM events
     WHERE value IS NOT NULL AND NOT isnan(value) AND value > 0
 )
 SELECT event_type,
-       CAST(floor(log2(value) * 4) AS BIGINT) AS bucket_idx,
+       CAST(floor(log2(value) * {_EXPHIST_M}) AS BIGINT) AS bucket_idx,
        CAST(count(*) AS BIGINT) AS n,
        round(sum(value), 2) AS sum_value
 FROM pos
@@ -243,7 +250,7 @@ def stream_histogram_exponential(spark: SparkSession,
                     & ~F.isnan("value") & (F.col("value") > 0))
     hist = (pos.select(
         "event_type",
-        F.floor(F.log2("value") * 4).cast("bigint")
+        F.floor(F.log2("value") * _EXPHIST_M).cast("bigint")
          .alias("bucket_idx"), "value")
         .groupBy("event_type", "bucket_idx")
         .agg(F.count("*").cast("bigint").alias("n"),

@@ -49,6 +49,73 @@ TABLES = ("region", "nation", "customer", "supplier", "part",
 # heap and the page cache alone on a 128 GiB box.
 ORACLE_MEMORY = os.environ.get("P2SS_ORACLE_MEM", "32GB")
 ORACLE_THREADS = int(os.environ.get("P2SS_ORACLE_THREADS", "8"))
+# Per-query ceiling (r13 ADVICE): a hung-but-alive oracle (thrashing
+# under the memory_limit without being OOM-killed) must not stall the
+# sweep — poll with a generous budget, then terminate+restart and
+# record a duckdb error, mirroring the crash path. The ceiling is
+# sized to the slowest observed oracle (text_doc_similarity_ann,
+# 973 s at sf0.1 pre-materialization) with ~2x headroom.
+ORACLE_TIMEOUT = float(os.environ.get("P2SS_ORACLE_TIMEOUT", "2400"))
+
+
+def _oracle_prep_and_rewrites() -> tuple[list[str], "dict[str, tuple]",
+                                         str, str]:
+    """Harness-side oracle staging (r13 verdict #2): the sf0.1 oracle
+    wall (2226 s) was dominated by a handful of brute-force
+    differential oracles that (a) re-derive the shared tf-idf weight
+    relation inside every query and (b) reference their own heavy
+    CTEs more than once — and DuckDB 1.0 INLINES each CTE reference,
+    recomputing the whole upstream tree per mention (the
+    embedding_pca_power oracle documents the same failure mode).
+
+    Two semantics-preserving rewrites, applied ONLY in this harness —
+    the registry's oracle strings (what the driver runs standalone)
+    are untouched:
+
+    1. the exact ``_TFIDF_CTES`` text is computed ONCE per sweep into
+       a temp table (by the identical SQL), and each oracle embedding
+       that constant gets its ``tfidf`` CTE swapped for a temp-table
+       read (exact-substring substitution of a single shared
+       constant, so the two texts cannot drift);
+    2. a curated per-query list of multiply-referenced CTEs gets the
+       documented ``AS MATERIALIZED`` hint (result-identical by
+       DuckDB contract; it only pins the evaluate-once strategy).
+    """
+    from project_2_semantic_similarity_spark.plans.q_text import (
+        _TFIDF_CTES)
+
+    i = _TFIDF_CTES.index("tfidf AS (")
+    stub = _TFIDF_CTES[:i] + "tfidf AS (SELECT * FROM __shared_tfidf)\n"
+    prep = [
+        "CREATE TEMP TABLE __shared_tfidf AS WITH "
+        + _TFIDF_CTES
+        + " SELECT doc_id, term, tfidf FROM tfidf"
+    ]
+    # Multiply-referenced CTEs per heavy oracle (read from the oracle
+    # text this round): each name below is mentioned >1x downstream,
+    # or sits on the join side of a RECURSIVE member (re-inlined per
+    # iteration step without the hint).
+    materialize = {
+        "text_doc_similarity": ("norms",),
+        "text_doc_similarity_ann": ("wnz", "buckets", "norms"),
+        "dedup_phash_clusters": ("g", "ph", "edges"),
+        "text_unigram_tokenize": ("words", "vocab", "cost",
+                                  "pieces", "seg"),
+        "text_unigram_train": ("words", "vocab", "wf", "seedf",
+                               "chars", "cost1", "cost2",
+                               "seg1", "seg2"),
+    }
+    return prep, materialize, _TFIDF_CTES, stub
+
+
+def _rewrite_oracle(name: str, sql: str, tfidf_ctes: str,
+                    tfidf_stub: str, materialize: dict) -> str:
+    if tfidf_ctes in sql:
+        sql = sql.replace(tfidf_ctes, tfidf_stub)
+    for cte in materialize.get(name, ()):
+        sql = re.sub(rf"(?<![A-Za-z0-9_]){cte} AS \(",
+                     f"{cte} AS MATERIALIZED (", sql, count=1)
+    return sql
 
 
 def norm_cell(v):
@@ -73,11 +140,13 @@ def frame_fingerprint(df: pd.DataFrame) -> tuple[int, list[str], str]:
     return len(df), cols, h
 
 
-def _oracle_worker(conn, sf_dir: str) -> None:
+def _oracle_worker(conn, sf_dir: str, prep: list[str]) -> None:
     """The oracle subprocess loop: ("run", name, sql) -> ("ok",
     (n, cols, hash)) or ("err", traceback); ("head",) -> the last
     result's sorted 5-row head (failure diagnostics, computed only
-    on demand); None -> exit."""
+    on demand); None -> exit. ``prep``: per-sweep staging statements
+    (shared temp tables); the worker reports their wall seconds as
+    the first message so the artifact attributes the one-time cost."""
     import duckdb
 
     con = duckdb.connect()
@@ -86,6 +155,15 @@ def _oracle_worker(conn, sf_dir: str) -> None:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{sf_dir}/{t}.parquet')")
+    t0 = time.time()
+    try:
+        for stmt in prep:
+            con.execute(stmt)
+        conn.send(("prep_ok", round(time.time() - t0, 3)))
+    except Exception:
+        conn.send(("prep_err", traceback.format_exc()))
+        conn.close()
+        return
     last: pd.DataFrame | None = None
     while True:
         msg = conn.recv()
@@ -111,37 +189,92 @@ def _oracle_worker(conn, sf_dir: str) -> None:
 
 class OracleProc:
     """Owner of the oracle subprocess; restarts it after a crash so
-    one oracle OOM doesn't take down the rest of the sweep."""
+    one oracle OOM doesn't take down the rest of the sweep, and
+    applies a per-query poll ceiling so a hung-but-alive oracle
+    (thrashing under the memory_limit) can't stall the sweep
+    (r13 ADVICE)."""
 
     def __init__(self, sf_dir: str):
         self.sf_dir = sf_dir
+        self.prep, self.materialize, self._ctes, self._stub = \
+            _oracle_prep_and_rewrites()
+        self.prep_sec: float | None = None
         self._start()
 
     def _start(self) -> None:
         ctx = mp.get_context("spawn")  # never fork the JVM-attached parent
         self.conn, child = ctx.Pipe()
         self.proc = ctx.Process(target=_oracle_worker,
-                                args=(child, self.sf_dir), daemon=True)
+                                args=(child, self.sf_dir, self.prep),
+                                daemon=True)
         self.proc.start()
         child.close()
+        try:
+            ack = self._recv(ORACLE_TIMEOUT)
+        except (EOFError, OSError):
+            ack = ("prep_err", "oracle process died during prep")
+        if ack is None or ack[0] != "prep_ok":
+            # staging failed: run every oracle UNREWRITTEN (the
+            # registry SQL is self-contained) rather than fail the
+            # sweep over an optimization
+            if not self.prep:  # already bare and still failing
+                raise RuntimeError(f"oracle worker failed to start: {ack}")
+            detail = "timeout" if ack is None else ack[1]
+            print(f"oracle prep failed, falling back to unrewritten "
+                  f"oracles:\n{detail}", file=sys.stderr)
+            self._kill()
+            self.prep = []
+            self.materialize = {}
+            self._start()
+            return
+        self.prep_sec = (self.prep_sec or 0.0) + ack[1]
+
+    def _recv(self, timeout: float):
+        """recv with a ceiling; None = timed out (caller restarts)."""
+        if not self.conn.poll(timeout):
+            return None
+        return self.conn.recv()
+
+    def _kill(self) -> None:
+        try:
+            self.proc.terminate()
+        except Exception:
+            pass
+        self.proc.join(timeout=10)
+        try:
+            self.conn.close()
+        except OSError:
+            pass
 
     def run(self, name: str, sql: str):
+        sql = _rewrite_oracle(name, sql, self._ctes, self._stub,
+                              self.materialize)
         try:
             self.conn.send(("run", name, sql))
-            return self.conn.recv()
+            got = self._recv(ORACLE_TIMEOUT)
         except (EOFError, BrokenPipeError, OSError):
             code = self.proc.exitcode
             self.proc.join(timeout=5)
             self._start()
             return ("err", f"oracle process died (exitcode={code})")
+        if got is None:
+            self._kill()
+            self._start()
+            return ("err", f"oracle timed out (> {ORACLE_TIMEOUT:.0f}s)")
+        return got
 
     def head(self) -> str:
         try:
             self.conn.send(("head",))
-            return self.conn.recv()
+            got = self._recv(ORACLE_TIMEOUT)
         except (EOFError, BrokenPipeError, OSError):
             self._start()
             return "<oracle process died fetching head>"
+        if got is None:
+            self._kill()
+            self._start()
+            return "<oracle timed out fetching head>"
+        return got
 
     def close(self) -> None:
         try:
@@ -231,7 +364,7 @@ def main() -> int:
     print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
     oracle.close()
     if not filters:
-        write_artifact(sf_dir, records, failed, gate)
+        write_artifact(sf_dir, records, failed, gate, oracle.prep_sec)
     return 1 if failed else 0
 
 
@@ -257,7 +390,8 @@ def current_round() -> int:
 
 
 def write_artifact(sf_dir: str, records: dict, failed: list,
-                   load_gate: dict | None = None) -> None:
+                   load_gate: dict | None = None,
+                   oracle_prep_sec: float | None = None) -> None:
     n = current_round()
     path = f"/root/repo/VERIFY_LOCAL_r{n:02d}.json"
     statuses = [r["status"] for r in records.values()]
@@ -267,7 +401,13 @@ def write_artifact(sf_dir: str, records: dict, failed: list,
         "load_gate": load_gate,
         "oracle_isolation": {"memory_limit": ORACLE_MEMORY,
                              "threads": ORACLE_THREADS,
-                             "process": "spawned, restart-on-crash"},
+                             "timeout_sec": ORACLE_TIMEOUT,
+                             "process": "spawned, restart-on-crash",
+                             "staging": "shared tfidf temp table + "
+                                        "AS MATERIALIZED hints "
+                                        "(harness-side; registry "
+                                        "oracle SQL untouched)",
+                             "prep_sec": oracle_prep_sec},
         "total": len(records),
         "pass": statuses.count("pass"),
         "rows_only": statuses.count("rows_only"),
