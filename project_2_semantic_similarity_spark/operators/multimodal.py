@@ -862,8 +862,7 @@ def decode_image(payloads: DataFrame) -> DataFrame:
                     w, h, pal, idx = decode_gif(payload)
                     px = pal[idx]
                 elif media_type == BMP_MEDIA_TYPE:
-                    w, h, pal, idx = decode_bmp(payload)
-                    px = pal[idx]
+                    w, h, px = decode_bmp_rgb(payload)
                 else:
                     raise NotImplementedError(
                         f"no codec for {media_type} in this environment")
@@ -922,8 +921,7 @@ def phash_image(payloads: DataFrame, grid: int = 8) -> DataFrame:
                     w, h, pal, idx = decode_gif(payload)
                     px = pal[idx]
                 elif media_type == BMP_MEDIA_TYPE:
-                    w, h, pal, idx = decode_bmp(payload)
-                    px = pal[idx]
+                    w, h, px = decode_bmp_rgb(payload)
                 else:
                     raise NotImplementedError(
                         f"no codec for {media_type} in this environment")
@@ -985,8 +983,7 @@ def thumbnail_image(payloads: DataFrame, grid: int = 2) -> DataFrame:
                     w, h, pal, idx = decode_gif(payload)
                     px = pal[idx]
                 elif media_type == BMP_MEDIA_TYPE:
-                    w, h, pal, idx = decode_bmp(payload)
-                    px = pal[idx]
+                    w, h, px = decode_bmp_rgb(payload)
                 else:
                     raise NotImplementedError(
                         f"no codec for {media_type} in this environment")
@@ -1674,44 +1671,145 @@ def _bmp_rle8_encode_row(row: np.ndarray) -> bytes:
     return bytes(out)
 
 
+def _bmp_rle4_encode_row(row: np.ndarray) -> bytes:
+    """One raster row as BI_RLE4 (nibble indices): maximal runs ≥3
+    become encoded pairs (pixel count, value replicated in both
+    nibbles); literal stretches ≥3 become absolute mode (0, n,
+    packed nibbles, word-align pad); leftover pairs/singles are
+    emitted as short encoded runs (a 2-pixel encoded run legally
+    carries TWO alternating colors in its hi/lo nibbles)."""
+    out = bytearray()
+    vals = row.tolist()
+    i, n = 0, len(vals)
+    lit: list[int] = []
+
+    def flush_literal() -> None:
+        j = 0
+        while len(lit) - j >= 3:
+            take = min(254, len(lit) - j)
+            if take < 3:
+                break
+            out.append(0)
+            out.append(take)
+            chunk = lit[j:j + take]
+            if len(chunk) % 2:
+                chunk = chunk + [0]
+            packed = bytes((chunk[k] << 4) | chunk[k + 1]
+                           for k in range(0, len(chunk), 2))
+            out.extend(packed)
+            if len(packed) % 2:
+                out.append(0)  # absolute mode is word-aligned
+            j += take
+        rest = lit[j:]
+        while len(rest) >= 2:
+            a, b = rest[0], rest[1]
+            out.append(2)
+            out.append((a << 4) | b)
+            rest = rest[2:]
+        if rest:
+            out.append(1)
+            out.append(rest[0] << 4)
+        lit.clear()
+
+    while i < n:
+        j = i
+        while j < n and vals[j] == vals[i] and j - i < 255:
+            j += 1
+        run = j - i
+        if run >= 3:
+            flush_literal()
+            out.append(run)
+            v = vals[i]
+            out.append((v << 4) | v)
+        else:
+            lit.extend(vals[i:j])
+            if len(lit) >= 254:
+                flush_literal()
+        i = j
+    flush_literal()
+    return bytes(out)
+
+
 def encode_bmp(indices: np.ndarray, palette: np.ndarray,
-               rle: bool = False) -> bytes:
-    """A real 8-bit paletted BMP file (BITMAPFILEHEADER +
-    BITMAPINFOHEADER + 256-entry BGRA palette + pixel data):
-    uncompressed (BI_RGB, rows bottom-up, 4-byte padded) or
-    BI_RLE8 (encoded runs / absolute mode / EOL / EOB)."""
+               rle: bool = False, bpp: int = 8) -> bytes:
+    """A real paletted BMP file (BITMAPFILEHEADER + BITMAPINFOHEADER
+    + BGRA palette + pixel data). ``bpp=8``: uncompressed BI_RGB
+    (rows bottom-up, 4-byte padded) or BI_RLE8 (encoded runs /
+    absolute mode / EOL / EOB). ``bpp=4`` (r13 verdict #3): 16-entry
+    palette, nibble-packed uncompressed rows or BI_RLE4."""
+    if bpp not in (4, 8):
+        raise ValueError(f"encode_bmp supports bpp 4/8, got {bpp}")
     h, w = indices.shape
-    pal = np.zeros((256, 3), np.uint8)
+    n_pal = 16 if bpp == 4 else 256
+    if bpp == 4 and int(indices.max(initial=0)) > 15:
+        raise ValueError("4-bit BMP indices must be < 16")
+    pal = np.zeros((n_pal, 3), np.uint8)
     pal[:len(palette)] = palette.astype(np.uint8)
     pal_bytes = bytearray()
     for r, g, b in pal.tolist():
         pal_bytes += bytes([b, g, r, 0])  # BGRA quads
     if rle:
+        enc_row = _bmp_rle8_encode_row if bpp == 8 else _bmp_rle4_encode_row
         data = bytearray()
         for y in range(h - 1, -1, -1):  # bottom-up storage order
-            data += _bmp_rle8_encode_row(indices[y])
+            data += enc_row(indices[y])
             data += b"\x00\x00" if y > 0 else b"\x00\x01"  # EOL / EOB
     else:
-        pad = (-w) % 4
         data = bytearray()
-        for y in range(h - 1, -1, -1):
-            data += indices[y].astype(np.uint8).tobytes()
-            data += b"\x00" * pad
-    offset = 14 + 40 + 256 * 4
-    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8,
-                       1 if rle else 0, len(data), 2835, 2835, 256, 0)
+        if bpp == 8:
+            pad = (-w) % 4
+            for y in range(h - 1, -1, -1):
+                data += indices[y].astype(np.uint8).tobytes()
+                data += b"\x00" * pad
+        else:
+            row_bytes = (w + 1) // 2
+            pad = (-row_bytes) % 4
+            for y in range(h - 1, -1, -1):
+                vals = indices[y].tolist()
+                if len(vals) % 2:
+                    vals = vals + [0]
+                data += bytes((vals[k] << 4) | vals[k + 1]
+                              for k in range(0, len(vals), 2))
+                data += b"\x00" * pad
+    offset = 14 + 40 + n_pal * 4
+    comp = (0 if not rle else (1 if bpp == 8 else 2))
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp,
+                       comp, len(data), 2835, 2835, n_pal, 0)
     head = (b"BM" + struct.pack("<IHHI", offset + len(data), 0, 0,
                                 offset))
     return bytes(head + info + pal_bytes + data)
 
 
+def encode_bmp24(px: np.ndarray, top_down: bool = False) -> bytes:
+    """A real 24-bit truecolor BMP (BI_RGB): BGR byte order, rows
+    4-byte stride-padded, bottom-up storage (or top-down via the
+    spec's negative biHeight). The layout most real-world crawls
+    actually contain (r13 verdict #3)."""
+    h, w, _ = px.shape
+    stride_pad = (-(3 * w)) % 4
+    data = bytearray()
+    ys = range(h) if top_down else range(h - 1, -1, -1)
+    for y in ys:
+        data += px[y, :, ::-1].astype(np.uint8).tobytes()  # RGB -> BGR
+        data += b"\x00" * stride_pad
+    offset = 14 + 40
+    info = struct.pack("<IiiHHIIiiII", 40, w,
+                       -h if top_down else h, 1, 24,
+                       0, len(data), 2835, 2835, 0, 0)
+    head = (b"BM" + struct.pack("<IHHI", offset + len(data), 0, 0,
+                                offset))
+    return bytes(head + info + data)
+
+
 def decode_bmp(payload: bytes) -> tuple[int, int, np.ndarray, np.ndarray]:
-    """Parse an 8-bit paletted BMP: both BI_RGB (uncompressed,
-    4-byte row padding) and BI_RLE8 (encoded runs, absolute mode
-    with word alignment, EOL / EOB / delta escapes), bottom-up or
-    top-down (negative height). Returns (w, h, palette (256,3) RGB,
-    indices (h,w)). Truncated/malformed payloads raise ValueError
-    (the decode_gif contract)."""
+    """Parse a PALETTED BMP — 8-bit (BI_RGB with 4-byte row padding,
+    or BI_RLE8) and 4-bit (nibble-packed BI_RGB, or BI_RLE4 — r13
+    verdict #3): encoded runs (RLE4 runs alternate the value byte's
+    hi/lo nibbles), absolute mode with word alignment, EOL / EOB /
+    delta escapes, bottom-up or top-down (negative height). Returns
+    (w, h, palette (256,3) RGB, indices (h,w)).
+    Truncated/malformed payloads raise ValueError (the decode_gif
+    contract). 24-bit truecolor payloads: use decode_bmp_rgb."""
     def need(upto: int, what: str) -> None:
         if upto > len(payload):
             raise ValueError(
@@ -1727,13 +1825,18 @@ def decode_bmp(payload: bytes) -> tuple[int, int, np.ndarray, np.ndarray]:
         "<IiiHHIIiiII", payload[14:54])
     if hdr_size < 40:
         raise ValueError(f"unsupported BMP header size {hdr_size}")
-    if bpp != 8:
-        raise ValueError(f"only 8-bit BMP supported, got {bpp}")
-    if comp not in (0, 1):
-        raise ValueError(f"unsupported BMP compression {comp}")
+    if bpp not in (4, 8):
+        raise ValueError(
+            f"decode_bmp handles paletted 4/8-bit, got {bpp} "
+            "(24-bit truecolor: decode_bmp_rgb)")
+    # comp: 0 = BI_RGB; 1 = BI_RLE8 (8-bit only); 2 = BI_RLE4 (4-bit)
+    if comp not in (0, 1, 2) or (comp == 1 and bpp != 8) \
+            or (comp == 2 and bpp != 4):
+        raise ValueError(
+            f"unsupported BMP compression {comp} at {bpp} bpp")
     top_down = h_signed < 0
     h = -h_signed if top_down else h_signed
-    n_pal = used or 256
+    n_pal = used or (16 if bpp == 4 else 256)
     pal_at = 14 + hdr_size
     need(pal_at + 4 * n_pal, "palette")
     quads = np.frombuffer(payload[pal_at:pal_at + 4 * n_pal],
@@ -1742,49 +1845,111 @@ def decode_bmp(payload: bytes) -> tuple[int, int, np.ndarray, np.ndarray]:
     pal[:n_pal] = quads[:, [2, 1, 0]]  # BGRA -> RGB
     img = np.zeros((h, w), np.uint8)
     if comp == 0:
-        stride = w + ((-w) % 4)
+        row_bytes = w if bpp == 8 else (w + 1) // 2
+        stride = row_bytes + ((-row_bytes) % 4)
         need(offset + stride * h, "pixel data")
-        rows = np.frombuffer(payload[offset:offset + stride * h],
-                             np.uint8).reshape(h, stride)[:, :w]
+        raw = np.frombuffer(payload[offset:offset + stride * h],
+                            np.uint8).reshape(h, stride)
+        if bpp == 8:
+            rows = raw[:, :w]
+        else:  # unpack nibbles, hi first
+            nib = np.empty((h, 2 * stride), np.uint8)
+            nib[:, 0::2] = raw >> 4
+            nib[:, 1::2] = raw & 0x0F
+            rows = nib[:, :w]
         img = rows if top_down else rows[::-1]
         return w, h, pal, np.ascontiguousarray(img)
-    # BI_RLE8: stored bottom-up unless top-down flagged
+    # BI_RLE8 / BI_RLE4: stored bottom-up unless top-down flagged
+    rle4 = comp == 2
     pos = offset
     x, y = 0, 0  # y in STORAGE order (0 = first stored row)
     done = False
     while not done:
-        need(pos + 2, "RLE8 stream")
+        need(pos + 2, "RLE stream")
         c, v = payload[pos], payload[pos + 1]
         pos += 2
-        if c > 0:  # encoded run
+        if c > 0:  # encoded run (RLE4: hi/lo nibbles alternate)
             if y >= h or x + c > w:
-                raise ValueError("RLE8 run overflows the raster")
+                raise ValueError("RLE run overflows the raster")
             row = (y if top_down else h - 1 - y)
-            img[row, x:x + c] = v
+            if rle4:
+                pair = np.array([v >> 4, v & 0x0F], np.uint8)
+                img[row, x:x + c] = np.tile(pair, (c + 1) // 2)[:c]
+            else:
+                img[row, x:x + c] = v
             x += c
         elif v == 0:  # EOL
             x, y = 0, y + 1
         elif v == 1:  # EOB
             done = True
         elif v == 2:  # delta
-            need(pos + 2, "RLE8 delta")
+            need(pos + 2, "RLE delta")
             x += payload[pos]
             y += payload[pos + 1]
             pos += 2
             if x > w or y > h:
-                raise ValueError("RLE8 delta leaves the raster")
+                raise ValueError("RLE delta leaves the raster")
         else:  # absolute mode, word-aligned
             n_abs = v
-            span = n_abs + (n_abs % 2)
-            need(pos + span, "RLE8 absolute run")
+            data_bytes = n_abs if not rle4 else (n_abs + 1) // 2
+            span = data_bytes + (data_bytes % 2)
+            need(pos + span, "RLE absolute run")
             if y >= h or x + n_abs > w:
-                raise ValueError("RLE8 absolute run overflows")
+                raise ValueError("RLE absolute run overflows")
             row = (y if top_down else h - 1 - y)
-            img[row, x:x + n_abs] = np.frombuffer(
-                payload[pos:pos + n_abs], np.uint8)
+            if rle4:
+                packed = np.frombuffer(
+                    payload[pos:pos + data_bytes], np.uint8)
+                nib = np.empty(2 * data_bytes, np.uint8)
+                nib[0::2] = packed >> 4
+                nib[1::2] = packed & 0x0F
+                img[row, x:x + n_abs] = nib[:n_abs]
+            else:
+                img[row, x:x + n_abs] = np.frombuffer(
+                    payload[pos:pos + n_abs], np.uint8)
             x += n_abs
             pos += span
     return w, h, pal, img
+
+
+def decode_bmp_rgb(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Universal BMP entry returning RGB pixels (w, h, px (h,w,3)):
+    24-bit truecolor BI_RGB (BGR byte order, 4-byte stride padding,
+    bottom-up or top-down) decoded directly — the most common BMP
+    layout in real crawls (r13 verdict #3) — and paletted 4/8-bit
+    payloads delegated to decode_bmp + palette lookup. Truncated/
+    malformed payloads raise ValueError (the decode_gif contract)."""
+    def need(upto: int, what: str) -> None:
+        if upto > len(payload):
+            raise ValueError(
+                f"BMP truncated in {what} "
+                f"(need {upto} bytes, have {len(payload)})")
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP file")
+    need(14 + 40, "headers")
+    offset = struct.unpack("<I", payload[10:14])[0]
+    (hdr_size, w, h_signed, _planes, bpp, comp, _img_size,
+     _xppm, _yppm, _used, _imp) = struct.unpack(
+        "<IiiHHIIiiII", payload[14:54])
+    if bpp != 24:
+        w2, h2, pal, idx = decode_bmp(payload)
+        return w2, h2, pal[idx]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    if comp != 0:
+        raise ValueError(
+            f"unsupported 24-bit BMP compression {comp}")
+    top_down = h_signed < 0
+    h = -h_signed if top_down else h_signed
+    stride = 3 * w + ((-(3 * w)) % 4)
+    need(offset + stride * h, "pixel data")
+    raw = np.frombuffer(payload[offset:offset + stride * h],
+                        np.uint8).reshape(h, stride)
+    px = raw[:, :3 * w].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    if not top_down:
+        px = px[::-1]
+    return w, h, np.ascontiguousarray(px)
 
 
 def attach_bmp_payload(docs: DataFrame) -> DataFrame:
@@ -1817,6 +1982,50 @@ def attach_bmp_payload(docs: DataFrame) -> DataFrame:
                                axis=1)
                 payloads.append(encode_bmp(idx, pal,
                                            rle=bool(doc_id % 2)))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": payloads,
+                "media_type": BMP_MEDIA_TYPE,
+            })
+
+    return _spread_ids(docs).mapInPandas(
+        gen, schema="doc_id bigint, payload binary, media_type string")
+
+
+def attach_bmp_rgb_payload(docs: DataFrame) -> DataFrame:
+    """In-engine fixture for the REAL-WORLD BMP layouts (r13 verdict
+    #3): same pixel/palette arithmetic as attach_bmp_payload (so one
+    arithmetic oracle pins every container path), serialized in the
+    layout picked by doc_id % 4 — 0: 24-bit truecolor bottom-up,
+    1: BI_RLE4, 2: 4-bit nibble-packed uncompressed, 3: 24-bit
+    truecolor TOP-DOWN (negative biHeight). The alternating
+    run/literal row texture exercises both RLE4 modes; indices stay
+    in 0..7 so the 4-bit palette holds them."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                w, h = 5 + doc_id % 6, 3 + doc_id % 5
+                ys = np.arange(h, dtype=np.int64)[:, None]
+                xs = np.arange(w, dtype=np.int64)[None, :]
+                runs = (2 * doc_id + 3 * (xs // 3) + 7 * ys) % 8
+                lits = (2 * doc_id + 5 * xs + 7 * ys) % 8
+                odd_row = (ys + doc_id) % 2 == 1
+                idx = np.where(odd_row, lits, runs).astype(np.uint8)
+                cs = np.arange(8, dtype=np.int64)
+                pal = np.stack([(23 * doc_id + 29 * cs) % 256,
+                                (53 * doc_id + 31 * cs) % 256,
+                                (17 * doc_id + 43 * cs) % 256],
+                               axis=1)
+                variant = doc_id % 4
+                if variant in (0, 3):
+                    px = pal.astype(np.uint8)[idx]
+                    payloads.append(
+                        encode_bmp24(px, top_down=variant == 3))
+                else:
+                    payloads.append(
+                        encode_bmp(idx, pal, rle=variant == 1, bpp=4))
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "payload": payloads,

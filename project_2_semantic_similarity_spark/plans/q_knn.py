@@ -2672,3 +2672,68 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_r", 6).alias("mean_r"),
         F.round("mean_g", 6).alias("mean_g"),
         F.round("mean_b", 6).alias("mean_b"))
+
+
+@query(
+    "multimodal_decode_bmp_rgb",
+    oracle="""
+WITH dims AS (
+    SELECT doc_id,
+           5 + doc_id % 6 AS w,
+           3 + doc_id % 5 AS h
+    FROM documents
+),
+px AS (
+    SELECT d.doc_id, d.w, d.h,
+           CASE WHEN (y.i + d.doc_id) % 2 = 1
+                THEN (2 * d.doc_id + 5 * x.i + 7 * y.i) % 8
+                ELSE (2 * d.doc_id + 3 * (x.i // 3) + 7 * y.i) % 8
+           END AS idx
+    FROM dims d
+    CROSS JOIN range(10) x(i)
+    CROSS JOIN range(7) y(i)
+    WHERE x.i < d.w AND y.i < d.h
+)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       round(avg(CAST((23 * doc_id + 29 * idx) % 256 AS DOUBLE)), 6)
+           AS mean_r,
+       round(avg(CAST((53 * doc_id + 31 * idx) % 256 AS DOUBLE)), 6)
+           AS mean_g,
+       round(avg(CAST((17 * doc_id + 43 * idx) % 256 AS DOUBLE)), 6)
+           AS mean_b
+FROM px
+GROUP BY doc_id, w, h
+""",
+)
+def multimodal_decode_bmp_rgb(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """REAL-WORLD BMP layouts (r13 verdict #3 — the largest codec
+    hole after r13): 24-bit truecolor BI_RGB, the layout most real
+    crawls actually contain (BGR byte order, 4-byte stride padding,
+    bottom-up AND top-down via negative biHeight), plus 4-bit
+    paletted in both containers — nibble-packed uncompressed and
+    BI_RLE4 (encoded runs with ALTERNATING hi/lo nibbles, word-
+    aligned absolute mode, EOL/EOB/delta escapes)
+    (operators/multimodal.py decode_bmp_rgb / decode_bmp, written
+    from the BITMAPINFOHEADER spec). Each document serializes the
+    SAME deterministic raster as multimodal_decode_bmp in the layout
+    picked by doc_id % 4, so this oracle is the identical palette/
+    index arithmetic — it never touches strides, nibbles, or RLE —
+    and any layout bug breaks the hash (the decode_gif discipline).
+
+    At 100 TB: identical shape to the other codecs — one narrow
+    Arrow-batched mapInPandas over the binary column, zero shuffle,
+    pixels never leave the executor."""
+    from project_2_semantic_similarity_spark.operators.multimodal import (
+        attach_bmp_rgb_payload, decode_image)
+
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_image(attach_bmp_rgb_payload(docs))
+    return decoded.select(
+        "doc_id", "width", "height", "n_pixels",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"))

@@ -246,15 +246,7 @@ def stream_histogram_exponential(spark: SparkSession,
     discipline). The bucket-boundary knife-edge analysis lives with
     the batch twin's _EXPHIST_SCALE constant."""
     ev = S.read_events_stream(spark, S.stage_events_dir(sf_dir))
-    pos = ev.filter(F.col("value").isNotNull()
-                    & ~F.isnan("value") & (F.col("value") > 0))
-    hist = (pos.select(
-        "event_type",
-        F.floor(F.log2("value") * _EXPHIST_M).cast("bigint")
-         .alias("bucket_idx"), "value")
-        .groupBy("event_type", "bucket_idx")
-        .agg(F.count("*").cast("bigint").alias("n"),
-             F.round(F.sum("value"), 2).alias("sum_value")))
+    hist = S.exponential_histogram(ev, _EXPHIST_M)
     return S.run_to_memory(hist, "stream_histogram_exponential",
                            "complete")
 

@@ -485,6 +485,27 @@ def bitmap_distinct_daily(events: DataFrame) -> DataFrame:
     )
 
 
+def exponential_histogram(events: DataFrame, m: int) -> DataFrame:
+    """OTel-style exponential histogram maintained under streaming
+    ingest (r13; factored out of the plan in r14 so the multi-batch
+    merge test drives the exact production expression): bucket_idx =
+    floor(log2(value)·m) with m = 2^scale shared with the batch twin
+    (plans/q_analytics._EXPHIST_SCALE). Bucket (count, sum) state is
+    mergeable BY ADDITION, so the identical projection + grouped agg
+    runs incrementally per micro-batch with state = one counter pair
+    per live (type, bucket); a complete-mode replay equals the batch
+    GROUP BY regardless of micro-batch boundaries."""
+    pos = events.filter(F.col("value").isNotNull()
+                        & ~F.isnan("value") & (F.col("value") > 0))
+    return (pos.select(
+        "event_type",
+        F.floor(F.log2("value") * m).cast("bigint")
+         .alias("bucket_idx"), "value")
+        .groupBy("event_type", "bucket_idx")
+        .agg(F.count("*").cast("bigint").alias("n"),
+             F.round(F.sum("value"), 2).alias("sum_value")))
+
+
 def stage_documents_dir(sf_dir: str) -> str:
     """Stage documents.parquet into a /tmp directory for the file
     streaming source (same hardlink + content-fingerprint contract

@@ -1118,3 +1118,63 @@ def test_semdedup_k_scales_with_corpus(spark, sf_dir):
     # declared query still trains exactly _SEMDEDUP_K clusters
     n_sf = load_table(spark, sf_dir, "embeddings").count()
     assert _semdedup_k(n_sf) == _SEMDEDUP_K
+
+
+def test_matryoshka_recall_matches_numpy_ground_truth(spark, sf_dir):
+    """r13 verdict #3 (test-coverage gap): knn_matryoshka_recall,
+    re-derived INDEPENDENTLY in numpy from the raw parquet — exact
+    top-3 under the full 64-dim cosine and under the 16-dim prefix
+    cosine with the query's (cos DESC, vec_id ASC) tie-break — must
+    produce the identical per-query n_hits/recall. Also pins the
+    contract properties: recall in [0, 1], n_hits = 3*recall, the
+    prefix leg is self-normalizing (no renormalize step), and the
+    rank-3/rank-4 boundary has a real margin on BOTH legs (no float
+    knife-edge deciding membership of the top-3 set).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from project_2_semantic_similarity_spark.plans.q_knn import (
+        _MRL_DIMS, knn_matryoshka_recall)
+
+    got = {r["query_id"]: (r["n_hits"], r["recall_at_3"])
+           for r in knn_matryoshka_recall(spark, sf_dir).collect()}
+    assert len(got) == 10
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ids = emb["vec_id"].to_numpy()
+    m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    order = np.argsort(ids)
+    ids, m = ids[order], m[order]
+
+    def top3(mat, qid):
+        qv = mat[ids == qid][0]
+        cos = (mat @ qv) / (np.linalg.norm(mat, axis=1)
+                            * np.linalg.norm(qv))
+        mask = ids != qid
+        cand_ids, cand_cos = ids[mask], cos[mask]
+        # (cos DESC, vec_id ASC) total order
+        ranked = sorted(zip(cand_ids, cand_cos),
+                        key=lambda t: (-t[1], t[0]))
+        margins = [abs(ranked[2][1] - ranked[3][1])]
+        return {i for i, _ in ranked[:3]}, min(margins)
+
+    for qid in range(10):
+        exact, m_full = top3(m, qid)
+        trunc, m_pref = top3(m[:, :_MRL_DIMS], qid)
+        n_hits = len(exact & trunc)
+        assert got[qid][0] == n_hits, qid
+        assert got[qid][1] == round(n_hits / 3.0, 2), qid
+        assert 0.0 <= got[qid][1] <= 1.0
+        # knife-edge guard: the set boundary is decided by a margin
+        # far above double noise on both legs (ties would instead be
+        # broken deterministically by vec_id, but the fixture should
+        # not sit on one)
+        assert m_full > 1e-9 and m_pref > 1e-9, qid
+
+    # self-normalization: cosine over the raw prefix equals cosine
+    # over the renormalized prefix (what makes MRL serving slice-only)
+    a, b = m[0, :_MRL_DIMS], m[1, :_MRL_DIMS]
+    an, bn = a / np.linalg.norm(a), b / np.linalg.norm(b)
+    raw = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert abs(raw - an @ bn) < 1e-12

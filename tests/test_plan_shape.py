@@ -1255,3 +1255,13 @@ def test_bmp_decode_zero_shuffle(spark, sf_dir):
     assert plan.count("Scan parquet") == 1
     assert plan.count("Exchange hashpartitioning") == 0
     assert plan.count("MapInPandas") >= 1
+
+
+def test_bmp_rgb_decode_zero_shuffle(spark, sf_dir):
+    """multimodal_decode_bmp_rgb (r14): the truecolor/RLE4 layouts
+    keep the identical codec plan shape — one scan, Arrow stages,
+    no DATA shuffle (pixels never shuffle; the gif pin's rule)."""
+    plan = plan_of(spark, "multimodal_decode_bmp_rgb", sf_dir)
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert plan.count("MapInPandas") >= 1

@@ -412,3 +412,63 @@ def test_bmp_roundtrip_both_layouts_and_truncation():
     # bottom row (storage row 0): 3x index5, skip (2,1) -> row 1
     assert list(img[1][:3]) == [5, 5, 5]
     assert list(img[0][5:7]) == [6, 6]
+
+
+def test_bmp_rgb_layouts_roundtrip_and_truncation():
+    """r14 BMP layouts (r13 verdict #3): 24-bit truecolor (bottom-up
+    AND top-down), 4-bit nibble-packed BI_RGB, and BI_RLE4 all
+    decode to the same pixels the arithmetic fixture prescribes;
+    decode_bmp_rgb serves every supported bpp uniformly; and every
+    strict prefix of each layout raises ValueError — never
+    IndexError/struct.error (the decode_gif contract)."""
+    import pytest
+
+    from project_2_semantic_similarity_spark.operators.multimodal import (
+        decode_bmp, decode_bmp_rgb, encode_bmp, encode_bmp24)
+
+    last = {}
+    for did in (0, 1, 2, 3, 5, 7, 11, 14):
+        w, h = 5 + did % 6, 3 + did % 5
+        ys = np.arange(h, dtype=np.int64)[:, None]
+        xs = np.arange(w, dtype=np.int64)[None, :]
+        runs = (2 * did + 3 * (xs // 3) + 7 * ys) % 8
+        lits = (2 * did + 5 * xs + 7 * ys) % 8
+        idx = np.where((ys + did) % 2 == 1, lits, runs).astype(np.uint8)
+        cs = np.arange(8, dtype=np.int64)
+        pal = np.stack([(23 * did + 29 * cs) % 256,
+                        (53 * did + 31 * cs) % 256,
+                        (17 * did + 43 * cs) % 256],
+                       axis=1).astype(np.uint8)
+        expect = pal[idx]
+        for td in (False, True):  # 24-bit, both row orders
+            w2, h2, px = decode_bmp_rgb(encode_bmp24(expect, top_down=td))
+            assert (w2, h2) == (w, h)
+            assert np.array_equal(px, expect)
+        for rle in (False, True):  # 4-bit, both containers
+            payload = encode_bmp(idx, pal, rle=rle, bpp=4)
+            w2, h2, p2, i2 = decode_bmp(payload)
+            assert np.array_equal(i2, idx)
+            assert np.array_equal(p2[:8], pal)
+            _, _, px = decode_bmp_rgb(payload)
+            assert np.array_equal(px, expect)
+        # 8-bit payloads flow through decode_bmp_rgb unchanged
+        _, _, px8 = decode_bmp_rgb(encode_bmp(idx, pal, rle=bool(did % 2)))
+        assert np.array_equal(px8, expect)
+        last = {"expect": expect, "idx": idx, "pal": pal}
+
+    for payload in (encode_bmp24(last["expect"]),
+                    encode_bmp24(last["expect"], top_down=True),
+                    encode_bmp(last["idx"], last["pal"], rle=True, bpp=4),
+                    encode_bmp(last["idx"], last["pal"], rle=False, bpp=4)):
+        for cut in range(len(payload)):
+            with pytest.raises(ValueError):
+                decode_bmp_rgb(payload[:cut])
+
+    # RLE4 alternating-color encoded run: count 5, value 0x2 0x7
+    # decodes 2,7,2,7,2 (the hi/lo alternation 8-bit RLE lacks)
+    hdr = encode_bmp(np.zeros((2, 8), np.uint8),
+                     np.zeros((8, 3), np.uint8), rle=True, bpp=4)
+    offset = 14 + 40 + 16 * 4
+    crafted = hdr[:offset] + bytes([5, 0x27, 0, 0, 0, 1])
+    _, _, _, img = decode_bmp(crafted)
+    assert list(img[1][:5]) == [2, 7, 2, 7, 2]

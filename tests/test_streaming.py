@@ -526,3 +526,44 @@ def test_span_state_first_arrival_and_ttl_expiry():
     # the production TTL knob actually arms the timeout
     run_batch(st, [(12, 0)], ttl_minutes=30)
     assert st.timeout_ms == 30 * 60 * 1000
+
+
+def test_exponential_histogram_merges_across_batches(spark, sf_dir):
+    """r13 verdict #3 (test-coverage gap): stream_histogram_
+    exponential's merge-by-addition property actually exercised
+    across a micro-batch boundary — the doubled staging dir replayed
+    with maxFilesPerTrigger=1 delivers the events in SEPARATE
+    micro-batches, so bucket (n, sum) state must accumulate
+    incrementally; the final complete-mode table must equal the
+    batch GROUP BY over the same (doubled) rows: every n exactly 2x
+    the single-corpus bucket count, sums additive."""
+    from project_2_semantic_similarity_spark.plans.q_streaming import (
+        _EXPHIST_M)
+    from project_2_semantic_similarity_spark.sources import load_table
+
+    d = S.stage_doubled_events_dir(sf_dir)
+    ev = S.read_events_stream(spark, d, maxFilesPerTrigger="1")
+    mat = S.run_to_memory(S.exponential_histogram(ev, _EXPHIST_M),
+                          "exphist_2batch", "complete")
+    got = {(r["event_type"], r["bucket_idx"]): (r["n"], r["sum_value"])
+           for r in mat.collect()}
+
+    events = load_table(spark, sf_dir, "events")
+    batch = (events.filter(F.col("value").isNotNull()
+                           & ~F.isnan("value") & (F.col("value") > 0))
+             .select("event_type",
+                     F.floor(F.log2("value") * _EXPHIST_M)
+                      .cast("bigint").alias("bucket_idx"), "value")
+             .groupBy("event_type", "bucket_idx")
+             .agg(F.count("*").cast("bigint").alias("n"),
+                  F.sum("value").alias("s")))
+    want = {(r["event_type"], r["bucket_idx"]): (r["n"], r["s"])
+            for r in batch.collect()}
+
+    assert set(got) == set(want) and len(got) > 0
+    for key, (n1, _) in want.items():
+        assert got[key][0] == 2 * n1, key  # counts merged by addition
+    # sums additive too: doubled-stream sum == 2x single sum (both
+    # rounded once at the end, so compare at the cent the query emits)
+    for key, (_, s1) in want.items():
+        assert abs(got[key][1] - round(2 * s1, 2)) < 0.02, key
