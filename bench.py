@@ -25,6 +25,10 @@ Timing protocol:
   the cold-pass total.
 - vs_prev: per-query warm-median delta against the newest
   BENCH_r*.json in the repo root.
+- sweep flags (r14): a >25% one-shot breach is re-timed twice warm
+  in-artifact; only retime-persistent breaches stay in
+  regressed_over_25pct, self-closing cold-session one-shots move to
+  one_shot_noise WITH their retimes (nothing silently dropped).
 """
 
 from __future__ import annotations
@@ -207,11 +211,26 @@ def registry_sweep(run, qs: dict, repo_root: str,
             flag["load_noise"] = bool(
                 flag["retime_delta_pct"] <= 25
                 or best - flag["prev"] <= 0.25)
+        # Flag on min(one-shot, warm retime) — r13 verdict #5: ~25%
+        # of the registry breached EVERY round on cold-session
+        # one-shots (first-compile / first-Arrow-worker costs) and
+        # self-closed on retime; keeping them in the headline flag
+        # list buried the real regressions. The threshold is
+        # unchanged — a flag only moves to one_shot_noise when its
+        # own in-artifact retimes close it, and those retimes stay
+        # recorded, so nothing is silently dropped.
+        persistent = [f for f in flags if not f.get("load_noise")]
+        self_closed = [
+            {"query": f["query"], "prev": f["prev"], "now": f["now"],
+             "warm_retime": f.get("warm_retime"),
+             "retime_delta_pct": f.get("retime_delta_pct")}
+            for f in flags if f.get("load_noise")]
         vs_prev = {
             "baseline": os.path.basename(path),
             "common_prev_sec": round(sum(v["prev"] for v in deltas.values()), 3),
             "common_now_sec": round(sum(v["now"] for v in deltas.values()), 3),
-            "regressed_over_25pct": flags,
+            "regressed_over_25pct": persistent,
+            "one_shot_noise": self_closed,
             "queries": deltas,
         }
         break
@@ -283,6 +302,16 @@ def stage(spark, sf_dir: str) -> float:
     (spark.range(0, 64, 1, 32).withColumnRenamed("id", "x")
      .mapInPandas(_noop, schema="x long")
      .write.format("noop").mode("overwrite").save())
+    # warm the Structured Streaming machinery the same way (r13
+    # verdict #5/#8): the first streaming query of a session pays
+    # state-store provider init, the streaming listener bus, and
+    # checkpoint-dir setup inside its cold timing — run one trivial
+    # availableNow memory-sink replay so the stream_* family's
+    # sweep one-shots time the query, not session setup.
+    from pyspark.sql import functions as F
+    ev = S.read_events_stream(spark, S.stage_events_dir(sf_dir))
+    S.run_to_memory(ev.groupBy("event_type").agg(F.count("*").alias("n")),
+                    "bench_stream_prewarm", "complete")
     return time.perf_counter() - t0
 
 

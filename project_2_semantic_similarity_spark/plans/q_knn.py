@@ -2182,6 +2182,16 @@ _SEMDEDUP_ITERS = 5
 # so every tested oracle is unchanged, and puts a 2M-vector corpus
 # at k=3125 (SCALE.md probe).
 _SEMDEDUP_TARGET_CLUSTER = 640
+# Per-cluster exact-pair ceiling (r13 verdict #7): k-scaling bounds
+# the EXPECTED cluster size, but duplicate-heavy corpora concentrate
+# mass — a near-dup pile of 10M copies lands in ONE cluster and the
+# exact within-cluster join is quadratic in it. Clusters above this
+# bound route through the sign-LSH candidate path instead (bucket-
+# local equi-join + exact re-check — the cosine_range_search
+# contract: approximate in that regime, Charikar-curve recall). 8x
+# the target keeps every tested SF (and any non-adversarial skew)
+# on the exact path, so the declared oracles are unchanged.
+_SEMDEDUP_EXACT_CLUSTER_MAX = 8 * _SEMDEDUP_TARGET_CLUSTER
 
 
 def _semdedup_k(n: int) -> int:
@@ -2271,9 +2281,30 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines (r12 verdict #4 — the fixed k=8 made the per-cluster
     term grow ∝ corpus²/8): the floor keeps every tested SF's
     oracle unchanged; at 2M vectors k=3125 and expected cluster
-    size stays ~640 (SCALE.md probe)."""
+    size stays ~640 (SCALE.md probe).
+
+    SKEW guard (r13 verdict #7): k-scaling bounds the EXPECTED
+    cluster size only — a duplicate-heavy corpus concentrates its
+    near-dup pile into ONE cluster, where the exact join is
+    quadratic. The pair stage is therefore a per-cluster DATAFLOW
+    gate (no driver probe): cluster sizes — a k-bounded aggregate —
+    broadcast back onto the assignment; clusters at or under
+    _SEMDEDUP_EXACT_CLUSTER_MAX take the exact within-cluster join,
+    oversized clusters compare each member against its sign-LSH
+    bucket's rank-1 representative only (exact cosine re-check,
+    O(tables·c) per cluster under ANY skew — a near-dup pile shares
+    every bucket, so bucket-local PAIRS would stay quadratic;
+    approximate there under the declared Charikar-curve contract).
+    At every tested SF the oversized branch is EMPTY, so the
+    declared results stay exact and fully oracled; both branches
+    are plan-pinned in tests/test_plan_shape.py and the skewed
+    regime is probed in SCALE.md."""
+    from pyspark.sql import Window
+
     from project_2_semantic_similarity_spark.functions.vectors import (
         cosine_similarity)
+    from project_2_semantic_similarity_spark.operators.similarity import (
+        lsh_bucket_tables)
 
     e = load_table(spark, sf_dir, "embeddings")
     # k from a measured count (r12 verdict #4, the corpus_pack_shards
@@ -2285,21 +2316,65 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                               iters=_SEMDEDUP_ITERS)
     emb = e.select("vec_id",
                    F.col("embedding").cast("array<double>").alias("emb"))
-    a = assigned.join(emb, "vec_id")
-    b = a.select(F.col("vec_id").alias("b_vec"),
-                 F.col("list_id").alias("b_list"),
-                 F.col("ccos").alias("b_ccos"),
-                 F.col("emb").alias("b_emb"))
-    dropped = (a.join(
-        b,
-        (F.col("list_id") == F.col("b_list"))
-        & (F.col("vec_id") != F.col("b_vec"))
-        & (cosine_similarity("emb", "b_emb") >= F.lit(_SEMDEDUP_TAU))
-        & ((F.col("b_ccos") < F.col("ccos"))
-           | ((F.col("b_ccos") == F.col("ccos"))
-              & (F.col("b_vec") < F.col("vec_id")))),
-        "left_semi")
-        .select("vec_id"))
+    sizes = assigned.groupBy("list_id").agg(
+        F.count("*").alias("__csz"))  # k-bounded: broadcastable
+    a = (assigned.join(emb, "vec_id")
+         .join(F.broadcast(sizes), "list_id"))
+
+    def drop_rule(pairs: DataFrame) -> DataFrame:
+        """The paper's keep-lowest-centroid-similarity rule over a
+        (vec_id, emb, ccos, b_vec, b_emb, b_ccos) pair relation."""
+        return (pairs.filter(
+            (cosine_similarity("emb", "b_emb") >= F.lit(_SEMDEDUP_TAU))
+            & ((F.col("b_ccos") < F.col("ccos"))
+               | ((F.col("b_ccos") == F.col("ccos"))
+                  & (F.col("b_vec") < F.col("vec_id")))))
+            .select("vec_id").distinct())
+
+    small = a.filter(F.col("__csz") <= _SEMDEDUP_EXACT_CLUSTER_MAX)
+    b = small.select(F.col("vec_id").alias("b_vec"),
+                     F.col("list_id").alias("b_list"),
+                     F.col("ccos").alias("b_ccos"),
+                     F.col("emb").alias("b_emb"))
+    dropped_small = drop_rule(
+        small.join(b, (F.col("list_id") == F.col("b_list"))
+                   & (F.col("vec_id") != F.col("b_vec"))))
+
+    # oversized clusters: sign-LSH bucketing, then each member is
+    # compared against its bucket's RANK-1 REPRESENTATIVE only (the
+    # lowest-(ccos, vec_id) member — exactly the one the drop rule
+    # keeps). EMPTY at every tested SF; declared approximate past
+    # the bound. Why representative and not bucket-local pairs: an
+    # oversized cluster is usually a near-dup pile, and a pile
+    # shares every sign bucket — bucket-local PAIRS stay quadratic
+    # in it, while rep-comparison is O(tables·c) per cluster under
+    # ANY skew, and for a pile the rep IS a duplicate of every
+    # member, so precisely the pathological case keeps high recall
+    # (borderline-τ pairs in diverse buckets are where the Charikar
+    # curve bites — the declared contract). 12 planes -> 4096
+    # buckets x 8 tables, the md5-Rademacher family shared with
+    # dedup_embedding_cosine_lsh; exact cosine re-check, zero false
+    # positives.
+    big = a.filter(F.col("__csz") > _SEMDEDUP_EXACT_CLUSTER_MAX)
+    bt = lsh_bucket_tables(
+        big.select("vec_id", "list_id", "ccos", "emb"),
+        dim=_DIM, n_planes=12, n_tables=8, seed=42, vec_col="emb",
+        plane_family="rademacher")
+    wspec = Window.partitionBy("list_id", "table_id", "bucket") \
+        .orderBy(F.asc("ccos"), F.asc("vec_id"))
+    rep = (bt.withColumn("__rn", F.row_number().over(wspec))
+           .filter(F.col("__rn") == 1)
+           .select("list_id", "table_id", "bucket",
+                   F.col("vec_id").alias("b_vec"),
+                   F.col("ccos").alias("b_ccos"),
+                   F.col("emb").alias("b_emb")))
+    cand_big = (bt.join(rep, ["list_id", "table_id", "bucket"])
+                .filter(F.col("vec_id") != F.col("b_vec"))
+                .select("vec_id", "emb", "ccos",
+                        "b_vec", "b_emb", "b_ccos")
+                .dropDuplicates(["vec_id", "b_vec"]))
+    dropped = dropped_small.unionAll(drop_rule(cand_big)).distinct()
+
     return (a.select("vec_id", "list_id", "ccos")
             .join(dropped.withColumn("__d", F.lit(1)), "vec_id", "left")
             .select("vec_id", "list_id", "ccos",

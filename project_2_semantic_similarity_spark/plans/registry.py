@@ -52,42 +52,36 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # change is in fact result-preserving).
 _CHANGED_THIS_ROUND = frozenset(
     {
-        # round 13 (r12 VERDICT #1): the checkpointed-vocab join
-        # sites moved from bare-unhinted to the MEASURED-count gate
-        # (operators/text.py vocab_join — LIMIT-bounded probe picks
-        # the static broadcast under the bound, AQE-decided past
-        # it), recovering the sf0.1 regression the r12 unhinting
-        # introduced. Result-preserving by design (join strategy
-        # only); the driver hash is the independent check.
-        "text_bpe_vocab",
-        "text_bpe_encode_ids",
-        "text_bpe_vocab_coverage",
-        "text_bpe_encode_holdout",
-        "corpus_context_window_ids",
-        "corpus_context_window_ids_sep",
-        "corpus_window_doc_starts",
-        "corpus_to_training_batches",
-        "corpus_shuffle_windows",
-        # round 13 (r12 verdict #3/#4 + ADVICE): scale-parameter and
-        # rounding-discipline fixes — range search's gated broadcast
-        # with the LSH fallback, semdedup's count-derived k (floor
-        # keeps tested SFs identical), pca's shared floor(1e6x+.5)
-        # quantization for cov + eigenvalue, the postings sink's
-        # doc_len-normalized reference scoring (schema + values
-        # change), and epoch mix's quantized Bernoulli threshold.
-        "knn_range_search",
+        # round 14 (r13 verdict #7): semdedup's pair stage became a
+        # per-cluster dataflow gate — exact join under the size
+        # bound UNIONed with a sign-LSH candidate branch for
+        # oversized clusters. Result-preserving at every tested SF
+        # (the oversized branch is empty there); the driver hash is
+        # the independent check.
         "dedup_semdedup",
-        "embedding_pca_power",
-        "sink_inverted_postings",
-        "corpus_epoch_mix",
+        # round 14 (r13 verdict #3): decode_image's BMP branch now
+        # routes through decode_bmp_rgb (24-bit/4-bit support);
+        # results identical for the 8-bit payloads this query
+        # decodes, but the executed decode path changed.
+        "multimodal_decode_bmp",
+        # round 14 (r13 ADVICE): the plan expression moved to
+        # streaming/ops.exponential_histogram with the multiplier
+        # derived from the batch twin's _EXPHIST_SCALE — identical
+        # expression, relocated code.
+        "stream_histogram_exponential",
+        # NOT listed (plan and results bit-identical at every tested
+        # SF, only gate internals changed): knn_range_search's probe
+        # memoization (same measured count, now cached per source
+        # snapshot) and vocab_join's added size gate (the vocab sits
+        # far under both bounds at every tested SF, so the chosen
+        # join strategy is unchanged — unlike r13, where the CHOSEN
+        # plan flipped and the family was listed).
     }
 )
-# r13 window composition (r12 verdict #7, checked programmatically):
-# flagship + 6 never-verified new names + 14 changed + the FULL
-# 28-name r6 tier + 1 of the 46-name r7 tier = 50. Draining every
-# pre-r8 name this round is arithmetically impossible (74 old + 21
-# priority > 50); the oldest tier (r6) drains COMPLETELY, r7 becomes
-# the oldest and drains across r14-r15 alongside normal changed-sets.
+# r14 window composition (r13 verdict #1, checked programmatically):
+# flagship + 1 never-verified new name (multimodal_decode_bmp_rgb) +
+# 3 changed + the FULL 45-name r7 tier = 50 — the oldest tier drains
+# COMPLETELY this round, leaving r8 (47 names) as the oldest for r15.
 
 
 def _verified_rounds() -> dict[str, int]:

@@ -1178,3 +1178,94 @@ def test_matryoshka_recall_matches_numpy_ground_truth(spark, sf_dir):
     an, bn = a / np.linalg.norm(a), b / np.linalg.norm(b)
     raw = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
     assert abs(raw - an @ bn) < 1e-12
+
+
+def test_semdedup_oversized_cluster_lsh_fallback(spark, sf_dir, monkeypatch):
+    """r13 verdict #7: force every cluster over the exact-pair bound
+    (bound monkeypatched to 0) so the ENTIRE pair stage routes
+    through the sign-LSH candidate branch, then pin its contract:
+    (a) LSH has zero false positives — its drop set is a SUBSET of
+    the exact path's (candidates are a subset of all within-cluster
+    pairs, the drop rule is identical); (b) every LSH-dropped vector
+    has a justifying same-cluster partner at cosine >= tau that is
+    closer to the centroid (or ties with lower vec_id); (c) the
+    assignment half (vec_id, list_id, ccos) is identical in both
+    regimes — the gate touches only pair discovery; (d) the drop set
+    EQUALS an independent numpy re-derivation of the same
+    12-plane/8-table md5-Rademacher bucketing + drop rule — the
+    approximation is deterministic, so the differential is exact (no
+    probabilistic recall floor; the Charikar curve at the toy
+    tau=0.35 border is low by design, the declared contract)."""
+    from project_2_semantic_similarity_spark.plans import q_knn
+
+    exact = {r["vec_id"]: (r["list_id"], r["ccos"], r["keep"])
+             for r in q_knn.dedup_semdedup(spark, sf_dir).collect()}
+    monkeypatch.setattr(q_knn, "_SEMDEDUP_EXACT_CLUSTER_MAX", 0)
+    lsh = {r["vec_id"]: (r["list_id"], r["ccos"], r["keep"])
+           for r in q_knn.dedup_semdedup(spark, sf_dir).collect()}
+
+    assert set(exact) == set(lsh)
+    for vid in exact:
+        assert exact[vid][:2] == lsh[vid][:2], vid  # (c)
+    dropped_exact = {v for v, r in exact.items() if r[2] == 0}
+    dropped_lsh = {v for v, r in lsh.items() if r[2] == 0}
+    assert dropped_lsh <= dropped_exact                       # (a)
+
+    import numpy as np
+    import pandas as pd
+
+    from project_2_semantic_similarity_spark.plans.q_knn import (
+        _SEMDEDUP_TAU)
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    vecs = {int(r.vec_id): np.asarray(list(r.embedding), np.float64)
+            for r in emb.itertuples()}
+    by_cluster: dict[int, list[int]] = {}
+    for vid, (lid, _, _) in lsh.items():
+        by_cluster.setdefault(lid, []).append(vid)
+    for vid in dropped_lsh:
+        lid, ccos, _ = lsh[vid]
+        justified = False
+        for other in by_cluster[lid]:
+            if other == vid:
+                continue
+            va, vb = vecs[vid], vecs[other]
+            cos = va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
+            o_ccos = lsh[other][1]
+            if cos >= _SEMDEDUP_TAU and (
+                    o_ccos < ccos or (o_ccos == ccos and other < vid)):
+                justified = True
+                break
+        assert justified, vid
+
+    # (d): exact numpy differential of the LSH branch — the same
+    # 12-plane/8-table md5-Rademacher buckets, each member compared
+    # against its bucket's rank-1 (lowest-(ccos, vec_id))
+    # representative, the same drop rule
+    from project_2_semantic_similarity_spark.operators.similarity import (
+        hyperplanes_rademacher)
+
+    planes = np.array(hyperplanes_rademacher(64, 12 * 8, 42))
+    want_dropped = set()
+    for lid, members in by_cluster.items():
+        for t in range(8):
+            pl = planes[t * 12:(t + 1) * 12]
+            buckets: dict[int, list[int]] = {}
+            for vid in members:
+                signs = (pl @ vecs[vid]) > 0
+                b = int(sum(1 << i for i, s in enumerate(signs) if s))
+                buckets.setdefault(b, []).append(vid)
+            for mem in buckets.values():
+                rep = min(mem, key=lambda v: (lsh[v][1], v))
+                for vid in mem:
+                    if vid == rep:
+                        continue
+                    va, vb = vecs[vid], vecs[rep]
+                    cos = va @ vb / (np.linalg.norm(va)
+                                     * np.linalg.norm(vb))
+                    o_ccos, ccos = lsh[rep][1], lsh[vid][1]
+                    if cos >= _SEMDEDUP_TAU and (
+                            o_ccos < ccos
+                            or (o_ccos == ccos and rep < vid)):
+                        want_dropped.add(vid)
+    assert dropped_lsh == want_dropped

@@ -1265,3 +1265,21 @@ def test_bmp_rgb_decode_zero_shuffle(spark, sf_dir):
     assert plan.count("Scan parquet") == 1
     assert plan.count("Exchange hashpartitioning") == 0
     assert plan.count("MapInPandas") >= 1
+
+
+def test_semdedup_size_gated_pair_branches(spark, sf_dir):
+    """dedup_semdedup (r14, r13 verdict #7): the pair stage is a
+    per-cluster dataflow gate — an exact within-cluster join for
+    clusters under the bound UNIONed with a sign-LSH
+    bucket-representative branch for oversized ones (posexplode
+    over the bucket tables + a rank-1 window per bucket), with
+    cluster sizes broadcast back onto the assignment. Never a
+    cartesian product; the codebook assignment stays broadcast."""
+    plan = plan_of(spark, "dedup_semdedup", sf_dir)
+    assert "Union" in plan
+    assert "Generate posexplode" in plan        # LSH branch present
+    assert "row_number" in plan                 # rank-1 representative
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # size relation rides a broadcast join, not a shuffled one
+    assert plan.count("BroadcastHashJoin") >= 1

@@ -740,6 +740,77 @@ def main() -> None:
                   f"{fixed8 / max(st.pairs, 1):.0f}x reduction)",
                   flush=True)
             cnt = n_vec
+        elif name == "semdedup_skew_probe":
+            # r14 (r13 verdict #7): duplicate-heavy corpora
+            # concentrate mass — k-scaling bounds only the EXPECTED
+            # cluster size. Skewed variant of the probe embeddings:
+            # every 4th vector collapses onto ONE center (a 25%
+            # near-dup pile k-means cannot split usefully), the rest
+            # keep their hash-derived spread. Reports the oversized
+            # clusters the _SEMDEDUP_EXACT_CLUSTER_MAX gate routes
+            # to the LSH branch, their exact-join counterfactual
+            # sum c·(c−1), and the branch's ACTUAL comparison volume
+            # under the production 12-plane/8-table bucket-
+            # REPRESENTATIVE scheme (each member vs its bucket's
+            # rank-1 member: sum over buckets of (c_b − 1) — linear
+            # per table even when the pile shares one bucket).
+            from project_2_semantic_similarity_spark.operators import (
+                similarity as SIM)
+            from project_2_semantic_similarity_spark.plans.q_knn import (
+                _SEMDEDUP_EXACT_CLUSTER_MAX, _SEMDEDUP_ITERS,
+                _semdedup_k)
+
+            base = spark.read.parquet(f"{out}/embeddings.parquet")
+            dim = 64
+            pile = [
+                ((F.pmod(F.xxhash64(F.lit(d)), F.lit(2000)) / 1000.0)
+                 - 1.0
+                 + (F.pmod(F.xxhash64(F.col("vec_id") * dim
+                                      + F.lit(d + 104729)),
+                           F.lit(60)) / 1000.0) - 0.03).cast("float")
+                for d in range(dim)]
+            e = base.select(
+                "vec_id",
+                F.when(F.col("vec_id") % 4 == 0, F.array(*pile))
+                 .otherwise(F.col("embedding")).alias("embedding"),
+                "label")
+            n_vec = e.count()
+            kk = _semdedup_k(n_vec)
+            tt = time.time()
+            assigned = SIM.kmeans_train(
+                e, k=kk, iters=_SEMDEDUP_ITERS).localCheckpoint()
+            t_fit = time.time() - tt
+            sizes = assigned.groupBy("list_id").count()
+            big = sizes.filter(
+                F.col("count") > _SEMDEDUP_EXACT_CLUSTER_MAX)
+            st = big.agg(
+                F.count("*").alias("n_big"),
+                F.max("count").alias("mx"),
+                F.sum(F.col("count") * (F.col("count") - 1))
+                 .alias("exact_pairs")).collect()[0]
+            # LSH branch candidate volume: bucket the oversized-
+            # cluster members with the production scheme and sum the
+            # per-(cluster, table, bucket) join volume
+            emb = e.select("vec_id", F.col("embedding")
+                           .cast("array<double>").alias("emb"))
+            members = (assigned.join(big.select("list_id"), "list_id")
+                       .join(emb, "vec_id"))
+            bt = SIM.lsh_bucket_tables(
+                members.select("vec_id", "list_id", "emb"),
+                dim=dim, n_planes=12, n_tables=8, seed=42,
+                vec_col="emb", plane_family="rademacher")
+            lsh_vol = (bt.groupBy("list_id", "table_id", "bucket")
+                       .count()
+                       .agg(F.sum(F.col("count") - 1))
+                       .collect()[0][0]) or 0
+            print(f"  k={kk} fit+assign={t_fit:.1f}s "
+                  f"oversized_clusters={st.n_big} "
+                  f"max_cluster={st.mx} "
+                  f"exact_counterfactual={float(st.exact_pairs or 0):.3e} "
+                  f"rep_comparison_volume={float(lsh_vol):.3e} "
+                  f"({float(st.exact_pairs or 1) / max(float(lsh_vol), 1):.0f}x reduction)",
+                  flush=True)
+            cnt = n_vec
         elif name == "range_search_probe":
             # r13: the gated fallback path of knn_range_search at
             # scale — every-100th-vec query block (n/100 queries

@@ -58,61 +58,39 @@ ORACLE_THREADS = int(os.environ.get("P2SS_ORACLE_THREADS", "8"))
 ORACLE_TIMEOUT = float(os.environ.get("P2SS_ORACLE_TIMEOUT", "2400"))
 
 
-def _oracle_prep_and_rewrites() -> tuple[list[str], "dict[str, tuple]",
-                                         str, str]:
-    """Harness-side oracle staging (r13 verdict #2): the sf0.1 oracle
-    wall (2226 s) was dominated by a handful of brute-force
-    differential oracles that (a) re-derive the shared tf-idf weight
-    relation inside every query and (b) reference their own heavy
-    CTEs more than once — and DuckDB 1.0 INLINES each CTE reference,
-    recomputing the whole upstream tree per mention (the
-    embedding_pca_power oracle documents the same failure mode).
-
-    Two semantics-preserving rewrites, applied ONLY in this harness —
-    the registry's oracle strings (what the driver runs standalone)
-    are untouched:
-
-    1. the exact ``_TFIDF_CTES`` text is computed ONCE per sweep into
-       a temp table (by the identical SQL), and each oracle embedding
-       that constant gets its ``tfidf`` CTE swapped for a temp-table
-       read (exact-substring substitution of a single shared
-       constant, so the two texts cannot drift);
-    2. a curated per-query list of multiply-referenced CTEs gets the
-       documented ``AS MATERIALIZED`` hint (result-identical by
-       DuckDB contract; it only pins the evaluate-once strategy).
-    """
-    from project_2_semantic_similarity_spark.plans.q_text import (
-        _TFIDF_CTES)
-
-    i = _TFIDF_CTES.index("tfidf AS (")
-    stub = _TFIDF_CTES[:i] + "tfidf AS (SELECT * FROM __shared_tfidf)\n"
-    prep = [
-        "CREATE TEMP TABLE __shared_tfidf AS WITH "
-        + _TFIDF_CTES
-        + " SELECT doc_id, term, tfidf FROM tfidf"
-    ]
-    # Multiply-referenced CTEs per heavy oracle (read from the oracle
-    # text this round): each name below is mentioned >1x downstream,
-    # or sits on the join side of a RECURSIVE member (re-inlined per
-    # iteration step without the hint).
-    materialize = {
-        "text_doc_similarity": ("norms",),
-        "text_doc_similarity_ann": ("wnz", "buckets", "norms"),
-        "dedup_phash_clusters": ("g", "ph", "edges"),
-        "text_unigram_tokenize": ("words", "vocab", "cost",
-                                  "pieces", "seg"),
-        "text_unigram_train": ("words", "vocab", "wf", "seedf",
-                               "chars", "cost1", "cost2",
-                               "seg1", "seg2"),
-    }
-    return prep, materialize, _TFIDF_CTES, stub
+# Harness-side oracle acceleration (r13 verdict #2): curated
+# ``AS MATERIALIZED`` hints for multiply-referenced CTEs in the heavy
+# differential oracles — DuckDB 1.0 inlines every CTE reference, and
+# inside a RECURSIVE member the referenced relation is re-evaluated
+# per iteration STEP, which is where the unigram Viterbi oracles
+# burned their wall. Applied ONLY in this harness; the registry's
+# oracle strings (what the driver runs standalone) are untouched, and
+# the hint is result-identical by DuckDB contract (it only pins the
+# evaluate-once strategy).
+#
+# Every entry is A/B-validated on a QUIET box at sf0.1 (r14,
+# /tmp/ab2.log + ab3.log): unigram_tokenize 36.7 -> 1.3 s,
+# unigram_train 51.5 -> 0.2 s, phash_clusters 438.9 -> 248.1 s,
+# doc_similarity 34.4 -> 24.6 s. text_doc_similarity_ann is
+# deliberately ABSENT — hinting its wnz/buckets/norms SLOWED it
+# (92 -> 157-200 s: forced materialization defeats the planner's
+# pushdown there), as did a shared tfidf temp table for every
+# _TFIDF_CTES consumer (the r13 verdict's suggested staging — tried,
+# measured slower, dropped; the r13 sweep's 973 s ann reading was
+# sweep-environment pressure, not CTE recomputation).
+_MATERIALIZE_CTES = {
+    "text_doc_similarity": ("norms",),
+    "dedup_phash_clusters": ("g", "ph", "edges"),
+    "text_unigram_tokenize": ("words", "vocab", "cost",
+                              "pieces", "seg"),
+    "text_unigram_train": ("words", "vocab", "wf", "seedf",
+                           "chars", "cost1", "cost2",
+                           "seg1", "seg2"),
+}
 
 
-def _rewrite_oracle(name: str, sql: str, tfidf_ctes: str,
-                    tfidf_stub: str, materialize: dict) -> str:
-    if tfidf_ctes in sql:
-        sql = sql.replace(tfidf_ctes, tfidf_stub)
-    for cte in materialize.get(name, ()):
+def _rewrite_oracle(name: str, sql: str) -> str:
+    for cte in _MATERIALIZE_CTES.get(name, ()):
         sql = re.sub(rf"(?<![A-Za-z0-9_]){cte} AS \(",
                      f"{cte} AS MATERIALIZED (", sql, count=1)
     return sql
@@ -140,13 +118,11 @@ def frame_fingerprint(df: pd.DataFrame) -> tuple[int, list[str], str]:
     return len(df), cols, h
 
 
-def _oracle_worker(conn, sf_dir: str, prep: list[str]) -> None:
+def _oracle_worker(conn, sf_dir: str) -> None:
     """The oracle subprocess loop: ("run", name, sql) -> ("ok",
     (n, cols, hash)) or ("err", traceback); ("head",) -> the last
     result's sorted 5-row head (failure diagnostics, computed only
-    on demand); None -> exit. ``prep``: per-sweep staging statements
-    (shared temp tables); the worker reports their wall seconds as
-    the first message so the artifact attributes the one-time cost."""
+    on demand); None -> exit."""
     import duckdb
 
     con = duckdb.connect()
@@ -155,15 +131,6 @@ def _oracle_worker(conn, sf_dir: str, prep: list[str]) -> None:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{sf_dir}/{t}.parquet')")
-    t0 = time.time()
-    try:
-        for stmt in prep:
-            con.execute(stmt)
-        conn.send(("prep_ok", round(time.time() - t0, 3)))
-    except Exception:
-        conn.send(("prep_err", traceback.format_exc()))
-        conn.close()
-        return
     last: pd.DataFrame | None = None
     while True:
         msg = conn.recv()
@@ -196,38 +163,15 @@ class OracleProc:
 
     def __init__(self, sf_dir: str):
         self.sf_dir = sf_dir
-        self.prep, self.materialize, self._ctes, self._stub = \
-            _oracle_prep_and_rewrites()
-        self.prep_sec: float | None = None
         self._start()
 
     def _start(self) -> None:
         ctx = mp.get_context("spawn")  # never fork the JVM-attached parent
         self.conn, child = ctx.Pipe()
         self.proc = ctx.Process(target=_oracle_worker,
-                                args=(child, self.sf_dir, self.prep),
-                                daemon=True)
+                                args=(child, self.sf_dir), daemon=True)
         self.proc.start()
         child.close()
-        try:
-            ack = self._recv(ORACLE_TIMEOUT)
-        except (EOFError, OSError):
-            ack = ("prep_err", "oracle process died during prep")
-        if ack is None or ack[0] != "prep_ok":
-            # staging failed: run every oracle UNREWRITTEN (the
-            # registry SQL is self-contained) rather than fail the
-            # sweep over an optimization
-            if not self.prep:  # already bare and still failing
-                raise RuntimeError(f"oracle worker failed to start: {ack}")
-            detail = "timeout" if ack is None else ack[1]
-            print(f"oracle prep failed, falling back to unrewritten "
-                  f"oracles:\n{detail}", file=sys.stderr)
-            self._kill()
-            self.prep = []
-            self.materialize = {}
-            self._start()
-            return
-        self.prep_sec = (self.prep_sec or 0.0) + ack[1]
 
     def _recv(self, timeout: float):
         """recv with a ceiling; None = timed out (caller restarts)."""
@@ -247,8 +191,7 @@ class OracleProc:
             pass
 
     def run(self, name: str, sql: str):
-        sql = _rewrite_oracle(name, sql, self._ctes, self._stub,
-                              self.materialize)
+        sql = _rewrite_oracle(name, sql)
         try:
             self.conn.send(("run", name, sql))
             got = self._recv(ORACLE_TIMEOUT)
@@ -364,7 +307,7 @@ def main() -> int:
     print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
     oracle.close()
     if not filters:
-        write_artifact(sf_dir, records, failed, gate, oracle.prep_sec)
+        write_artifact(sf_dir, records, failed, gate)
     return 1 if failed else 0
 
 
@@ -390,8 +333,7 @@ def current_round() -> int:
 
 
 def write_artifact(sf_dir: str, records: dict, failed: list,
-                   load_gate: dict | None = None,
-                   oracle_prep_sec: float | None = None) -> None:
+                   load_gate: dict | None = None) -> None:
     n = current_round()
     path = f"/root/repo/VERIFY_LOCAL_r{n:02d}.json"
     statuses = [r["status"] for r in records.values()]
@@ -403,11 +345,10 @@ def write_artifact(sf_dir: str, records: dict, failed: list,
                              "threads": ORACLE_THREADS,
                              "timeout_sec": ORACLE_TIMEOUT,
                              "process": "spawned, restart-on-crash",
-                             "staging": "shared tfidf temp table + "
-                                        "AS MATERIALIZED hints "
+                             "staging": "per-query AS MATERIALIZED "
+                                        "hints, A/B-validated "
                                         "(harness-side; registry "
-                                        "oracle SQL untouched)",
-                             "prep_sec": oracle_prep_sec},
+                                        "oracle SQL untouched)"},
         "total": len(records),
         "pass": statuses.count("pass"),
         "rows_only": statuses.count("rows_only"),
