@@ -744,16 +744,27 @@ def main() -> None:
             # r14 (r13 verdict #7): duplicate-heavy corpora
             # concentrate mass — k-scaling bounds only the EXPECTED
             # cluster size. Skewed variant of the probe embeddings:
-            # every 4th vector collapses onto ONE center (a 25%
-            # near-dup pile k-means cannot split usefully), the rest
-            # keep their hash-derived spread. Reports the oversized
-            # clusters the _SEMDEDUP_EXACT_CLUSTER_MAX gate routes
-            # to the LSH branch, their exact-join counterfactual
-            # sum c·(c−1), and the branch's ACTUAL comparison volume
-            # under the production 12-plane/8-table bucket-
-            # REPRESENTATIVE scheme (each member vs its bucket's
-            # rank-1 member: sum over buckets of (c_b − 1) — linear
-            # per table even when the pile shares one bucket).
+            # every 4th vector is replaced by ONE EXACT duplicate
+            # vector (a 25% exact-dup pile — the regime k-means
+            # provably cannot split: after one pile copy seeds a
+            # center, every other copy is distance-0 from it, and
+            # identical centers collapse via ivf_assign's
+            # lowest-label tie-break into a single cluster). A
+            # JITTERED pile, by contrast, k-means splits on its own:
+            # the first run of this probe used ±0.03/dim per-vector
+            # jitter and measured oversized_clusters=0 at 2M/k=3125
+            # — ~780 init centers landed inside the pile and
+            # partitioned it into ~640-member cells, so the guard
+            # correctly never fired (that result is the guard's
+            # 8x-headroom justification; see SCALE.md). Reports the
+            # oversized clusters the _SEMDEDUP_EXACT_CLUSTER_MAX
+            # gate routes to the LSH branch, their exact-join
+            # counterfactual sum c·(c−1), and the branch's ACTUAL
+            # comparison volume under the production
+            # 12-plane/8-table bucket-REPRESENTATIVE scheme (each
+            # member vs its bucket's rank-1 member: sum over buckets
+            # of (c_b − 1) — linear per table even though an exact
+            # pile shares every bucket).
             from project_2_semantic_similarity_spark.operators import (
                 similarity as SIM)
             from project_2_semantic_similarity_spark.plans.q_knn import (
@@ -764,10 +775,7 @@ def main() -> None:
             dim = 64
             pile = [
                 ((F.pmod(F.xxhash64(F.lit(d)), F.lit(2000)) / 1000.0)
-                 - 1.0
-                 + (F.pmod(F.xxhash64(F.col("vec_id") * dim
-                                      + F.lit(d + 104729)),
-                           F.lit(60)) / 1000.0) - 0.03).cast("float")
+                 - 1.0).cast("float")
                 for d in range(dim)]
             e = base.select(
                 "vec_id",
