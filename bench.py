@@ -103,6 +103,50 @@ def _wait_for_quiet(threshold: float = 1.0,
     }
 
 
+def _cal_spin(dur: float) -> float:
+    """Module-level so mp.Pool can pickle it (fork + pool.map)."""
+    t0 = time.perf_counter()
+    x = 0
+    while time.perf_counter() - t0 < dur:
+        x += 1
+    return x / dur
+
+
+def _cpu_calibration() -> dict:
+    """Fixed CPU microbenchmark recorded in the artifact (r14): the
+    r14 headline warm medians came out a UNIFORM ~1.3x r13's across
+    all 21 queries — pure-JVM aggs, Arrow stages and streaming alike
+    — on a loadavg-quiet box, which is a host-environment multiplier
+    (this box is a guest; /proc/stat showed 5.4% steal under full
+    load in one sample), not a plan change. Loadavg can't see host
+    pressure, so cross-round wall-clock comparisons need an
+    in-artifact speed reference: a single-core arithmetic loop, the
+    same loop on all cores (exposes SMT/host contention), and the
+    steal fraction measured DURING the all-core spin. Compare
+    ratios of these across rounds before reading any uniform
+    wall-clock drift as a regression."""
+    import multiprocessing as mp
+
+    def _stat():
+        return [int(v) for v in
+                open("/proc/stat").readline().split()[1:]]
+
+    single = _cal_spin(2.0)
+    n = os.cpu_count() or 1
+    before = _stat()
+    with mp.Pool(n) as pool:
+        rates = pool.map(_cal_spin, [3.0] * n)
+    after = _stat()
+    delta = [b - a for a, b in zip(before, after)]
+    tot = sum(delta) or 1
+    return {
+        "single_core_mips": round(single / 1e6, 2),
+        "all_core_mips_avg": round(sum(rates) / len(rates) / 1e6, 2),
+        "n_cores": n,
+        "steal_pct_under_load": round(100.0 * delta[7] / tot, 2),
+    }
+
+
 def _current_round() -> int:
     env = os.environ.get("SPARK_GRAFT_ROUND")
     if env:
@@ -402,6 +446,7 @@ def main() -> int:
     # so a uniform drift can be attributed (or ruled out) next time.
     load_gate = _wait_for_quiet()
     loadavg_start = [round(x, 2) for x in os.getloadavg()]
+    cal_start = _cpu_calibration()
 
     import __spark_entry__ as e
     from project_2_semantic_similarity_spark.session import get_spark
@@ -448,6 +493,7 @@ def main() -> int:
     # The old session is stopped, so a high loadavg HERE is either
     # JVM teardown or foreign load; wait it out (bounded) and record.
     headline_gate = _wait_for_quiet(timeout_s=300.0)
+    cal_headline = _cpu_calibration()
     spark = get_spark("bench_headline")
     restage_sec = stage(spark, sf_dir)
 
@@ -563,6 +609,8 @@ def main() -> int:
         "loadavg_at_start": load_gate["loadavg_after_wait"],
         "headline_gate_waited_sec": headline_gate["waited_sec"],
         "loadavg_at_headline": headline_gate["loadavg_after_wait"],
+        "cpu_calibration_start": cal_start,
+        "cpu_calibration_headline": cal_headline,
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
     }))
     return 0
