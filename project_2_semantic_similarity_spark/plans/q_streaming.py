@@ -48,9 +48,11 @@ def stream_tumbling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events per type per 1-hour tumbling window, via readStream +
     window() + watermark, replayed availableNow. Batch equivalent:
     date_trunc('hour') GROUP BY."""
-    ev = S.read_events_stream(spark, S.stage_events_dir(sf_dir))
+    src = S.stage_events_dir(sf_dir)
+    ev = S.read_events_stream(spark, src)
     return S.run_to_memory(
-        S.tumbling_counts(ev), "stream_tumbling_count", "complete")
+        S.tumbling_counts(ev), "stream_tumbling_count", "complete",
+        shuffle_partitions=S.replay_partitions(spark, src))
 
 
 @query(
@@ -76,9 +78,11 @@ def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     4 window starts on the 15-minute grid. Emits count + sum rather
     than a rounded average — see streaming/ops.py sliding_avg for the
     cross-engine rounding-boundary analysis."""
-    ev = S.read_events_stream(spark, S.stage_events_dir(sf_dir))
+    src = S.stage_events_dir(sf_dir)
+    ev = S.read_events_stream(spark, src)
     return S.run_to_memory(
-        S.sliding_avg(ev), "stream_sliding_avg", "complete")
+        S.sliding_avg(ev), "stream_sliding_avg", "complete",
+        shuffle_partitions=S.replay_partitions(spark, src))
 
 
 @query(
@@ -119,9 +123,11 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     state store). Batch equivalent: gaps-and-islands — a new session
     starts when ts - prev_ts >= gap (session_window ends are
     exclusive), session_end = last ts + gap."""
-    ev = S.read_events_stream(spark, S.stage_events_dir(sf_dir))
+    src = S.stage_events_dir(sf_dir)
+    ev = S.read_events_stream(spark, src)
     return S.run_to_memory(
-        S.session_counts(ev), "stream_session", "complete")
+        S.session_counts(ev), "stream_session", "complete",
+        shuffle_partitions=S.replay_partitions(spark, src))
 
 
 @query(
@@ -136,9 +142,11 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dropDuplicates(event_id) with watermark-bounded
     state, fed a DOUBLED stream (the events file staged twice) so the
     dedup is observable: output = the distinct input rows."""
-    ev = S.read_events_stream(spark, S.stage_doubled_events_dir(sf_dir))
+    src = S.stage_doubled_events_dir(sf_dir)
+    ev = S.read_events_stream(spark, src)
     return S.run_to_memory(
-        S.dedup_stream(ev), "stream_dedup_watermark", "append")
+        S.dedup_stream(ev), "stream_dedup_watermark", "append",
+        shuffle_partitions=S.replay_partitions(spark, src))
 
 
 @query(
@@ -159,9 +167,11 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     same user's purchases within the following hour (append mode —
     the only output mode stream-stream inner joins support). Batch
     equivalent: the time-bounded self-join the oracle states."""
-    ev = S.read_events_stream(spark, S.stage_events_dir(sf_dir))
+    src = S.stage_events_dir(sf_dir)
+    ev = S.read_events_stream(spark, src)
     return S.run_to_memory(
-        S.click_purchase_join(ev), "stream_stream_join", "append")
+        S.click_purchase_join(ev), "stream_stream_join", "append",
+        shuffle_partitions=S.replay_partitions(spark, src))
 
 
 @query(
@@ -185,7 +195,8 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline holds; broadcast keeps the stream side shuffle-free."""
     from project_2_semantic_similarity_spark.sources import load_table
 
-    ev = S.read_events_stream(spark, S.stage_events_dir(sf_dir))
+    src = S.stage_events_dir(sf_dir)
+    ev = S.read_events_stream(spark, src)
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment")
     joined = (
@@ -194,7 +205,9 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(F.count("*").cast("bigint").alias("n"),
              F.round(F.sum("value"), 2).alias("sum_value")))
-    return S.run_to_memory(joined, "stream_static_join", "complete")
+    return S.run_to_memory(joined, "stream_static_join", "complete",
+                           shuffle_partitions=S.replay_partitions(
+                               spark, src))
 
 
 @query(
@@ -245,10 +258,13 @@ def stream_histogram_exponential(spark: SparkSession,
     must equal the batch GROUP BY (the stream_bitmap_distinct
     discipline). The bucket-boundary knife-edge analysis lives with
     the batch twin's _EXPHIST_SCALE constant."""
-    ev = S.read_events_stream(spark, S.stage_events_dir(sf_dir))
+    src = S.stage_events_dir(sf_dir)
+    ev = S.read_events_stream(spark, src)
     hist = S.exponential_histogram(ev, _EXPHIST_M)
     return S.run_to_memory(hist, "stream_histogram_exponential",
-                           "complete")
+                           "complete",
+                           shuffle_partitions=S.replay_partitions(
+                               spark, src))
 
 
 @query(
@@ -424,7 +440,9 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
-    return S.run_to_memory(agg, "stream_late_data", "append")
+    return S.run_to_memory(agg, "stream_late_data", "append",
+                           shuffle_partitions=S.replay_partitions(
+                               spark, d))
 
 
 @query(
@@ -452,14 +470,17 @@ def stream_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     only at the edge), so the daily numbers are identical to a
     direct daily aggregation — which is exactly what the oracle
     computes."""
-    ev = S.read_events_stream(spark, S.stage_events_dir(sf_dir))
+    src = S.stage_events_dir(sf_dir)
+    ev = S.read_events_stream(spark, src)
     hourly = (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
         .select(F.col("w.start").alias("h"), "event_type", "n", "sv")
     )
-    mat = S.run_to_memory(hourly, "stream_rollup_cascade", "complete")
+    mat = S.run_to_memory(hourly, "stream_rollup_cascade", "complete",
+                          shuffle_partitions=S.replay_partitions(
+                              spark, src))
     return (
         mat.groupBy(
             F.date_format(F.date_trunc("day", "h"), "yyyy-MM-dd")
@@ -493,7 +514,8 @@ def stream_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads from. Tie-broken on (ts, event_id) so replay order can
     never change the snapshot. Batch equivalent (the oracle):
     row_number latest-per-key."""
-    ev = S.read_events_stream(spark, S.stage_events_dir(sf_dir))
+    src = S.stage_events_dir(sf_dir)
+    ev = S.read_events_stream(spark, src)
     snap = (
         ev.groupBy("user_id")
         .agg(F.max_by(
@@ -508,7 +530,9 @@ def stream_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("s.value", 2).alias("last_value"),
         )
     )
-    return S.run_to_memory(snap, "stream_latest_state", "complete")
+    return S.run_to_memory(snap, "stream_latest_state", "complete",
+                           shuffle_partitions=S.replay_partitions(
+                               spark, src))
 
 
 @query(
@@ -579,7 +603,8 @@ def stream_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from project_2_semantic_similarity_spark.operators.sketch import (
         _CMS_D, _CMS_W, _cms_bucket)
 
-    ev = S.read_events_stream(spark, S.stage_events_dir(sf_dir))
+    src = S.stage_events_dir(sf_dir)
+    ev = S.read_events_stream(spark, src)
     salted = ev.select(
         F.col("user_id").cast("string").alias("v")).select(
         "v",
@@ -591,7 +616,9 @@ def stream_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("j", "bucket")
         .agg(F.count("*").cast("bigint").alias("c"))
     )
-    return S.run_to_memory(counters, "stream_cms_counts", "complete")
+    return S.run_to_memory(counters, "stream_cms_counts", "complete",
+                           shuffle_partitions=S.replay_partitions(
+                               spark, src))
 
 
 @query(
@@ -646,10 +673,12 @@ def stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_count_distinct sketches. bit_or's associativity makes
     micro-batch merge = the batch build, which is what the batch
     oracle states. Replayed availableNow in complete mode."""
-    ev = S.read_events_stream(spark, S.stage_events_dir(sf_dir))
+    src = S.stage_events_dir(sf_dir)
+    ev = S.read_events_stream(spark, src)
     mat = S.run_to_memory(
         S.bitmap_distinct_daily(ev), "stream_bitmap_distinct",
-        "complete")
+        "complete",
+        shuffle_partitions=S.replay_partitions(spark, src))
     return (mat.groupBy("day")
             .agg(F.sum(F.bit_count("mask")).cast("bigint")
                  .alias("n_users")))
@@ -678,9 +707,12 @@ def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     global sort into the state store for no added freshness.
     Replayed availableNow; ties break on user_id so the board is
     deterministic."""
-    ev = S.read_events_stream(spark, S.stage_events_dir(sf_dir))
+    src = S.stage_events_dir(sf_dir)
+    ev = S.read_events_stream(spark, src)
     counts = ev.groupBy("user_id").agg(F.count("*").alias("n"))
-    mat = S.run_to_memory(counts, "stream_topk", "complete")
+    mat = S.run_to_memory(counts, "stream_topk", "complete",
+                          shuffle_partitions=S.replay_partitions(
+                              spark, src))
     return (mat.select("user_id", F.col("n").cast("bigint").alias("n"))
             .orderBy(F.col("n").desc(), "user_id").limit(10))
 

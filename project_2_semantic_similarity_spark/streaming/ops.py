@@ -166,21 +166,121 @@ def read_events_stream(spark: SparkSession, path: str,
     return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def _ephemeral_ckpt_dir(name: str) -> str | None:
+    """A RAM-backed (tmpfs) checkpoint directory for memory-sink
+    replays, or None to fall back to Spark's default temp checkpoint.
+
+    Rationale (measured, OPTIMIZATION_r14.md): ~3 s of every stream
+    replay's wall is checkpoint machinery — fsync'd offset/commit
+    logs plus HDFSBackedStateStore delta/snapshot files, written
+    per micro-batch per state partition to local disk. A memory
+    sink is driver-local and unrecoverable by definition, so its
+    checkpoint has zero durability value; pointing it at tmpfs
+    removes only fsync latency, never changing what is computed.
+    The DURABLE file sink (:func:`stream_to_parquet`) keeps its
+    caller-provided on-disk checkpoint — that one's replay-exactly-
+    once contract is the point. Override/disable the root with
+    ``$P2SS_EPHEMERAL_CKPT_DIR`` (set to a path, or to the empty
+    string to disable); default ``/dev/shm`` when writable. Same
+    per-uid 0700 hygiene as scratch.py."""
+    base = os.environ.get("P2SS_EPHEMERAL_CKPT_DIR")
+    if base == "":
+        return None
+    if base is None:
+        if not (os.path.isdir("/dev/shm")
+                and os.access("/dev/shm", os.W_OK)):
+            return None
+        uid = os.getuid() if hasattr(os, "getuid") else "u"
+        base = f"/dev/shm/p2ss-ckpt-{uid}"
+    os.makedirs(base, mode=0o700, exist_ok=True)
+    if hasattr(os, "getuid") and os.lstat(base).st_uid != os.getuid():
+        return None  # foreign-owned: refuse silently, use default
+    import tempfile
+    return tempfile.mkdtemp(prefix=f"{name}_", dir=base)
+
+
+def replay_partitions(spark: SparkSession, *src_paths: str,
+                      bytes_per_partition: int = 2 << 20) -> int:
+    """Scale-adaptive shuffle/state partition count for an
+    availableNow replay (guide §2: derive partitioning from input
+    size, never a constant tuned for one deployment).
+
+    Stateful streaming exchanges are PINNED to
+    ``spark.sql.shuffle.partitions`` — AQE cannot coalesce them the
+    way it right-sizes batch stages — and every state partition
+    costs a per-micro-batch constant (HDFSBackedStateStore provider
+    init + delta commit; measured ~70 ms/partition/batch at r14,
+    OPTIMIZATION_r14.md). So a replay of a few MB at the session's
+    cluster-sized default pays 32× that constant for no parallelism
+    benefit. Rule: one partition per ``bytes_per_partition`` of
+    staged source bytes, floor 2, CEILING the session's current
+    ``spark.sql.shuffle.partitions`` — like AQE, this only ever
+    coalesces below the session default, never raises it, so
+    cluster deployments keep their configured width. Override with
+    ``$P2SS_STREAM_REPLAY_PARTITIONS``. Only the JVM-stateful
+    replays opt in; applyInPandasWithState call sites keep the
+    session default — their per-partition Python workers do real
+    compute, and fewer partitions measurably HURT them (A/B in
+    OPTIMIZATION_r14.md)."""
+    forced = os.environ.get("P2SS_STREAM_REPLAY_PARTITIONS")
+    if forced:
+        return int(forced)
+    total = 0
+    for p in src_paths:
+        if os.path.isdir(p):
+            for f in os.listdir(p):
+                fp = os.path.join(p, f)
+                if os.path.isfile(fp):
+                    total += os.path.getsize(fp)
+        elif os.path.exists(p):
+            total += os.path.getsize(p)
+    session_default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(2, min(session_default,
+                      -(-total // bytes_per_partition)))
+
+
 def run_to_memory(stream_df: DataFrame, name: str,
-                  output_mode: str, timeout_s: float = 300) -> DataFrame:
+                  output_mode: str, timeout_s: float = 300,
+                  shuffle_partitions: int | None = None) -> DataFrame:
     """Replay the stream to completion (availableNow) into a memory
-    sink and return the materialized result as a batch DataFrame."""
+    sink and return the materialized result as a batch DataFrame.
+
+    ``shuffle_partitions``: state/shuffle partition count for THIS
+    replay (see :func:`replay_partitions`). Set around ``start()``
+    and restored right after — a streaming query clones the session
+    state at start, so the restore cannot affect the running replay,
+    and the replay is awaited synchronously so nothing else plans
+    under the temporary value."""
     spark = stream_df.sparkSession
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
-    q = (stream_df.writeStream.format("memory").queryName(name)
-         .outputMode(output_mode).trigger(availableNow=True).start())
-    if not q.awaitTermination(timeout_s):
-        q.stop()
-        raise TimeoutError(
-            f"stream '{name}' did not finish replay in {timeout_s}s; "
-            "memory table would be partial")
+    ckpt = _ephemeral_ckpt_dir(name)
+    writer = (stream_df.writeStream.format("memory").queryName(name)
+              .outputMode(output_mode).trigger(availableNow=True))
+    if ckpt is not None:
+        writer = writer.option("checkpointLocation", ckpt)
+    prev_parts = None
+    if shuffle_partitions is not None:
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(shuffle_partitions))
+    try:
+        q = writer.start()
+        if prev_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+            prev_parts = None
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(
+                f"stream '{name}' did not finish replay in {timeout_s}s; "
+                "memory table would be partial")
+    finally:
+        if prev_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if ckpt is not None:
+            import shutil
+            shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 

@@ -567,3 +567,61 @@ def test_exponential_histogram_merges_across_batches(spark, sf_dir):
     # rounded once at the end, so compare at the cent the query emits)
     for key, (_, s1) in want.items():
         assert abs(got[key][1] - round(2 * s1, 2)) < 0.02, key
+
+
+def test_replay_partitions_scale_adaptive(spark, sf_dir, tmp_path):
+    """r14 opt: the replay partition count derives from staged source
+    bytes (floor 2, ceiling the session default) and the replayed
+    result is invariant to it."""
+    import os
+
+    src = S.stage_events_dir(sf_dir)
+    session_default = int(
+        spark.conf.get("spark.sql.shuffle.partitions"))
+    p = S.replay_partitions(spark, src)
+    assert 2 <= p <= session_default
+    # a few MB of events at 2 MiB/partition must coalesce well below
+    # the 32-partition session default
+    total = sum(f.stat().st_size for f in os.scandir(src)
+                if f.is_file())
+    assert p == max(2, min(session_default, -(-total // (2 << 20))))
+    # ~1 GiB of claimed input saturates at the session ceiling
+    big = tmp_path / "big.bin"
+    big.write_bytes(b"\0" * (2 << 20))
+    assert S.replay_partitions(
+        spark, str(big), bytes_per_partition=1024) == session_default
+    # env override wins
+    os.environ["P2SS_STREAM_REPLAY_PARTITIONS"] = "5"
+    try:
+        assert S.replay_partitions(spark, src) == 5
+    finally:
+        del os.environ["P2SS_STREAM_REPLAY_PARTITIONS"]
+
+    # result invariance: same rows whether replayed at 2 or default
+    ev = S.read_events_stream(spark, src)
+    at2 = S.run_to_memory(S.tumbling_counts(ev), "rp_probe_2",
+                          "complete", shuffle_partitions=2)
+    ev = S.read_events_stream(spark, src)
+    atdef = S.run_to_memory(S.tumbling_counts(ev), "rp_probe_def",
+                            "complete", shuffle_partitions=None)
+    cols = ["window_start", "event_type", "n", "sum_value"]
+    assert _rows(at2, *cols) == _rows(atdef, *cols)
+    # the temporary conf value was restored
+    assert int(spark.conf.get("spark.sql.shuffle.partitions")) \
+        == session_default
+
+
+def test_ephemeral_ckpt_dir_hygiene(monkeypatch, tmp_path):
+    """The memory-sink replay checkpoint lands under the ephemeral
+    root when one is available, and the env kill-switch disables it."""
+    import os
+
+    root = tmp_path / "ckroot"
+    monkeypatch.setenv("P2SS_EPHEMERAL_CKPT_DIR", str(root))
+    d = S._ephemeral_ckpt_dir("probe")
+    assert d is not None and d.startswith(str(root))
+    assert os.path.isdir(d)
+    mode = os.stat(root).st_mode & 0o777
+    assert mode == 0o700
+    monkeypatch.setenv("P2SS_EPHEMERAL_CKPT_DIR", "")
+    assert S._ephemeral_ckpt_dir("probe") is None
