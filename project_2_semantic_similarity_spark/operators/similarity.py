@@ -141,17 +141,28 @@ def label_centroids(embeddings: DataFrame, label_col: str = "label",
     )
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Round-robin to the session's default parallelism IFF the input
-    has fewer partitions. A small-SF table is a single parquet file →
+def _spread(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Spread to the session's default parallelism IFF the input has
+    fewer partitions. A small-SF table is a single parquet file →
     one scan partition → every narrow computation stacked on it (the
     k-way score/argmin crossJoin, per-vector norms) serializes on ONE
     task (measured: 7.4s for 88k interpreted-HOF cosines single-task
     vs <1s spread). At scale the source already has ≥cores partitions
-    and this is a no-op — no shuffle is added."""
+    and this is a no-op — no shuffle is added.
+
+    Pass ``key_cols`` (a high-cardinality key like doc_id) to spread
+    by hash partitioning instead of round-robin: every keyless
+    ``repartition(n)`` first pays a full local sort of its input rows
+    (spark.sql.execution.sortBeforeRepartition, on by default so
+    retried tasks reproduce their row-to-partition assignment —
+    guide §2.5); hash partitioning is deterministic per row, so it
+    skips that sort — which matters when the rows carry document
+    text or embedding payloads."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:
+        if key_cols:
+            return df.repartition(target, *[F.col(c) for c in key_cols])
         return df.repartition(target)
     return df
 

@@ -1078,8 +1078,9 @@ def dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partition, and the md5-per-window map (the dominant cost) would
     # serialize on a single core (measured 2.0s single-task vs 0.4s
     # spread at sf0.1). No-op at scale where the scan has ≥cores
-    # partitions.
-    docs = _spread(load_table(spark, sf_dir, "documents"))
+    # partitions. Hash-spread on doc_id (r14): round-robin paid a
+    # full local sort of the document text (sortBeforeRepartition).
+    docs = _spread(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = docs.select(
         "doc_id",
         F.filter(F.split("text", r"\s+"),
@@ -1087,14 +1088,23 @@ def dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # size guard BEFORE sequence: sequence(0, -1) would count DOWN
     # (Spark infers step -1), emitting bogus windows for docs shorter
     # than W tokens — those docs must emit none, as the oracle's
-    # range(greatest(len-W+1, 0)) does.
-    win = toks.filter(F.size("toks") >= _PASSAGE_W).select(
+    # range(greatest(len-W+1, 0)) does. The guard is a when() branch,
+    # not a filter (r14): a .filter(size(toks) >= W) gets pushed
+    # below the spread exchange where `toks` doesn't exist yet, so
+    # the whole split() ran twice per document (once in the pushed
+    # filter, again in the projection — guide §2.4 plan audit);
+    # when() evaluates its branches lazily, so short docs emit an
+    # empty array (explode drops them) and split() runs exactly once.
+    win = toks.select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("toks") - _PASSAGE_W),
-                lambda i: F.md5(F.concat_ws(
-                    " ", F.slice("toks", i + 1, _PASSAGE_W)))),
+            F.when(
+                F.size("toks") >= _PASSAGE_W,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - _PASSAGE_W),
+                    lambda i: F.md5(F.concat_ws(
+                        " ", F.slice("toks", i + 1, _PASSAGE_W)))))
+            .otherwise(F.array().cast("array<string>")),
         ).alias("passage_md5"))
     return (
         win.groupBy("passage_md5")
@@ -1354,20 +1364,28 @@ def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _spread)
 
     w = _RUNS_W
-    docs = _spread(load_table(spark, sf_dir, "documents"))
+    # hash-spread + when-guard (r14): same two fixes as dedup_passage
+    # — a keyless repartition sorts the full document text locally,
+    # and a .filter(n_tokens >= w) pushed below the spread exchange
+    # re-evaluated split() per document; the lazy when() branch emits
+    # an empty window array for short docs instead (posexplode drops
+    # them), so split() runs once and nothing is sorted.
+    docs = _spread(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = docs.select(
         "doc_id",
         F.filter(F.split("text", r"\s+"),
                  lambda t: t != F.lit("")).alias("toks"))
-    sized = (toks.withColumn("n_tokens", F.size("toks"))
-             .filter(F.col("n_tokens") >= w))
+    sized = toks.withColumn("n_tokens", F.size("toks"))
     win = sized.select(
         "doc_id", "n_tokens",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.col("n_tokens") - w),
-                lambda i: F.md5(F.concat_ws(
-                    " ", F.slice("toks", i + 1, w)))))
+            F.when(
+                F.col("n_tokens") >= w,
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n_tokens") - w),
+                    lambda i: F.md5(F.concat_ws(
+                        " ", F.slice("toks", i + 1, w)))))
+            .otherwise(F.array().cast("array<string>")))
         .alias("pos", "h"))
     shared = (win.groupBy("h")
               .agg(F.countDistinct("doc_id").alias("dc"))
