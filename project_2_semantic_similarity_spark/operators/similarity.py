@@ -422,6 +422,62 @@ def _angle(cos_col) -> "F.Column":
     return F.acos(F.least(F.lit(1.0), F.greatest(F.lit(-1.0), cos_col)))
 
 
+# Driver-side candidate cluster pairs, memoized per assignment slot
+# (the _SLOT_STATS discipline): the K-row radii aggregate and the
+# K×K triangle-inequality screen are recomputed identically on every
+# execution of a blocked-pair plan, but as Catalyst operators they
+# cost an Exchange + two broadcasts + a crossJoin PER RUN (12 jobs/
+# execution measured on dedup_embedding_cosine at r14). K ≈ √n by
+# the codebook sizing, so the whole screen is a trivially-small
+# driver computation: one agg job on first sight of the key, a dict
+# hit afterwards. Entries are lists of int pairs, bounded by K².
+_CAND_CACHE: dict[tuple, list[tuple[int, int]]] = {}
+
+
+def _candidate_pairs_local(assigned: DataFrame, centroids: DataFrame,
+                           min_cosine: float, slot: str,
+                           full_key) -> DataFrame:
+    """``candidate_cluster_pairs`` computed driver-side and returned
+    as a LocalRelation — identical pair set (same angle formula,
+    same NULL conservatism, same ``_ANGLE_EPS`` slack; float64 in
+    numpy vs the JVM differs ~1 ulp, orders of magnitude inside the
+    epsilon), so the lossless-pruning guarantee is untouched: every
+    surviving pair is exactly re-checked downstream."""
+    import numpy as np
+
+    spark = assigned.sparkSession
+    memo_key = (slot, full_key, round(float(min_cosine), 12))
+    pairs = _CAND_CACHE.get(memo_key) if full_key is not None else None
+    if pairs is None:
+        radii = {int(r["list_id"]): float(r["radius"])
+                 for r in assigned.groupBy("list_id").agg(
+                     F.max(F.coalesce(_angle(F.col("ccos")),
+                                      F.lit(math.pi)))
+                     .alias("radius")).collect()}
+        cents = sorted((int(r["label"]),
+                        np.asarray(r["centroid"], dtype=np.float64))
+                       for r in centroids.collect()
+                       if int(r["label"]) in radii)
+        labels = np.array([lbl for lbl, _ in cents], dtype=np.int64)
+        cmat = np.array([v for _, v in cents], dtype=np.float64)
+        nrm = np.linalg.norm(cmat, axis=1, keepdims=True)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = (cmat @ cmat.T) / (nrm * nrm.T)
+        # zero-norm centroid → NULL cosine in the Column version →
+        # coalesce(angle, 0.0) → pair kept; mirror with angle 0
+        ang = np.where(np.isfinite(cos),
+                       np.arccos(np.clip(cos, -1.0, 1.0)), 0.0)
+        r = np.array([radii[int(lbl)] for lbl in labels])
+        theta_t = math.acos(min_cosine)
+        keep = ang <= theta_t + r[:, None] + r[None, :] + _ANGLE_EPS
+        ia, ib = np.nonzero(keep)
+        pairs = [(int(labels[i]), int(labels[j]))
+                 for i, j in zip(ia, ib)]
+        if full_key is not None:
+            _CAND_CACHE[memo_key] = pairs
+    return spark.createDataFrame(pairs, "c1 int, c2 int")
+
+
 def candidate_cluster_pairs(assigned: DataFrame, centroids: DataFrame,
                             min_cosine: float) -> DataFrame:
     """Ordered cluster pairs (c1, c2) — both directions plus
@@ -512,7 +568,12 @@ def cosine_pairs_blocked(embeddings: DataFrame, min_cosine: float,
         lambda: ivf_assign_gemm(embeddings, centroids, id_col, vec_col,
                                 with_score=True)
         .withColumn("nrm", l2_norm(vec_col)))
-    cand = candidate_cluster_pairs(assigned, centroids, min_cosine)
+    full_key = None if cache_key is None else (cache_key, cb_fp)
+    cand = (_candidate_pairs_local(assigned, centroids, min_cosine,
+                                   "blocked_assigned", full_key)
+            if full_key is not None
+            else candidate_cluster_pairs(assigned, centroids,
+                                         min_cosine))
 
     a = assigned.select(F.col(id_col).alias("vec_a"),
                         F.col(vec_col).alias("ea"),
@@ -585,7 +646,10 @@ def knn_batch_topk(embeddings: DataFrame, k: int, centroids: DataFrame,
         "batchtopk_assigned", full_key,
         lambda: ivf_assign_gemm(embeddings, centroids, id_col, vec_col,
                                 with_score=True))
-    cand = candidate_cluster_pairs(assigned, centroids, -1.0)
+    cand = (_candidate_pairs_local(assigned, centroids, -1.0,
+                                   "batchtopk_assigned", full_key)
+            if full_key is not None
+            else candidate_cluster_pairs(assigned, centroids, -1.0))
 
     blocks = assigned.groupBy("list_id").agg(
         F.collect_list(F.struct(F.col(id_col).alias("id"),
@@ -688,7 +752,11 @@ def cosine_pairs_blocked_gemm(embeddings: DataFrame, min_cosine: float,
         "blocked_gemm_assigned", full_key,
         lambda: ivf_assign_gemm(embeddings, centroids, id_col, vec_col,
                                 with_score=True))
-    cand = candidate_cluster_pairs(assigned, centroids, min_cosine)
+    cand = (_candidate_pairs_local(assigned, centroids, min_cosine,
+                                   "blocked_gemm_assigned", full_key)
+            if full_key is not None
+            else candidate_cluster_pairs(assigned, centroids,
+                                         min_cosine))
 
     blocks = assigned.groupBy("list_id").agg(
         F.collect_list(F.struct(F.col(id_col).alias("id"),
