@@ -298,3 +298,134 @@ def _release_local_checkpoint(df: DataFrame) -> None:
         df._jdf.queryExecution().optimizedPlan().rdd().unpersist(False)
     except Exception:
         pass
+
+
+def hamming_components_np(ids, hashes, max_hamming: int,
+                          bits: int = 56):
+    """Driver-local exact Hamming clustering: pigeonhole-banded pair
+    discovery + min-label components, entirely in numpy — the
+    small-corpus fast path behind ``dedup_phash_clusters``'s
+    measured-count gate.
+
+    Produces EXACTLY the distributed composition's answer
+    (``simhash_near_pairs`` → ``dedup_clusters``): the same d+1-chunk
+    pigeonhole blocking (exact recall — d flips touch ≤ d chunks, so
+    ≥1 chunk matches), candidates verified with an exact popcount,
+    and min-label components with min-id canonical representatives —
+    engine-independent integers all the way. Returns
+    ``(doc_id, component_id, component_size)`` int64 arrays covering
+    every node incident to ≥1 pair (singletons excluded, as over
+    there).
+
+    Cost: d+1 argsorts of n keys + a LUT popcount per candidate
+    (verified in bounded slices, so peak memory is one slice plus
+    the true edge list) + O(E) label propagation with pointer
+    jumping (O(log n) rounds). An all-pairs n×n popcount matrix was
+    measured 40+ s at n=5000 on the target host (uint64 elementwise
+    ops there run at ~memory-bandwidth of 8 temporaries); banding
+    does ~25x less work on real near-dup distributions. Callers gate
+    on a MEASURED row count (the vocab_join discipline) so this
+    never sees an unbounded corpus; past the gate the distributed
+    banded join + O(diameter) propagation runs unchanged."""
+    import numpy as np
+
+    ids = np.asarray(ids, dtype=np.int64)
+    order0 = np.argsort(ids, kind="stable")
+    ids = ids[order0]
+    h = np.asarray(hashes, dtype=np.uint64)[order0]
+    n = int(ids.shape[0])
+    if n == 0:
+        return (np.empty(0, np.int64),) * 3
+
+    lut = np.array([bin(v).count("1") for v in range(256)],
+                   dtype=np.uint8)
+
+    def popcount(x):
+        return lut[x.view(np.uint8)].reshape(x.shape + (8,)) \
+            .sum(axis=-1, dtype=np.int64)
+
+    n_chunks = min(max_hamming + 1, bits)
+    base, rem = divmod(bits, n_chunks)
+    packed_parts = []
+    offset = 0
+    slice_cap = 1 << 24  # candidate-verification slice bound
+    for c in range(n_chunks):
+        width = base + (1 if c < rem else 0)
+        key = (h >> np.uint64(offset)) & np.uint64((1 << width) - 1)
+        offset += width
+        order = np.argsort(key, kind="stable")  # idx ascending per key
+        sk = key[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], sk[1:] != sk[:-1])))
+        ends = np.concatenate((starts[1:], [n]))
+        ci_parts, cj_parts, pending = [], [], 0
+        for s0, s1 in zip(starts, ends):
+            k = int(s1 - s0)
+            if k < 2:
+                continue
+            idx = order[s0:s1]
+            if k <= 2048:
+                pi, pj = np.triu_indices(k, 1)
+                ci_parts.append(idx[pi])
+                cj_parts.append(idx[pj])
+                pending += pi.size
+            else:
+                # degenerate hot bucket: block the triangle so no
+                # single allocation is k²
+                for b0 in range(0, k, 1024):
+                    rows = idx[b0:b0 + 1024]
+                    cols = idx[b0:]
+                    pi, pj = np.nonzero(rows[:, None] < cols[None, :])
+                    ci_parts.append(rows[pi])
+                    cj_parts.append(cols[pj])
+                    pending += pi.size
+            if pending >= slice_cap:
+                packed_parts.append(_verify_slice(
+                    np, h, ci_parts, cj_parts, popcount,
+                    max_hamming, n))
+                ci_parts, cj_parts, pending = [], [], 0
+        if pending:
+            packed_parts.append(_verify_slice(
+                np, h, ci_parts, cj_parts, popcount, max_hamming, n))
+    if not packed_parts:
+        return (np.empty(0, np.int64),) * 3
+    packed = np.unique(np.concatenate(packed_parts))
+    ei = (packed // n).astype(np.int64)
+    ej = (packed % n).astype(np.int64)
+    if ei.size == 0:
+        return (np.empty(0, np.int64),) * 3
+
+    # min-label propagation (labels are indices; ids sorted ascending,
+    # so index min == doc_id min) with pointer jumping — converges to
+    # the same fixed point as the distributed O(diameter) loop
+    lab = np.arange(n, dtype=np.int64)
+    while True:
+        m = np.minimum(lab[ei], lab[ej])
+        nl = lab.copy()
+        np.minimum.at(nl, ei, m)
+        np.minimum.at(nl, ej, m)
+        nl = np.minimum(nl, nl[nl])
+        if np.array_equal(nl, lab):
+            break
+        lab = nl
+
+    incident = np.zeros(n, dtype=bool)
+    incident[ei] = True
+    incident[ej] = True
+    node_idx = np.nonzero(incident)[0]
+    comp_idx = lab[node_idx]
+    sizes = np.bincount(comp_idx, minlength=n)
+    return ids[node_idx], ids[comp_idx], sizes[comp_idx].astype(np.int64)
+
+
+def _verify_slice(np, h, ci_parts, cj_parts, popcount, max_hamming,
+                  n):
+    """Exact-verify one slice of banded candidate pairs; returns the
+    surviving edges packed as i*n+j (dedupe across chunkings happens
+    once, on true edges only — candidates within one chunking are
+    already distinct because its buckets partition the rows)."""
+    ci = np.concatenate(ci_parts)
+    cj = np.concatenate(cj_parts)
+    d = popcount(h[ci] ^ h[cj])
+    keep = d <= max_hamming
+    return ci[keep] * np.int64(n) + cj[keep]

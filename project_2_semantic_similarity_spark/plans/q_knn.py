@@ -1800,17 +1800,54 @@ def dedup_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: pixels are gone after the one narrow hash stage; pair
     discovery is the banded join; propagation is the same
     O(diameter)-round persist-and-release loop dedup_clusters runs
-    (operators/graph.py), on a pair relation, not the corpus."""
+    (operators/graph.py), on a pair relation, not the corpus.
+
+    Small-corpus fast path (r14, measured-count gated like
+    vocab_join): under ``$P2SS_HAMMING_LOCAL_MAX`` docs (default
+    16384 — ~2 GB of driver memory traffic for the n² popcounts) the
+    8-byte hashes collect to the driver and the ENTIRE
+    pairs+components stage runs as vectorized numpy
+    (operators/graph.py hamming_components_np — provably the same
+    answer: the banded join has exact recall, so its pair set is the
+    all-pairs set). This corpus's phash graph is pathologically
+    dense (949k real edges from 5k docs), and the distributed
+    pair join + O(diameter) propagation loop paid ~50 Spark jobs
+    per execution where one tiny collect suffices; past the gate the
+    distributed path runs unchanged. Equality of the two paths is
+    pinned in tests/test_dedup_knn.py."""
+    import os
+
+    from project_2_semantic_similarity_spark.operators.cache import (
+        keyed_value)
     from project_2_semantic_similarity_spark.operators.dedup import (
         simhash_near_pairs)
     from project_2_semantic_similarity_spark.operators.graph import (
-        dedup_clusters as clusters_op)
+        dedup_clusters as clusters_op, hamming_components_np)
     from project_2_semantic_similarity_spark.operators.multimodal import (
         attach_ppm_payload, phash_image)
+    from project_2_semantic_similarity_spark.sources.tables import (
+        source_fingerprint)
 
     docs = load_table(spark, sf_dir, "documents")
     hashes = (phash_image(attach_ppm_payload(docs))
               .withColumnRenamed("phash", "simhash"))
+    bound = int(os.environ.get("P2SS_HAMMING_LOCAL_MAX", "16384"))
+    n_docs = keyed_value(
+        "phash_cc_n",
+        (sf_dir, source_fingerprint(sf_dir, "documents"), bound),
+        lambda: docs.limit(bound + 1).count())
+    if n_docs <= bound:
+        import pandas as pd
+
+        rows = hashes.toPandas()
+        doc_id, comp, size = hamming_components_np(
+            rows["doc_id"].to_numpy(), rows["simhash"].to_numpy(),
+            max_hamming=3)
+        return spark.createDataFrame(
+            pd.DataFrame({"doc_id": doc_id, "component_id": comp,
+                          "component_size": size}),
+            schema="doc_id bigint, component_id bigint, "
+                   "component_size bigint")
     pairs = simhash_near_pairs(hashes, max_hamming=3, bits=56)
     return clusters_op(pairs.select("doc_a", "doc_b"))
 

@@ -1269,3 +1269,66 @@ def test_semdedup_oversized_cluster_lsh_fallback(spark, sf_dir, monkeypatch):
                             or (o_ccos == ccos and rep < vid)):
                         want_dropped.add(vid)
     assert dropped_lsh == want_dropped
+
+
+def test_hamming_components_local_matches_distributed(spark):
+    """The r14 small-corpus fast path behind dedup_phash_clusters'
+    measured-count gate (operators/graph.py hamming_components_np)
+    must produce EXACTLY the distributed composition's answer
+    (simhash_near_pairs -> dedup_clusters) — same nodes, same
+    min-id canonical labels, same sizes, singletons excluded —
+    and both must equal a brute-force reference."""
+    import random
+
+    from project_2_semantic_similarity_spark.operators.graph import (
+        dedup_clusters, hamming_components_np)
+
+    rng = random.Random(11)
+    # clustered hashes: 6 bases, perturbed by <=2 bit flips, plus
+    # isolated singletons far from everything
+    bases = [rng.getrandbits(56) for _ in range(6)]
+    vals = []
+    for i in range(40):
+        b = bases[i % 6]
+        for _ in range(rng.randrange(3)):
+            b ^= 1 << rng.randrange(56)
+        vals.append(b)
+    vals += [rng.getrandbits(56) | (1 << 55) for _ in range(5)]
+    ids = [100 + 3 * i for i in range(len(vals))]
+
+    got = hamming_components_np(ids, vals, max_hamming=3)
+    local = sorted(zip(*(a.tolist() for a in got)))
+
+    df = spark.createDataFrame(list(zip(ids, vals)),
+                               ["doc_id", "simhash"])
+    pairs = D.simhash_near_pairs(df, max_hamming=3, bits=56)
+    dist = sorted(
+        (r.doc_id, r.component_id, r.component_size)
+        for r in dedup_clusters(pairs.select("doc_a", "doc_b"))
+        .collect())
+    assert local == dist
+
+    # brute-force reference: union-find over all-pairs hamming<=3
+    parent = {i: i for i in range(len(vals))}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    incident = set()
+    for i in range(len(vals)):
+        for j in range(i + 1, len(vals)):
+            if bin(vals[i] ^ vals[j]).count("1") <= 3:
+                incident.update((i, j))
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    comps = {}
+    for i in sorted(incident):
+        comps.setdefault(find(i), []).append(ids[i])
+    want = sorted(
+        (d, members[0], len(members))
+        for members in comps.values() for d in members)
+    assert local == want
