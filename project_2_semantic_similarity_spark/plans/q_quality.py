@@ -586,15 +586,30 @@ def corpus_prep_fineweb(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_prep_pipeline_lsh does (same operators, pinned equal on
     fixtures)."""
     from project_2_semantic_similarity_spark.operators import dedup as D
+    from project_2_semantic_similarity_spark.operators.cache import (
+        keyed_persist)
+    from project_2_semantic_similarity_spark.sources.tables import (
+        source_fingerprint)
 
     docs = load_table(spark, sf_dir, "documents")
-    langed = docs.filter(TA.lang_id(F.col("text")) == "en")
-    _f, _ri, _keep, keep_relaxed = gopher_rule_columns(F.col("text"))
-    gop = (langed.withColumn("_keep", keep_relaxed)
-           .filter(F.col("_keep") == 1)
-           .select("doc_id", "text",
-                   _gopher_flags(F.col("text"))["n_words"]
-                   .alias("n_words")))
+
+    def build_gop():
+        langed = docs.filter(TA.lang_id(F.col("text")) == "en")
+        _f, _ri, _keep, keep_relaxed = gopher_rule_columns(F.col("text"))
+        return (langed.withColumn("_keep", keep_relaxed)
+                .filter(F.col("_keep") == 1)
+                .select("doc_id", "text",
+                        _gopher_flags(F.col("text"))["n_words"]
+                        .alias("n_words")))
+
+    # the filtered slice feeds FOUR plan branches (shingle self-join
+    # sides, exact dedup, the survivor join-back) — unpersisted, the
+    # lang+Gopher codegen map over the corpus executed once per
+    # branch per run (r14 A/B below); the slot is the prep_kept
+    # discipline, keyed on the source fingerprint
+    gop = keyed_persist(
+        "fineweb_gop", (sf_dir, source_fingerprint(sf_dir, "documents")),
+        build_gop)
     exact_winners = D.exact_dedup(gop.select("doc_id", "text")) \
         .select("doc_id")
     near_losers = (

@@ -767,9 +767,23 @@ def _prep_lsh_survivors(spark: SparkSession, sf_dir: str,
     exact_winners = D.exact_dedup(kept.select("doc_id", "text")) \
         .select("doc_id")
     variant = D.select_minhash_variant_from_docs(kept)
-    sigs = stage("sigs", lambda: D.minhash_signatures(
-        sh, num_hashes=64, seed=42, variant=variant,
-        hash_family="portable"))
+
+    def build_sigs():
+        return D.minhash_signatures(
+            sh, num_hashes=64, seed=42, variant=variant,
+            hash_family="portable")
+
+    if stage_to is not None:
+        sigs = stage("sigs", build_sigs)
+    else:
+        # the dedup_minhash discipline: signatures are the pipeline's
+        # materialization point (64 md5 hashes per shingle row —
+        # rebuilt per execution before r14, the costliest stage of
+        # the warm pass) and feed both sides of the banded candidate
+        # join; kept-subset signatures get their own slot because the
+        # full-corpus minhash_sigs_portable slot is a different
+        # relation
+        sigs = keyed_persist("prep_lsh_sigs", key, build_sigs)
     cands = stage("cands", lambda: D.minhash_lsh_candidates(
         sigs, num_hashes=64, bands=16))
     near_losers = stage("near_losers", lambda: (
