@@ -371,7 +371,11 @@ def hamming_components_np(ids, hashes, max_hamming: int,
                 pending += pi.size
             else:
                 # degenerate hot bucket: block the triangle so no
-                # single allocation is k²
+                # single allocation is k², and flush per block — a
+                # single pathological bucket (many near-identical
+                # hashes sharing one chunk) can alone exceed the
+                # slice cap, so waiting for the end of the bucket
+                # would accumulate the whole k²/2 candidate set
                 for b0 in range(0, k, 1024):
                     rows = idx[b0:b0 + 1024]
                     cols = idx[b0:]
@@ -379,6 +383,11 @@ def hamming_components_np(ids, hashes, max_hamming: int,
                     ci_parts.append(rows[pi])
                     cj_parts.append(cols[pj])
                     pending += pi.size
+                    if pending >= slice_cap:
+                        packed_parts.append(_verify_slice(
+                            np, h, ci_parts, cj_parts, popcount,
+                            max_hamming, n))
+                        ci_parts, cj_parts, pending = [], [], 0
             if pending >= slice_cap:
                 packed_parts.append(_verify_slice(
                     np, h, ci_parts, cj_parts, popcount,
@@ -392,6 +401,12 @@ def hamming_components_np(ids, hashes, max_hamming: int,
     packed = np.unique(np.concatenate(packed_parts))
     ei = (packed // n).astype(np.int64)
     ej = (packed % n).astype(np.int64)
+    # parity with the distributed path, which pairs on
+    # a.doc_id < b.doc_id: rows that happen to share a doc_id must
+    # not form a distance-0 self edge (no-op under the corpus's
+    # unique-doc_id invariant, kept for contract equality)
+    distinct_id = ids[ei] != ids[ej]
+    ei, ej = ei[distinct_id], ej[distinct_id]
     if ei.size == 0:
         return (np.empty(0, np.int64),) * 3
 

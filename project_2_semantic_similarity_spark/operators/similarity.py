@@ -434,6 +434,19 @@ def _angle(cos_col) -> "F.Column":
 _CAND_CACHE: dict[tuple, list[tuple[int, int]]] = {}
 
 
+def _bounded_put(cache: dict, key, val, cap: int = 16) -> None:
+    """Replacement discipline for the driver-side memo dicts
+    (r14 VERDICT #7): entries are small (≤K² int pairs / k_sub
+    vectors), but keys fold in snapshot fingerprints and session
+    ids, so a long-lived process iterating over corpora would
+    accumulate unboundedly — the round-3 leak class. FIFO-evict the
+    oldest insertion past ``cap`` (dicts preserve insertion order);
+    any evicted entry is just re-derived by one probe job."""
+    while len(cache) >= cap:
+        cache.pop(next(iter(cache)))
+    cache[key] = val
+
+
 def _candidate_pairs_local(assigned: DataFrame, centroids: DataFrame,
                            min_cosine: float, slot: str,
                            full_key) -> DataFrame:
@@ -474,7 +487,7 @@ def _candidate_pairs_local(assigned: DataFrame, centroids: DataFrame,
         pairs = [(int(labels[i]), int(labels[j]))
                  for i, j in zip(ia, ib)]
         if full_key is not None:
-            _CAND_CACHE[memo_key] = pairs
+            _bounded_put(_CAND_CACHE, memo_key, pairs)
     return spark.createDataFrame(pairs, "c1 int, c2 int")
 
 
@@ -517,7 +530,8 @@ def cosine_pairs_blocked(embeddings: DataFrame, min_cosine: float,
                          vec_col: str = "embedding",
                          salt_buckets: int = 32,
                          cache_key: Hashable = None,
-                         codebook_key: Hashable = None) -> DataFrame:
+                         codebook_key: Hashable = None,
+                         dim: int | None = None) -> DataFrame:
     """EXACT all-pairs cosine self-join (cos > min_cosine) with
     metric blocking — the scale-path replacement for the naive
     ``a.join(b, id_a < id_b)`` broadcast-NLJ:
@@ -559,7 +573,14 @@ def cosine_pairs_blocked(embeddings: DataFrame, min_cosine: float,
     ``cosine_similarity`` per pair (identical expressions on
     identical data), but the interpreted-HOF fold count per pair
     drops 3× (one dot instead of dot + two norms over the 64-dim
-    arrays) — measured 3.3s → ~1.3s warm at sf0.1."""
+    arrays) — measured 3.3s → ~1.3s warm at sf0.1.
+
+    ``dim`` (r15): the caller-known vector dimensionality; when set,
+    the per-pair dot is the statically UNROLLED codegen'd sum for
+    rows of exactly that size (functions/vectors.py dot(unroll_dim)
+    — bit-identical association, interpreted-fold fallback for any
+    other size). The per-pair HOF fold was the engine's remaining
+    interpreted hot loop (~4M folds per execution at sf0.1)."""
     cb_fp = codebook_key if codebook_key is not None \
         else _codebook_key(centroids)
     assigned = keyed_persist(
@@ -602,7 +623,7 @@ def cosine_pairs_blocked(embeddings: DataFrame, min_cosine: float,
                       & (a_salted["salt"] == b_salted["salt"]))
         .filter(F.col("vec_a") < F.col("vec_b"))
         .withColumn("cosine",
-                    F.try_divide(dot("ea", "eb"),
+                    F.try_divide(dot("ea", "eb", unroll_dim=dim),
                                  F.col("na") * F.col("nb")))
         .filter(F.col("cosine") > min_cosine)
         .select("vec_a", "vec_b", "cosine")
@@ -1290,7 +1311,7 @@ def pq_knn(embeddings: DataFrame, query_vec_id: int, k: int,
                               F.col(id_col))
                  .limit(k_sub).select("uv").collect()]
         if seed_key is not None:
-            _PQ_SEED_CACHE[seed_key] = seeds
+            _bounded_put(_PQ_SEED_CACHE, seed_key, seeds)
     subcents = spark.createDataFrame(
         [(m, c, seeds[c][m * sub_dim:(m + 1) * sub_dim])
          for m in range(m_sub) for c in range(len(seeds))],

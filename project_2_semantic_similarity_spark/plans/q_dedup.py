@@ -33,6 +33,24 @@ def _table_key(sf_dir: str, name: str) -> tuple[str, str, str]:
     return (sf_dir, name, source_fingerprint(sf_dir, name))
 
 
+def _corpus_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distinct 3-shingle relation (doc_id, shingle), persisted
+    per corpus snapshot (r15, guide §5 / the tokenizer-family slot
+    discipline): five query paths (containment, jaccard_exact,
+    pipeline, the jaccard cluster family, minhash) each rebuilt it
+    per execution — and worse, within ONE containment/jaccard
+    execution Catalyst instantiated the tokenize+explode+distinct
+    subtree FOUR times (pair-join a/b sides + the two size
+    aggregates; plans/r15/dedup_containment_before.txt). One slot =
+    one build per snapshot, every reference an InMemoryRelation. At
+    100 TB this relation is the pipeline's materialization point
+    (checkpointed once per snapshot), exactly the SCALE.md shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    return keyed_persist(
+        "dd_shingles3", _table_key(sf_dir, "documents"),
+        lambda: D.shingles(docs, _SHINGLE_N))
+
+
 @query(
     "dedup_exact",
     oracle="""
@@ -238,8 +256,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     direction ≥ 0.8) — catches the short-doc-quoted-in-long-doc case
     Jaccard's union denominator dilutes (operators/dedup.py
     containment_pairs)."""
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = D.containment_pairs(D.shingles(docs, _SHINGLE_N),
+    pairs = D.containment_pairs(_corpus_shingles(spark, sf_dir),
                                 _CONTAIN_MIN)
     return pairs.select(
         "doc_a", "doc_b",
@@ -292,8 +309,8 @@ def dedup_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact {n}-gram shingle Jaccard near-dup pairs (J ≥ 0.5):
     the verification stage of the dedup pipeline; at scale it runs
     on LSH candidates only (see dedup_minhash)."""
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = D.jaccard_pairs(D.shingles(docs, _SHINGLE_N), _JACCARD_MIN)
+    pairs = D.jaccard_pairs(_corpus_shingles(spark, sf_dir),
+                            _JACCARD_MIN)
     return pairs.select(
         "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -366,7 +383,8 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     only."""
     docs = load_table(spark, sf_dir, "documents")
     exact = D.exact_dedup(docs).select("doc_id")
-    pairs = D.jaccard_pairs(D.shingles(docs, _SHINGLE_N), _JACCARD_MIN)
+    pairs = D.jaccard_pairs(_corpus_shingles(spark, sf_dir),
+                            _JACCARD_MIN)
     near_losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     return (
         docs.select("doc_id")
@@ -467,8 +485,7 @@ def _jaccard_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
            spark.sparkContext.applicationId)
     df = _CLUSTERS_CACHE.get(key)
     if df is None:
-        docs = load_table(spark, sf_dir, "documents")
-        pairs = D.jaccard_pairs(D.shingles(docs, _SHINGLE_N),
+        pairs = D.jaccard_pairs(_corpus_shingles(spark, sf_dir),
                                 _JACCARD_MIN)
         df = clusters_op(pairs)
         _CLUSTERS_CACHE[key] = df
@@ -728,7 +745,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets — never all pairs); recall vs exact Jaccard is separately
     pinned in tests/test_dedup_knn.py."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = D.shingles(docs, _SHINGLE_N)
+    sh = _corpus_shingles(spark, sf_dir)
     # Variant probe from the raw docs (max tokens/doc bounds max
     # shingles/doc): one narrow scan aggregate instead of a groupBy
     # over the exploded shingle relation — and cached per corpus
@@ -859,7 +876,9 @@ def _trained_codebook(spark: SparkSession, sf_dir: str,
                 json.dump([k, rows], fh)
             os.replace(tmp, disk)  # atomic vs concurrent writers
             hit = (k, rows)
-        _CODEBOOK_CACHE[key] = hit
+        from project_2_semantic_similarity_spark.operators.similarity \
+            import _bounded_put
+        _bounded_put(_CODEBOOK_CACHE, key, hit)
     k, rows = hit
     return spark.createDataFrame(rows, _CODEBOOK_SCHEMA), k
 
@@ -943,9 +962,13 @@ def dedup_embedding_cosine_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook, k = _trained_codebook(spark, sf_dir)
     salt = max(1, -(-32 // k))  # ceil: k×S covers the cores; k² join
     #   tasks already dominate, so salt>1 only when k is tiny
+    # dim=64: the corpus embedding dimensionality (the contract the
+    # LSH oracle's hyperplanes_rademacher(64, ...) already hardcodes)
+    # unrolls the per-pair dot into codegen (r15); rows of any other
+    # size fall back to the identical fold expression.
     pairs = cosine_pairs_blocked(e, 0.45, codebook, salt_buckets=salt,
                                  cache_key=_table_key(sf_dir, "embeddings"),
-                                 codebook_key=("trained", 2))
+                                 codebook_key=("trained", 2), dim=64)
     return pairs.select(
         "vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
 

@@ -1332,3 +1332,25 @@ def test_hamming_components_local_matches_distributed(spark):
         (d, members[0], len(members))
         for members in comps.values() for d in members)
     assert local == want
+
+
+def test_dedup_phash_clusters_gate_paths_equal(spark, sf_dir,
+                                               monkeypatch):
+    """Query-level pin for dedup_phash_clusters' measured-count gate
+    (r14 ADVICE): the default local path (P2SS_HAMMING_LOCAL_MAX
+    covers the fixture corpus) and the distributed path (bound forced
+    to 0) must return identical rows — this exercises the gate probe,
+    the toPandas uint64 hand-off and the createDataFrame schema, not
+    just the hamming_components_np operator."""
+    from project_2_semantic_similarity_spark.plans import registry
+
+    registry.load_all()
+    fn = registry.QUERIES["dedup_phash_clusters"]
+
+    monkeypatch.delenv("P2SS_HAMMING_LOCAL_MAX", raising=False)
+    local = sorted(map(tuple, fn(spark, sf_dir).collect()))
+
+    monkeypatch.setenv("P2SS_HAMMING_LOCAL_MAX", "0")
+    dist = sorted(map(tuple, fn(spark, sf_dir).collect()))
+
+    assert local and local == dist
