@@ -12,15 +12,35 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def dot(a: Column | str, b: Column | str) -> Column:
+def dot(a: Column | str, b: Column | str,
+        unroll_dim: int | None = None) -> Column:
     """Σ aᵢ·bᵢ. DoubleType accumulator so float inputs don't lose
-    precision during the fold."""
+    precision during the fold.
+
+    ``unroll_dim`` (r15, guide §4.1 "prefer codegen'd built-ins"):
+    when the caller KNOWS the vector dimensionality, the fold is
+    replaced — for rows of exactly that size — by a statically
+    unrolled sum of ``a[i]*b[i]`` terms. Higher-order-function
+    lambdas are CodegenFallback (interpreted per element inside an
+    otherwise compiled stage); the unrolled chain participates in
+    whole-stage codegen. Bit-identical by construction: the terms
+    are added LEFT-ASSOCIATIVELY onto the same 0.0 seed, i.e. the
+    exact IEEE operation sequence of the fold, and any row whose
+    size differs from ``unroll_dim`` falls back to the fold itself."""
     a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
-    return F.aggregate(
+    folded = F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    if unroll_dim is None:
+        return folded
+    acc = F.lit(0.0)
+    for i in range(unroll_dim):
+        acc = acc + F.get(a, i).cast("double") * F.get(b, i).cast("double")
+    return F.when(
+        (F.size(a) == unroll_dim) & (F.size(b) == unroll_dim), acc
+    ).otherwise(folded)
 
 
 def l2_norm(a: Column | str) -> Column:
