@@ -38,6 +38,36 @@ def _tmp(sf_dir: str, name: str) -> str:
     return scratch_path(f"{tag}_{name}")
 
 
+def _adaptive_partitions(spark: SparkSession, sf_dir: str, *names: str,
+                         bytes_per_partition: int = 2 << 20,
+                         floor: int = 4) -> int:
+    """Scale-adaptive partition count for the range-partitioned rank/
+    quantile machinery (r15, guide §2: derive partitioning from input
+    size — the batch twin of streaming/ops.replay_partitions). The
+    range exchange is explicit (`repartitionByRange(n, ...)`), so AQE
+    never coalesces it; at small inputs every quantile pass then pays
+    n tasks × several sequential jobs of pure scheduling overhead
+    (measured: dq_outliers_mad 32→8 partitions ≈ −18% wall at sf0.1).
+    One partition per ``bytes_per_partition`` of source parquet,
+    floor 4, CEILING the session default — coalesce-only, so cluster
+    deployments keep their configured width."""
+    import os as _os
+
+    total = 0
+    for name in names:
+        p = _os.path.join(sf_dir, f"{name}.parquet")
+        if _os.path.isfile(p):
+            total += _os.path.getsize(p)
+        elif _os.path.isdir(p):
+            for root, _dirs, fnames in _os.walk(p):
+                total += sum(_os.path.getsize(_os.path.join(root, f))
+                             for f in fnames)
+    session_default = int(
+        spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(floor, min(session_default,
+                          -(-total // bytes_per_partition)))
+
+
 # ---------------------------------------------------------------- scans
 
 @query("scan_parquet", oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation")
@@ -1131,7 +1161,8 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     q = grouped_quantiles_exact(
         li, "l_returnflag", "l_extendedprice",
-        {"median_price": 0.5, "p95_price": 0.95})
+        {"median_price": 0.5, "p95_price": 0.95},
+        num_partitions=_adaptive_partitions(spark, sf_dir, "lineitem"))
     return q.select(
         "l_returnflag",
         F.round("median_price", 6).alias("median_price"),
@@ -3818,17 +3849,29 @@ def dq_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
+    # lazy localCheckpoints (r15, guide §5 / the with_global_rank
+    # pattern): `fact` feeds the center-median pass AND `dev`; `dev`
+    # feeds the MAD pass AND the final counting agg. Unpinned,
+    # Catalyst instantiated the orders⋈customer subtree 3× and the
+    # dev join 2× per execution (38 Exchanges,
+    # plans/r15/dq_outliers_mad_before.txt) — each consumer re-read
+    # the fact table. Checkpointing materializes each relation once
+    # per execution; all downstream references share the blocks.
     fact = (o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
                    o["o_custkey"] == c["c_custkey"])
-            .select("c_mktsegment", "o_totalprice"))
+            .select("c_mktsegment", "o_totalprice")
+            .localCheckpoint(eager=False))
+    nparts = _adaptive_partitions(spark, sf_dir, "orders")
     med = grouped_quantiles_exact(
-        fact, "c_mktsegment", "o_totalprice", {"med": 0.5})
+        fact, "c_mktsegment", "o_totalprice", {"med": 0.5},
+        num_partitions=nparts)
     dev = (fact.join(F.broadcast(med), "c_mktsegment")
            .select("c_mktsegment", "o_totalprice", "med",
                    F.abs(F.col("o_totalprice") - F.col("med"))
-                   .alias("d")))
+                   .alias("d"))
+           .localCheckpoint(eager=False))
     mad = grouped_quantiles_exact(
-        dev, "c_mktsegment", "d", {"mad": 0.5})
+        dev, "c_mktsegment", "d", {"mad": 0.5}, num_partitions=nparts)
     return (dev.join(F.broadcast(mad), "c_mktsegment")
             .groupBy("c_mktsegment")
             .agg(F.count("*").cast("bigint").alias("n_orders"),
