@@ -2800,19 +2800,32 @@ def text_bpe_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_decode_ids, bpe_encode_corpus, bpe_word_tokens,
         byte_bpe_ids, byte_unicode_docs_marked)
 
+    from project_2_semantic_similarity_spark.operators.cache import (
+        keyed_persist)
+
     docs = load_table(spark, sf_dir, "documents")
     dec = docs.select(
         "doc_id",
         F.concat(F.col("text"), F.lit(" xé"),
                  (F.col("doc_id") % 7).cast("string")).alias("text"))
     marked = byte_unicode_docs_marked(dec)
-    words = (marked
-             .select(F.explode(F.split(F.col("text"), " ")).alias("word"))
-             .filter(F.col("word") != "")
-             .groupBy("word").agg(F.count("*").alias("cnt"))
-             ).localCheckpoint()
-    vocab = bpe_word_tokens(
-        words.select("word").distinct()).localCheckpoint()
+    # r15 (guide §5): the marked/decorated word counts and their
+    # 32-merge segmented vocabulary are fully determined by the
+    # documents snapshot, but the eager localCheckpoints rebuilt both
+    # (corpus tokenize shuffle + the Arrow BPE pass) on EVERY
+    # execution — ~11 s warm at sf0.1. They now ride their own
+    # keyed_persist slots (their word source is the byte-mapped +
+    # decorated text, so they cannot share tl_docwords/tl_vocab —
+    # module-head note). Cold passes still pay the full build.
+    words = keyed_persist(
+        "tl_bytedec_words", _doc_src_key(sf_dir),
+        lambda: marked
+        .select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word").agg(F.count("*").alias("cnt")))
+    vocab = keyed_persist(
+        "tl_bytedec_vocab", _doc_src_key(sf_dir),
+        lambda: bpe_word_tokens(words.select("word").distinct()))
     ids = byte_bpe_ids(spark)
     stream = bpe_encode_corpus(marked, vocab, ids, unk_id=1)
     return bpe_decode_ids(stream, ids)
