@@ -2777,6 +2777,36 @@ def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stage_order_snapshots(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write the v1 (base) and v2 (post-MERGE) orders snapshot
+    directories for the time-travel/CDF pair. The two writes are
+    independent jobs (both derive from the base table, neither reads
+    the other's output) — submitted concurrently so the second
+    back-fills the first's task tail instead of waiting for it
+    (guide §2.6 "overlap independent jobs")."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    v1_dir = _tmp(sf_dir, "orders_v1")
+    v2_dir = _tmp(sf_dir, "orders_v2")
+    base = load_table(spark, sf_dir, "orders")
+
+    def _write_v1() -> None:
+        base.select("o_orderkey", "o_orderstatus",
+                    F.round("o_totalprice", 2).alias("o_totalprice")) \
+            .write.mode("overwrite").parquet(v1_dir)
+
+    def _write_v2() -> None:
+        merge_plan(spark, sf_dir).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice") \
+            .write.mode("overwrite").parquet(v2_dir)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for f in [pool.submit(_write_v1), pool.submit(_write_v2)]:
+            f.result()
+    return v1_dir, v2_dir
+
+
+
 @query(
     "scan_time_travel",
     oracle="""
@@ -2819,15 +2849,7 @@ def scan_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     in a real table format (hardlinks/manifests). The query reads
     both versions and aggregates per (version, status) — auditing a
     MERGE by diffing adjacent snapshots."""
-    v1_dir = _tmp(sf_dir, "orders_v1")
-    v2_dir = _tmp(sf_dir, "orders_v2")
-    base = load_table(spark, sf_dir, "orders")
-    base.select("o_orderkey", "o_orderstatus",
-                F.round("o_totalprice", 2).alias("o_totalprice")) \
-        .write.mode("overwrite").parquet(v1_dir)
-    merge_plan(spark, sf_dir).select(
-        "o_orderkey", "o_orderstatus", "o_totalprice") \
-        .write.mode("overwrite").parquet(v2_dir)
+    v1_dir, v2_dir = _stage_order_snapshots(spark, sf_dir)
 
     def agg_version(path: str, v: int) -> DataFrame:
         return (spark.read.parquet(path)
@@ -4003,15 +4025,7 @@ def scan_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     output is |changes|, never |table|. The oracle re-derives the
     engineered merge (every 97th key repriced +1000, status 'U')
     from the base table."""
-    v1_dir = _tmp(sf_dir, "orders_v1")
-    v2_dir = _tmp(sf_dir, "orders_v2")
-    base = load_table(spark, sf_dir, "orders")
-    base.select("o_orderkey", "o_orderstatus",
-                F.round("o_totalprice", 2).alias("o_totalprice")) \
-        .write.mode("overwrite").parquet(v1_dir)
-    merge_plan(spark, sf_dir).select(
-        "o_orderkey", "o_orderstatus", "o_totalprice") \
-        .write.mode("overwrite").parquet(v2_dir)
+    v1_dir, v2_dir = _stage_order_snapshots(spark, sf_dir)
     a = spark.read.parquet(v1_dir).alias("a")
     b = spark.read.parquet(v2_dir).alias("b")
     joined = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"),
