@@ -520,6 +520,21 @@ def main() -> int:
     times_warm_median = {n: round(statistics.median(r), 3)
                          for n, r in warm_runs.items()}
 
+    # Fresh-slot cold pass (r15, r14 verdict #7): the plain cold
+    # numbers above are order-dependent — a query's "cold" can be
+    # paid down (or inflated) by slots earlier headline queries
+    # built, so per-query cold deltas stop isolating per-query work.
+    # Clear the replacement slots before EACH query so its cold
+    # includes exactly its own builds. Additions-only: the primary
+    # metric and the cold/warm dicts above are unchanged.
+    from project_2_semantic_similarity_spark.operators.cache import (
+        clear_slots as _clear_slots)
+
+    times_cold_fresh: dict[str, float] = {}
+    for name in times:
+        _clear_slots()
+        times_cold_fresh[name] = round(run(name), 3)
+
     total = round(sum(times.values()), 3)
     warm_median_total = round(sum(times_warm_median.values()), 3)
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
@@ -600,6 +615,9 @@ def main() -> int:
         "queries": times,
         "queries_warm_median": times_warm_median,
         "warm_median_total_sec": warm_median_total,
+        "queries_cold_freshslots": times_cold_fresh,
+        "cold_freshslots_total_sec": round(
+            sum(times_cold_fresh.values()), 3),
         "sf": sf,
         "cold_flagship_sec": round(cold_flagship, 3),
         "gene_speedup_vs_reference": {

@@ -270,6 +270,31 @@ def cms_sketch(df: DataFrame, col: str, d: int = _CMS_D,
     )
 
 
+def cms_sketch_from_counts(counts: DataFrame, key_col: str,
+                           cnt_col: str, d: int = _CMS_D,
+                           w: int = _CMS_W) -> DataFrame:
+    """``cms_sketch`` from a PRE-AGGREGATED (key, count) relation —
+    bit-identical counters (each counter is Σ of the counts of the
+    keys hashing into it, exactly the count of the raw rows), at
+    d × n_distinct hash evaluations instead of d × n_rows (r15,
+    guide §2.3 "aggregate before you shuffle" / §1.2 "don't compute
+    things you throw away": the md5 bucket hash is the sketch
+    build's hot expression, and a caller that already aggregated
+    exact counts — agg_cms_portable does, for its probe side — was
+    paying it 30× over on this corpus, 600k raw rows vs 20k keys)."""
+    rows = counts.select(F.col(key_col).cast("string").alias("v"),
+                         F.col(cnt_col).alias("_n"))
+    salted = rows.select(
+        "v", "_n",
+        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("j"))
+    return (
+        salted.select("j", _cms_bucket(F.col("v"), F.col("j"), w)
+                      .alias("bucket"), "_n")
+        .groupBy("j", "bucket")
+        .agg(F.sum("_n").cast("bigint").alias("c"))
+    )
+
+
 def cms_estimate(sketch: DataFrame, probes: DataFrame, key_col: str,
                  d: int = _CMS_D, w: int = _CMS_W) -> DataFrame:
     """Point frequency estimates for ``probes[key_col]`` from CMS

@@ -2987,12 +2987,19 @@ def agg_cms_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     and merging per-partition/per-day sketches is counter addition,
     no raw-data revisit."""
     from project_2_semantic_similarity_spark.operators.sketch import (
-        cms_estimate, cms_sketch)
+        cms_estimate, cms_sketch_from_counts)
 
     li = load_table(spark, sf_dir, "lineitem")
-    sk = cms_sketch(li, "l_partkey")
-    exact = li.groupBy("l_partkey").agg(
-        F.count("*").cast("bigint").alias("exact_cnt"))
+    # r15 (guide §2.3/§1.2): the exact per-key counts are needed for
+    # the probe side anyway, and every sketch counter is exactly the
+    # sum of its keys' counts — so hash d × 20k DISTINCT keys instead
+    # of d × 600k raw rows (the md5 bucket expression was the build's
+    # hot loop), and scan lineitem once instead of twice. Counters
+    # are bit-identical; the oracle is unchanged.
+    exact = (li.groupBy("l_partkey")
+             .agg(F.count("*").cast("bigint").alias("exact_cnt"))
+             .localCheckpoint(eager=False))
+    sk = cms_sketch_from_counts(exact, "l_partkey", "exact_cnt")
     probe = exact.orderBy(F.col("exact_cnt").desc(), "l_partkey").limit(20)
     est = cms_estimate(sk, probe, "l_partkey")
     return (

@@ -124,6 +124,12 @@ _CHANGED_THIS_ROUND = frozenset(
         # hamming local path: slice-cap flush + duplicate-id edge
         # parity fix (results identical under unique doc_ids):
         "dedup_phash_clusters",
+        # CMS sketch built from the pre-aggregated exact counts
+        # (bit-identical counters, 30x fewer md5 evaluations):
+        "agg_cms_portable",
+        # v1/v2 snapshot writes submitted concurrently (guide §2.6):
+        "scan_snapshot_diff",
+        "scan_time_travel",
     }
 )
 # r15 window composition: flagship + 34 r14-debt names above + the
