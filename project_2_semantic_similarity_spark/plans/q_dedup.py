@@ -825,9 +825,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming filter. The blocking stays the physical plan: candidates
     only inside equal (chunk_idx, chunk) buckets."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.simhash_near_pairs(
-        D.simhash(docs, bits=60, hash_family="portable"),
-        max_hamming=8, bits=60)
+    # r15 (guide §5): the banded pair join references the fingerprint
+    # relation on BOTH sides, so unpersisted the whole tokenize +
+    # 60-vote-aggregate build ran twice per execution (and again per
+    # warm pass) for a snapshot-determined n_docs×16-byte relation.
+    fp = keyed_persist(
+        "dd_simhash60", _table_key(sf_dir, "documents"),
+        lambda: D.simhash(docs, bits=60, hash_family="portable"))
+    return D.simhash_near_pairs(fp, max_hamming=8, bits=60)
 
 
 # Trained codebook per (corpus fingerprint, k): the k-means fit runs
